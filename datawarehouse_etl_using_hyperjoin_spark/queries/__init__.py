@@ -1,0 +1,57 @@
+"""Declared-query registry consumed by ``__spark_entry__.py``.
+
+Every operator from SURVEY.md §2 (and the north-star pipeline extensions) is
+declared here as a named query: a PySpark callable ``(spark, sf_dir) ->
+DataFrame`` plus, when SQL-expressible, a DuckDB oracle string producing the
+same column names and values.  The driver compares the two (row count +
+schema + order-insensitive value hash) at sf0.01.
+
+Parity rules (FIXTURES.md oracle note):
+- alias every computed column identically on both sides;
+- money sums go through an exact DECIMAL cast per element, then a final
+  ``CAST(... AS DOUBLE)`` so both engines produce bit-identical doubles
+  regardless of summation order;
+- every LIMIT is paired with a total ORDER BY;
+- timestamps are ntz/naive-UTC on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import ensure_engine_conf
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does a rows-only check
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a declared query under ``name`` with an optional oracle."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_engine_conf(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QueryDef(wrapped, oracle)
+        return wrapped
+
+    return deco
+
+
+def load_registry() -> dict[str, QueryDef]:
+    """Import all query modules (side-effect registration) and return them."""
+    from . import analytics, pipelines, relational, star  # noqa: F401
+
+    return REGISTRY

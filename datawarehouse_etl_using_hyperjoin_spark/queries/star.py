@@ -1,0 +1,175 @@
+"""Star-schema build + maintenance queries (SURVEY.md §2.1 S5, §2.11).
+
+The reference's write path: five SCD-Type-1 dimensions bulk-loaded then
+maintained by keyed upsert (createDW.sql:8-80; StreamGeneratorThread.java
+:151-354), and a five-FK fact table (createDW.sql:83-98).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import validate_key
+from ..operators.etl import build_dim
+from ..operators.upsert import scd1_upsert
+from ..sources.fixtures import MASTER_DATA_ORACLE, load_table, master_data
+from . import query
+
+CTE_MASTER = f"WITH master_data AS ({MASTER_DATA_ORACLE})"
+
+
+@query(
+    "q_dim_product",
+    oracle=f"""{CTE_MASTER}
+SELECT DISTINCT product_id, product_name, product_price FROM master_data""",
+)
+def q_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: product dimension bulk load — project + PK dedup, price kept as
+    the reference's VARCHAR (createDW.sql:2-10)."""
+    return build_dim(
+        master_data(spark, sf_dir),
+        "product_id",
+        ["product_id", "product_name", "product_price"],
+    )
+
+
+@query(
+    "q_dim_supplier",
+    oracle="SELECT DISTINCT s_suppkey AS supplier_id, s_name AS supplier_name FROM supplier",
+)
+def q_dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: supplier dimension (createDW.sql:18-26)."""
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supplier_id"), F.col("s_name").alias("supplier_name")
+    )
+    return build_dim(supp, "supplier_id", ["supplier_id", "supplier_name"])
+
+
+@query(
+    "q_dim_store",
+    oracle="SELECT DISTINCT n_nationkey AS store_id, n_name AS store_name FROM nation",
+)
+def q_dim_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: store dimension (createDW.sql:30-38); store ≈ nation per the
+    fixture role mapping."""
+    store = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("store_id"), F.col("n_name").alias("store_name")
+    )
+    return build_dim(store, "store_id", ["store_id", "store_name"])
+
+
+@query(
+    "q_dim_order",
+    oracle="""
+SELECT DISTINCT o_orderkey AS order_id, CAST(o_orderdate AS DATE) AS order_date
+FROM orders""",
+)
+def q_dim_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: order dimension (createDW.sql:41-49).  Implements the evidently
+    intended *keyed* load — the reference's runtime order-update is a
+    whole-table UPDATE bug (no WHERE, StreamGeneratorThread.java:164-167)
+    which we fix by design rather than reproduce (SURVEY.md U2)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+    return build_dim(orders, "order_id", ["order_id", "order_date"])
+
+
+@query(
+    "q_dim_customer",
+    oracle="""
+SELECT DISTINCT
+  CASE WHEN regexp_matches(key_str, '^[0-9]+$')
+       THEN CAST(key_str AS BIGINT) ELSE NULL END AS customer_id,
+  c_name       AS customer_name,
+  c_mktsegment AS customer_segment
+FROM (
+  SELECT CASE WHEN c_custkey % 7 = 3 THEN 'X' || CAST(c_custkey AS VARCHAR)
+              ELSE CAST(c_custkey AS VARCHAR) END AS key_str,
+         c_name, c_mktsegment
+  FROM customer
+)""",
+)
+def q_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+P4: customer dimension with regex-validated dirty keys mapped to
+    NULL (createDW.sql:61-80) — dirt injected as in q_key_validate."""
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.select(
+        F.when(
+            F.col("c_custkey") % 7 == 3,
+            F.concat(F.lit("X"), F.col("c_custkey").cast("string")),
+        )
+        .otherwise(F.col("c_custkey").cast("string"))
+        .alias("key_str"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("customer_segment"),
+    )
+    validated = dirty.select(
+        validate_key("key_str").alias("customer_id"),
+        "customer_name",
+        "customer_segment",
+    )
+    return validated.dropDuplicates()
+
+
+@query(
+    "q_upsert_scd1",
+    oracle="""
+WITH existing AS (
+  SELECT c_custkey AS customer_id, c_name AS customer_name,
+         c_mktsegment AS customer_segment
+  FROM customer WHERE c_custkey % 3 != 0
+), updates AS (
+  SELECT c_custkey AS customer_id, upper(c_name) AS customer_name,
+         'UPDATED' AS customer_segment
+  FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT * FROM updates
+UNION ALL
+SELECT e.* FROM existing e
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.customer_id = e.customer_id)""",
+)
+def q_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: SCD-Type-1 keyed upsert — update matched keys in place, insert
+    new ones (StreamGeneratorThread.java:205-209 et al.; createDW.sql ON
+    DUPLICATE KEY UPDATE at :26,:38,:49,:76-80).
+
+    Batch-checkable form: a base dim snapshot upserted with a deterministic
+    update batch; the operator itself (operators/upsert.py) is the
+    anti-join + union used by the streaming foreachBatch sink.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    existing = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("customer_segment"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("customer_id"),
+        F.upper("c_name").alias("customer_name"),
+        F.lit("UPDATED").alias("customer_segment"),
+    )
+    return scd1_upsert(existing, updates, key="customer_id")
+
+
+@query(
+    "q_collect_set",
+    oracle="""
+SELECT l_returnflag,
+       array_to_string(list_sort(list_distinct(list(CAST(l_partkey AS VARCHAR)))), ',')
+         AS product_ids
+FROM lineitem
+GROUP BY l_returnflag""",
+)
+def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: change-log accumulation — matched product IDs collected per run
+    (StreamGeneratorThread.java:102,132,396) → collect_set per group,
+    rendered as a sorted CSV string for engine-neutral comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("l_partkey").cast("string"))), ","
+        ).alias("product_ids")
+    )

@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults mirror what a 1000-executor cluster deployment would set
+per-executor: AQE on (runtime re-plan + skew-join handling), shuffle
+partitions sized to cores (not the 200 default), Arrow enabled for the
+pandas-UDF slow path, UTC session time so timestamp semantics are
+deployment-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Fixture `events.parquet` stores TIMESTAMP(NANOS) which Spark's vectorized
+# parquet reader rejects by default; this legacy flag reads it as LongType
+# (nanos since epoch) and sources.fixtures converts it back to timestamp_ntz.
+NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def tuned_conf(builder: SparkSession.Builder, cpus: int) -> SparkSession.Builder:
+    """Apply engine configuration to a builder (shared by tests and bench)."""
+    return (
+        builder.config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(NANOS_AS_LONG, "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+
+
+def get_spark(app_name: str = "hyperjoin-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession for local runs."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    spark = tuned_conf(builder, cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Defensively apply runtime-settable confs on a session we didn't build.
+
+    The verification driver constructs its own SparkSession; queries must
+    still read nano-timestamp parquet and compare timestamps against a
+    UTC-naive oracle, so set the runtime-mutable subset here.
+    """
+    for key, value in (
+        (NANOS_AS_LONG, "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - static conf on some builds
+            pass
+    return spark
