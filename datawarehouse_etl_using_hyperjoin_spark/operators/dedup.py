@@ -1,0 +1,211 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The LLM-corpus dedup family (BASELINE.json north_star), built entirely from
+DataFrame primitives — explode/groupBy/join — so every stage is a plain
+shuffle Catalyst can plan, and the quadratic all-pairs comparison is always
+bounded by a blocking key (LSH band, bucket, or source) before any join.
+
+Scale notes (100 TB):
+- Signatures are one narrow shuffle keyed by (doc, seed): linear in corpus
+  size, partial-aggregated map-side (min is algebraic).
+- Candidate generation joins on band hash — the join explodes only within
+  a band bucket; skewed buckets (boilerplate docs) are the known hazard and
+  AQE skew-join splitting plus an optional bucket-size cap handle them.
+- All hashing is md5 (deterministic across engines/runs); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+
+def exact_dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content with the
+    representative (minimum) id and duplicate count."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per document: (id, shingle).
+
+    Documents shorter than k words contribute their whole text as the one
+    shingle, so no document silently disappears from the signature stage.
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        ),
+    ).otherwise(F.array(F.trim(F.col(text_col))))
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, n_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature rows: (id, seed, minhash) for seed ∈ [0, n_hashes).
+
+    Hash family: md5(seed ':' shingle), min taken lexicographically over
+    the hex digest — a deterministic stand-in for n random permutations
+    that any engine reproduces bit-for-bit.  Input is the output of
+    :func:`shingles`.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    return (
+        sh.select(F.col(id_col), F.col("shingle"), seeds)
+        .withColumn(
+            "h",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_signature_string(sig: DataFrame, id_col: str) -> DataFrame:
+    """Collapse signature rows to one ordered string per doc (seed order,
+    first 8 hex chars per hash): (id, signature)."""
+    return sig.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                lambda s: F.substring(s["minhash"], 1, 8),
+            ),
+            ":",
+        ).alias("signature")
+    )
+
+
+def lsh_band_hashes(
+    sig: DataFrame, id_col: str, n_hashes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """Band the signature rows: (id, band, band_hash).
+
+    band = seed div rows_per_band; band_hash = md5 of the ordered minhashes
+    in the band.  Docs sharing any band_hash are LSH candidates.
+    """
+    rows_per_band = n_hashes // n_bands
+    return (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"],
+                    ),
+                    "|",
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Self-join the band table on (band, band_hash): candidate near-dup
+    pairs (id_a < id_b, n_shared_bands)."""
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band", "band_hash"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band", "band_hash"
+    )
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document, as a 64-char bitstring: (id, simhash).
+
+    Each distinct word votes its md5's first 64 bits (16 hex nibbles ×
+    4 bits); the per-position vote sign is the fingerprint bit.  Bitstring
+    output keeps the value engine-portable (no int64 sign issues).
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    word_rows = df.select(F.col(id_col), F.explode(w).alias("word")).dropDuplicates(
+        [id_col, "word"]
+    )
+    hashed = word_rows.withColumn("wh", F.md5("word"))
+    pos = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pos")
+    bits = (
+        hashed.select(F.col(id_col), F.col("wh"), pos)
+        .withColumn("nibble", F.substring(F.col("wh"), (F.col("pos") / 4).cast("int") + 1, 1))
+        .withColumn("nval", F.expr(f"instr('{_HEX}', nibble) - 1"))
+        .withColumn("bit", F.expr("(nval >> (pos % 4)) & 1"))
+    )
+    votes = bits.groupBy(id_col, "pos").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("vote")
+    )
+    return votes.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "vote"))),
+                lambda s: F.when(s["vote"] > 0, "1").otherwise("0"),
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """n-gram Jaccard similarity for all pairs sharing ``block_col``.
+
+    The blocking key bounds the quadratic join (at 100 TB you never join
+    shingles unblocked); output: (id_a, id_b, n_common, jaccard).
+    """
+    sh = shingles(df, id_col, text_col, k).join(
+        df.select(F.col(id_col), F.col(block_col)), on=id_col
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col(block_col), F.col("shingle"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col(block_col), F.col("shingle"))
+    common = (
+        a.join(b, on=[block_col, "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

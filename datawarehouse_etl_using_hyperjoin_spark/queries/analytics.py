@@ -522,8 +522,9 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH gaps AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN datediff('second',
-                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+         CASE WHEN datediff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                > 1800 * 1000000
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_new
   FROM events
@@ -539,8 +540,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
-    gap_s = F.expr("timestampdiff(SECOND, __prev_ts, ts)")
-    is_new = F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0)
+    # Exact-microsecond gap on both engines: second-granularity diffs
+    # disagree across engines (elapsed-truncation vs boundary-counting).
+    gap_us = F.expr("timestampdiff(MICROSECOND, __prev_ts, ts)")
+    is_new = F.when(prev_ts.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
     return (
         ev.withColumn("__prev_ts", prev_ts)
         .withColumn("is_new", is_new)

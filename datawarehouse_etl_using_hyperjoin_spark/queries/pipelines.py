@@ -1,4 +1,430 @@
 """North-star training-data pipeline queries: dedup, similarity search,
-text analysis, multimodal plumbing.  Implemented in a later milestone."""
+text analysis, multimodal plumbing (BASELINE.json north_star).
+
+The fixture corpus has no real duplicates (verified: zero exact-dup
+clusters, max pairwise embedding cosine 0.48), so the dedup queries
+*construct* near-duplicates deterministically inside the query — a
+perturbed copy of each document/vector under ``id + 1_000_000`` — with the
+identical construction on the oracle side.  That way every operator is
+checked on input that actually exercises it.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as tx
+from ..operators.dedup import (
+    exact_dedup_clusters,
+    lsh_band_hashes,
+    lsh_candidate_pairs,
+    minhash_signature_string,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+)
+from ..operators.multimodal import attach_payload, decode
+from ..operators.similarity import ann_bucketed_topk, cosine_topk, near_dup_pairs
+from ..sources.fixtures import load_table
+from . import query
+
+_STOPLIST_SQL = "['the','a','of','to','and','in','is','it','for','on']"
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ perturbed copies (first word dropped, id + 1e6)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    pert = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 2, F.size(w) - 1)).alias("text"),
+    )
+    return docs.unionByName(pert)
+
+
+_DOCS_DUPS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       array_to_string(w[2:len(w)], ' ') AS text
+FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+"""
+
+_DOCS_EXACT_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents
+"""
+
+_SHINGLES_SQL = """
+SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> array_to_string(w[i:i+2], ' '))
+         ELSE [trim(text)] END) AS shingle
+  FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM corpus)
+)
+"""
+
+_MINHASH_SQL = """
+SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+GROUP BY doc_id, seed
+"""
+
+
+# ------------------------------------------------------------------- dedup
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+WITH corpus AS ({_DOCS_EXACT_SQL})
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS rep_id,
+       count(*)    AS n_docs
+FROM corpus
+GROUP BY 1""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: every fixture doc + its
+    injected copy collapse to one cluster (rep = min id, n_docs = 2)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return exact_dedup_clusters(corpus, "doc_id", "text")
+
+
+@query(
+    "q_minhash_signature",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+sh AS ({_SHINGLES_SQL}),
+sig AS ({_MINHASH_SQL})
+SELECT doc_id,
+       string_agg(substr(minhash, 1, 8), ':' ORDER BY seed) AS signature
+FROM sig GROUP BY doc_id""",
+)
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash: 16-hash signature per document over word 3-gram shingles
+    (md5 hash family — deterministic across engines)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = minhash_signatures(shingles(docs, "doc_id", "text", 3), "doc_id", 16)
+    return minhash_signature_string(sig, "doc_id")
+
+
+@query(
+    "q_minhash_pairs",
+    oracle=f"""
+WITH corpus AS ({_DOCS_DUPS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+sig AS ({_MINHASH_SQL}),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(minhash, '|' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, seed // 4
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id""",
+)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 16 hashes → 4 bands × 4 rows; docs
+    sharing a band hash are near-dup candidates.  The injected
+    drop-one-word copies (shingle Jaccard ≈ 0.97) collide with their
+    originals; unrelated docs don't."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    sig = minhash_signatures(shingles(corpus, "doc_id", "text", 3), "doc_id", 16)
+    bands = lsh_band_hashes(sig, "doc_id", 16, 4)
+    return lsh_candidate_pairs(bands, "doc_id")
+
+
+@query(
+    "q_simhash",
+    oracle="""
+WITH wordrows AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents
+  )
+),
+bits AS (
+  SELECT doc_id, pos,
+         ((instr('0123456789abcdef',
+                 substr(md5(word), CAST(pos // 4 AS INT) + 1, 1)) - 1)
+           >> (pos % 4)) & 1 AS bit
+  FROM wordrows CROSS JOIN (SELECT unnest(range(64)) AS pos)
+),
+votes AS (
+  SELECT doc_id, pos, sum(2 * bit - 1) AS vote FROM bits GROUP BY doc_id, pos
+)
+SELECT doc_id,
+       string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY pos)
+         AS simhash
+FROM votes GROUP BY doc_id""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 64-bit locality-sensitive fingerprint per document (distinct
+    words vote md5 bits), emitted as a bitstring."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash64(docs, "doc_id", "text")
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+WITH corpus AS ({_DOCS_DUPS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+blocked AS (SELECT s.doc_id, s.shingle, d.doc_id % 20 AS block
+            FROM sh s JOIN corpus d ON s.doc_id = d.doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM blocked a JOIN blocked b
+    ON a.block = b.block AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_common,
+       n_common / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+ORDER BY jaccard DESC, id_a, id_b
+LIMIT 100""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, blocked by ``doc_id % 20`` (the
+    blocking key that bounds the quadratic join — the injected copy shares
+    its original's block by construction).  Top-100 by similarity."""
+    corpus = _docs_with_dups(spark, sf_dir).withColumn(
+        "block", F.col("doc_id") % 20
+    )
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", "block", 3)
+    return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(100)
+
+
+# ------------------------------------------------------------- similarity
+_COS_SQL = """list_aggregate(list_transform(range(1, len({a}) + 1),
+                 i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')
+ / (sqrt(list_aggregate(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+  * sqrt(list_aggregate(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"""
+
+
+@query(
+    "q_ann_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_COS_SQL.format(a="qv", b="cv")} AS cos_sim
+  FROM q CROSS JOIN c WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, exact baseline: brute-force cosine top-5 for the
+    first 8 vectors against the whole corpus (broadcast queries, one corpus
+    scan, zip_with/aggregate fold — no Python, no explode)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    out = cosine_topk(queries, em, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
+    )
+
+
+@query(
+    "q_ann_bucketed",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(embedding[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM v WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM v),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_COS_SQL.format(a="qv", b="cv")} AS cos_sim
+  FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3""",
+)
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, scale path: sign-LSH bucketing on the leading 8
+    dims (2^8 buckets); each query probes only its own bucket — the
+    candidate set shrinks ~256× and the bucket id is the cluster/shuffle
+    key at scale."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    out = ann_bucketed_topk(queries, em, k=3, m=8)
+    return out.select(
+        "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
+    )
+
+
+@query(
+    "q_embed_near_dup",
+    oracle=f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+pert AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         embedding[1:63] || [CAST(0.5 AS FLOAT)] AS embedding
+  FROM base
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+v AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(embedding[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM allv
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cos_sim
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.85""",
+)
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.85) within sign-LSH buckets.
+
+    Injected perturbed copies (last dim replaced) keep their bucket (first
+    8 dims untouched) and score ≈ 0.92 against their originals; unrelated
+    fixture pairs max out at 0.48, so the threshold separates cleanly."""
+    em = load_table(spark, sf_dir, "embeddings")
+    base = em.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    pert = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 63),
+            F.array(F.lit(0.5).cast("float")),
+        ).alias("embedding"),
+    )
+    allv = base.unionByName(pert)
+    pairs = near_dup_pairs(allv, threshold=0.85)
+    return pairs.select("id_a", "id_b", F.col("cos").alias("cos_sim"))
+
+
+# ----------------------------------------------------------- text analysis
+@query(
+    "q_token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split(trim(text), ' '))                    AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                                                             AS bpe_ish_tokens,
+       CAST(ceil(n_chars / 4.0) AS BIGINT)                   AS approx_tokens
+FROM documents""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, a BPE-ish pre-tokenizer regex
+    count, and the chars/4 estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.ws_token_count(F.col("text")).alias("ws_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+        tx.approx_token_count(F.col("n_chars")).alias("approx_tokens"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+SELECT doc_id, n_words, punct_ratio, stop_ratio,
+       0.4 * least(n_words / 100.0, 1.0)
+     + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+     + 0.3 * least(stop_ratio * 10, 1.0) AS quality_score
+FROM (
+  SELECT doc_id,
+         len(string_split(trim(text), ' ')) AS n_words,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+           / length(text) AS punct_ratio,
+         len(list_filter(string_split(trim(text), ' '),
+             w -> list_contains({_STOPLIST_SQL}, w)))
+           / len(string_split(trim(text), ' ')) AS stop_ratio
+  FROM documents
+)""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length / punctuation-density / stopword
+    signals composed into a [0,1] score — the cheap corpus pre-filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.ws_token_count(t).alias("n_words"),
+        tx.punct_ratio(t).alias("punct_ratio"),
+        tx.stopword_ratio(t).alias("stop_ratio"),
+        tx.quality_score(t).alias("quality_score"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+SELECT doc_id, lang,
+       len(list_filter(string_split(trim(text), ' '),
+           w -> list_contains({_STOPLIST_SQL}, w)))
+         / len(string_split(trim(text), ' ')) AS stop_ratio,
+       CASE WHEN len(list_filter(string_split(trim(text), ' '),
+                  w -> list_contains({_STOPLIST_SQL}, w)))
+                / len(string_split(trim(text), ' ')) >= 0.03
+            THEN 'en' ELSE 'und' END AS lang_pred
+FROM documents""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-density heuristic (the n-gram-free cheap
+    gate; a real pipeline chains a trained model behind it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        tx.stopword_ratio(t).alias("stop_ratio"),
+        tx.lang_id(t).alias("lang_pred"),
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8)
+         AS fp_prefix
+FROM documents""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 over normalized text (lowercase,
+    collapsed whitespace) + a 32-bit prefix for cheap bucketing."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = tx.fingerprint(F.col("text"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fp_prefix"),
+    )
+
+
+# ------------------------------------------------------------- multimodal
+@query("q_multimodal_meta", oracle=None)  # rows-only: decode is a Python stage
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + typed metadata decoded
+    via Arrow-batched mapInPandas (codec itself stubbed deterministically —
+    no image/audio libs in this container; see operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs, "doc_id", "text")
+    return decode(media)
