@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": <sf>}.
+
+Each query is materialized with the noop writer (full execution, nothing
+collected to the driver) — the number measures the engine, not the
+driver-side pickle path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datawarehouse_etl_using_hyperjoin_spark.queries import load_registry
+from datawarehouse_etl_using_hyperjoin_spark.session import get_spark
+
+# Representative slice of SURVEY.md §2 + north-star ops: the ETL core
+# (scan→cleanse→join→fact), the analytics layer, and the pipeline ops.
+HEADLINE = [
+    "q_fact_assembly",
+    "q_hyperjoin",
+    "q_agg_multi",
+    "q_agg_sales_by_key",
+    "q_window_running",
+    "q_topk",
+    "q_tumbling_window",
+    "q_sessionize",
+    "q_dedup_exact",
+    "q_minhash_pairs",
+    "q_text_quality",
+    "q_ann_topk",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    registry = load_registry()
+    spark = get_spark("hyperjoin-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # queries, not session startup.
+    materialize(registry["q_scan_master"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    t_suite = time.time()
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(registry[name].fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_suite, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -55,15 +55,53 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     )
 
 
+def shingle_array(text_col: str, k: int = 3):
+    """Word k-gram shingles of a text column, as an array expression (no
+    explode — stays one Tungsten value per row)."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    return F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        ),
+    ).otherwise(F.array(F.trim(F.col(text_col))))
+
+
+def minhash_array(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 16
+) -> DataFrame:
+    """MinHash signatures computed entirely array-side: (id, minhashes).
+
+    Hash family: md5(seed ':' shingle), min taken lexicographically over
+    the hex digests — a deterministic stand-in for n random permutations
+    that any engine reproduces bit-for-bit.  min over the shingle
+    *multiset* equals min over the set, so no dedup pass is needed, and the
+    whole signature is one narrow projection — zero shuffles, zero row
+    blowup, whole-stage codegen (the explode+groupBy formulation shuffled
+    n_hashes × n_shingles rows per doc).
+    """
+    grams = shingle_array(text_col, k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(
+                grams,
+                lambda s: F.md5(F.concat(seed.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+    return df.select(F.col(id_col), sig.alias("minhashes"))
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str, n_hashes: int = 16
 ) -> DataFrame:
     """MinHash signature rows: (id, seed, minhash) for seed ∈ [0, n_hashes).
 
-    Hash family: md5(seed ':' shingle), min taken lexicographically over
-    the hex digest — a deterministic stand-in for n random permutations
-    that any engine reproduces bit-for-bit.  Input is the output of
-    :func:`shingles`.
+    Row-per-seed formulation over exploded shingles (kept for composition
+    with shingle-level pipelines; prefer :func:`minhash_array` — same
+    values, no shuffle).
     """
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
     return (
@@ -88,6 +126,22 @@ def minhash_signature_string(sig: DataFrame, id_col: str) -> DataFrame:
             ),
             ":",
         ).alias("signature")
+    )
+
+
+def lsh_bands_from_array(
+    sig: DataFrame, id_col: str, n_hashes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """Band the array-form signature: (id, band, band_hash) — n_bands rows
+    per doc (vs n_hashes × n_shingles in the exploded formulation)."""
+    rpb = n_hashes // n_bands
+    band = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    return sig.select(F.col(id_col), band, F.col("minhashes")).select(
+        F.col(id_col),
+        "band",
+        F.md5(
+            F.array_join(F.slice("minhashes", F.col("band") * rpb + 1, rpb), "|")
+        ).alias("band_hash"),
     )
 
 

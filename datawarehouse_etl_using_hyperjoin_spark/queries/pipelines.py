@@ -17,12 +17,10 @@ from pyspark.sql import functions as F
 from ..operators import text as tx
 from ..operators.dedup import (
     exact_dedup_clusters,
-    lsh_band_hashes,
+    lsh_bands_from_array,
     lsh_candidate_pairs,
-    minhash_signature_string,
-    minhash_signatures,
+    minhash_array,
     ngram_jaccard_pairs,
-    shingles,
     simhash64,
 )
 from ..operators.multimodal import attach_payload, decode
@@ -109,10 +107,16 @@ FROM sig GROUP BY doc_id""",
 )
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash: 16-hash signature per document over word 3-gram shingles
-    (md5 hash family — deterministic across engines)."""
+    (md5 hash family — deterministic across engines).  Computed entirely
+    array-side: one projection, zero shuffles."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = minhash_signatures(shingles(docs, "doc_id", "text", 3), "doc_id", 16)
-    return minhash_signature_string(sig, "doc_id")
+    sig = minhash_array(docs, "doc_id", "text", 3, 16)
+    return sig.select(
+        "doc_id",
+        F.array_join(
+            F.transform("minhashes", lambda h: F.substring(h, 1, 8)), ":"
+        ).alias("signature"),
+    )
 
 
 @query(
@@ -138,8 +142,8 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop-one-word copies (shingle Jaccard ≈ 0.97) collide with their
     originals; unrelated docs don't."""
     corpus = _docs_with_dups(spark, sf_dir)
-    sig = minhash_signatures(shingles(corpus, "doc_id", "text", 3), "doc_id", 16)
-    bands = lsh_band_hashes(sig, "doc_id", 16, 4)
+    sig = minhash_array(corpus, "doc_id", "text", 3, 16)
+    bands = lsh_bands_from_array(sig, "doc_id", 16, 4)
     return lsh_candidate_pairs(bands, "doc_id")
 
 

@@ -1,0 +1,60 @@
+"""Physical-plan posture: the plans that must hold at 100 TB — broadcast
+where intended, pushdown reaching the scan, no Python in JVM-only paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_etl_using_hyperjoin_spark.operators.etl import hyperjoin
+from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import cosine_topk
+from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import (
+    plan_string,
+    pushed_filters,
+    uses_broadcast_join,
+)
+from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import (
+    load_table,
+    master_data,
+    transactions,
+)
+
+
+def test_hyperjoin_broadcasts_master(spark, sf_dir):
+    joined = hyperjoin(transactions(spark, sf_dir), master_data(spark, sf_dir))
+    assert uses_broadcast_join(joined)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") >= 45).select("l_orderkey", "l_quantity")
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf, f"filter not pushed: {pf!r}"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = plan_string(li.select("l_orderkey"))
+    # ReadSchema must carry only the projected column
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "l_orderkey" in read_schema[0]
+    assert "l_extendedprice" not in read_schema[0]
+
+
+def test_cosine_topk_has_no_python_stage(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(em.filter(F.col("vec_id") < 2), em, k=3)
+    plan = plan_string(out, "simple")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    # queries broadcast (BroadcastNestedLoopJoin — a cross join has no hash
+    # side) and the top-k runs as a partial group limit before the shuffle
+    assert "Broadcast" in plan
+    assert "WindowGroupLimit" in plan_string(out)
+
+
+def test_transactions_view_prunes_unused_columns(spark, sf_dir):
+    txn = transactions(spark, sf_dir).select("order_id", "quantity")
+    plan = plan_string(txn)
+    read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    # lineitem scan must not read l_extendedprice for this projection
+    assert read_lines and not any("l_extendedprice" in l for l in read_lines)

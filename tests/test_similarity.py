@@ -1,0 +1,65 @@
+"""Similarity-search semantics: brute-force top-k vs numpy ground truth,
+bucketed ANN consistency, near-dup pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+    ann_bucketed_topk,
+    cosine_topk,
+    near_dup_pairs,
+    sign_bucket,
+)
+from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import load_table
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 3)
+    out = cosine_topk(queries, em, k=5).collect()
+
+    rows = em.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for qid in range(3):
+        qv = Vn[ids == qid][0]
+        sims = Vn @ qv
+        sims[ids == qid] = -np.inf
+        expect = set(ids[np.argsort(-sims)[:5]])
+        got = {r.neighbor_id for r in out if r.query_id == qid}
+        assert got == expect, f"query {qid}"
+
+
+def test_ann_bucketed_is_subset_of_bucket_bruteforce(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5)
+    approx = ann_bucketed_topk(queries, em, k=3, m=8).collect()
+    # every returned neighbor must share the query's sign bucket
+    buckets = {
+        r.vec_id: r.b
+        for r in em.select("vec_id", sign_bucket(F.col("embedding"), 8).alias("b")).collect()
+    }
+    for r in approx:
+        assert buckets[r.query_id] == buckets[r.neighbor_id]
+        assert -1.0 <= r.cos <= 1.0
+
+
+def test_near_dup_pairs_finds_perturbed_copies(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    base = em.select("vec_id", "embedding")
+    pert = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 63), F.array(F.lit(0.5).cast("float"))
+        ).alias("embedding"),
+    )
+    pairs = near_dup_pairs(base.unionByName(pert), threshold=0.85).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # most perturbed copies stay above the threshold vs their original
+    expected = {(i, i + 1000) for i in range(40)}
+    assert len(found & expected) >= 25
+    # and no unrelated fixture pair sneaks in (max fixture cosine ≈ 0.48)
+    assert all((a, b) in expected for a, b in found)
