@@ -1,0 +1,111 @@
+"""The reference's end-to-end pipeline, batch form (SURVEY.md §3.5).
+
+Mirrors the three reference entry points:
+
+- :func:`ingest`        ≈ the two producer threads (batch here; the
+  streaming form is ``streaming.pipeline.read_parquet_stream``)
+- :func:`run_hyperjoin` ≈ the consumer loop §3.4 (probe → enrich)
+- :func:`load_star`     ≈ the five dim loads + fact load
+  (createDW.sql:2-98; StreamGeneratorThread.java:128-138)
+- :func:`run_pipeline`  ≈ ``StreamGeneratorThread.main()``
+  (StreamGeneratorThread.java:373-406)
+
+Scale posture: the fact table is written partitioned by order-date month —
+the partition key that makes both time-range partition pruning and
+incremental (per-month) recomputes work at 100 TB; dims are single
+unpartitioned tables (they are small by definition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.etl import assemble_fact, build_dim, first_match, hyperjoin
+from .sources.fixtures import load_table, master_data, transactions
+
+
+def ingest(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Load the two source relations (transaction stream + master data)."""
+    return transactions(spark, sf_dir), master_data(spark, sf_dir)
+
+
+def run_hyperjoin(txn: DataFrame, master: DataFrame) -> DataFrame:
+    """Cleanse + first-match dedup + equi-join + enrich (§3.4 loop)."""
+    m = first_match(master, "product_id", [F.col("supplier_id"), F.col("store_id")])
+    return hyperjoin(txn, m)
+
+
+def build_dimensions(
+    spark: SparkSession, sf_dir: str, master: DataFrame
+) -> dict[str, DataFrame]:
+    """The five SCD1 dimensions of createDW.sql:2-80."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("customer_segment"),
+    )
+    return {
+        "dim_product": build_dim(
+            master, "product_id", ["product_id", "product_name", "product_price"]
+        ),
+        "dim_supplier": build_dim(
+            master.select("supplier_id", "supplier_name"),
+            "supplier_id",
+            ["supplier_id", "supplier_name"],
+        ),
+        "dim_store": build_dim(
+            master.select("store_id", "store_name"),
+            "store_id",
+            ["store_id", "store_name"],
+        ),
+        "dim_order": build_dim(orders, "order_id", ["order_id", "order_date"]),
+        "dim_customer": build_dim(
+            cust, "customer_id", ["customer_id", "customer_name", "customer_segment"]
+        ),
+    }
+
+
+def load_star(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, int]:
+    """Build and persist the full star schema; returns row counts.
+
+    Fact is partitioned by order month (dynamic partition pruning +
+    bounded incremental rebuilds at scale); dims are plain parquet.
+    """
+    _, master = ingest(spark, sf_dir)
+    dims = build_dimensions(spark, sf_dir, master)
+    counts: dict[str, int] = {}
+    for name, df in dims.items():
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        counts[name] = spark.read.parquet(f"{out_dir}/{name}").count()
+
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "customer", "part", "supplier", "nation")}
+    fact = assemble_fact(
+        t["lineitem"], t["orders"], t["customer"], t["part"], t["supplier"], t["nation"]
+    ).withColumn("order_month", F.date_format("order_date", "yyyy-MM"))
+    fact.write.mode("overwrite").partitionBy("order_month").parquet(
+        f"{out_dir}/fact_sales"
+    )
+    counts["fact_sales"] = spark.read.parquet(f"{out_dir}/fact_sales").count()
+    return counts
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
+    """≈ StreamGeneratorThread.main(): ingest → hyperjoin → star load.
+
+    Returns per-table row counts (the reference's success signal was
+    console prints + rowsAffected checks, StreamGeneratorThread.java:
+    172-176 — counts are the relational equivalent).
+    """
+    txn, master = ingest(spark, sf_dir)
+    enriched = run_hyperjoin(txn, master)
+    counts = load_star(spark, sf_dir, out_dir)
+    counts["enriched_stream"] = enriched.count()
+    return counts

@@ -69,7 +69,12 @@ def shingle_array(text_col: str, k: int = 3):
 
 
 def minhash_array(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """MinHash signatures computed entirely array-side: (id, minhashes).
 
@@ -77,10 +82,20 @@ def minhash_array(
     the hex digests — a deterministic stand-in for n random permutations
     that any engine reproduces bit-for-bit.  min over the shingle
     *multiset* equals min over the set, so no dedup pass is needed, and the
-    whole signature is one narrow projection — zero shuffles, zero row
-    blowup, whole-stage codegen (the explode+groupBy formulation shuffled
-    n_hashes × n_shingles rows per doc).
+    whole signature is one narrow projection — zero row blowup (the
+    explode+groupBy formulation shuffled n_hashes × n_shingles rows/doc).
+
+    The projection is compute-bound (n_hashes × n_shingles md5 calls per
+    row), so parallelism must come from partition count, not data size — a
+    small text corpus arrives in few scan splits and would otherwise pin
+    the whole stage to a couple of cores.  ``parallelism`` (default: the
+    cluster's defaultParallelism) repartitions first; same decouple-compute-
+    from-scan-splits pattern as the multimodal decode stage.
     """
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     grams = shingle_array(text_col, k)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
@@ -171,18 +186,43 @@ def lsh_band_hashes(
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
-    """Self-join the band table on (band, band_hash): candidate near-dup
-    pairs (id_a < id_b, n_shared_bands)."""
-    a = bands.select(
-        F.col(id_col).alias("id_a"), "band", "band_hash"
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str, max_bucket: int = 1000
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, n_shared_bands) from the band
+    table, via bucket grouping + array-side pair generation.
+
+    One shuffle (groupBy band bucket), then pairs are enumerated inside
+    each bucket's collected id array — the upstream signature plan is
+    evaluated ONCE (a self-join would evaluate it per join side and re-run
+    the md5 work twice).  ``max_bucket`` caps pathological buckets
+    (boilerplate-heavy corpora): members beyond the cap are near-identical
+    anyway, and an uncapped bucket is quadratic — the documented 100 TB
+    skew guard (SCALE.md).
+    """
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    b = bands.select(
-        F.col(id_col).alias("id_b"), "band", "band_hash"
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ids") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("ids")),
+                        lambda j: F.struct(
+                            F.element_at("ids", i).alias("id_a"),
+                            F.element_at("ids", j).alias("id_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
     )
     return (
-        a.join(b, on=["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_shared_bands"))
     )

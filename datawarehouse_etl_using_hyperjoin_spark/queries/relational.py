@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import price_cleanse, validate_key
+from ..functions.scalar import price_cleanse, total_sale, validate_key
 from ..operators.etl import assemble_fact, first_match, hyperjoin
 from ..sources.fixtures import (
     MASTER_DATA_ORACLE,
@@ -66,6 +66,35 @@ def q_price_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "product_id",
         "product_price",
         price_cleanse("product_price").alias("price"),
+    )
+
+
+@query(
+    "q_total_sale",
+    oracle=f"""{CTE_TXN_MASTER}
+SELECT t.order_id, t.line_number, t.product_id, t.quantity,
+       CAST(regexp_replace(m.product_price, '[$]', '') AS DOUBLE) AS price,
+       round(t.quantity * CAST(regexp_replace(m.product_price, '[$]', '') AS DOUBLE), 2)
+         AS total_sale
+FROM transactions t JOIN master_data m ON t.product_id = m.product_id""",
+)
+def q_total_sale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: the derived measure TOTAL_SALE = productPrice × quantityOrdered
+    (StreamGeneratorThread.java:118), landed as 2-decimal money
+    (createDW.sql:91)."""
+    txn = transactions(spark, sf_dir)
+    m = master_data(spark, sf_dir)
+    price = price_cleanse("product_price")
+    return (
+        txn.join(F.broadcast(m), "product_id")
+        .select(
+            "order_id",
+            "line_number",
+            "product_id",
+            "quantity",
+            price.alias("price"),
+            total_sale("quantity", price).alias("total_sale"),
+        )
     )
 
 

@@ -1,0 +1,21 @@
+"""End-to-end pipeline façade: run_pipeline builds the full star schema."""
+
+from __future__ import annotations
+
+from datawarehouse_etl_using_hyperjoin_spark.etl import run_pipeline
+from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import load_table
+
+
+def test_run_pipeline_builds_star(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "dw")
+    counts = run_pipeline(spark, sf_dir, out)
+    li = load_table(spark, sf_dir, "lineitem").count()
+    assert counts["fact_sales"] == li == counts["enriched_stream"]
+    assert counts["dim_store"] == 25
+    assert counts["dim_supplier"] == 10
+    assert counts["dim_product"] == 200
+    # fact is partitioned by order month (pruning / incremental unit)
+    fact = spark.read.parquet(out + "/fact_sales")
+    assert "order_month" in fact.columns
+    months = fact.select("order_month").distinct().count()
+    assert months > 12
