@@ -145,6 +145,66 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_percentile",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       median(l_extendedprice)             AS med
+FROM lineitem GROUP BY l_returnflag""",
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles / median per group (the DW reporting surface;
+    ``approx_percentile`` is the at-scale variant, exercised in tests
+    because approximate sketches can't be oracle-matched)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.median("l_extendedprice").alias("med"),
+    )
+
+
+@query(
+    "q_stats",
+    oracle="""
+SELECT l_returnflag, n, sum_x, sum_x2,
+       (sum_x2 - sum_x * sum_x / n) / (n - 1)       AS var_samp,
+       sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)) AS stddev_samp,
+       sum_x / n                                    AS mean
+FROM (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_x2
+  FROM lineitem GROUP BY l_returnflag
+)""",
+)
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics (variance/stddev/mean) assembled from exact
+    decimal power sums — bit-identical across engines, unlike streaming
+    Welford accumulators (native ``F.stddev`` is exercised in tests)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        _dec_sum("l_quantity", 2).alias("sum_x"),
+        _dec_sum(F.col("l_quantity") * F.col("l_quantity"), 4).alias("sum_x2"),
+    )
+    var = (F.col("sum_x2") - F.col("sum_x") * F.col("sum_x") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return base.select(
+        "l_returnflag",
+        "n",
+        "sum_x",
+        "sum_x2",
+        var.alias("var_samp"),
+        F.sqrt(var).alias("stddev_samp"),
+        (F.col("sum_x") / F.col("n")).alias("mean"),
+    )
+
+
 # ------------------------------------------------------------- §2.5 windows
 @query(
     "q_window_rank",

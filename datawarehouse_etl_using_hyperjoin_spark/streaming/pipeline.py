@@ -132,6 +132,41 @@ def session_windows(
     )
 
 
+def running_counts_stateful(
+    events: DataFrame, key_col: str = "user_id"
+) -> DataFrame:
+    """ST2: custom stateful operator via ``applyInPandasWithState`` — a
+    per-key running event counter that survives across micro-batches.
+
+    This is the engine's version of the reference's explicit operator
+    state (the shared hash table mutated across loop iterations,
+    StreamGeneratorThread.java:24,72-74,126): keyed state owned by the
+    state store, updated batch-wise in Arrow-backed pandas, with timeout
+    hooks for eviction where the reference popped queue entries.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+        (total,) = state.get if state.exists else (0,)
+        total += batch_n
+        state.update((total,))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_events": [total], "batch_events": [batch_n]}
+        )
+
+    return events.withColumn("key", F.col(key_col)).groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType="key long, n_events long, batch_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Test/demo sink: drain all available input synchronously into an
     in-memory table (S6 console-sink analogue that tests can read back)."""

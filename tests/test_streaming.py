@@ -107,6 +107,35 @@ def test_consume_once_drops_duplicate_keys(spark, events_stream_dir):
     assert out.count() == n_unique
 
 
+def test_stateful_running_counts_accumulate_across_batches(
+    spark, events_stream_dir
+):
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        running_counts_stateful,
+    )
+
+    stream = read_parquet_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(running_counts_stateful(stream), name, output_mode="update")
+    out = spark.sql(f"SELECT * FROM {name}")
+    # update mode emits one row per key per batch; the LAST emission per
+    # key carries the accumulated total == the batch count of that key
+    latest = out.groupBy("key").agg(F.max("n_events").alias("n"))
+    want = {
+        r.user_id: r.n
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {r.key: r.n for r in latest.collect()}
+    q.stop()
+    assert got == want
+    # and state genuinely spanned batches: some key must have emitted
+    # a partial (batch_events < n_events) along the way
+    assert out.filter(F.col("batch_events") < F.col("n_events")).count() > 0
+
+
 def test_foreachbatch_upsert_sink(spark, sf_dir, tmp_path_factory, txn_stream_dir):
     target = str(tmp_path_factory.mktemp("dim")) + "/dim_product"
     stream = read_parquet_stream(spark, txn_stream_dir, max_files_per_trigger=2)
