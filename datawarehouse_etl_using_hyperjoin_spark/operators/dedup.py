@@ -68,6 +68,31 @@ def shingle_array(text_col: str, k: int = 3):
     ).otherwise(F.array(F.trim(F.col(text_col))))
 
 
+# Universal-hash MinHash family: g_i(h) = (a_i·h + b_i) mod p over the
+# 32-bit base hash h = first 8 hex chars of md5(shingle).  p is the largest
+# prime < 2^32; a < 2^30 keeps a·h < 2^62 (no bigint overflow under ANSI
+# arithmetic in either engine).  Constants generated once with seed 42.
+MINHASH_P = 4294967291
+MINHASH_PARAMS = (
+    (686579304, 478163327),
+    (26855093, 3184935163),
+    (295310486, 1051802512),
+    (239670712, 599310825),
+    (790779947, 440213415),
+    (726600540, 3181143731),
+    (957970517, 2342331444),
+    (93349857, 2536146025),
+    (453035111, 136505587),
+    (31994524, 402418010),
+    (234760739, 999270936),
+    (542621109, 2585650756),
+    (28492781, 2410529190),
+    (213500299, 3075280817),
+    (697808099, 3012167820),
+    (585126462, 1801823908),
+)
+
+
 def minhash_array(
     df: DataFrame,
     id_col: str,
@@ -78,35 +103,48 @@ def minhash_array(
 ) -> DataFrame:
     """MinHash signatures computed entirely array-side: (id, minhashes).
 
-    Hash family: md5(seed ':' shingle), min taken lexicographically over
-    the hex digests — a deterministic stand-in for n random permutations
-    that any engine reproduces bit-for-bit.  min over the shingle
-    *multiset* equals min over the set, so no dedup pass is needed, and the
-    whole signature is one narrow projection — zero row blowup (the
-    explode+groupBy formulation shuffled n_hashes × n_shingles rows/doc).
+    Each shingle is md5-hashed ONCE; the n signature hashes are derived by
+    integer universal hashing (a_i·h + b_i mod p) — the textbook MinHash
+    permutation family, and ~n× cheaper than hashing per (seed, shingle).
+    min over the shingle *multiset* equals min over the set, so no dedup
+    pass is needed, and the whole signature is two narrow projections —
+    zero shuffles, zero row blowup (the explode+groupBy formulation
+    shuffled n_hashes × n_shingles rows/doc).
 
-    The projection is compute-bound (n_hashes × n_shingles md5 calls per
-    row), so parallelism must come from partition count, not data size — a
-    small text corpus arrives in few scan splits and would otherwise pin
-    the whole stage to a couple of cores.  ``parallelism`` (default: the
-    cluster's defaultParallelism) repartitions first; same decouple-compute-
-    from-scan-splits pattern as the multimodal decode stage.
+    The base-hash projection is compute-bound, so parallelism must come
+    from partition count, not data size — a small text corpus arrives in
+    few scan splits and would otherwise pin the stage to a couple of
+    cores.  ``parallelism`` (default: the cluster's defaultParallelism)
+    repartitions first; same decouple-compute-from-scan-splits pattern as
+    the multimodal decode stage.
     """
+    if n_hashes > len(MINHASH_PARAMS):
+        raise ValueError(f"n_hashes > {len(MINHASH_PARAMS)} needs more MINHASH_PARAMS")
     if parallelism is None:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)
     grams = shingle_array(text_col, k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(
-                grams,
-                lambda s: F.md5(F.concat(seed.cast("string"), F.lit(":"), s)),
-            )
-        ),
+    base = F.transform(
+        grams,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
-    return df.select(F.col(id_col), sig.alias("minhashes"))
+    # Separate projection for the md5 pass: the signature refers to it 16×,
+    # and CollapseProject keeps multiply-referenced non-trivial aliases in
+    # their own stage, so the md5 work runs once per row.
+    hashed = df.select(F.col(id_col), base.alias("__h32"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__h32"),
+                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P),
+                )
+            )
+            for a, b in MINHASH_PARAMS[:n_hashes]
+        ]
+    )
+    return hashed.select(F.col(id_col), sig.alias("minhashes"))
 
 
 def minhash_signatures(
@@ -114,19 +152,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature rows: (id, seed, minhash) for seed ∈ [0, n_hashes).
 
-    Row-per-seed formulation over exploded shingles (kept for composition
-    with shingle-level pipelines; prefer :func:`minhash_array` — same
-    values, no shuffle).
+    Row-per-seed formulation over exploded shingles — same hash family and
+    values as :func:`minhash_array` (kept for composition with
+    shingle-level pipelines and as the cross-check in tests; prefer the
+    array form, which needs no shuffle).
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    params = sh.sparkSession.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PARAMS[:n_hashes])],
+        ["seed", "a", "b"],
+    )
     return (
-        sh.select(F.col(id_col), F.col("shingle"), seeds)
-        .withColumn(
-            "h",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))),
+        sh.withColumn(
+            "h", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
         )
+        .crossJoin(F.broadcast(params))
+        .withColumn("g", (F.col("a") * F.col("h") + F.col("b")) % F.lit(MINHASH_P))
         .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+        .agg(F.min("g").alias("minhash"))
     )
 
 
@@ -155,7 +197,13 @@ def lsh_bands_from_array(
         F.col(id_col),
         "band",
         F.md5(
-            F.array_join(F.slice("minhashes", F.col("band") * rpb + 1, rpb), "|")
+            F.array_join(
+                F.transform(
+                    F.slice("minhashes", F.col("band") * rpb + 1, rpb),
+                    lambda h: h.cast("string"),
+                ),
+                "|",
+            )
         ).alias("band_hash"),
     )
 

@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from ..operators import text as tx
 from ..operators.dedup import (
+    MINHASH_P,
+    MINHASH_PARAMS,
     exact_dedup_clusters,
     lsh_bands_from_array,
     lsh_candidate_pairs,
@@ -67,9 +69,13 @@ SELECT DISTINCT doc_id, shingle FROM (
 )
 """
 
-_MINHASH_SQL = """
-SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
-FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+_PARAM_ROWS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS)
+)
+_MINHASH_SQL = f"""
+SELECT doc_id, seed, min((a * h + b) % {MINHASH_P}) AS minhash
+FROM (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh)
+CROSS JOIN (VALUES {_PARAM_ROWS}) AS params(seed, a, b)
 GROUP BY doc_id, seed
 """
 
@@ -102,19 +108,22 @@ WITH corpus AS (SELECT doc_id, text FROM documents),
 sh AS ({_SHINGLES_SQL}),
 sig AS ({_MINHASH_SQL})
 SELECT doc_id,
-       string_agg(substr(minhash, 1, 8), ':' ORDER BY seed) AS signature
+       string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY seed) AS signature
 FROM sig GROUP BY doc_id""",
 )
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash: 16-hash signature per document over word 3-gram shingles
-    (md5 hash family — deterministic across engines).  Computed entirely
-    array-side: one projection, zero shuffles."""
+    """MinHash: 16-hash signature per document over word 3-gram shingles.
+
+    Hash family: one md5 per shingle → 32-bit base hash → universal-hash
+    mixing (a·h+b mod p) per signature slot — deterministic across engines
+    and n× cheaper than per-seed hashing.  Computed entirely array-side:
+    two projections, zero shuffles."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sig = minhash_array(docs, "doc_id", "text", 3, 16)
     return sig.select(
         "doc_id",
         F.array_join(
-            F.transform("minhashes", lambda h: F.substring(h, 1, 8)), ":"
+            F.transform("minhashes", lambda h: h.cast("string")), ":"
         ).alias("signature"),
     )
 
@@ -127,7 +136,7 @@ sh AS ({_SHINGLES_SQL}),
 sig AS ({_MINHASH_SQL}),
 bands AS (
   SELECT doc_id, seed // 4 AS band,
-         md5(string_agg(minhash, '|' ORDER BY seed)) AS band_hash
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_hash
   FROM sig GROUP BY doc_id, seed // 4
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
