@@ -56,9 +56,11 @@ def main() -> None:
     spark = get_spark("hyperjoin-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths once so per-query numbers measure the
-    # queries, not session startup.
+    # Warm the JVM/codegen/file-listing paths once so per-query numbers
+    # measure steady-state engine throughput, not session startup and
+    # first-touch footer reads.
     materialize(registry["q_scan_master"].fn(spark, sf_dir))
+    materialize(registry["q_fact_assembly"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     t_suite = time.time()

@@ -279,37 +279,42 @@ def lsh_candidate_pairs(
 _HEX = "0123456789abcdef"
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, parallelism: int | None = None
+) -> DataFrame:
     """64-bit SimHash per document, as a 64-char bitstring: (id, simhash).
 
     Each distinct word votes its md5's first 64 bits (16 hex nibbles ×
     4 bits); the per-position vote sign is the fingerprint bit.  Bitstring
     output keeps the value engine-portable (no int64 sign issues).
+
+    Computed array-side: distinct words and their md5s once per row, then
+    the 64 position votes fold over the hash array — two projections, zero
+    shuffles (the explode formulation shuffled 64 × n_words rows per doc).
+    Compute-bound → repartition first, as in :func:`minhash_array`.
     """
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
-    word_rows = df.select(F.col(id_col), F.explode(w).alias("word")).dropDuplicates(
-        [id_col, "word"]
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    words = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    hashed = df.select(
+        F.col(id_col), F.transform(words, F.md5).alias("__whs")
     )
-    hashed = word_rows.withColumn("wh", F.md5("word"))
-    pos = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pos")
-    bits = (
-        hashed.select(F.col(id_col), F.col("wh"), pos)
-        .withColumn("nibble", F.substring(F.col("wh"), (F.col("pos") / 4).cast("int") + 1, 1))
-        .withColumn("nval", F.expr(f"instr('{_HEX}', nibble) - 1"))
-        .withColumn("bit", F.expr("(nval >> (pos % 4)) & 1"))
+    # vote(pos) = Σ_words (2·bit(md5(word), pos) − 1); fingerprint bit =
+    # sign of the vote.  Written as a SQL lambda expression over the
+    # precomputed hash array (named lambda vars read better than nested
+    # python closures here).
+    sim = F.expr(
+        "array_join("
+        " transform(sequence(0, 63), pos ->"
+        "   case when aggregate(__whs, 0, (acc, h) ->"
+        f"     acc + 2 * (((instr('{_HEX}', substring(h, CAST(pos / 4 AS INT) + 1, 1)) - 1)"
+        "            >> CAST(pos % 4 AS INT)) & 1) - 1"
+        "   ) > 0 then '1' else '0' end"
+        " ), '')"
     )
-    votes = bits.groupBy(id_col, "pos").agg(
-        F.sum(F.col("bit") * 2 - 1).alias("vote")
-    )
-    return votes.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "vote"))),
-                lambda s: F.when(s["vote"] > 0, "1").otherwise("0"),
-            ),
-            "",
-        ).alias("simhash")
-    )
+    return hashed.select(F.col(id_col), sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

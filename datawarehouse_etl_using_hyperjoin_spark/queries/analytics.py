@@ -146,6 +146,25 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 companion: full cube over the fact grain (all 4 grouping-set
+    combinations; rollup covers the hierarchical subset)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _dec_sum("l_quantity", 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
     "q_percentile",
     oracle="""
 SELECT l_returnflag,
