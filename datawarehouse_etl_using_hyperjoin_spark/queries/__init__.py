@@ -52,6 +52,6 @@ def query(name: str, oracle: str | None = None):
 
 def load_registry() -> dict[str, QueryDef]:
     """Import all query modules (side-effect registration) and return them."""
-    from . import analytics, pipelines, relational, star  # noqa: F401
+    from . import analytics, pipelines, relational, star, streamingq  # noqa: F401
 
     return REGISTRY

@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.asof import asof_join
 from ..sources.fixtures import TRANSACTIONS_ORACLE, load_table, transactions
 from . import query
 
@@ -632,6 +633,63 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, value AS purchase_value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS ts_right, r.purchase_value
+FROM clicks l
+ASOF LEFT JOIN purchases r
+  ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) join — an operator Spark lacks natively: for each
+    click, the user's most recent purchase at or before it.  Implemented
+    as the union + running-last window (operators/asof.py — one shuffle,
+    bounded state); the oracle uses DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", ts="ts", right_cols=["purchase_value"]
+    )
+
+
+_SQL_TOP_SEGMENT_ORDERS = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 20"""
+
+
+@query("q_sql_api", oracle=_SQL_TOP_SEGMENT_ORDERS)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry path: the identical ANSI text runs through
+    ``spark.sql`` and the oracle (TPC-H Q3 shape) — Catalyst produces the
+    same plan as the DataFrame API, and the engine's SQL surface is
+    first-class."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_TOP_SEGMENT_ORDERS)
 
 
 # ----------------------------------------------------- §2.10 pandas UDF (slow path)
