@@ -34,8 +34,13 @@ HEADLINE = [
     "q_sessionize",
     "q_dedup_exact",
     "q_minhash_pairs",
+    "q_simhash",
+    "q_ngram_jaccard",
     "q_text_quality",
     "q_ann_topk",
+    "q_ann_bucketed",
+    "q_sql_api",
+    "q_asof_join",
 ]
 
 

@@ -326,18 +326,48 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """n-gram Jaccard similarity for all pairs sharing ``block_col``.
 
-    The blocking key bounds the quadratic join (at 100 TB you never join
-    shingles unblocked); output: (id_a, id_b, n_common, jaccard).
+    The blocking key bounds the quadratic work (at 100 TB you never
+    compare shingles unblocked); output: (id_a, id_b, n_common, jaccard).
+
+    Shape: per-(block, shingle) buckets are grouped once and pairs are
+    enumerated array-side inside each bucket — a shingle self-join would
+    evaluate the exploded-shingle plan once per join leg.  Per-doc shingle
+    counts come from a separate array-side projection (no explode).
     """
-    sh = shingles(df, id_col, text_col, k).join(
-        df.select(F.col(id_col), F.col(block_col)), on=id_col
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)  # compute-bound stages need > scan splits
+    grams = shingle_array(text_col, k)
+    sizes = df.select(
+        F.col(id_col),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_shingles"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col(block_col), F.col("shingle"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col(block_col), F.col("shingle"))
+    sh = df.select(
+        F.col(id_col), F.col(block_col), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+    buckets = (
+        sh.groupBy(block_col, "shingle")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ids") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("ids")),
+                        lambda j: F.struct(
+                            F.element_at("ids", i).alias("id_a"),
+                            F.element_at("ids", j).alias("id_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     common = (
-        a.join(b, on=[block_col, "shingle"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pair.select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_common"))
     )

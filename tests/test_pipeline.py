@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from datawarehouse_etl_using_hyperjoin_spark.etl import run_pipeline
 from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import load_table
 
@@ -19,3 +21,11 @@ def test_run_pipeline_builds_star(spark, sf_dir, tmp_path):
     assert "order_month" in fact.columns
     months = fact.select("order_month").distinct().count()
     assert months > 12
+
+    # partition pruning: a month-filtered scan must prune at the source
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import plan_string
+
+    one_month = fact.filter(F.col("order_month") == "1997-01")
+    plan = plan_string(one_month)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "order_month" in part_lines[0]
