@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
+from ..operators.rangejoin import range_join_bucketed
 from ..sources.fixtures import TRANSACTIONS_ORACLE, load_table, transactions
 from . import query
 
@@ -664,6 +665,70 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return asof_join(
         clicks, purchases, on="user_id", ts="ts", right_cols=["purchase_value"]
+    )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+WITH bands AS (
+  SELECT * FROM (VALUES
+    ('budget',   0.0,      50000.0),
+    ('mid',      50000.0,  150000.0),
+    ('premium',  150000.0, 1000000.0),
+    ('mid_wide', 40000.0,  160000.0)
+  ) AS t(band, lo, hi)
+)
+SELECT o_orderkey, o_totalprice, band
+FROM orders JOIN bands
+  ON o_totalprice >= lo AND o_totalprice < hi""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/band join (overlapping price bands — every covering band
+    matches).  Implemented bucketized (operators/rangejoin.py): intervals
+    explode into fixed-width buckets, probes equi-join their bucket, a
+    residual filter restores exact semantics — a hash join instead of the
+    O(N·M) nested loop the naive theta join plans."""
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 50000.0),
+            ("mid", 50000.0, 150000.0),
+            ("premium", 150000.0, 1000000.0),
+            ("mid_wide", 40000.0, 160000.0),
+        ],
+        ["band", "lo", "hi"],
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = range_join_bucketed(
+        orders, bands, value="o_totalprice", lo="lo", hi="hi", bucket_width=25000.0
+    )
+    return joined.select("o_orderkey", "o_totalprice", "band")
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+SELECT o_orderkey, measure, val FROM (
+  SELECT o_orderkey,
+         o_totalprice AS totalprice,
+         CAST(o_custkey AS DOUBLE) AS custkey
+  FROM orders
+) UNPIVOT (val FOR measure IN (totalprice, custkey))""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide measures to (measure, value) rows — the inverse
+    of q_pivot, the standard reshaping step before generic per-measure
+    pipelines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return orders.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="measure",
+        valueColumnName="val",
     )
 
 
