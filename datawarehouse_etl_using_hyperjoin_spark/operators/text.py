@@ -73,6 +73,46 @@ def lang_id(text: Column) -> Column:
     return F.when(stopword_ratio(text) >= 0.03, "en").otherwise("und")
 
 
+def chunk_text(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_size: int = 64,
+    overlap: int = 16,
+):
+    """Split documents into overlapping word-window chunks — the standard
+    context-length-bounded pre-tokenization step of a training pipeline.
+
+    Array-side windowing (sequence of starts + slice) then one explode;
+    output: (id, chunk_id, chunk_text, n_tokens).  Stride = size − overlap.
+    """
+    stride = chunk_size - overlap
+    w = words(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w) - overlap, F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / stride).cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(w, s, chunk_size)).alias("chunk_text"),
+            F.least(F.size(w) - s + 1, F.lit(chunk_size)).cast("long").alias("n_tokens"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_id", "c.chunk_text", "c.n_tokens"
+    )
+
+
+def train_eval_split(text: Column, train_pct: int = 90) -> Column:
+    """Deterministic content-hash split: the same document always lands in
+    the same split, across runs, engines and cluster sizes (no RNG) —
+    hash-mod bucketing on the md5 fingerprint."""
+    bucket = F.conv(F.substring(F.md5(normalize_text(text)), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    return F.when(bucket < train_pct, "train").otherwise("eval")
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

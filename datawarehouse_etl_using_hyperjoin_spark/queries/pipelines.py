@@ -432,6 +432,102 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_doc_chunks",
+    oracle="""
+SELECT doc_id,
+       CAST((s - 1) // 48 AS BIGINT)                 AS chunk_id,
+       array_to_string(w[CAST(s AS INT):CAST(s + 63 AS INT)], ' ') AS chunk_text,
+       CAST(least(len(w) - s + 1, 64) AS BIGINT)     AS n_tokens
+FROM (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 16, 1) + 1, 48)) AS s
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+)""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: 64-token windows with 16-token overlap (stride
+    48) — the context-length-bounded pre-tokenization step; array-side
+    windowing, one explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.chunk_text(docs, "doc_id", "text", chunk_size=64, overlap=16)
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+idf AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN idf USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, word) AS rn
+  FROM scored
+) WHERE rn <= 3""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: smoothed idf (sklearn-style
+    ln((N+1)/(df+1))+1), top-3 terms per document.  Rounded to 6 decimals
+    on both engines (libm ln differs in the last ulp across platforms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    idf = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    )
+    return scored.withColumn("rn", rn).filter(F.col("rn") <= 3).drop("rn")
+
+
+@query(
+    "q_train_test_split",
+    oracle="""
+SELECT source, split, count(*) AS n_docs FROM (
+  SELECT source,
+         CASE WHEN ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8))::BIGINT % 100 < 90
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+) GROUP BY source, split""",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/eval split by content-hash bucket — no
+    RNG, so assignment is stable across runs, engines and cluster sizes
+    (and duplicates land in the same split by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", tx.train_eval_split(F.col("text"), 90))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # ------------------------------------------------------------- multimodal
 @query("q_multimodal_meta", oracle=None)  # rows-only: decode is a Python stage
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,6 +56,32 @@ def test_fingerprint_normalizes_case_and_whitespace(spark):
     assert rows[1] == rows[2] != rows[3]
 
 
+def test_chunking_covers_document_with_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    chunks = tx.chunk_text(df, "doc_id", "text", chunk_size=64, overlap=16).collect()
+    # stride 48 over 150 words ⇒ starts 1, 49, 97 (145 would exceed len-16)
+    assert [c.chunk_id for c in chunks] == [0, 1, 2]
+    words0 = chunks[0].chunk_text.split()
+    words1 = chunks[1].chunk_text.split()
+    assert len(words0) == 64 and words0[48:] == words1[:16]  # overlap region
+    assert chunks[-1].n_tokens == 150 - 96  # last chunk: words 97..150
+    # every word appears in at least one chunk
+    seen = {w for c in chunks for w in c.chunk_text.split()}
+    assert seen == set(text.split())
+
+
+def test_train_eval_split_deterministic_and_ratioed(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = {r.doc_id: r.s for r in docs.select(
+        "doc_id", tx.train_eval_split(F.col("text")).alias("s")).collect()}
+    s2 = {r.doc_id: r.s for r in docs.select(
+        "doc_id", tx.train_eval_split(F.col("text")).alias("s")).collect()}
+    assert s1 == s2
+    frac = sum(1 for v in s1.values() if v == "train") / len(s1)
+    assert 0.8 < frac < 0.97
+
+
 def test_multimodal_decode_schema_and_determinism(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
     media = attach_payload(docs, "doc_id", "text")
