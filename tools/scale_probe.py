@@ -1,0 +1,116 @@
+"""Scale probe: do the headline plan shapes hold when the data grows ~17×?
+
+Synthesizes a 10M-row lineitem-shaped table (deterministic, seed-free
+column arithmetic over spark.range) in /tmp, then measures the three core
+plan shapes — scan+filter+agg (Q1 shape), broadcast-join+agg (HyperJoin
+shape), window ranking — at both sf0.1 (600 K rows) and 10 M rows, and
+reports rows/sec so sub-linear scaling is visible immediately.
+
+    python tools/scale_probe.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datawarehouse_etl_using_hyperjoin_spark.session import get_spark
+
+
+def synth_lineitem(spark, n_rows: int, path: str) -> None:
+    df = (
+        spark.range(n_rows)
+        .select(
+            (F.col("id") / 4).cast("long").alias("l_orderkey"),
+            F.pmod(F.xxhash64("id"), 2000).alias("l_partkey"),
+            F.pmod(F.xxhash64("id") + 7, 100).alias("l_suppkey"),
+            (F.pmod(F.xxhash64("id") + 13, 50) + 1).cast("double").alias("l_quantity"),
+            (F.pmod(F.xxhash64("id") + 17, 9000000) / 100 + 900).alias("l_extendedprice"),
+            (F.pmod(F.xxhash64("id") + 23, 11) / 100).alias("l_discount"),
+            F.element_at(
+                F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+                (F.pmod(F.xxhash64("id") + 29, 3) + 1).cast("int"),
+            ).alias("l_returnflag"),
+        )
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def measure(spark, li, parts) -> dict[str, float]:
+    def run(df):
+        df.write.mode("overwrite").format("noop").save()
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    q1 = li.filter(F.col("l_discount") > 0.02).groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"),
+        F.count("*").alias("n"),
+    )
+    hyper = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("p_band")
+        .agg(F.sum(F.col("l_quantity") * F.col("p_price")).alias("sales"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.col("l_extendedprice").desc())
+    topk = (
+        li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+        .groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    )
+    return {"q1_agg": run(q1), "hyperjoin_agg": run(hyper), "window_topk": run(topk)}
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    spark = get_spark("scale-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    parts = F.broadcast(
+        spark.range(2000).select(
+            F.col("id").alias("p_partkey"),
+            (F.pmod(F.col("id"), 7)).alias("p_band"),
+            (F.col("id") % 1000 + 900.0).alias("p_price"),
+        )
+    )
+
+    small = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_returnflag",
+    )
+    n_small = small.count()
+
+    big_path = tempfile.mkdtemp(prefix="scale_probe_") + "/lineitem"
+    synth_lineitem(spark, n_rows, big_path)
+    big = spark.read.parquet(big_path)
+
+    t_small = measure(spark, small, parts)
+    t_big = measure(spark, big, parts)
+    report = {
+        "n_small": n_small,
+        "n_big": n_rows,
+        "scale_factor": round(n_rows / n_small, 1),
+        "queries": {},
+    }
+    for k in t_small:
+        rs, rb = n_small / t_small[k], n_rows / t_big[k]
+        report["queries"][k] = {
+            "small_sec": round(t_small[k], 2),
+            "big_sec": round(t_big[k], 2),
+            "small_rows_per_sec": int(rs),
+            "big_rows_per_sec": int(rb),
+            "throughput_ratio_big_vs_small": round(rb / rs, 2),
+        }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
