@@ -284,6 +284,98 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_scalar_subquery",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)""",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (whales: orders above 2× the mean) —
+    Catalyst plans the subquery once and broadcasts the scalar.  avg is
+    engine-consistent here because the comparison has huge margins; exact
+    aggregates elsewhere use the decimal-sum convention."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+           FROM orders
+           WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)"""
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey, d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY d
+                    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS spend_30d
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS d
+  FROM orders
+)""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: trailing-30-day spend per customer — a
+    value-based frame (all rows within the day-distance window), not a
+    row-count frame like q_window_running."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "d", F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "d",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+SELECT c_nationkey,
+       count(*)                    AS n_rows,
+       count(maybe_bal)            AS n_nonnull,
+       count(*) - count(maybe_bal) AS n_null,
+       CAST(SUM(CAST(coalesce(maybe_bal, 0.0) AS DECIMAL(18,2))) AS DOUBLE)
+                                   AS bal_coalesced,
+       count(CASE WHEN maybe_bal IS NOT DISTINCT FROM NULL THEN 1 END)
+                                   AS n_null_safe_eq
+FROM (
+  SELECT c_nationkey,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS maybe_bal
+  FROM customer
+) GROUP BY c_nationkey""",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL discipline: count(col) vs count(*), coalesce into exact sums,
+    and null-safe equality (<=> / IS NOT DISTINCT FROM) — the semantics
+    the reference's CASE→NULL cleansing (createDW.sql:69-80) forces on
+    every downstream aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    maybe = F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal"))
+    base = cust.select("c_nationkey", maybe.alias("maybe_bal"))
+    return base.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_rows"),
+        F.count("maybe_bal").alias("n_nonnull"),
+        (F.count("*") - F.count("maybe_bal")).alias("n_null"),
+        F.sum(F.coalesce("maybe_bal", F.lit(0.0)).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bal_coalesced"),
+        F.count(
+            F.when(F.col("maybe_bal").eqNullSafe(F.lit(None).cast("double")), 1)
+        ).alias("n_null_safe_eq"),
+    )
+
+
 # ------------------------------------------------------- §2.6 sort/limit/topk
 @query(
     "q_limit",
