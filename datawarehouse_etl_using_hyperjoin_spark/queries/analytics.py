@@ -285,6 +285,57 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_hash_funcs",
+    oracle="""
+SELECT c_custkey,
+       md5(c_name)                    AS name_md5,
+       sha256(c_name)                 AS name_sha256,
+       ('0x' || substr(md5(c_name), 1, 12))::BIGINT % 1024 AS shard
+FROM customer""",
+)
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hashing surface: md5 / sha256 digests + hash-derived
+    shard assignment (the bucketing primitive under dedup, splits, and
+    distribution keys).  48-bit prefix keeps the value inside BIGINT on
+    both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    h48 = F.conv(F.substring(F.md5("c_name"), 1, 12), 16, 10).cast("long")
+    return cust.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        (h48 % 1024).alias("shard"),
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) + 2 * CAST(grouping(l_linestatus) AS INT)
+         AS gid,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() markers — disambiguates
+    subtotal NULLs from data NULLs, the piece rollup/cube leave implicit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(grouping(l_returnflag) AS INT)
+                    + 2 * CAST(grouping(l_linestatus) AS INT) AS gid,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                  count(*) AS n
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""
+    )
+
+
+@query(
     "q_scalar_subquery",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice

@@ -136,6 +136,47 @@ def test_stateful_running_counts_accumulate_across_batches(
     assert out.filter(F.col("batch_events") < F.col("n_events")).count() > 0
 
 
+def test_watermark_bounds_state_and_advances(spark, sf_dir, tmp_path_factory):
+    """ST5: the watermark's actual contract — state behind the watermark
+    is evicted (bounded state, the 100 TB-relevant guarantee) and the
+    watermark advances with event time.  NOTE Spark does NOT guarantee
+    too-late input is dropped for aggregations (observed: a batch entirely
+    behind the watermark is re-aggregated and re-emitted as fresh windows
+    — the docs' 'may or may not be dropped'); exact-once late handling
+    belongs to the idempotent upsert sink, not the watermark."""
+    import os
+    import time
+
+    path = str(tmp_path_factory.mktemp("late"))
+    ev = with_event_time(load_table(spark, sf_dir, "events"))
+    recent = ev.filter(F.col("ts") >= "2024-01-15")  # advances the watermark
+    late = ev.filter(F.col("ts") < "2024-01-10")     # far behind it
+    # file source processes files oldest-mtime-first: write recent first
+    recent.coalesce(1).write.parquet(path + "/f1")
+    time.sleep(1.1)
+    late.coalesce(1).write.parquet(path + "/f2")
+    for i, d in enumerate(("f1", "f2")):
+        for f in os.listdir(f"{path}/{d}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{path}/{d}/{f}", f"{path}/batch{i}_{f}")
+
+    stream = read_parquet_stream(spark, path, max_files_per_trigger=1)
+    agg = windowed_event_counts(stream, watermark="1 hour")
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agg, name, output_mode="append")
+    progress = q.recentProgress
+    q.stop()
+    last = progress[-1]
+    # watermark advanced to (max recent event time − 1 h)
+    wm = last["eventTime"]["watermark"]
+    assert wm.startswith("2024-01-30")
+    # bounded state: everything behind the watermark was evicted — the
+    # store holds far fewer rows than the ~600 windows the recent file
+    # alone produced (an unbounded store would retain them all)
+    n_state = last["stateOperators"][0]["numRowsTotal"]
+    assert 0 <= n_state < 50, f"state not bounded: {n_state} rows retained"
+
+
 def test_foreachbatch_upsert_sink(spark, sf_dir, tmp_path_factory, txn_stream_dir):
     target = str(tmp_path_factory.mktemp("dim")) + "/dim_product"
     stream = read_parquet_stream(spark, txn_stream_dir, max_files_per_trigger=2)
