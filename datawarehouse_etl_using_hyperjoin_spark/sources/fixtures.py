@@ -117,6 +117,24 @@ JOIN customer ON o_custkey  = c_custkey
 """
 
 
+_MODULUS_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _modulus_counts(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(|supplier|, |nation|) for one fixture dir, memoized process-wide.
+
+    The counts are properties of the data directory, not of the session, so
+    the cache key is just ``sf_dir``.  Each count is a parquet
+    metadata-only aggregate (no row scan).
+    """
+    got = _MODULUS_CACHE.get(sf_dir)
+    if got is None:
+        n_supp = load_table(spark, sf_dir, "supplier").count()
+        n_nation = load_table(spark, sf_dir, "nation").count()
+        got = _MODULUS_CACHE[sf_dir] = (int(n_supp), int(n_nation))
+    return got
+
+
 def master_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's master_data relation (FIXTURES.md §A.2/§C).
 
@@ -126,21 +144,21 @@ def master_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``"$123.45"`` VARCHAR (createDW.sql:5) so the P3 cleanse operator has
     real work to do (MasterDataStreamGeneratorThread.java:46-49).
 
-    Supplier/nation are tiny at every scale → broadcast; the modulus rows
-    come from an aggregated single-row subquery so the mapping is
-    scale-factor independent.
+    Supplier/nation are tiny at every scale → broadcast.  The moduli
+    (|supplier|, |nation|) are computed ONCE per sf_dir and folded in as
+    literals (memoized below): parquet row counts come from footer metadata,
+    so the probe costs milliseconds, and a literal modulus lets Catalyst
+    constant-fold `p_partkey % N` instead of carrying two crossjoined
+    single-row subqueries through every downstream plan (which added ~1 s of
+    fixed planning/execution overhead to each hyperjoin/fact-assembly run).
     """
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    n_supp = supp.agg(F.count("*").alias("n_supp"))
-    n_nation = nation.agg(F.count("*").alias("n_nation"))
-    enriched = (
-        part.crossJoin(F.broadcast(n_supp))
-        .crossJoin(F.broadcast(n_nation))
-        .withColumn("supplier_id", F.col("p_partkey") % F.col("n_supp"))
-        .withColumn("store_id", F.col("p_partkey") % F.col("n_nation"))
-    )
+    n_supp, n_nation = _modulus_counts(spark, sf_dir)
+    enriched = part.withColumn(
+        "supplier_id", F.col("p_partkey") % F.lit(n_supp)
+    ).withColumn("store_id", F.col("p_partkey") % F.lit(n_nation))
     return (
         enriched.join(F.broadcast(supp), enriched.supplier_id == supp.s_suppkey)
         .join(F.broadcast(nation), enriched.store_id == nation.n_nationkey)
