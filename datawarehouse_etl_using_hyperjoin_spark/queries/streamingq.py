@@ -14,8 +14,11 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..sources.fixtures import load_table, master_data, transactions
 from ..streaming.pipeline import (
+    orders_lineitem_stream_join,
     read_parquet_stream,
     run_to_memory,
     stream_static_hyperjoin,
@@ -44,6 +47,46 @@ def q_stream_hyperjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_hj_{uuid.uuid4().hex[:8]}"
     run_to_memory(joined, name).stop()
     return spark.table(name)
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate, o_custkey, l_partkey,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM orders
+JOIN lineitem
+  ON o_orderkey = l_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 150 DAY
+""",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3+: watermarked stream–stream join, orders feed ⋈ lineitem feed
+    with an event-time bound (lineitems shipping ≤150 days after the
+    order).  Inner stream–stream joins emit exactly the relational join —
+    the watermark only bounds STATE — and each side drains in one
+    micro-batch here, so the full run is value-oracled against the batch
+    join, not rows-only."""
+    opath = _as_stream_dir(load_table(spark, sf_dir, "orders"), "stream_ord_", 2)
+    lpath = _as_stream_dir(load_table(spark, sf_dir, "lineitem"), "stream_li_", 2)
+    joined = orders_lineitem_stream_join(
+        read_parquet_stream(spark, opath, max_files_per_trigger=10),
+        read_parquet_stream(spark, lpath, max_files_per_trigger=10),
+    )
+    name = f"q_stream_ss_{uuid.uuid4().hex[:8]}"
+    run_to_memory(joined, name).stop()
+    # watermarking required TIMESTAMP; restore the fixtures' ntz for a
+    # session-timezone-independent compare (ROADMAP convention 3)
+    return spark.table(name).select(
+        "o_orderkey",
+        "l_linenumber",
+        F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+        F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+        "o_custkey",
+        "l_partkey",
+        "net_price",
+    )
 
 
 @query("q_stream_tumbling", oracle=None)  # rows-only: true streaming run

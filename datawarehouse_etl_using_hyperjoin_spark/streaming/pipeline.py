@@ -167,6 +167,126 @@ def running_counts_stateful(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition,
+    *,
+    left_ts: str,
+    right_ts: str,
+    left_delay: str = "30 days",
+    right_delay: str = "30 days",
+    how: str = "inner",
+) -> DataFrame:
+    """ST3+: watermarked stream–stream join.
+
+    The reference only ever joins a stream against (quasi-static) master
+    data; a real warehouse also joins two live streams (orders ⋈ their
+    lineitems).  Both sides carry a watermark and the ``condition`` must
+    include an event-time bound relating ``left_ts``/``right_ts`` — that
+    bound is what lets the state store evict rows once the other side can
+    no longer match them (unbounded join state is the 100 TB failure mode).
+    Outer variants emit the unmatched side only after its watermark passes
+    the bound.
+    """
+    def watermarkable(df: DataFrame, ts: str) -> DataFrame:
+        # watermarks require TIMESTAMP; fixture parquet loads as ntz
+        if dict(df.dtypes).get(ts) == "timestamp_ntz":
+            df = df.withColumn(ts, F.col(ts).cast("timestamp"))
+        return df.withWatermark(ts, left_delay if ts == left_ts else right_delay)
+
+    return watermarkable(left, left_ts).join(
+        watermarkable(right, right_ts), condition, how
+    )
+
+
+def orders_lineitem_stream_join(
+    orders_stream: DataFrame,
+    lineitem_stream: DataFrame,
+    *,
+    ship_bound_days: int = 150,
+) -> DataFrame:
+    """Concrete stream–stream demo on the fixture roles: an order stream
+    joined to its lineitem stream, lineitems shipping within
+    ``ship_bound_days`` of the order date.  The time bound caps per-key
+    state at O(bound × arrival rate) rows per side."""
+    cond = F.expr(
+        "o_orderkey = l_orderkey"
+        f" AND l_shipdate >= o_orderdate"
+        f" AND l_shipdate <= o_orderdate + interval {ship_bound_days} days"
+    )
+    return stream_stream_join(
+        orders_stream,
+        lineitem_stream,
+        cond,
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+    ).select(
+        "o_orderkey",
+        "l_linenumber",
+        "o_orderdate",
+        "l_shipdate",
+        "o_custkey",
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+def running_totals_tws(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """ST2 (Spark 4 API): per-key running count+sum via
+    ``transformWithStateInPandas`` — the successor of
+    ``applyInPandasWithState`` (see ``running_counts_stateful``) with
+    named, individually-evictable state variables (ValueState/ListState/
+    MapState + timers) instead of one opaque state tuple.
+
+    Same reference semantics as the shared hash table mutated across loop
+    iterations (StreamGeneratorThread.java:24,72-74,126), but the state is
+    owned by the checkpointed state store, so it survives restarts — the
+    reference loses all buffers on crash.
+
+    Requires ``protobuf`` (the TWS driver worker speaks protobuf to the
+    JVM); absent from the test container, so the pytest is import-gated —
+    the operator itself is cluster-ready.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            if self._totals.exists():
+                prev_n, prev_total = self._totals.get()
+                n += int(prev_n)
+                total += float(prev_total)
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withColumn("key", F.col(key_col))
+        .groupBy("key")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="key long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Test/demo sink: drain all available input synchronously into an
     in-memory table (S6 console-sink analogue that tests can read back)."""

@@ -177,6 +177,74 @@ def test_watermark_bounds_state_and_advances(spark, sf_dir, tmp_path_factory):
     assert 0 <= n_state < 50, f"state not bounded: {n_state} rows retained"
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path_factory):
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        orders_lineitem_stream_join,
+    )
+
+    odir = str(tmp_path_factory.mktemp("orders_stream"))
+    ldir = str(tmp_path_factory.mktemp("lineitem_stream"))
+    load_table(spark, sf_dir, "orders").repartition(2).write.mode("overwrite").parquet(odir)
+    load_table(spark, sf_dir, "lineitem").repartition(2).write.mode("overwrite").parquet(ldir)
+    joined = orders_lineitem_stream_join(
+        read_parquet_stream(spark, odir, max_files_per_trigger=10),
+        read_parquet_stream(spark, ldir, max_files_per_trigger=10),
+    )
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    out = _drain(spark, joined, name)
+    o, l = spark.read.parquet(odir), spark.read.parquet(ldir)
+    batch = o.join(
+        l,
+        F.expr(
+            "o_orderkey = l_orderkey AND l_shipdate >= o_orderdate"
+            " AND l_shipdate <= o_orderdate + interval 150 days"
+        ),
+    )
+    assert out.count() == batch.count() > 0
+    s = out.agg(F.sum(F.col("net_price").cast("decimal(18,2)"))).first()[0]
+    b = batch.agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)"))
+    ).first()[0]
+    assert s == b
+
+
+def test_transform_with_state_running_totals(spark, events_stream_dir):
+    # the TWS python driver worker needs protobuf, absent in this container
+    pytest.importorskip("google.protobuf")
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        running_totals_tws,
+    )
+
+    stream = read_parquet_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(running_totals_tws(stream), name, output_mode="update")
+    out = spark.sql(f"SELECT * FROM {name}")
+    latest = out.groupBy("key").agg(F.max("n_events").alias("n"))
+    want = {
+        r.user_id: r.n
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {r.key: r.n for r in latest.collect()}
+    q.stop()
+    assert got == want
+
+
+def test_kafka_wrapper_fails_actionably_without_connector(spark):
+    from datawarehouse_etl_using_hyperjoin_spark.sources.kafka import (
+        KafkaConnectorMissing,
+        kafka_source_available,
+        read_kafka_stream,
+    )
+
+    if kafka_source_available(spark):
+        pytest.skip("kafka connector present; wrapper exercised on clusters")
+    with pytest.raises(KafkaConnectorMissing, match="--packages"):
+        read_kafka_stream(spark, "localhost:9092", "events")
+
+
 def test_foreachbatch_upsert_sink(spark, sf_dir, tmp_path_factory, txn_stream_dir):
     target = str(tmp_path_factory.mktemp("dim")) + "/dim_product"
     stream = read_parquet_stream(spark, txn_stream_dir, max_files_per_trigger=2)
