@@ -93,6 +93,45 @@ MINHASH_PARAMS = (
 )
 
 
+def minhash_params(n_hashes: int, seed: int = 42) -> tuple[tuple[int, int], ...]:
+    """Universal-hash constants for ``n_hashes`` signature functions.
+
+    The first 16 come from the frozen table above (the declared-query
+    oracle SQL embeds those constants — never regenerate them); beyond 16
+    the family extends deterministically from ``seed``, so any (bands ×
+    rows_per_band) combination is available for tuning sweeps while every
+    run of the same configuration is reproducible.
+    """
+    if n_hashes <= len(MINHASH_PARAMS):
+        return MINHASH_PARAMS[:n_hashes]
+    import random
+
+    rng = random.Random(f"minhash:{seed}:{len(MINHASH_PARAMS)}")
+    extra = tuple(
+        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 32))
+        for _ in range(n_hashes - len(MINHASH_PARAMS))
+    )
+    return MINHASH_PARAMS + extra
+
+
+def lsh_candidate_probability(s: float, n_bands: int, rows_per_band: int) -> float:
+    """P(candidate | Jaccard = s) for banded MinHash LSH: 1 − (1 − s^r)^b.
+
+    The standard S-curve (Leskovec/Rajaraman/Ullman, *Mining of Massive
+    Datasets* §3.4.2) — the tuning contract the sweep test verifies
+    empirically.
+    """
+    return 1.0 - (1.0 - s**rows_per_band) ** n_bands
+
+
+def lsh_threshold(n_bands: int, rows_per_band: int) -> float:
+    """Approximate similarity threshold of a banding: (1/b)^(1/r) — the
+    inflection point of the S-curve.  Pick (b, r) so the threshold sits
+    just below the near-dup similarity you want to catch; more bands →
+    lower threshold, higher recall, more candidate pairs to verify."""
+    return (1.0 / n_bands) ** (1.0 / rows_per_band)
+
+
 def minhash_array(
     df: DataFrame,
     id_col: str,
@@ -118,8 +157,7 @@ def minhash_array(
     repartitions first; same decouple-compute-from-scan-splits pattern as
     the multimodal decode stage.
     """
-    if n_hashes > len(MINHASH_PARAMS):
-        raise ValueError(f"n_hashes > {len(MINHASH_PARAMS)} needs more MINHASH_PARAMS")
+    params = minhash_params(n_hashes)
     if parallelism is None:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
@@ -141,7 +179,7 @@ def minhash_array(
                     lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P),
                 )
             )
-            for a, b in MINHASH_PARAMS[:n_hashes]
+            for a, b in params
         ]
     )
     return hashed.select(F.col(id_col), sig.alias("minhashes"))
@@ -158,7 +196,7 @@ def minhash_signatures(
     array form, which needs no shuffle).
     """
     params = sh.sparkSession.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PARAMS[:n_hashes])],
+        [(i, a, b) for i, (a, b) in enumerate(minhash_params(n_hashes))],
         ["seed", "a", "b"],
     )
     return (

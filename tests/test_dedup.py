@@ -91,3 +91,84 @@ def test_ngram_jaccard_scores_injected_dups_high(spark, sf_dir):
     scores = [r.jaccard for r in dup_pairs.collect()]
     assert scores and min(scores) > 0.7
     assert pairs.filter((F.col("jaccard") < 0) | (F.col("jaccard") > 1)).count() == 0
+
+
+def _synthetic_pairs(spark, n_pairs, shared, fresh, tag):
+    """n_pairs doc pairs with controlled word-set Jaccard:
+    shared/(shared + 2*fresh).  Word vocab is disjoint across pairs."""
+    rows = []
+    for p in range(n_pairs):
+        base = [f"w{p}_{i}" for i in range(shared)]
+        a_extra = [f"a{p}_{i}" for i in range(fresh)]
+        b_extra = [f"b{p}_{i}" for i in range(fresh)]
+        rows.append((tag + 2 * p, " ".join(base + a_extra)))
+        rows.append((tag + 2 * p + 1, " ".join(base + b_extra)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_lsh_banding_sweep_matches_s_curve(spark):
+    """(b, r) tuning contract: recall of high-similarity pairs and
+    rejection of low-similarity pairs track the 1-(1-s^r)^b S-curve as the
+    banding changes — including n_hashes > 16 via the generative hash
+    family (minhash_params)."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        lsh_candidate_probability,
+        lsh_threshold,
+        minhash_params,
+    )
+
+    # frozen prefix + deterministic extension
+    assert minhash_params(16) == minhash_params(32)[:16]
+    assert minhash_params(32) == minhash_params(32)
+    assert abs(lsh_threshold(4, 4) - 0.25 ** 0.25) < 1e-12
+
+    n_pairs = 40
+    # shared=90, fresh=5  → J = 90/100 = 0.90 (well above every threshold)
+    # shared=10, fresh=45 → J = 10/100 = 0.10 (well below every threshold)
+    hi = _synthetic_pairs(spark, n_pairs, 90, 5, 10_000)
+    lo = _synthetic_pairs(spark, n_pairs, 10, 45, 20_000)
+    corpus = hi.unionByName(lo)
+
+    for n_hashes, n_bands in ((16, 8), (16, 4), (32, 8)):
+        rpb = n_hashes // n_bands
+        sig = minhash_array(corpus, "doc_id", "text", k=1, n_hashes=n_hashes)
+        pairs = lsh_candidate_pairs(
+            lsh_bands_from_array(sig, "doc_id", n_hashes, n_bands), "doc_id"
+        )
+        found = {(r.id_a, r.id_b) for r in pairs.collect()}
+        hi_found = sum(
+            ((10_000 + 2 * p, 10_000 + 2 * p + 1) in found) for p in range(n_pairs)
+        )
+        lo_found = sum(
+            ((20_000 + 2 * p, 20_000 + 2 * p + 1) in found) for p in range(n_pairs)
+        )
+        p_hi = lsh_candidate_probability(0.90, n_bands, rpb)
+        p_lo = lsh_candidate_probability(0.10, n_bands, rpb)
+        # generous two-sided bands around the binomial expectation
+        assert hi_found >= (p_hi - 0.25) * n_pairs, (n_hashes, n_bands, hi_found)
+        assert lo_found <= p_lo * n_pairs + 4, (n_hashes, n_bands, lo_found)
+
+
+def test_lsh_bucket_cap_bounds_boilerplate_skew(spark):
+    """A boilerplate-heavy corpus (one 200-doc identical cluster) must not
+    go quadratic: the bucket cap drops the pathological bucket while
+    ordinary near-dup pairs survive."""
+    n_boiler = 200
+    boiler = spark.createDataFrame(
+        [(i, "terms of service apply to all content on this site") for i in range(n_boiler)],
+        ["doc_id", "text"],
+    )
+    normal = _synthetic_pairs(spark, 10, 90, 5, 100_000)
+    corpus = boiler.unionByName(normal)
+    sig = minhash_array(corpus, "doc_id", "text", k=1, n_hashes=16)
+    bands = lsh_bands_from_array(sig, "doc_id", 16, 4)
+
+    capped = lsh_candidate_pairs(bands, "doc_id", max_bucket=100)
+    n_capped = capped.count()
+    # every surviving pair is a real near-dup pair, none from boilerplate
+    assert capped.filter(F.col("id_a") < 100_000).count() == 0
+    assert n_capped >= 8  # the injected near-dups still collide
+
+    uncapped = lsh_candidate_pairs(bands, "doc_id", max_bucket=10**9)
+    # without the cap the boilerplate cluster alone adds C(200,2) pairs
+    assert uncapped.count() >= n_capped + (n_boiler * (n_boiler - 1)) // 2
