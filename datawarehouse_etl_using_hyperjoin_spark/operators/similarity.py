@@ -131,6 +131,158 @@ def ann_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _sign_bits(vec: Column, m: int) -> Column:
+    return F.transform(
+        F.slice(vec, 1, m), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+
+
+def probe_buckets(vec: Column, m: int = 8) -> Column:
+    """Multi-probe bucket list: the vector's own sign bucket plus every
+    bucket at Hamming distance 1 (each of the m bits flipped once).
+
+    Sign-LSH's recall hole is a near neighbor sitting just across one
+    hyperplane; probing the 1-flip neighborhood closes most of it for
+    (m+1)× the candidate work — still a 2^m/(m+1) reduction vs brute
+    force.  All array-side; each corpus vector keeps exactly one bucket,
+    so probe expansion happens only on the (small) query side and no
+    candidate is generated twice.
+    """
+    bits = _sign_bits(vec, m)
+    own = F.array_join(bits, "")
+    flips = F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda i: F.array_join(
+            F.zip_with(
+                bits,
+                F.sequence(F.lit(1), F.lit(m)),
+                lambda bit, j: F.when(
+                    j == i, F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
+                ).otherwise(bit),
+            ),
+            "",
+        ),
+    )
+    return F.concat(F.array(own), flips)
+
+
+def ann_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 8,
+) -> DataFrame:
+    """Approximate top-k with 1-flip multi-probe: each query joins its own
+    bucket and the m adjacent buckets.  Strictly dominates
+    :func:`ann_bucketed_topk` on recall at (m+1)× its candidate cost."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(probe_buckets(F.col(vec_col), m)).alias("bucket"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        sign_bucket(F.col(vec_col), m).alias("bucket"),
+    )
+    scored = (
+        q.join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("__qvec"), F.col("__cvec")))
+        .drop("__qvec", "__cvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_seed_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: the ``n_centroids``
+    smallest-id vectors as (centroid_id, centroid) — a reproducible,
+    SQL-expressible stand-in for offline k-means.  In production the
+    centroids table is trained offline (e.g. Lloyd iterations on a sample)
+    and published as a small dimension table; everything downstream —
+    assignment join, probe join — is identical either way.
+    """
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell assignment: each vector → its max-cosine centroid (ties break
+    to the smaller centroid_id).  Broadcast C centroids × one corpus scan;
+    at 100 TB the assignment is written once and the cell id becomes the
+    table's partition/cluster key, so probes prune whole cells at scan
+    time (partition pruning, no shuffle)."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+        "__cc", cosine(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cc").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+    )
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: score only the cells of the query's ``nprobe`` nearest
+    centroids — expected work O(N·Q·nprobe/C).  Raising ``nprobe`` trades
+    candidate volume for recall, the standard IVF knob."""
+    cells = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        "centroid_id",
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).crossJoin(F.broadcast(centroids)).withColumn(
+        "__qc", cosine(F.col("__qvec"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__qc").desc(), F.col("centroid_id"))
+    probes = F.broadcast(
+        qs.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qvec", "centroid_id")
+    )
+    scored = (
+        probes.join(cells, on="centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("__qvec"), F.col("__cvec")))
+        .drop("__qvec", "__cvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def near_dup_pairs(
     vectors: DataFrame,
     *,

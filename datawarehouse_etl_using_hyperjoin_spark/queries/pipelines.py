@@ -26,7 +26,14 @@ from ..operators.dedup import (
     simhash64,
 )
 from ..operators.multimodal import attach_payload, decode
-from ..operators.similarity import ann_bucketed_topk, cosine_topk, near_dup_pairs
+from ..operators.similarity import (
+    ann_bucketed_topk,
+    ann_ivf_topk,
+    ann_multiprobe_topk,
+    cosine_topk,
+    ivf_seed_centroids,
+    near_dup_pairs,
+)
 from ..sources.fixtures import load_table
 from . import query
 
@@ -284,6 +291,107 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 8)
     out = ann_bucketed_topk(queries, em, k=3, m=8)
+    return out.select(
+        "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
+    )
+
+
+@query(
+    "q_ann_multiprobe",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END) AS bits
+  FROM embeddings
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+             array_to_string(bits, '') AS bucket FROM v),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         unnest([array_to_string(bits, '')] ||
+           list_transform(range(1, 9), i ->
+             array_to_string(list_transform(range(1, 9), j ->
+               CASE WHEN j = i THEN (CASE WHEN bits[j] = '1' THEN '0' ELSE '1' END)
+                    ELSE bits[j] END), ''))) AS bucket
+  FROM v WHERE vec_id < 8
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_COS_SQL.format(a="qv", b="cv")} AS cos_sim
+  FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3""",
+)
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, multi-probe sign-LSH: each query probes its own
+    bucket plus the 8 buckets at Hamming distance 1 — closing the
+    across-one-hyperplane recall hole of q_ann_bucketed for 9× its
+    candidate volume (still ~28× below brute force at m=8)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    out = ann_multiprobe_topk(queries, em, k=3, m=8)
+    return out.select(
+        "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
+    )
+
+
+_IVF_CENT_SQL = """
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT 16
+)"""
+
+
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+WITH {_IVF_CENT_SQL},
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS_SQL.format(a="e.embedding", b="cent.centroid")} DESC,
+                        cent.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS_SQL.format(a="e.embedding", b="cent.centroid")} DESC,
+                        cent.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cent
+    WHERE e.vec_id < 8
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="p.qv", b="a.embedding")} AS cos_sim
+  FROM probes p JOIN assign a USING (centroid_id)
+  WHERE p.query_id != a.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3""",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, IVF path: corpus assigned to 16 deterministic
+    seed centroids (stand-in for offline k-means — see ivf_seed_centroids);
+    each query scores only its 4 nearest cells.  At scale the cell id is
+    the table's partition key, so probing prunes whole cells at scan
+    time."""
+    em = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_seed_centroids(em, 16)
+    queries = em.filter(F.col("vec_id") < 8)
+    out = ann_ivf_topk(queries, em, centroids, k=3, nprobe=4)
     return out.select(
         "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
     )

@@ -63,3 +63,59 @@ def test_near_dup_pairs_finds_perturbed_copies(spark, sf_dir):
     assert len(found & expected) >= 25
     # and no unrelated fixture pair sneaks in (max fixture cosine ≈ 0.48)
     assert all((a, b) in expected for a, b in found)
+
+
+def _recall_vs_exact(spark, sf_dir, approx_df, k):
+    """Fraction of exact top-k (query, neighbor) pairs the approximate
+    search recovered."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(em.filter(F.col("vec_id") < 8), em, k=k)
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in approx_df.collect()}
+    return len(want & got) / len(want)
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_bucketed_topk,
+        ann_multiprobe_topk,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 8)
+    k = 3
+    single = _recall_vs_exact(spark, sf_dir, ann_bucketed_topk(q, em, k=k), k)
+    multi = _recall_vs_exact(spark, sf_dir, ann_multiprobe_topk(q, em, k=k), k)
+    assert multi >= single
+    # every query must at least produce candidates under multi-probe
+    out = ann_multiprobe_topk(q, em, k=k)
+    assert out.select("query_id").distinct().count() == 8
+
+
+def test_ivf_recall_grows_with_nprobe(spark, sf_dir):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_topk,
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_seed_centroids(em, 16)
+    assert cent.count() == 16
+    # assignment is total and unique: every vector lands in exactly 1 cell
+    assign = ivf_assign(em, cent)
+    assert assign.count() == em.count()
+    assert assign.select("vec_id").distinct().count() == em.count()
+
+    q = em.filter(F.col("vec_id") < 8)
+    k = 3
+    r1 = _recall_vs_exact(spark, sf_dir, ann_ivf_topk(q, em, cent, k=k, nprobe=1), k)
+    r4 = _recall_vs_exact(spark, sf_dir, ann_ivf_topk(q, em, cent, k=k, nprobe=4), k)
+    r16 = _recall_vs_exact(spark, sf_dir, ann_ivf_topk(q, em, cent, k=k, nprobe=16), k)
+    assert r1 <= r4 <= r16
+    # probing every cell IS brute force: recall must be perfect
+    assert r16 == 1.0
