@@ -41,3 +41,29 @@ def land_to_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    *,
+    n_buckets: int = 8,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed (+ sorted) catalog table.
+
+    Bucketing pre-shuffles the data ONCE at write time: every join or
+    aggregation on the bucket key between equal-bucket-count tables then
+    runs exchange-free (the scan itself reports the hash partitioning).
+    This is the at-rest answer to the fact ⋈ dim shuffle — at 100 TB the
+    fact table is written bucketed by its dominant join key and the
+    per-query shuffle disappears.  ``sort`` additionally orders within
+    buckets, upgrading the join to sort-merge without a sort step.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
