@@ -340,19 +340,22 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
-WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)""",
+WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                        AS DOUBLE) / COUNT(*) FROM orders)""",
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery in a predicate (whales: orders above 2× the mean) —
-    Catalyst plans the subquery once and broadcasts the scalar.  avg is
-    engine-consistent here because the comparison has huge margins; exact
-    aggregates elsewhere use the decimal-sum convention."""
+    """Scalar subquery in a predicate (whales: orders above 1.8× the mean) —
+    Catalyst plans the subquery once and broadcasts the scalar.  The mean
+    is computed with the decimal-sum convention so the predicate boundary
+    is bit-identical on both engines regardless of summation order (a raw
+    double avg is only safe while no row sits within an ulp of 2×avg)."""
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("orders")
     return spark.sql(
         """SELECT o_orderkey, o_custkey, o_totalprice
            FROM orders
-           WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)"""
+           WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                                   AS DOUBLE) / COUNT(*) FROM orders)"""
     )
 
 
