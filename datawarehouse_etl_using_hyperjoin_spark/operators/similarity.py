@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -200,6 +201,76 @@ def ann_multiprobe_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ann_qdprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 8,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query-directed multi-probe sign-LSH (cf. Lv et al., "Multi-Probe
+    LSH", VLDB'07): probe the query's own bucket plus the ``nprobe - 1``
+    1-flip buckets with the *smallest sign margin* |v[i]| — the hyperplanes
+    the query sits closest to, hence the flips most likely to hide a true
+    neighbor.  Recall ≈ the full 1-flip neighborhood's at a fixed
+    candidate budget of ``nprobe``/(m+1) of its cost; the knob is
+    independent of m, so bucket granularity and probe effort decouple.
+
+    Probe expansion stays on the (broadcast) query side; each corpus
+    vector keeps exactly one bucket, so no candidate is produced twice.
+    """
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        _sign_bits(F.col(vec_col), m).alias("__bits"),
+    )
+    own = q0.select(
+        "query_id", "__qvec", F.array_join("__bits", "").alias("bucket")
+    )
+    i = F.col("__i")
+    flipped = F.array_join(
+        F.zip_with(
+            F.col("__bits"),
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda bit, j: F.when(
+                j == i, F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
+            ).otherwise(bit),
+        ),
+        "",
+    )
+    wm = Window.partitionBy("query_id").orderBy(F.col("__margin").asc(), i.asc())
+    flips = (
+        q0.select(
+            "query_id",
+            "__qvec",
+            "__bits",
+            F.explode(F.sequence(F.lit(1), F.lit(m))).alias("__i"),
+        )
+        .withColumn("__margin", F.abs(F.element_at("__qvec", i).cast("double")))
+        .withColumn("bucket", flipped)
+        .withColumn("__rn", F.row_number().over(wm))
+        .filter(F.col("__rn") <= nprobe - 1)
+        .select("query_id", "__qvec", "bucket")
+    )
+    probes = F.broadcast(own.unionByName(flips))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        sign_bucket(F.col(vec_col), m).alias("bucket"),
+    )
+    scored = (
+        probes.join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("__qvec"), F.col("__cvec")))
+        .drop("__qvec", "__cvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_seed_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -242,6 +313,62 @@ def ivf_assign(
         .filter(F.col("__rn") == 1)
         .select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd iterations: assign → per-cell element-wise mean.
+
+    Returns (centroid_id, centroid array<double>) after ``iters`` rounds.
+    This is the "train the IVF coarse quantizer" step done as a real
+    distributed computation instead of a driver-side numpy loop: each round
+    is one corpus scan (broadcast C centroids), a posexplode to
+    (cell, dim) grain, and a partial-aggregated mean — the shuffle carries
+    only C×D mean cells, never vectors.
+
+    Determinism: the per-dimension mean is computed as an exact
+    ``DECIMAL(27,9)`` sum (order-independent) divided in double at the end,
+    so repeated runs — and the DuckDB oracle — produce bit-identical
+    centroids regardless of partitioning.  Cells that receive no vectors
+    are dropped (deterministically, on every engine); reseeding of empty
+    cells is a production-tuning concern out of scope here.
+
+    At 100 TB: train on a sample (``corpus.sample(...)``) — Lloyd means
+    need only statistical coverage — then publish the centroid table as a
+    small dimension; the full-corpus ``ivf_assign`` is the only full scan.
+    """
+    cur = centroids
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cur, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                (
+                    F.sum(
+                        F.col("val").cast("double").cast(T.DecimalType(27, 9))
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mval")
+            )
+        )
+        cur = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("__pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform("__pm", lambda s: s["mval"]).alias("centroid"),
+            )
+        )
+    return cur
 
 
 def ann_ivf_topk(

@@ -30,8 +30,10 @@ from ..operators.similarity import (
     ann_bucketed_topk,
     ann_ivf_topk,
     ann_multiprobe_topk,
+    ann_qdprobe_topk,
     cosine_topk,
     ivf_seed_centroids,
+    kmeans_refine,
     near_dup_pairs,
 )
 from ..sources.fixtures import load_table
@@ -392,6 +394,141 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = ivf_seed_centroids(em, 16)
     queries = em.filter(F.col("vec_id") < 8)
     out = ann_ivf_topk(queries, em, centroids, k=3, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
+    )
+
+
+@query(
+    "q_ann_qdprobe",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END) AS bits
+  FROM embeddings
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+             array_to_string(bits, '') AS bucket FROM v),
+qi AS (SELECT vec_id, embedding, bits, unnest(range(1, 9)) AS i
+       FROM v WHERE vec_id < 8),
+qf AS (
+  SELECT query_id, qv, bucket FROM (
+    SELECT vec_id AS query_id, embedding AS qv,
+           array_to_string(list_transform(range(1, 9), j ->
+             CASE WHEN j = i THEN (CASE WHEN bits[j] = '1' THEN '0' ELSE '1' END)
+                  ELSE bits[j] END), '') AS bucket,
+           row_number() OVER (PARTITION BY vec_id
+               ORDER BY abs(CAST(embedding[i] AS DOUBLE)), i) AS rn
+    FROM qi
+  ) WHERE rn <= 3
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, array_to_string(bits, '') AS bucket
+  FROM v WHERE vec_id < 8
+  UNION ALL
+  SELECT query_id, qv, bucket FROM qf
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_COS_SQL.format(a="qv", b="cv")} AS cos_sim
+  FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3""",
+)
+def q_ann_qdprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, query-directed multi-probe (Lv et al. VLDB'07
+    style): own bucket + the 3 one-flip buckets whose hyperplane margin
+    |v[i]| is smallest — near-1-flip recall at 4/9 of the full 1-flip
+    candidate budget, and the probe count decouples from m."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    out = ann_qdprobe_topk(queries, em, k=3, m=8, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
+    )
+
+
+_IVF_TRAINED_CENT_SQL = f"""
+cent0 AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign0 AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, cent0.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS_SQL.format(a="e.embedding", b="cent0.centroid")} DESC,
+                        cent0.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cent0
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT centroid_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS val
+  FROM assign0
+),
+means AS (
+  SELECT centroid_id, pos,
+         CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,9))) AS DOUBLE)
+           / COUNT(*) AS mval
+  FROM dims GROUP BY centroid_id, pos
+),
+cent AS (
+  SELECT centroid_id, list(mval ORDER BY pos) AS centroid
+  FROM means GROUP BY centroid_id
+)"""
+
+
+@query(
+    "q_ann_ivf_trained",
+    oracle=f"""
+WITH {_IVF_TRAINED_CENT_SQL},
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS_SQL.format(a="e.embedding", b="cent.centroid")} DESC,
+                        cent.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS_SQL.format(a="e.embedding", b="cent.centroid")} DESC,
+                        cent.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cent
+    WHERE e.vec_id < 8
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="p.qv", b="a.embedding")} AS cos_sim
+  FROM probes p JOIN assign a USING (centroid_id)
+  WHERE p.query_id != a.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3""",
+)
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: one distributed Lloyd
+    iteration (kmeans_refine) over the 16 deterministic seeds, then the
+    same nprobe=4 cell search as q_ann_ivf.  The per-dimension means use
+    exact DECIMAL sums, so the trained centroids — and hence the whole
+    search — are bit-identical across engines and partitionings."""
+    em = load_table(spark, sf_dir, "embeddings")
+    trained = kmeans_refine(em, ivf_seed_centroids(em, 16), iters=1)
+    queries = em.filter(F.col("vec_id") < 8)
+    out = ann_ivf_topk(queries, em, trained, k=3, nprobe=4)
     return out.select(
         "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
     )

@@ -48,7 +48,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     micro-precision so truncation is lossless).  ntz is used so results are
     independent of the driver's session timezone, matching DuckDB's naive
     timestamps.
+
+    The returned DataFrame is memoized per (session, sf_dir, name):
+    DataFrames are immutable, so reuse is safe, and it removes the repeated
+    file-listing + footer-read + analysis cost every role view would
+    otherwise pay per query (fixed overhead that would also be pure waste
+    on a 1000-executor driver).  The cache dies with the session object.
     """
+    cache: dict[tuple[str, str], DataFrame] | None = getattr(
+        spark, "_hyperjoin_table_cache", None
+    )
+    if cache is None:
+        cache = {}
+        try:
+            spark._hyperjoin_table_cache = cache
+        except Exception:
+            cache = None
+    if cache is not None and (sf_dir, name) in cache:
+        return cache[(sf_dir, name)]
     if name == "events":
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -59,6 +76,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH_NTZ})")
         )
+    if cache is not None:
+        cache[(sf_dir, name)] = df
     return df
 
 

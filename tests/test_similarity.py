@@ -96,6 +96,64 @@ def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
     assert out.select("query_id").distinct().count() == 8
 
 
+def test_qdprobe_recall_between_single_and_full_multiprobe(spark, sf_dir):
+    """Query-directed probing (own + 3 smallest-margin flips) candidates
+    are a superset of the single bucket and a subset of the full 1-flip
+    neighborhood, so recall must be sandwiched between the two."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_multiprobe_topk,
+        ann_qdprobe_topk,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 8)
+    k = 3
+    single = _recall_vs_exact(spark, sf_dir, ann_bucketed_topk(q, em, k=k), k)
+    qd = _recall_vs_exact(spark, sf_dir, ann_qdprobe_topk(q, em, k=k, nprobe=4), k)
+    full = _recall_vs_exact(spark, sf_dir, ann_multiprobe_topk(q, em, k=k), k)
+    assert single <= qd <= full
+    # nprobe=m+1 probes the whole 1-flip neighborhood: identical to full
+    qd_all = ann_qdprobe_topk(q, em, k=k, m=8, nprobe=9)
+    full_df = ann_multiprobe_topk(q, em, k=k, m=8)
+    got_qd = {(r.query_id, r.neighbor_id) for r in qd_all.collect()}
+    got_full = {(r.query_id, r.neighbor_id) for r in full_df.collect()}
+    assert got_qd == got_full
+
+
+def test_kmeans_refine_improves_quantization_and_is_deterministic(spark, sf_dir):
+    """One Lloyd iteration must not worsen mean nearest-centroid cosine
+    (the k-means objective under cosine distance), and the decimal-sum
+    means make the refined centroids bit-identical across runs."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        cosine,
+        ivf_seed_centroids,
+        kmeans_refine,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    seeds = ivf_seed_centroids(em, 16)
+    trained = kmeans_refine(em, seeds, iters=1)
+
+    def mean_best_cos(cent):
+        scored = em.crossJoin(F.broadcast(cent)).withColumn(
+            "c", cosine(F.col("embedding"), F.col("centroid"))
+        )
+        best = scored.groupBy("vec_id").agg(F.max("c").alias("best"))
+        return best.agg(F.avg("best")).collect()[0][0]
+
+    assert mean_best_cos(trained) >= mean_best_cos(seeds) - 1e-12
+    # determinism: a second run reproduces every centroid bit-for-bit
+    a = {r.centroid_id: r.centroid for r in trained.collect()}
+    b = {
+        r.centroid_id: r.centroid
+        for r in kmeans_refine(em, seeds, iters=1).collect()
+    }
+    assert a == b
+    # refined centroids are dense doubles of the embedding dimension
+    dim = len(em.first().embedding)
+    assert all(len(v) == dim for v in a.values())
+
+
 def test_ivf_recall_grows_with_nprobe(spark, sf_dir):
     from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
         ann_ivf_topk,
