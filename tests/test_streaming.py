@@ -208,6 +208,125 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path_factory):
     assert s == b
 
 
+def _append_stream_file(df, root, tag):
+    """Land one single-file batch in a stream dir; caller spaces calls by
+    >1 s so the file source's oldest-mtime-first order equals tag order."""
+    import os
+
+    sub = f"{root}/_{tag}"
+    df.coalesce(1).write.parquet(sub)
+    for f in os.listdir(sub):
+        if f.endswith(".parquet"):
+            os.rename(f"{sub}/{f}", f"{root}/{tag}_{f}")
+
+
+def test_stream_stream_outer_join_emission_is_watermark_gated(
+    spark, tmp_path_factory
+):
+    """Outer stream-stream join contract: an unmatched left row is held in
+    state while the time bound still admits a future match, and is emitted
+    with NULLs only once the watermark passes the bound — rows inside the
+    still-open region are NOT emitted even when input is exhausted."""
+    import time
+    from datetime import datetime
+
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        stream_stream_join,
+    )
+
+    ldir = str(tmp_path_factory.mktemp("ssj_left"))
+    rdir = str(tmp_path_factory.mktemp("ssj_right"))
+    ts = datetime.fromisoformat
+    mk = lambda rows, sch: spark.createDataFrame(rows, sch)  # noqa: E731
+
+    # batch 1: left k=1 (will never match) + a right row to move the right
+    # watermark; batch 2 (much later event time) advances both watermarks
+    # far past k=1's 5-minute match window, but NOT past k=2's.
+    _append_stream_file(
+        mk([(1, ts("2024-01-01 10:00:00"))], "k int, lts timestamp"), ldir, "b1"
+    )
+    _append_stream_file(
+        mk([(900, ts("2024-01-01 10:00:00"))], "rk int, rts timestamp"), rdir, "b1"
+    )
+    time.sleep(1.1)
+    _append_stream_file(
+        mk([(2, ts("2024-01-01 12:00:00"))], "k int, lts timestamp"), ldir, "b2"
+    )
+    _append_stream_file(
+        mk([(901, ts("2024-01-01 12:00:00"))], "rk int, rts timestamp"), rdir, "b2"
+    )
+
+    joined = stream_stream_join(
+        read_parquet_stream(spark, ldir, max_files_per_trigger=1),
+        read_parquet_stream(spark, rdir, max_files_per_trigger=1),
+        F.expr("k = rk AND rts >= lts AND rts <= lts + interval 5 minutes"),
+        left_ts="lts",
+        right_ts="rts",
+        left_delay="1 minute",
+        right_delay="1 minute",
+        how="left_outer",
+    ).selectExpr("k", "lts", "rts")
+    name = f"ssjo_{uuid.uuid4().hex[:8]}"
+    out = _drain(spark, joined, name)
+    rows = {r.k: r for r in out.collect()}
+    # k=1: watermark (11:59) passed its 10:05 bound → emitted, NULL right
+    assert 1 in rows and rows[1].rts is None
+    # k=2: its 12:05 bound is still open → held in state, not emitted
+    assert 2 not in rows
+
+
+def test_dedup_within_watermark_state_expires_plain_dedup_never(
+    spark, tmp_path_factory
+):
+    """The two dedup operators' state contracts, observed: plain
+    dropDuplicates suppresses a key forever (state grows with key
+    cardinality — the 100 TB failure mode), while
+    dropDuplicatesWithinWatermark re-admits a key once the watermark has
+    passed its expiry — bounded state, the semantics consume_once relies
+    on for the reference's evict-on-match (StreamGeneratorThread.java:126).
+    """
+    import time
+    from datetime import datetime
+
+    root = str(tmp_path_factory.mktemp("dedup_wm"))
+    ts = datetime.fromisoformat
+    sch = "event_id int, ts timestamp"
+    # b1: key 1 @10:00 — b2: key 50 @20:00 advances the watermark (10 min
+    # delay → 19:50) past key 1's expiry (10:10) — b3: cleanup batch (state
+    # eviction runs in the END-of-batch cleanup phase, so the evicting
+    # watermark must be in force for one full batch before a repeat can be
+    # re-admitted) — b4: key 1 again @19:55, after its state is gone
+    _append_stream_file(
+        spark.createDataFrame([(1, ts("2024-01-01 10:00:00"))], sch), root, "b1"
+    )
+    time.sleep(1.1)
+    _append_stream_file(
+        spark.createDataFrame([(50, ts("2024-01-01 20:00:00"))], sch), root, "b2"
+    )
+    time.sleep(1.1)
+    _append_stream_file(
+        spark.createDataFrame([(60, ts("2024-01-01 20:01:00"))], sch), root, "b3"
+    )
+    time.sleep(1.1)
+    _append_stream_file(
+        spark.createDataFrame([(1, ts("2024-01-01 19:55:00"))], sch), root, "b4"
+    )
+
+    stream = read_parquet_stream(spark, root, max_files_per_trigger=1)
+    name = f"dwm_{uuid.uuid4().hex[:8]}"
+    out = _drain(spark, consume_once(stream, ["event_id"]), name)
+    # key 1 emitted TWICE: its dedup state was evicted in between
+    assert out.filter(F.col("event_id") == 1).count() == 2
+    assert out.count() == 4
+
+    stream2 = read_parquet_stream(spark, root, max_files_per_trigger=1)
+    name2 = f"dplain_{uuid.uuid4().hex[:8]}"
+    out2 = _drain(spark, stream2.dropDuplicates(["event_id"]), name2)
+    # plain dropDuplicates: key 1 suppressed forever
+    assert out2.filter(F.col("event_id") == 1).count() == 1
+    assert out2.count() == 3
+
+
 def test_transform_with_state_running_totals(spark, events_stream_dir):
     # the TWS python driver worker needs protobuf, absent in this container
     pytest.importorskip("google.protobuf")
