@@ -155,6 +155,74 @@ def q_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_upsert_scd2",
+    oracle="""
+WITH existing AS (
+  SELECT c_custkey AS customer_id, c_name AS customer_name,
+         c_mktsegment AS customer_segment,
+         DATE '1995-01-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to,
+         TRUE AS is_current
+  FROM customer
+), updates AS (
+  SELECT c_custkey AS customer_id, c_name AS customer_name,
+         CASE WHEN c_custkey % 4 = 0 THEN 'MOVED'
+              ELSE c_mktsegment END AS customer_segment,
+         DATE '1996-06-01' AS effective_date
+  FROM customer WHERE c_custkey % 2 = 0
+), changed AS (
+  SELECT e.customer_id,
+         e.customer_name AS old_name, e.customer_segment AS old_seg,
+         u.customer_name AS new_name, u.customer_segment AS new_seg,
+         e.valid_from, u.effective_date
+  FROM existing e JOIN updates u USING (customer_id)
+  WHERE e.customer_name IS DISTINCT FROM u.customer_name
+     OR e.customer_segment IS DISTINCT FROM u.customer_segment
+)
+SELECT customer_id, old_name AS customer_name, old_seg AS customer_segment,
+       valid_from, effective_date AS valid_to, FALSE AS is_current
+FROM changed
+UNION ALL
+SELECT customer_id, new_name AS customer_name, new_seg AS customer_segment,
+       effective_date AS valid_from, CAST(NULL AS DATE) AS valid_to,
+       TRUE AS is_current
+FROM changed
+UNION ALL
+SELECT e.customer_id, e.customer_name, e.customer_segment,
+       e.valid_from, e.valid_to, e.is_current
+FROM existing e
+WHERE NOT EXISTS (SELECT 1 FROM changed c
+                  WHERE c.customer_id = e.customer_id)""",
+)
+def q_upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-Type-2 upsert: validity-interval history maintenance — current
+    rows whose tracked attributes changed are closed at the effective date
+    and re-opened; no-op updates (here: even keys not divisible by 4) leave
+    their row untouched.  Operator: operators/upsert.py::scd2_upsert; the
+    Type-1 variant is q_upsert_scd1."""
+    cust = load_table(spark, sf_dir, "customer")
+    existing = cust.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("customer_segment"),
+        F.to_date(F.lit("1995-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("customer_segment"),
+        F.to_date(F.lit("1996-06-01")).alias("effective_date"),
+    )
+    return scd2_upsert(
+        existing, updates, key="customer_id", effective_col="effective_date"
+    )
+
+
+@query(
     "q_collect_set",
     oracle="""
 SELECT l_returnflag,
