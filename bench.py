@@ -29,16 +29,15 @@ HEADLINE = [
     "q_agg_multi",
     "q_agg_sales_by_key",
     "q_window_running",
-    "q_topk",
     "q_tumbling_window",
     "q_sessionize",
     "q_dedup_exact",
     "q_minhash_pairs",
     "q_simhash",
     "q_ngram_jaccard",
-    "q_text_quality",
+    "q_text_metrics",
     "q_ann_topk",
-    "q_ann_bucketed",
+    "q_ann_multiprobe",
     "q_sql_api",
     "q_asof_join",
 ]
@@ -64,7 +63,7 @@ def main() -> None:
     # Warm the JVM/codegen/file-listing paths once so per-query numbers
     # measure steady-state engine throughput, not session startup and
     # first-touch footer reads.
-    materialize(registry["q_scan_master"].fn(spark, sf_dir))
+    materialize(registry["q_scan_transactions"].fn(spark, sf_dir))
     materialize(registry["q_fact_assembly"].fn(spark, sf_dir))
 
     # Steady-state measurement: first execution compiles the whole-stage

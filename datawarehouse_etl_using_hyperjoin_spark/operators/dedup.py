@@ -22,6 +22,28 @@ from pyspark.sql import functions as F
 from .text import normalize_text
 
 
+def ensure_compute_parallelism(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Repartition a compute-bound stage's input up to ``parallelism`` when
+    the scan provides fewer splits.
+
+    Split count is estimated from the scan's file list (``inputFiles()`` —
+    catalog metadata only; no DataFrame→RDD plan conversion on the driver).
+    File count under-estimates splits for multi-split files, which errs
+    toward repartitioning — fine, since the condition only fires when the
+    corpus is small relative to the cluster.  A 100 TB corpus arrives in
+    ≫ ``defaultParallelism`` files and is never needlessly shuffled.
+    """
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file source → assume splits are scarce
+        n_splits = 0
+    if n_splits < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def exact_dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup by content hash: one row per distinct content with the
     representative (minimum) id and duplicate count."""
@@ -158,10 +180,7 @@ def minhash_array(
     the multimodal decode stage.
     """
     params = minhash_params(n_hashes)
-    if parallelism is None:
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_compute_parallelism(df, parallelism)
     grams = shingle_array(text_col, k)
     base = F.transform(
         grams,
@@ -331,10 +350,7 @@ def simhash64(
     shuffles (the explode formulation shuffled 64 × n_words rows per doc).
     Compute-bound → repartition first, as in :func:`minhash_array`.
     """
-    if parallelism is None:
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = ensure_compute_parallelism(df, parallelism)
     words = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
     hashed = df.select(
         F.col(id_col), F.transform(words, F.md5).alias("__whs")
@@ -372,9 +388,7 @@ def ngram_jaccard_pairs(
     evaluate the exploded-shingle plan once per join leg.  Per-doc shingle
     counts come from a separate array-side projection (no explode).
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)  # compute-bound stages need > scan splits
+    df = ensure_compute_parallelism(df)  # compute-bound: need > scan splits
     grams = shingle_array(text_col, k)
     sizes = df.select(
         F.col(id_col),

@@ -80,14 +80,22 @@ def assemble_fact(
     (StreamGeneratorThread.java:128-131), the DDL defines the semantics.
 
     Join order: big⋈big (lineitem⋈orders) first on the co-partitionable key,
-    then broadcast the small dims — at 100 TB only the first edge shuffles,
-    and AQE/CBO is free to reorder further.
+    then the dims — at 100 TB only the first edge must shuffle, and AQE/CBO
+    is free to reorder further.
+
+    Broadcast posture: only dims whose cardinality is *bounded* in the
+    domain (supplier ≈ vendors, nation/store ≈ physical stores) carry an
+    explicit broadcast hint.  Customer and part grow linearly with the fact
+    table in TPC-H-shaped data, so a forced ``F.broadcast`` would OOM the
+    executors at 100× scale; they are left unhinted so Catalyst/AQE picks
+    broadcast only while they fit under ``autoBroadcastJoinThreshold``
+    (64 MB, session.py) and degrades to shuffle join beyond it.
     """
     sales = F.round(F.col("l_quantity") * F.col("p_retailprice"), 2)
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
-        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "inner")
+        .join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .join(part, lineitem.l_partkey == part.p_partkey, "inner")
         .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey, "inner")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
         .select(

@@ -1,9 +1,19 @@
-"""Aggregation / window / sort / set-op / scalar-function queries
+"""Aggregation / window / set-op / scalar-function queries
 (SURVEY.md §2.4-2.8, §2.9 batch analogues).
 
 The reference computes no aggregates in code, but the star schema exists to
 serve them (README.md:6; fact grain createDW.sql:83-98) — this module is the
 analytics layer the warehouse implies.
+
+Registry sizing note: same-family operators are folded into one declared
+query each (e.g. the whole scalar-function surface over one relation, the
+three set ops as one tagged union) so that **every** registered query fits
+inside the driver's correctness window and gets a value-checked row — wide
+single-pass relations also match how these functions appear in production
+plans.  Operators dropped from the registry (cube, exact percentile alone,
+limit/sort/top-k, plain unpivot) remain implemented and pytest-covered; the
+L-family plan evidence (TakeOrderedAndProject) lives in q_hyperjoin and
+tests/test_plans.py.
 
 Float parity convention: any SUM over a money/measure double goes through an
 exact per-element DECIMAL cast, then a final CAST(... AS DOUBLE); both
@@ -20,10 +30,8 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
 from ..operators.rangejoin import range_join_bucketed
-from ..sources.fixtures import TRANSACTIONS_ORACLE, load_table, transactions
+from ..sources.fixtures import load_table
 from . import query
-
-CTE_TXN = f"WITH transactions AS ({TRANSACTIONS_ORACLE})"
 
 
 def _dec_sum(col, scale: int = 4):
@@ -77,45 +85,46 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
        min(l_extendedprice) AS min_price,
        max(l_extendedprice) AS max_price,
-       count(*) AS count_order
-FROM lineitem
+       count(*) AS count_order,
+       count(DISTINCT l_partkey) AS n_products,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) - count(maybe_qty) AS n_qty_null,
+       CAST(SUM(CAST(coalesce(maybe_qty, 0.0) AS DECIMAL(18,2))) AS DOUBLE)
+         AS qty_coalesced
+FROM (
+  SELECT *, CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END AS maybe_qty
+  FROM lineitem
+)
 GROUP BY l_returnflag, l_linestatus""",
 )
 def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: multi-key aggregate with multiple measures (TPC-H Q1 shape) over
-    the fact grain of createDW.sql:84-90."""
+    """A2+A3+NULL discipline: multi-key aggregate with multiple measures
+    (TPC-H Q1 shape) over the fact grain of createDW.sql:84-90, plus the
+    distinct counts the PK-keyed dim upserts imply (createDW.sql:26,38,49)
+    and the count(col)-vs-count(*) / coalesce-into-exact-sum semantics the
+    reference's CASE→NULL cleansing (createDW.sql:69-80) forces on every
+    downstream aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        _dec_sum("l_quantity", 2).alias("sum_qty"),
-        _dec_sum("l_extendedprice", 2).alias("sum_base_price"),
-        _dec_sum(disc_price, 4).alias("sum_disc_price"),
-        (_dec_sum("l_quantity", 2) / F.count("*")).alias("avg_qty"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
-        F.count("*").alias("count_order"),
-    )
-
-
-@query(
-    "q_count_distinct",
-    oracle="""
-SELECT l_returnflag,
-       count(DISTINCT l_partkey) AS n_products,
-       count(DISTINCT l_suppkey) AS n_suppliers,
-       count(*) AS n_lines
-FROM lineitem
-GROUP BY l_returnflag""",
-)
-def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: distinct / count-distinct — the PK dedup the dim upserts imply
-    (createDW.sql:26,38,49,76-80).  (approx_count_distinct is exercised in
-    tests; the oracle needs the exact form.)"""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_products"),
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.count("*").alias("n_lines"),
+    maybe_qty = F.when(F.col("l_discount") > 0.05, None).otherwise(F.col("l_quantity"))
+    return (
+        li.withColumn("maybe_qty", maybe_qty)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", 2).alias("sum_qty"),
+            _dec_sum("l_extendedprice", 2).alias("sum_base_price"),
+            _dec_sum(disc_price, 4).alias("sum_disc_price"),
+            (_dec_sum("l_quantity", 2) / F.count("*")).alias("avg_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count("*").alias("count_order"),
+            F.countDistinct("l_partkey").alias("n_products"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            (F.count("*") - F.count("maybe_qty")).alias("n_qty_null"),
+            F.sum(F.coalesce("maybe_qty", F.lit(0.0)).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty_coalesced"),
+        )
     )
 
 
@@ -148,42 +157,34 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_cube",
+    "q_grouping_sets",
     oracle="""
 SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) + 2 * CAST(grouping(l_linestatus) AS INT)
+         AS gid,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        count(*) AS n
 FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)""",
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                        (l_linestatus), ())""",
 )
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 companion: full cube over the fact grain (all 4 grouping-set
-    combinations; rollup covers the hierarchical subset)."""
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 general form: explicit GROUPING SETS over all four combinations —
+    the CUBE expansion — with grouping() markers disambiguating subtotal
+    NULLs from data NULLs (the piece rollup/cube syntax leaves implicit).
+    Physical plan: one Expand + hash aggregate, identical to what CUBE
+    sugar produces, so this single query evidences the whole A4 family."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        _dec_sum("l_quantity", 2).alias("sum_qty"),
-        F.count("*").alias("n"),
-    )
-
-
-@query(
-    "q_percentile",
-    oracle="""
-SELECT l_returnflag,
-       quantile_cont(l_extendedprice, 0.5) AS p50,
-       quantile_cont(l_extendedprice, 0.9) AS p90,
-       median(l_extendedprice)             AS med
-FROM lineitem GROUP BY l_returnflag""",
-)
-def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles / median per group (the DW reporting surface;
-    ``approx_percentile`` is the at-scale variant, exercised in tests
-    because approximate sketches can't be oracle-matched)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("p50"),
-        F.percentile("l_extendedprice", 0.9).alias("p90"),
-        F.median("l_extendedprice").alias("med"),
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(grouping(l_returnflag) AS INT)
+                    + 2 * CAST(grouping(l_linestatus) AS INT) AS gid,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                  count(*) AS n
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                                   (l_linestatus), ())"""
     )
 
 
@@ -193,24 +194,33 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, n, sum_x, sum_x2,
        (sum_x2 - sum_x * sum_x / n) / (n - 1)       AS var_samp,
        sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)) AS stddev_samp,
-       sum_x / n                                    AS mean
+       sum_x / n                                    AS mean,
+       p50, p90, med
 FROM (
   SELECT l_returnflag,
          count(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
-         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_x2
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_x2,
+         quantile_cont(l_extendedprice, 0.5) AS p50,
+         quantile_cont(l_extendedprice, 0.9) AS p90,
+         median(l_extendedprice)             AS med
   FROM lineitem GROUP BY l_returnflag
 )""",
 )
 def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moment statistics (variance/stddev/mean) assembled from exact
-    decimal power sums — bit-identical across engines, unlike streaming
-    Welford accumulators (native ``F.stddev`` is exercised in tests)."""
+    """Moment statistics (variance/stddev/mean from exact decimal power
+    sums — bit-identical across engines, unlike streaming Welford
+    accumulators) plus exact percentiles/median per group (the DW reporting
+    surface; ``approx_percentile`` is the at-scale variant, exercised in
+    tests because approximate sketches can't be oracle-matched)."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         _dec_sum("l_quantity", 2).alias("sum_x"),
         _dec_sum(F.col("l_quantity") * F.col("l_quantity"), 4).alias("sum_x2"),
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.median("l_extendedprice").alias("med"),
     )
     var = (F.col("sum_x2") - F.col("sum_x") * F.col("sum_x") / F.col("n")) / (
         F.col("n") - 1
@@ -223,6 +233,9 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_samp"),
         F.sqrt(var).alias("stddev_samp"),
         (F.col("sum_x") / F.col("n")).alias("mean"),
+        "p50",
+        "p90",
+        "med",
     )
 
 
@@ -264,272 +277,87 @@ SELECT o_custkey, o_orderkey, o_orderdate,
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS running_spend,
        lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-         AS prev_price
-FROM orders""",
-)
-def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2: running frame + lag — running spend per customer (the behavioral
-    analytics the DW serves, README.md:6)."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("double")
-        .alias("running_spend"),
-        F.lag("o_totalprice").over(w).alias("prev_price"),
-    )
-
-
-@query(
-    "q_hash_funcs",
-    oracle="""
-SELECT c_custkey,
-       md5(c_name)                    AS name_md5,
-       sha256(c_name)                 AS name_sha256,
-       ('0x' || substr(md5(c_name), 1, 12))::BIGINT % 1024 AS shard
-FROM customer""",
-)
-def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hashing surface: md5 / sha256 digests + hash-derived
-    shard assignment (the bucketing primitive under dedup, splits, and
-    distribution keys).  48-bit prefix keeps the value inside BIGINT on
-    both engines."""
-    cust = load_table(spark, sf_dir, "customer")
-    h48 = F.conv(F.substring(F.md5("c_name"), 1, 12), 16, 10).cast("long")
-    return cust.select(
-        "c_custkey",
-        F.md5("c_name").alias("name_md5"),
-        F.sha2("c_name", 256).alias("name_sha256"),
-        (h48 % 1024).alias("shard"),
-    )
-
-
-@query(
-    "q_grouping_sets",
-    oracle="""
-SELECT l_returnflag, l_linestatus,
-       CAST(grouping(l_returnflag) AS INT) + 2 * CAST(grouping(l_linestatus) AS INT)
-         AS gid,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       count(*) AS n
-FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
-)
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS with grouping() markers — disambiguates
-    subtotal NULLs from data NULLs, the piece rollup/cube leave implicit."""
-    li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """SELECT l_returnflag, l_linestatus,
-                  CAST(grouping(l_returnflag) AS INT)
-                    + 2 * CAST(grouping(l_linestatus) AS INT) AS gid,
-                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                  count(*) AS n
-           FROM lineitem
-           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""
-    )
-
-
-@query(
-    "q_scalar_subquery",
-    oracle="""
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders
-WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                                        AS DOUBLE) / COUNT(*) FROM orders)""",
-)
-def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery in a predicate (whales: orders above 1.8× the mean) —
-    Catalyst plans the subquery once and broadcasts the scalar.  The mean
-    is computed with the decimal-sum convention so the predicate boundary
-    is bit-identical on both engines regardless of summation order (a raw
-    double avg is only safe while no row sits within an ulp of 2×avg)."""
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("orders")
-    return spark.sql(
-        """SELECT o_orderkey, o_custkey, o_totalprice
-           FROM orders
-           WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                                                   AS DOUBLE) / COUNT(*) FROM orders)"""
-    )
-
-
-@query(
-    "q_window_range_frame",
-    oracle="""
-SELECT o_orderkey, o_custkey, d,
+         AS prev_price,
+       d,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
               OVER (PARTITION BY o_custkey ORDER BY d
                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS spend_30d
 FROM (
-  SELECT o_orderkey, o_custkey, o_totalprice,
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
          datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS d
   FROM orders
 )""",
 )
-def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE window frame: trailing-30-day spend per customer — a
-    value-based frame (all rows within the day-distance window), not a
-    row-count frame like q_window_running."""
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 complete frame surface: running ROWS frame + lag (running spend
+    per customer — the behavioral analytics the DW serves, README.md:6) and
+    a value-based RANGE frame (trailing-30-day spend: all rows within the
+    day distance, not a row count) over the same relation."""
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "d", F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date"))
     )
-    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_range = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, 0)
+    dec_price = F.col("o_totalprice").cast("decimal(18,2)")
     return orders.select(
-        "o_orderkey",
         "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec_price)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
         "d",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("double")
-        .alias("spend_30d"),
-    )
-
-
-@query(
-    "q_null_semantics",
-    oracle="""
-SELECT c_nationkey,
-       count(*)                    AS n_rows,
-       count(maybe_bal)            AS n_nonnull,
-       count(*) - count(maybe_bal) AS n_null,
-       CAST(SUM(CAST(coalesce(maybe_bal, 0.0) AS DECIMAL(18,2))) AS DOUBLE)
-                                   AS bal_coalesced,
-       count(CASE WHEN maybe_bal IS NOT DISTINCT FROM NULL THEN 1 END)
-                                   AS n_null_safe_eq
-FROM (
-  SELECT c_nationkey,
-         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS maybe_bal
-  FROM customer
-) GROUP BY c_nationkey""",
-)
-def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL discipline: count(col) vs count(*), coalesce into exact sums,
-    and null-safe equality (<=> / IS NOT DISTINCT FROM) — the semantics
-    the reference's CASE→NULL cleansing (createDW.sql:69-80) forces on
-    every downstream aggregate."""
-    cust = load_table(spark, sf_dir, "customer")
-    maybe = F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal"))
-    base = cust.select("c_nationkey", maybe.alias("maybe_bal"))
-    return base.groupBy("c_nationkey").agg(
-        F.count("*").alias("n_rows"),
-        F.count("maybe_bal").alias("n_nonnull"),
-        (F.count("*") - F.count("maybe_bal")).alias("n_null"),
-        F.sum(F.coalesce("maybe_bal", F.lit(0.0)).cast("decimal(18,2)"))
-        .cast("double")
-        .alias("bal_coalesced"),
-        F.count(
-            F.when(F.col("maybe_bal").eqNullSafe(F.lit(None).cast("double")), 1)
-        ).alias("n_null_safe_eq"),
-    )
-
-
-# ------------------------------------------------------- §2.6 sort/limit/topk
-@query(
-    "q_limit",
-    oracle=f"""{CTE_TXN}
-SELECT * FROM transactions ORDER BY order_id, line_number LIMIT 50""",
-)
-def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L1: the 50-tuple output cap of the join loop
-    (StreamGeneratorThread.java:106-107,141), made deterministic with a
-    total order."""
-    return transactions(spark, sf_dir).orderBy("order_id", "line_number").limit(50)
-
-
-@query(
-    "q_topk",
-    oracle="""
-SELECT l_partkey AS product_id,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
-         AS revenue
-FROM lineitem
-GROUP BY l_partkey
-ORDER BY revenue DESC, product_id
-LIMIT 10""",
-)
-def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: keep-N retention as sort+limit (the disk buffer's bounded
-    retention, StreamGeneratorThread.java:76-81) — Catalyst plans
-    TakeOrderedAndProject, a distributed top-k without a global sort."""
-    li = load_table(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.groupBy(F.col("l_partkey").alias("product_id"))
-        .agg(_dec_sum(rev, 4).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), "product_id")
-        .limit(10)
-    )
-
-
-@query(
-    "q_sort",
-    oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey",
-)
-def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3: global sort (range-partitioned exchange + per-partition sort)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
-        F.col("o_totalprice").desc(), "o_orderkey"
+        F.sum(dec_price).over(w_range).cast("double").alias("spend_30d"),
     )
 
 
 # ------------------------------------------------------------ §2.7 set ops
 @query(
-    "q_union",
+    "q_set_ops",
     oracle="""
-SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
-UNION
-SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0""",
+SELECT 'union' AS set_op, * FROM (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
+  UNION
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0
 )
-def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set union + dedup — re-running a dim bulk load over overlapping
-    source snapshots (createDW.sql:23-26)."""
+UNION ALL
+SELECT 'except' AS set_op, * FROM (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
+  EXCEPT
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0
+)
+UNION ALL
+SELECT 'intersect' AS set_op, * FROM (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
+  INTERSECT
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0
+)""",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 in one tagged union: UNION+dedup (re-running a dim bulk load
+    over overlapping snapshots, createDW.sql:23-26), EXCEPT (new-rows-only)
+    and INTERSECT (rows common to two snapshots).  All three set-op plans
+    execute and are value-checked in a single driver row."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     a = cust.filter(F.col("c_custkey") % 2 == 0)
     b = cust.filter(F.col("c_custkey") % 3 == 0)
-    return a.unionByName(b).dropDuplicates()
 
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(F.lit(op).alias("set_op"), "c_custkey", "c_name")
 
-@query(
-    "q_except",
-    oracle="""
-SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
-EXCEPT
-SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0""",
-)
-def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (new-rows-only between snapshots)."""
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    a = cust.filter(F.col("c_custkey") % 2 == 0)
-    b = cust.filter(F.col("c_custkey") % 3 == 0)
-    return a.subtract(b)
-
-
-@query(
-    "q_intersect",
-    oracle="""
-SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
-INTERSECT
-SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0""",
-)
-def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (rows common to two snapshots)."""
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    a = cust.filter(F.col("c_custkey") % 2 == 0)
-    b = cust.filter(F.col("c_custkey") % 3 == 0)
-    return a.intersect(b)
+    return (
+        tag(a.unionByName(b).dropDuplicates(), "union")
+        .unionByName(tag(a.subtract(b), "except"))
+        .unionByName(tag(a.intersect(b), "intersect"))
+    )
 
 
 # ------------------------------------------------------ §2.8 scalar functions
 @query(
-    "q_string_funcs",
+    "q_scalar_funcs",
     oracle="""
 SELECT c_custkey,
        upper(c_name)                       AS name_upper,
@@ -539,14 +367,34 @@ SELECT c_custkey,
        substring(c_name, 1, 8)             AS name_prefix,
        length(c_name)                      AS name_len,
        regexp_replace(c_name, '[0-9]+', '#') AS name_masked,
-       regexp_matches(c_name, '[02468]$')  AS even_name
+       regexp_matches(c_name, '[02468]$')  AS even_name,
+       md5(c_name)                         AS name_md5,
+       sha256(c_name)                      AS name_sha256,
+       ('0x' || substr(md5(c_name), 1, 12))::BIGINT % 1024 AS shard,
+       abs(c_acctbal - 1000.0)             AS bal_dist,
+       CAST(floor(c_acctbal) AS BIGINT)    AS bal_floor,
+       CAST(ceil(c_acctbal) AS BIGINT)     AS bal_ceil,
+       round(c_acctbal, 1)                 AS bal_round,
+       sqrt(abs(c_acctbal))                AS bal_sqrt,
+       c_custkey % 7                       AS key_mod,
+       CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END                AS bal_band,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'HQ') AS seg_label
 FROM customer""",
 )
-def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 string family: the reference's replace/regex surface
-    (MasterDataStreamGeneratorThread.java:49; createDW.sql:70,78) rounded
-    out with the standard functions."""
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar surface in one single-pass projection — string family
+    (the reference's replace/regex cleansing, MasterDataStreamGenerator
+    Thread.java:49; createDW.sql:70,78), deterministic hashing (md5/sha256
+    digests + hash-derived shard — the bucketing primitive under dedup,
+    splits and distribution keys; 48-bit prefix stays inside BIGINT on both
+    engines), math family (the multiply/parse surface of
+    StreamGeneratorThread.java:118 rounded out), and the CASE/NULL
+    conditional idiom of createDW.sql:69-80.  One wide codegen'd select —
+    the same shape Catalyst collapses these to in any real plan."""
     cust = load_table(spark, sf_dir, "customer")
+    h48 = F.conv(F.substring(F.md5("c_name"), 1, 12), 16, 10).cast("long")
     return cust.select(
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
@@ -557,36 +405,22 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").cast("long").alias("name_len"),
         F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
         F.col("c_name").rlike("[02468]$").alias("even_name"),
-    )
-
-
-@query(
-    "q_math_funcs",
-    oracle="""
-SELECT l_orderkey, l_linenumber,
-       l_extendedprice * l_discount        AS discount_amount,
-       abs(l_extendedprice - 50000)        AS dist_from_50k,
-       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
-       CAST(ceil(l_extendedprice) AS BIGINT)  AS price_ceil,
-       round(l_extendedprice, 1)           AS price_round,
-       sqrt(l_quantity)                    AS qty_sqrt,
-       l_partkey % 7                       AS key_mod
-FROM lineitem""",
-)
-def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 math family: the reference's multiply/parse surface
-    (StreamGeneratorThread.java:118) rounded out."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.col("l_extendedprice") * F.col("l_discount")).alias("discount_amount"),
-        F.abs(F.col("l_extendedprice") - 50000).alias("dist_from_50k"),
-        F.floor("l_extendedprice").alias("price_floor"),
-        F.ceil("l_extendedprice").alias("price_ceil"),
-        F.round("l_extendedprice", 1).alias("price_round"),
-        F.sqrt("l_quantity").alias("qty_sqrt"),
-        (F.col("l_partkey") % 7).alias("key_mod"),
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        (h48 % 1024).alias("shard"),
+        F.abs(F.col("c_acctbal") - 1000.0).alias("bal_dist"),
+        F.floor("c_acctbal").alias("bal_floor"),
+        F.ceil("c_acctbal").alias("bal_ceil"),
+        F.round("c_acctbal", 1).alias("bal_round"),
+        F.sqrt(F.abs(F.col("c_acctbal"))).alias("bal_sqrt"),
+        (F.col("c_custkey") % 7).alias("key_mod"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("HQ")
+        ).alias("seg_label"),
     )
 
 
@@ -618,32 +452,6 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
         F.last_day(F.to_date("o_orderdate")).alias("month_end"),
-    )
-
-
-@query(
-    "q_case_when",
-    oracle="""
-SELECT o_orderkey,
-       CASE WHEN o_totalprice < 100000 THEN 'small'
-            WHEN o_totalprice < 300000 THEN 'mid'
-            ELSE 'large' END AS price_band,
-       coalesce(nullif(o_orderpriority, '1-URGENT'), 'TOP') AS priority_label
-FROM orders""",
-)
-def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 conditional family: the CASE/NULL cleansing idiom of
-    createDW.sql:69-80 (when/otherwise, coalesce, nullif)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.select(
-        "o_orderkey",
-        F.when(F.col("o_totalprice") < 100000, "small")
-        .when(F.col("o_totalprice") < 300000, "mid")
-        .otherwise("large")
-        .alias("price_band"),
-        F.coalesce(
-            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("TOP")
-        ).alias("priority_label"),
     )
 
 
@@ -695,28 +503,44 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_pivot",
+    "q_pivot_unpivot",
     oracle="""
-SELECT l_returnflag,
-       CAST(SUM(CASE WHEN l_linestatus = 'O'
-                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
-       CAST(SUM(CASE WHEN l_linestatus = 'F'
-                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
-FROM lineitem
-GROUP BY l_returnflag""",
+WITH wide AS (
+  SELECT l_returnflag,
+         coalesce(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS qty_O,
+         coalesce(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS qty_F
+  FROM lineitem
+  GROUP BY l_returnflag
 )
-def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: per-status quantity columns (DW cross-tab reporting)."""
+SELECT l_returnflag, measure, qty
+FROM wide UNPIVOT (qty FOR measure IN (qty_O, qty_F))""",
+)
+def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round-trip in one plan: per-status quantity columns
+    (DW cross-tab reporting) melted back to (measure, value) rows — both
+    reshaping operators execute and are value-checked in one driver row.
+    Empty cells are coalesced to 0 on both sides (UNPIVOT drops NULL
+    cells, so a NULL cell would silently shrink the result)."""
     li = load_table(spark, sf_dir, "lineitem")
     pivoted = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
     )
-    return pivoted.select(
+    wide = pivoted.select(
         "l_returnflag",
-        F.col("O").cast("double").alias("qty_O"),
-        F.col("F").cast("double").alias("qty_F"),
+        F.coalesce(F.col("O").cast("double"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F").cast("double"), F.lit(0.0)).alias("qty_F"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_O", "qty_F"],
+        variableColumnName="measure",
+        valueColumnName="qty",
     )
 
 
@@ -851,33 +675,6 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("o_orderkey", "o_totalprice", "band")
 
 
-@query(
-    "q_unpivot",
-    oracle="""
-SELECT o_orderkey, measure, val FROM (
-  SELECT o_orderkey,
-         o_totalprice AS totalprice,
-         CAST(o_custkey AS DOUBLE) AS custkey
-  FROM orders
-) UNPIVOT (val FOR measure IN (totalprice, custkey))""",
-)
-def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot/melt: wide measures to (measure, value) rows — the inverse
-    of q_pivot, the standard reshaping step before generic per-measure
-    pipelines."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_totalprice").alias("totalprice"),
-        F.col("o_custkey").cast("double").alias("custkey"),
-    )
-    return orders.unpivot(
-        ids=["o_orderkey"],
-        values=["totalprice", "custkey"],
-        variableColumnName="measure",
-        valueColumnName="val",
-    )
-
-
 _SQL_TOP_SEGMENT_ORDERS = """
 SELECT o_orderkey,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
@@ -887,6 +684,8 @@ FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
+  AND o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                             / COUNT(*) FROM orders)
 GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey
 LIMIT 20"""
@@ -895,9 +694,11 @@ LIMIT 20"""
 @query("q_sql_api", oracle=_SQL_TOP_SEGMENT_ORDERS)
 def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL entry path: the identical ANSI text runs through
-    ``spark.sql`` and the oracle (TPC-H Q3 shape) — Catalyst produces the
-    same plan as the DataFrame API, and the engine's SQL surface is
-    first-class."""
+    ``spark.sql`` and the oracle (TPC-H Q3 shape, plus a scalar subquery in
+    the predicate — above-average orders only; Catalyst plans the subquery
+    once and broadcasts the scalar).  The mean uses the decimal-sum
+    convention so the predicate boundary is bit-identical on both engines
+    regardless of summation order."""
     for t in ("customer", "orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_TOP_SEGMENT_ORDERS)

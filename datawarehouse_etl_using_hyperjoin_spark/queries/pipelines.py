@@ -27,10 +27,8 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import attach_payload, decode
 from ..operators.similarity import (
-    ann_bucketed_topk,
     ann_ivf_topk,
     ann_multiprobe_topk,
-    ann_qdprobe_topk,
     cosine_topk,
     ivf_seed_centroids,
     kmeans_refine,
@@ -108,33 +106,6 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     )
     return exact_dedup_clusters(corpus, "doc_id", "text")
-
-
-@query(
-    "q_minhash_signature",
-    oracle=f"""
-WITH corpus AS (SELECT doc_id, text FROM documents),
-sh AS ({_SHINGLES_SQL}),
-sig AS ({_MINHASH_SQL})
-SELECT doc_id,
-       string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY seed) AS signature
-FROM sig GROUP BY doc_id""",
-)
-def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash: 16-hash signature per document over word 3-gram shingles.
-
-    Hash family: one md5 per shingle → 32-bit base hash → universal-hash
-    mixing (a·h+b mod p) per signature slot — deterministic across engines
-    and n× cheaper than per-seed hashing.  Computed entirely array-side:
-    two projections, zero shuffles."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = minhash_array(docs, "doc_id", "text", 3, 16)
-    return sig.select(
-        "doc_id",
-        F.array_join(
-            F.transform("minhashes", lambda h: h.cast("string")), ":"
-        ).alias("signature"),
-    )
 
 
 @query(
@@ -264,41 +235,6 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_ann_bucketed",
-    oracle=f"""
-WITH v AS (
-  SELECT vec_id, embedding,
-         array_to_string(list_transform(embedding[1:8],
-             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-  FROM embeddings
-),
-q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM v WHERE vec_id < 8),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM v),
-scored AS (
-  SELECT query_id, neighbor_id,
-         {_COS_SQL.format(a="qv", b="cv")} AS cos_sim
-  FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
-)
-SELECT query_id, neighbor_id, cos_sim, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos_sim DESC, neighbor_id) AS rank
-  FROM scored
-) WHERE rank <= 3""",
-)
-def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity search, scale path: sign-LSH bucketing on the leading 8
-    dims (2^8 buckets); each query probes only its own bucket — the
-    candidate set shrinks ~256× and the bucket id is the cluster/shuffle
-    key at scale."""
-    em = load_table(spark, sf_dir, "embeddings")
-    queries = em.filter(F.col("vec_id") < 8)
-    out = ann_bucketed_topk(queries, em, k=3, m=8)
-    return out.select(
-        "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
-    )
-
-
-@query(
     "q_ann_multiprobe",
     oracle=f"""
 WITH v AS (
@@ -337,117 +273,6 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 8)
     out = ann_multiprobe_topk(queries, em, k=3, m=8)
-    return out.select(
-        "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
-    )
-
-
-_IVF_CENT_SQL = """
-cent AS (
-  SELECT vec_id AS centroid_id, embedding AS centroid
-  FROM embeddings ORDER BY vec_id LIMIT 16
-)"""
-
-
-@query(
-    "q_ann_ivf",
-    oracle=f"""
-WITH {_IVF_CENT_SQL},
-assign AS (
-  SELECT vec_id, embedding, centroid_id FROM (
-    SELECT e.vec_id, e.embedding, cent.centroid_id,
-           row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY {_COS_SQL.format(a="e.embedding", b="cent.centroid")} DESC,
-                        cent.centroid_id) AS rn
-    FROM embeddings e CROSS JOIN cent
-  ) WHERE rn = 1
-),
-probes AS (
-  SELECT query_id, qv, centroid_id FROM (
-    SELECT e.vec_id AS query_id, e.embedding AS qv, cent.centroid_id,
-           row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY {_COS_SQL.format(a="e.embedding", b="cent.centroid")} DESC,
-                        cent.centroid_id) AS rn
-    FROM embeddings e CROSS JOIN cent
-    WHERE e.vec_id < 8
-  ) WHERE rn <= 4
-),
-scored AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-         {_COS_SQL.format(a="p.qv", b="a.embedding")} AS cos_sim
-  FROM probes p JOIN assign a USING (centroid_id)
-  WHERE p.query_id != a.vec_id
-)
-SELECT query_id, neighbor_id, cos_sim, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos_sim DESC, neighbor_id) AS rank
-  FROM scored
-) WHERE rank <= 3""",
-)
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity search, IVF path: corpus assigned to 16 deterministic
-    seed centroids (stand-in for offline k-means — see ivf_seed_centroids);
-    each query scores only its 4 nearest cells.  At scale the cell id is
-    the table's partition key, so probing prunes whole cells at scan
-    time."""
-    em = load_table(spark, sf_dir, "embeddings")
-    centroids = ivf_seed_centroids(em, 16)
-    queries = em.filter(F.col("vec_id") < 8)
-    out = ann_ivf_topk(queries, em, centroids, k=3, nprobe=4)
-    return out.select(
-        "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
-    )
-
-
-@query(
-    "q_ann_qdprobe",
-    oracle=f"""
-WITH v AS (
-  SELECT vec_id, embedding,
-         list_transform(embedding[1:8],
-             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END) AS bits
-  FROM embeddings
-),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
-             array_to_string(bits, '') AS bucket FROM v),
-qi AS (SELECT vec_id, embedding, bits, unnest(range(1, 9)) AS i
-       FROM v WHERE vec_id < 8),
-qf AS (
-  SELECT query_id, qv, bucket FROM (
-    SELECT vec_id AS query_id, embedding AS qv,
-           array_to_string(list_transform(range(1, 9), j ->
-             CASE WHEN j = i THEN (CASE WHEN bits[j] = '1' THEN '0' ELSE '1' END)
-                  ELSE bits[j] END), '') AS bucket,
-           row_number() OVER (PARTITION BY vec_id
-               ORDER BY abs(CAST(embedding[i] AS DOUBLE)), i) AS rn
-    FROM qi
-  ) WHERE rn <= 3
-),
-q AS (
-  SELECT vec_id AS query_id, embedding AS qv, array_to_string(bits, '') AS bucket
-  FROM v WHERE vec_id < 8
-  UNION ALL
-  SELECT query_id, qv, bucket FROM qf
-),
-scored AS (
-  SELECT query_id, neighbor_id,
-         {_COS_SQL.format(a="qv", b="cv")} AS cos_sim
-  FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
-)
-SELECT query_id, neighbor_id, cos_sim, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos_sim DESC, neighbor_id) AS rank
-  FROM scored
-) WHERE rank <= 3""",
-)
-def q_ann_qdprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity search, query-directed multi-probe (Lv et al. VLDB'07
-    style): own bucket + the 3 one-flip buckets whose hyperplane margin
-    |v[i]| is smallest — near-1-flip recall at 4/9 of the full 1-flip
-    candidate budget, and the probe count decouples from m."""
-    em = load_table(spark, sf_dir, "embeddings")
-    queries = em.filter(F.col("vec_id") < 8)
-    out = ann_qdprobe_topk(queries, em, k=3, m=8, nprobe=4)
     return out.select(
         "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
     )
@@ -577,101 +402,54 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------- text analysis
 @query(
-    "q_token_count",
-    oracle="""
-SELECT doc_id,
-       len(string_split(trim(text), ' '))                    AS ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
-                                                             AS bpe_ish_tokens,
-       CAST(ceil(n_chars / 4.0) AS BIGINT)                   AS approx_tokens
-FROM documents""",
-)
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens, a BPE-ish pre-tokenizer regex
-    count, and the chars/4 estimate."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        tx.ws_token_count(F.col("text")).alias("ws_tokens"),
-        tx.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
-        tx.approx_token_count(F.col("n_chars")).alias("approx_tokens"),
-    )
-
-
-@query(
-    "q_text_quality",
+    "q_text_metrics",
     oracle=f"""
-SELECT doc_id, n_words, punct_ratio, stop_ratio,
-       0.4 * least(n_words / 100.0, 1.0)
+SELECT doc_id, lang, ws_tokens, bpe_ish_tokens, approx_tokens, punct_ratio,
+       stop_ratio,
+       0.4 * least(ws_tokens / 100.0, 1.0)
      + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
-     + 0.3 * least(stop_ratio * 10, 1.0) AS quality_score
+     + 0.3 * least(stop_ratio * 10, 1.0) AS quality_score,
+       CASE WHEN stop_ratio >= 0.03 THEN 'en' ELSE 'und' END AS lang_pred,
+       fingerprint,
+       substr(fingerprint, 1, 8) AS fp_prefix
 FROM (
-  SELECT doc_id,
-         len(string_split(trim(text), ' ')) AS n_words,
+  SELECT doc_id, lang,
+         len(string_split(trim(text), ' ')) AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           AS bpe_ish_tokens,
+         CAST(ceil(n_chars / 4.0) AS BIGINT) AS approx_tokens,
          length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
            / length(text) AS punct_ratio,
          len(list_filter(string_split(trim(text), ' '),
              w -> list_contains({_STOPLIST_SQL}, w)))
-           / len(string_split(trim(text), ' ')) AS stop_ratio
+           / len(string_split(trim(text), ' ')) AS stop_ratio,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
   FROM documents
 )""",
 )
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document quality scoring: length / punctuation-density / stopword
-    signals composed into a [0,1] score — the cheap corpus pre-filter."""
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis metrics in one single-pass projection —
+    token counting (whitespace, BPE-ish pre-tokenizer regex, chars/4
+    estimate), quality scoring (length / punctuation-density / stopword
+    signals composed into a [0,1] score), stopword-density language ID (the
+    n-gram-free cheap gate; a real pipeline chains a trained model behind
+    it), and content fingerprinting (md5 over normalized text + a 32-bit
+    prefix for cheap bucketing).  All pure column expressions over one scan
+    — exactly how a corpus-prep pipeline computes them (one pass, many
+    metrics), and one driver row value-checks the whole family."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
-        "doc_id",
-        tx.ws_token_count(t).alias("n_words"),
-        tx.punct_ratio(t).alias("punct_ratio"),
-        tx.stopword_ratio(t).alias("stop_ratio"),
-        tx.quality_score(t).alias("quality_score"),
-    )
-
-
-@query(
-    "q_lang_id",
-    oracle=f"""
-SELECT doc_id, lang,
-       len(list_filter(string_split(trim(text), ' '),
-           w -> list_contains({_STOPLIST_SQL}, w)))
-         / len(string_split(trim(text), ' ')) AS stop_ratio,
-       CASE WHEN len(list_filter(string_split(trim(text), ' '),
-                  w -> list_contains({_STOPLIST_SQL}, w)))
-                / len(string_split(trim(text), ' ')) >= 0.03
-            THEN 'en' ELSE 'und' END AS lang_pred
-FROM documents""",
-)
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID via stopword-density heuristic (the n-gram-free cheap
-    gate; a real pipeline chains a trained model behind it)."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
+    fp = tx.fingerprint(t)
     return docs.select(
         "doc_id",
         "lang",
+        tx.ws_token_count(t).alias("ws_tokens"),
+        tx.bpe_ish_token_count(t).alias("bpe_ish_tokens"),
+        tx.approx_token_count(F.col("n_chars")).alias("approx_tokens"),
+        tx.punct_ratio(t).alias("punct_ratio"),
         tx.stopword_ratio(t).alias("stop_ratio"),
+        tx.quality_score(t).alias("quality_score"),
         tx.lang_id(t).alias("lang_pred"),
-    )
-
-
-@query(
-    "q_doc_fingerprint",
-    oracle="""
-SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
-       substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8)
-         AS fp_prefix
-FROM documents""",
-)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprinting: md5 over normalized text (lowercase,
-    collapsed whitespace) + a 32-bit prefix for cheap bucketing."""
-    docs = load_table(spark, sf_dir, "documents")
-    fp = tx.fingerprint(F.col("text"))
-    return docs.select(
-        "doc_id",
         fp.alias("fingerprint"),
         F.substring(fp, 1, 8).alias("fp_prefix"),
     )

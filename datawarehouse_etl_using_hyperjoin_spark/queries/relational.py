@@ -35,134 +35,95 @@ def q_scan_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transactions(spark, sf_dir)
 
 
-@query("q_scan_master", oracle=f"{CTE_MASTER} SELECT * FROM master_data")
-def q_scan_master(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2: the master-data scan (MasterDataStreamGeneratorThread.java:37-53)."""
-    return master_data(spark, sf_dir)
-
-
 # ------------------------------------------------- §2.2 project/cleanse/derive
 @query(
-    "q_project",
-    oracle=f"{CTE_TXN} SELECT order_id, line_number, order_date FROM transactions",
+    "q_cleanse",
+    oracle=f"""{CTE_TXN}
+SELECT order_id, line_number,
+       '$' || CAST(CAST(extended_price AS DECIMAL(12,2)) AS VARCHAR) AS price_raw,
+       CAST(regexp_replace('$' || CAST(CAST(extended_price AS DECIMAL(12,2)) AS VARCHAR),
+                           '[$]', '') AS DOUBLE) AS price,
+       key_str,
+       CASE WHEN regexp_matches(key_str, '^[0-9]+$')
+            THEN CAST(key_str AS BIGINT) ELSE NULL END AS customer_id,
+       strftime(order_date, '%Y-%m-%d') AS order_date_str,
+       CAST(order_date AS DATE)         AS order_date_norm
+FROM (
+  SELECT order_id, line_number, extended_price, order_date,
+         CASE WHEN customer_id % 7 = 3 THEN 'X' || CAST(customer_id AS VARCHAR)
+              ELSE CAST(customer_id AS VARCHAR) END AS key_str
+  FROM transactions
+)""",
 )
-def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1: per-dim column projection, e.g. order → (orderId, orderDate)
-    (StreamGeneratorThread.java:161-167)."""
-    return transactions(spark, sf_dir).select("order_id", "line_number", "order_date")
+def q_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4+P5: the reference's entire cleansing block in one pass — the
+    shape of createDW.sql:68-80, which also cleanses all columns in a single
+    INSERT..SELECT.
 
-
-@query(
-    "q_price_cleanse",
-    oracle=f"""{CTE_MASTER}
-SELECT product_id, product_price,
-       CAST(regexp_replace(product_price, '[$]', '') AS DOUBLE) AS price
-FROM master_data""",
-)
-def q_price_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3: strip ``$`` from the VARCHAR price, parse double
-    (MasterDataStreamGeneratorThread.java:46-49; createDW.sql:5)."""
-    return master_data(spark, sf_dir).select(
-        "product_id",
-        "product_price",
-        price_cleanse("product_price").alias("price"),
+    - P3 ``$``-VARCHAR price → double (MasterDataStreamGeneratorThread.java
+      :46-49; createDW.sql:5) — the dirty form is constructed in-query with
+      the same expression as the master_data view, then cleansed;
+    - P4 regex-validated key cast, non-numeric → NULL (createDW.sql:68-80),
+      dirt injected deterministically (every 7th key gets an ``X`` prefix);
+    - P5 date string in flight → DATE at rest (StreamGeneratorThread.java
+      :414; createDW.sql:89).
+    """
+    txn = transactions(spark, sf_dir)
+    price_raw = F.concat(
+        F.lit("$"), F.col("extended_price").cast("decimal(12,2)").cast("string")
+    )
+    key_str = (
+        F.when(
+            F.col("customer_id") % 7 == 3,
+            F.concat(F.lit("X"), F.col("customer_id").cast("string")),
+        )
+        .otherwise(F.col("customer_id").cast("string"))
+    )
+    return txn.select(
+        "order_id",
+        "line_number",
+        price_raw.alias("price_raw"),
+        price_cleanse(price_raw).alias("price"),
+        key_str.alias("key_str"),
+        validate_key(key_str).alias("customer_id"),
+        F.date_format("order_date", "yyyy-MM-dd").alias("order_date_str"),
+        F.to_date("order_date").alias("order_date_norm"),
     )
 
 
 @query(
-    "q_total_sale",
+    "q_enrich",
     oracle=f"""{CTE_TXN_MASTER}
-SELECT t.order_id, t.line_number, t.product_id, t.quantity,
+SELECT t.order_id, t.line_number, t.product_id, t.supplier_id, t.quantity,
        CAST(regexp_replace(m.product_price, '[$]', '') AS DOUBLE) AS price,
        round(t.quantity * CAST(regexp_replace(m.product_price, '[$]', '') AS DOUBLE), 2)
          AS total_sale
-FROM transactions t JOIN master_data m ON t.product_id = m.product_id""",
+FROM transactions t JOIN master_data m ON t.product_id = m.product_id
+WHERE t.supplier_id = t.product_id % 10""",
 )
-def q_total_sale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2: the derived measure TOTAL_SALE = productPrice × quantityOrdered
-    (StreamGeneratorThread.java:118), landed as 2-decimal money
-    (createDW.sql:91)."""
-    txn = transactions(spark, sf_dir)
-    m = master_data(spark, sf_dir)
-    price = price_cleanse("product_price")
-    return (
-        txn.join(F.broadcast(m), "product_id")
-        .select(
-            "order_id",
-            "line_number",
-            "product_id",
-            "quantity",
-            price.alias("price"),
-            total_sale("quantity", price).alias("total_sale"),
-        )
-    )
+def q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+P6: projection + the equality guard predicate + the TOTAL_SALE
+    derived measure — the per-tuple enrichment of the consumer loop.
 
-
-@query(
-    "q_key_validate",
-    oracle="""
-SELECT c_custkey,
-       key_str,
-       CASE WHEN regexp_matches(key_str, '^[0-9]+$')
-            THEN CAST(key_str AS BIGINT) ELSE NULL END AS customer_id
-FROM (
-  SELECT c_custkey,
-         CASE WHEN c_custkey % 7 = 3 THEN 'X' || CAST(c_custkey AS VARCHAR)
-              ELSE CAST(c_custkey AS VARCHAR) END AS key_str
-  FROM customer
-)""",
-)
-def q_key_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4: regex-validated key cast, non-numeric → NULL (createDW.sql:68-80).
-
-    The fixture customer keys are clean, so the dirt is injected
-    deterministically (every 7th key gets an ``X`` prefix) before the
-    validation is applied — same construction on the oracle side.
+    - P1 column projection (StreamGeneratorThread.java:161-167,201-209);
+    - P6 the join-guard equality predicate as a standalone filter
+      (StreamGeneratorThread.java:116);
+    - P2 TOTAL_SALE = productPrice × quantityOrdered
+      (StreamGeneratorThread.java:118), 2-decimal money per createDW.sql:91.
     """
-    cust = load_table(spark, sf_dir, "customer")
-    dirty = cust.select(
-        "c_custkey",
-        F.when(
-            F.col("c_custkey") % 7 == 3,
-            F.concat(F.lit("X"), F.col("c_custkey").cast("string")),
-        )
-        .otherwise(F.col("c_custkey").cast("string"))
-        .alias("key_str"),
+    txn = transactions(spark, sf_dir).filter(
+        F.col("supplier_id") == F.col("product_id") % 10
     )
-    return dirty.select(
-        "c_custkey", "key_str", validate_key("key_str").alias("customer_id")
-    )
-
-
-@query(
-    "q_date_norm",
-    oracle=f"""{CTE_TXN}
-SELECT order_id, line_number,
-       strftime(order_date, '%Y-%m-%d') AS order_date_str,
-       CAST(order_date AS DATE)         AS order_date
-FROM transactions""",
-)
-def q_date_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5: date carried as string in flight (StreamGeneratorThread.java:414),
-    landed as DATE (createDW.sql:89)."""
-    return transactions(spark, sf_dir).select(
+    m = master_data(spark, sf_dir).select("product_id", "product_price")
+    price = price_cleanse("product_price")
+    return txn.join(F.broadcast(m), "product_id").select(
         "order_id",
         "line_number",
-        F.date_format("order_date", "yyyy-MM-dd").alias("order_date_str"),
-        F.to_date("order_date").alias("order_date"),
-    )
-
-
-@query(
-    "q_filter_eq",
-    oracle=f"""{CTE_TXN}
-SELECT * FROM transactions WHERE supplier_id = product_id % 10""",
-)
-def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6: the equality guard predicate of the join loop
-    (StreamGeneratorThread.java:116), as a standalone filter."""
-    return transactions(spark, sf_dir).filter(
-        F.col("supplier_id") == F.col("product_id") % 10
+        "product_id",
+        "supplier_id",
+        "quantity",
+        price.alias("price"),
+        total_sale("quantity", price).alias("total_sale"),
     )
 
 
@@ -299,35 +260,35 @@ def q_fact_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_join_semi",
+    "q_join_semi_anti",
     oracle="""
-SELECT p_partkey, p_name FROM part
-WHERE p_partkey IN (SELECT l_partkey FROM lineitem)""",
-)
-def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi join: dims that have matching facts — the existence check the
-    dim upsert loaders imply (StreamGeneratorThread.java:129-130)."""
-    part = load_table(spark, sf_dir, "part")
-    li = load_table(spark, sf_dir, "lineitem")
-    return part.join(
-        li, part.p_partkey == li.l_partkey, "left_semi"
-    ).select("p_partkey", "p_name")
-
-
-@query(
-    "q_join_anti",
-    oracle="""
-SELECT p_partkey, p_name FROM part
+SELECT 'sold' AS match_type, p_partkey, p_name FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+UNION ALL
+SELECT 'never_bulk' AS match_type, p_partkey, p_name FROM part
 WHERE NOT EXISTS (
   SELECT 1 FROM lineitem
   WHERE l_partkey = p_partkey AND l_quantity >= 45
 )""",
 )
-def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join: dims with no matching facts (complement of q_join_semi) —
-    parts never sold in bulk (quantity ≥ 45), non-empty at every SF."""
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join in one relation — the existence checks the dim
+    upsert loaders imply (StreamGeneratorThread.java:129-130).
+
+    ``sold`` rows: dims that have matching facts (left_semi); ``never_bulk``
+    rows: dims with no bulk fact (quantity ≥ 45; left_anti) — non-empty at
+    every SF.  Tagged union so both join plans execute and are value-checked
+    in a single driver row.
+    """
     part = load_table(spark, sf_dir, "part")
-    bulk = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
-    return part.join(
-        bulk, part.p_partkey == bulk.l_partkey, "left_anti"
-    ).select("p_partkey", "p_name")
+    li = load_table(spark, sf_dir, "lineitem")
+    sold = (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .select(F.lit("sold").alias("match_type"), "p_partkey", "p_name")
+    )
+    bulk = li.filter(F.col("l_quantity") >= 45)
+    never_bulk = (
+        part.join(bulk, part.p_partkey == bulk.l_partkey, "left_anti")
+        .select(F.lit("never_bulk").alias("match_type"), "p_partkey", "p_name")
+    )
+    return sold.unionByName(never_bulk)

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import validate_key
 from ..operators.etl import build_dim
-from ..operators.upsert import scd1_upsert
+from ..operators.upsert import scd1_upsert, scd2_upsert
 from ..sources.fixtures import MASTER_DATA_ORACLE, load_table, master_data
 from . import query
 

@@ -189,14 +189,14 @@ def stream_stream_join(
     Outer variants emit the unmatched side only after its watermark passes
     the bound.
     """
-    def watermarkable(df: DataFrame, ts: str) -> DataFrame:
+    def watermarkable(df: DataFrame, ts: str, delay: str) -> DataFrame:
         # watermarks require TIMESTAMP; fixture parquet loads as ntz
         if dict(df.dtypes).get(ts) == "timestamp_ntz":
             df = df.withColumn(ts, F.col(ts).cast("timestamp"))
-        return df.withWatermark(ts, left_delay if ts == left_ts else right_delay)
+        return df.withWatermark(ts, delay)
 
-    return watermarkable(left, left_ts).join(
-        watermarkable(right, right_ts), condition, how
+    return watermarkable(left, left_ts, left_delay).join(
+        watermarkable(right, right_ts, right_delay), condition, how
     )
 
 
