@@ -76,6 +76,13 @@ def scd2_upsert(
     join + anti-joins (broadcast when the update batch is small — the
     common case for dims); history rows are written once and never
     rewritten, so the table grows append-only per closed interval.
+
+    Precondition: every update's ``effective_col`` must be >= the current
+    row's ``valid_from`` (history arrives in order — true for the
+    reference's stream and any log-ordered CDC feed).  An out-of-order
+    effective date produces an inverted closed interval
+    (``valid_to < valid_from``) rather than silently rewriting history;
+    tests/test_scd2.py pins that behavior.
     """
     meta = ("valid_from", "valid_to", "is_current")
     if attrs is None:

@@ -52,6 +52,34 @@ def test_cosine_topk_has_no_python_stage(spark, sf_dir):
     assert "WindowGroupLimit" in plan_string(out)
 
 
+def test_fact_assembly_broadcasts_are_size_gated(spark, sf_dir):
+    """Customer and part grow linearly with the fact table, so
+    assemble_fact must NOT force-broadcast them: when they exceed
+    autoBroadcastJoinThreshold (simulated by disabling the threshold) the
+    plan must degrade to a shuffle join instead of OOM-bait, while the
+    explicitly-hinted bounded dims (supplier, nation) stay broadcast."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.etl import assemble_fact
+
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("lineitem", "orders", "customer", "part", "supplier", "nation")
+    }
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = assemble_fact(
+            t["lineitem"], t["orders"], t["customer"], t["part"],
+            t["supplier"], t["nation"],
+        )
+        plan = plan_string(fact, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # unhinted growing dims degrade to shuffle joins...
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # ...while the hinted bounded dims remain broadcast
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_transactions_view_prunes_unused_columns(spark, sf_dir):
     txn = transactions(spark, sf_dir).select("order_id", "quantity")
     plan = plan_string(txn)
