@@ -1,0 +1,94 @@
+"""End-to-end training-corpus preparation: the composition a data team
+actually runs over raw documents before tokenization.
+
+Stage chain (all JVM column expressions + the blocked dedup operators —
+no Python in any hot path):
+
+    metrics → quality/language gate → exact dedup → near-dup removal
+    (MinHash-LSH) → deterministic train/eval split → partitioned write
+
+Scale posture (100 TB):
+- every stage is linear except LSH candidate generation, which is bounded
+  per band bucket (``max_bucket`` guard, SCALE.md);
+- near-dup removal keeps the minimum-id document of every candidate pair —
+  a join-free "survivor" rule that needs no connected-components iteration
+  (transitive chains collapse over repeated runs; exact clustering is a
+  deliberate non-goal for corpus thinning);
+- the split is content-hash based, so duplicates that survive land in the
+  same split and reruns/backfills are stable across cluster sizes;
+- the write partitions by split (and optionally language), the keys
+  downstream training jobs prune on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as tx
+from .dedup import lsh_bands_from_array, lsh_candidate_pairs, minhash_array
+
+
+def corpus_metrics(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Attach the standard per-document metric columns (single projection)."""
+    t = F.col(text_col)
+    return docs.withColumns(
+        {
+            "ws_tokens": tx.ws_token_count(t),
+            "quality_score": tx.quality_score(t),
+            "lang_pred": tx.lang_id(t),
+            "fingerprint": tx.fingerprint(t),
+        }
+    )
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_quality: float = 0.35,
+    min_tokens: int = 5,
+    langs: tuple[str, ...] | None = None,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+    train_pct: int = 90,
+) -> DataFrame:
+    """The full prep chain; returns surviving docs with metrics + ``split``.
+
+    Survivor rules: one doc per exact content fingerprint (min id), then
+    the min-id side of every LSH near-dup candidate pair survives.
+    """
+    scored = corpus_metrics(docs, id_col, text_col)
+    gated = scored.filter(
+        (F.col("quality_score") >= min_quality) & (F.col("ws_tokens") >= min_tokens)
+    )
+    if langs is not None:
+        gated = gated.filter(F.col("lang_pred").isin(*langs))
+
+    # exact dedup: min id per normalized-content fingerprint (one shuffle)
+    exact = (
+        gated.withColumn(
+            "__rep", F.min(id_col).over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col(id_col) == F.col("__rep"))
+        .drop("__rep")
+    )
+
+    # near-dup removal: drop the larger id of every LSH candidate pair
+    sig = minhash_array(exact.select(id_col, text_col), id_col, text_col, shingle_k, n_hashes)
+    bands = lsh_bands_from_array(sig, id_col, n_hashes, n_bands)
+    pairs = lsh_candidate_pairs(bands, id_col, max_bucket)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    kept = exact.join(losers, on=id_col, how="left_anti")
+
+    return kept.withColumn("split", tx.train_eval_split(F.col(text_col), train_pct))
+
+
+def write_corpus(prepared: DataFrame, out_dir: str, partition_cols: list[str] | None = None) -> None:
+    """Persist the prepared corpus partitioned by the downstream prune keys
+    (default: split) — training jobs then read only their partition."""
+    cols = partition_cols or ["split"]
+    prepared.write.mode("overwrite").partitionBy(*cols).parquet(out_dir)

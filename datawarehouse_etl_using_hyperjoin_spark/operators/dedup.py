@@ -333,6 +333,49 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_incremental_pairs(
+    new_bands: DataFrame,
+    index_bands: DataFrame,
+    id_col: str,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate pairs for an INCREMENTAL dedup batch: a new document batch
+    against an already-indexed corpus, plus pairs within the new batch.
+
+    The 100 TB workflow: the historical corpus's band table (id, band,
+    band_hash — from :func:`lsh_bands_from_array`) is persisted once as the
+    dedup *index*, partitioned/bucketed by ``band_hash`` at rest; each
+    incoming batch computes only its own signatures (linear in batch size)
+    and equi-joins the index on (band, band_hash) — never re-reading, let
+    alone re-hashing, the 100 TB corpus.  Output: (id_a, id_b,
+    n_shared_bands, pair_type) where pair_type ∈ {'new_vs_index',
+    'new_vs_new'}; for new_vs_index pairs id_a is the index doc.
+
+    Skew guard: index buckets are collected to capped arrays first
+    (``max_bucket``, same rationale as :func:`lsh_candidate_pairs`), so a
+    boilerplate band bucket costs O(cap) per new doc, not O(bucket).
+    """
+    index_buckets = (
+        index_bands.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("__index_ids"))
+        .filter(F.size("__index_ids") <= max_bucket)
+    )
+    cross = (
+        new_bands.join(index_buckets, on=["band", "band_hash"], how="inner")
+        .select(
+            F.explode("__index_ids").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+        .withColumn("pair_type", F.lit("new_vs_index"))
+    )
+    within = lsh_candidate_pairs(new_bands, id_col, max_bucket).withColumn(
+        "pair_type", F.lit("new_vs_new")
+    )
+    return cross.unionByName(within)
+
+
 _HEX = "0123456789abcdef"
 
 

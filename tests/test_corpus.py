@@ -1,0 +1,137 @@
+"""Corpus-prep composition + incremental LSH dedup tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+    corpus_metrics,
+    prepare_corpus,
+    write_corpus,
+)
+from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+    lsh_bands_from_array,
+    lsh_incremental_pairs,
+    minhash_array,
+)
+from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import load_table
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents ∪ exact copies (id+1e6) ∪ drop-one-word copies (id+2e6)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    exact = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    near = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 2, F.size(w) - 1)).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_prepare_corpus_removes_exact_and_near_dups(spark, sf_dir):
+    corpus = _docs_with_dups(spark, sf_dir)
+    prepared = prepare_corpus(corpus, min_quality=0.0, min_tokens=1)
+    kept_ids = [r.doc_id for r in prepared.select("doc_id").collect()]
+    # exact copies (id+1e6) always lose to their original (min-id survivor)
+    assert not any(1_000_000 <= i < 2_000_000 for i in kept_ids)
+    # near-dup copies (id+2e6) collide with their original in LSH → removed
+    n_near_survivors = sum(1 for i in kept_ids if i >= 2_000_000)
+    n_docs = prepared.sparkSession.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert n_near_survivors < 0.05 * n_docs  # near-total removal
+    # originals overwhelmingly survive (the banding is probabilistic: a few
+    # moderately-similar fixture docs share a band by chance and the min-id
+    # survivor rule drops the larger one — that IS the thinning semantics)
+    assert sum(1 for i in kept_ids if i < 1_000_000) >= 0.9 * n_docs
+
+
+def test_prepare_corpus_quality_gate_and_split(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prepared = prepare_corpus(docs, min_quality=0.0, min_tokens=1, train_pct=90)
+    splits = dict(
+        prepared.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+    )
+    total = sum(splits.values())
+    assert set(splits) <= {"train", "eval"}
+    assert 0.75 * total <= splits.get("train", 0) <= 0.98 * total
+    # deterministic: same input → identical assignment
+    again = prepare_corpus(docs, min_quality=0.0, min_tokens=1, train_pct=90)
+    assert (
+        prepared.select("doc_id", "split")
+        .exceptAll(again.select("doc_id", "split"))
+        .count()
+        == 0
+    )
+    # gate actually filters: an impossible threshold keeps nothing
+    assert prepare_corpus(docs, min_quality=2.0).count() == 0
+
+
+def test_write_corpus_partitions_by_split(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prepared = prepare_corpus(docs, min_quality=0.0, min_tokens=1)
+    out = str(tmp_path / "corpus")
+    write_corpus(prepared, out)
+    back = spark.read.parquet(out)
+    assert back.count() == prepared.count()
+    # partition pruning: the split filter lands in PartitionFilters (scan
+    # prunes whole split directories, not rows)
+    import os
+
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import plan_string
+
+    assert os.path.isdir(f"{out}/split=train")
+    train = back.filter(F.col("split") == "train")
+    plan = plan_string(train)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "split" in pf[0], plan
+
+
+def test_lsh_incremental_pairs_new_vs_index_and_within(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    # index = the original corpus
+    index_bands = lsh_bands_from_array(
+        minhash_array(docs, "doc_id", "text"), "doc_id"
+    )
+    # new batch = near-dup of each indexed doc (id+1e6) plus an exact pair
+    # existing only within the batch (id+2e6 / id+3e6 of the same text)
+    near = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 2, F.size(w) - 1)).alias("text"),
+    )
+    batch_dup_a = docs.limit(5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    batch_dup_b = docs.limit(5).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    new = near.unionByName(batch_dup_a).unionByName(batch_dup_b)
+    new_bands = lsh_bands_from_array(minhash_array(new, "doc_id", "text"), "doc_id")
+
+    pairs = lsh_incremental_pairs(new_bands, index_bands, "doc_id")
+    cross = pairs.filter(F.col("pair_type") == "new_vs_index")
+    within = pairs.filter(F.col("pair_type") == "new_vs_new")
+
+    # near-dups hit their indexed original: id_a (index side) < 1e6
+    n_docs = docs.count()
+    self_hits = cross.filter(
+        F.col("id_b") - F.col("id_a") == 1_000_000
+    ).count()
+    assert self_hits >= 0.9 * n_docs  # drop-one-word → ≈ all collide
+    assert cross.filter(F.col("id_a") >= 1_000_000).count() == 0
+    # exact duplicates within the batch pair up with all 16 bands shared
+    batch_pairs = within.filter(
+        (F.col("id_a") >= 2_000_000) & (F.col("id_b") >= 3_000_000)
+    ).collect()
+    assert len(batch_pairs) == 5
+    assert all(p.n_shared_bands == 4 for p in batch_pairs)
+
+
+def test_corpus_metrics_is_single_projection_no_python(spark, sf_dir):
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import plan_string
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = plan_string(corpus_metrics(docs), "simple")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert plan.count("Exchange") == 0  # metrics add no shuffle
