@@ -87,3 +87,119 @@ def decode(media: DataFrame, *, decode_parallelism: int | None = None) -> DataFr
     if decode_parallelism:
         media = media.repartition(decode_parallelism)
     return media.mapInPandas(decode_batch, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, media_format string, target_w int, target_h int, "
+    "payload binary, n_bytes long"
+)
+
+
+def resize(
+    media: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    *,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Image resize stage (payload → payload): the normalize-to-model-input
+    step of a vision pipeline.
+
+    STUB codec (like :func:`decode`): the real body is
+    ``PIL.Image.open(...).resize((w, h))`` re-encoded to bytes; here the
+    payload is passed through with the target dimensions stamped, keeping
+    batch shape, schema, and the payload-in/payload-out contract real.  At
+    scale the contract is what matters: the stage is payload-to-payload
+    (composable with decode/feature steps without re-shuffling), Arrow-
+    batched, and its parallelism is sized independently of scan splits.
+    """
+    if parallelism:
+        media = media.repartition(parallelism)
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_format": pdf["media_format"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "payload": pdf["payload"],  # STUB: real impl re-encodes
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_ts_ms long, frame binary"
+
+
+def frame_sample(
+    media: DataFrame,
+    every_n: int = 30,
+    max_frames: int = 8,
+    *,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame
+    (doc_id, frame_idx, frame_ts_ms, frame bytes) — the fan-out stage that
+    turns a video corpus into an image corpus.
+
+    STUB codec: frame count comes from the fake decoder and each "frame"
+    is a deterministic slice of the payload (real body: ``av.open`` +
+    keyframe seek).  The plumbing is the point: a bounded fan-out
+    (``max_frames`` caps output rows per doc — the skew guard for
+    long-tail videos), Arrow-batched, schema'd as binary frames ready for
+    the image path (resize → feature_extract).
+    """
+    if parallelism:
+        media = media.repartition(parallelism)
+
+    def _sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["media_format"], pdf["payload"]
+            ):
+                _, _, n_frames = _fake_decode(payload, fmt)
+                picked = list(range(0, n_frames, every_n))[:max_frames]
+                for idx in picked:
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_ts_ms"].append(idx * 33)  # ~30 fps
+                    # STUB: deterministic payload slice stands in for a frame
+                    lo = idx % max(1, len(payload) - 16)
+                    out["frame"].append(bytes(payload[lo : lo + 16]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_sample, schema=FRAMES_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id long, feature array<float>"
+
+
+def feature_extract(media: DataFrame, dim: int = 16, *, parallelism: int | None = None) -> DataFrame:
+    """Feature extraction: payload → fixed-dim embedding (array<float>).
+
+    STUB model: a deterministic byte-histogram projection stands in for a
+    real vision/audio encoder forward pass (ONNX/torch batch inference in
+    production — the mapInPandas batch is exactly the model batch).  The
+    output column is the same ``array<float>`` shape as the embeddings
+    fixture, so the ANN/near-dup operators compose directly downstream.
+    """
+    if parallelism:
+        media = media.repartition(parallelism)
+
+    def _feat(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for payload in pdf["payload"]:
+                hist = [0.0] * dim
+                for b in payload:
+                    hist[b % dim] += 1.0
+                n = max(1.0, float(len(payload)))
+                feats.append([v / n for v in hist])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return media.mapInPandas(_feat, schema=FEATURES_SCHEMA)

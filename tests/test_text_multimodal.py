@@ -109,3 +109,62 @@ def test_decode_parallelism_repartitions(spark, sf_dir):
     out = decode(media, decode_parallelism=7)
     assert out.rdd.getNumPartitions() == 7
     assert not math.isnan(out.count())
+
+
+def test_resize_preserves_payload_contract(spark, sf_dir):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.multimodal import resize
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    media = attach_payload(docs, "doc_id", "text")
+    out = resize(media, 224, 224)
+    assert dict(out.dtypes)["payload"] == "binary"  # payload→payload stage
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.target_w == 224 and r.target_h == 224 for r in rows)
+    assert all(r.n_bytes == len(r.payload) for r in rows)
+
+
+def test_frame_sample_bounded_fanout(spark, sf_dir):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    media = attach_payload(docs, "doc_id", "text")
+    frames = frame_sample(media, every_n=10, max_frames=4)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    # max_frames caps the fan-out (skew guard for long videos)
+    assert per_doc and all(1 <= n <= 4 for n in per_doc.values())
+    # frames are binary and timestamped in order
+    sample = frames.filter(F.col("doc_id") == min(per_doc)).orderBy("frame_idx").collect()
+    assert all(isinstance(bytes(r.frame), bytes) for r in sample)
+    ts = [r.frame_ts_ms for r in sample]
+    assert ts == sorted(ts)
+
+
+def test_feature_extract_composes_with_ann(spark, sf_dir):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.multimodal import (
+        feature_extract,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    media = attach_payload(docs, "doc_id", "text")
+    feats = feature_extract(media, dim=16).withColumnRenamed(
+        "doc_id", "vec_id"
+    ).withColumnRenamed("feature", "embedding")
+    assert dict(feats.dtypes)["embedding"] == "array<float>"
+    # the multimodal feature column feeds the ANN operators unchanged
+    queries = feats.filter(F.col("vec_id") < 3)
+    top = cosine_topk(queries, feats, k=2)
+    got = top.groupBy("query_id").count().collect()
+    assert len(got) == 3 and all(r["count"] == 2 for r in got)
+    # deterministic stub: same payload → same feature
+    a = {r.vec_id: tuple(r.embedding) for r in feats.collect()}
+    b = {r.vec_id: tuple(r.embedding) for r in feats.collect()}
+    assert a == b
