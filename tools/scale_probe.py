@@ -44,6 +44,41 @@ def synth_lineitem(spark, n_rows: int, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def synth_documents(spark, n_docs: int, path: str, n_words: int = 80) -> None:
+    """Deterministic synthetic corpus: n_docs texts of n_words drawn from a
+    4096-word hash vocabulary (no RNG; reproducible across runs)."""
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(n_words)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("id") * 131 + i), 4096).cast("string"),
+        ),
+    )
+    spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    ).write.mode("overwrite").parquet(path)
+
+
+def measure_dedup(spark, docs) -> float:
+    """Wall for the linear dedup stages: MinHash signatures → band table →
+    bucket-grouped candidate pairs (the north-star corpus-thinning path)."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        lsh_bands_from_array,
+        lsh_candidate_pairs,
+        minhash_array,
+    )
+
+    def pipeline():
+        sig = minhash_array(docs, "doc_id", "text")
+        bands = lsh_bands_from_array(sig, "doc_id")
+        return lsh_candidate_pairs(bands, "doc_id")
+
+    pipeline().write.mode("overwrite").format("noop").save()
+    t0 = time.time()
+    pipeline().write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
 def measure(spark, li, parts) -> dict[str, float]:
     def run(df):
         df.write.mode("overwrite").format("noop").save()
@@ -92,16 +127,34 @@ def main() -> None:
     synth_lineitem(spark, n_rows, big_path)
     big = spark.read.parquet(big_path)
 
+    # dedup shape: fixture corpus vs a synthetic corpus n_docs_big wide
+    docs_small = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs_small = docs_small.count()
+    n_docs_big = int(os.environ.get("SCALE_PROBE_DOCS", 100_000))
+    docs_path = tempfile.mkdtemp(prefix="scale_probe_") + "/documents"
+    synth_documents(spark, n_docs_big, docs_path)
+    docs_big = spark.read.parquet(docs_path)
+
     t_small = measure(spark, small, parts)
     t_big = measure(spark, big, parts)
+    t_small["minhash_lsh_pairs"] = measure_dedup(spark, docs_small)
+    t_big["minhash_lsh_pairs"] = measure_dedup(spark, docs_big)
+    rows_in = {
+        "minhash_lsh_pairs": (n_docs_small, n_docs_big),
+    }
     report = {
         "n_small": n_small,
         "n_big": n_rows,
+        "n_docs_small": n_docs_small,
+        "n_docs_big": n_docs_big,
         "scale_factor": round(n_rows / n_small, 1),
         "queries": {},
     }
     for k in t_small:
-        rs, rb = n_small / t_small[k], n_rows / t_big[k]
+        in_s, in_b = rows_in.get(k, (n_small, n_rows))
+        rs, rb = in_s / t_small[k], in_b / t_big[k]
         report["queries"][k] = {
             "small_sec": round(t_small[k], 2),
             "big_sec": round(t_big[k], 2),
