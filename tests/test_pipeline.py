@@ -29,3 +29,35 @@ def test_run_pipeline_builds_star(spark, sf_dir, tmp_path):
     plan = plan_string(one_month)
     part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert part_lines and "order_month" in part_lines[0]
+
+
+def test_fact_scan_prunes_partitions_statically_and_dynamically(
+    spark, sf_dir, tmp_path
+):
+    """SCALE.md partitioning contract: the fact table lands partitioned by
+    order month, a literal month filter prunes at planning time, and a
+    dim-side filter joined on the partition key plans a dynamic-pruning
+    subquery on the fact scan (DPP — the dim filter prunes fact partitions
+    at runtime)."""
+    from datawarehouse_etl_using_hyperjoin_spark.etl import load_star
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import plan_string
+
+    out = str(tmp_path / "dw")
+    load_star(spark, sf_dir, out)
+    fact = spark.read.parquet(f"{out}/fact_sales")
+
+    # static pruning: literal partition filter → PartitionFilters on scan
+    one_month = fact.filter(F.col("order_month") == "1995-03")
+    plan = plan_string(one_month)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "order_month" in pf[0]
+    assert one_month.count() > 0
+
+    # dynamic pruning: filter arrives through a dim join on the partition key
+    months = (
+        fact.select("order_month").distinct()
+        .withColumn("is_q1", F.col("order_month").endswith("-02"))
+    )
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    joined = fact.join(months.filter(F.col("is_q1")), "order_month")
+    assert "dynamicpruning" in plan_string(joined).lower()
