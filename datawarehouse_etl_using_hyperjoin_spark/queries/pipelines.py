@@ -508,8 +508,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     idf = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
+    # idf is vocabulary-sized and grows with the corpus (Heaps' law) — no
+    # forced broadcast; AQE broadcasts small vocabularies, shuffles huge ones
     scored = (
-        tf.join(F.broadcast(idf), "word")
+        tf.join(idf, "word")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -99,9 +99,13 @@ def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
+    # customer grows linearly with the fact table, so it carries NO forced
+    # broadcast hint (same size-gating rationale as assemble_fact): AQE
+    # broadcasts it while it fits under autoBroadcastJoinThreshold and
+    # degrades to a shuffle join beyond — never OOM-bait at 100×.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .select(
             F.col("l_orderkey").alias("order_id"),
             F.col("l_linenumber").alias("line_number"),
