@@ -1,0 +1,142 @@
+"""Deterministic sampling / mixing / packing for training-data pipelines.
+
+Every operator here is RNG-free: membership decisions hash the row's
+content or key, so assignments are reproducible across runs, engines,
+partitionings and cluster sizes, and survive backfills (the property
+`train_eval_split` already establishes for splits).  All are pure column
+expressions — no shuffle beyond what the semantics require.
+
+- :func:`hash_sample` — Bernoulli-style sampling at a fixed rate.
+- :func:`stratified_sample` — per-stratum rates (the "data mixture
+  weights ≤ 1" case: downsample over-represented sources).
+- :func:`upsample` — per-stratum repetition weights ≥ 0 (epoch factors:
+  2.7 means every doc appears twice and 70% of docs a third time,
+  chosen deterministically).
+- :func:`pack_documents` — greedy sequence packing: assign docs to
+  fixed-token-budget bins per partition key (one window cumsum — no
+  Python, no driver loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(col: Column, salt: str) -> Column:
+    """Uniform bucket in [0, 1e6) from md5(salt || value) — 48-bit prefix
+    stays inside BIGINT, matching the q_scalar_funcs shard idiom."""
+    h48 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 12), 16, 10
+    ).cast("long")
+    return F.pmod(h48, F.lit(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, salt: str = "sample"
+) -> DataFrame:
+    """Keep ≈``rate`` of rows, deterministically by key hash.
+
+    Unlike ``df.sample()`` (seeded per-partition RNG — resample on every
+    repartition), the decision depends only on (salt, key): stable under
+    shuffles, retries and incremental reruns, and different salts give
+    independent samples.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(_hash_bucket(F.col(key_col), salt) < int(rate * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 1.0,
+    salt: str = "stratified",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the mixture-reweighting step
+    (e.g. ``{"web": 0.3, "code": 1.0}``) applied in ONE scan, no
+    per-stratum jobs.  Strata absent from ``rates`` keep ``default_rate``.
+    """
+    threshold = F.lit(int(default_rate * _BUCKETS))
+    for stratum, rate in rates.items():
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * _BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(_hash_bucket(F.col(key_col), salt) < threshold)
+
+
+def upsample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "upsample",
+) -> DataFrame:
+    """Repeat rows per stratum weight (epoch factors for data mixing).
+
+    Weight w = k + f (integer + fraction): every row appears k times and
+    a deterministic f-fraction of rows once more.  Output carries a
+    ``repeat_idx`` column (0-based) so downstream shuffles spread the
+    copies.  Weights < 1 act like :func:`stratified_sample`.
+    """
+    k = F.lit(0)
+    frac_thresh = F.lit(0)
+    for stratum, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight must be >= 0, got {w} for {stratum!r}")
+        k = F.when(F.col(strata_col) == stratum, F.lit(int(w))).otherwise(k)
+        frac_thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(int((w - int(w)) * _BUCKETS))
+        ).otherwise(frac_thresh)
+    extra = (_hash_bucket(F.col(key_col), salt) < frac_thresh).cast("int")
+    n_copies = (k + extra).alias("__n")
+    out = df.withColumn("__n", n_copies).filter(F.col("__n") > 0)
+    return (
+        out.withColumn(
+            "repeat_idx", F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+        )
+        .drop("__n")
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    token_col: str,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    partition_col: str | None = None,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign each doc a ``bin_col`` so that
+    consecutive docs (id order, within ``partition_col``) accumulate to
+    ≈``budget`` tokens per bin — the pretokenization packing step that
+    turns a document corpus into fixed-length training sequences.
+
+    bin = floor((cumsum(tokens) − tokens) / budget): one window cumsum,
+    no Python, no driver loop.  Greedy-by-order packing overfills a bin
+    by at most one document (the standard streaming-packing trade; exact
+    bin packing is NP-hard and irrelevant at corpus scale).  Documents
+    longer than ``budget`` get a bin of their own.  With
+    ``partition_col`` (e.g. the train/eval split, or a shard key) packing
+    parallelizes per partition; without it the window is global — fine
+    for bounded corpora, use a shard key at 100 TB.
+    """
+    if partition_col is None:
+        w = Window.orderBy(id_col)
+        part_cols: list[str] = []
+    else:
+        w = Window.partitionBy(partition_col).orderBy(id_col)
+        part_cols = [partition_col]
+    cum = F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    bin_expr = F.floor((cum - F.col(token_col)) / F.lit(budget))
+    return docs.withColumn(bin_col, bin_expr).withColumn(
+        bin_col,
+        F.concat_ws("/", *part_cols, F.col(bin_col).cast("string"))
+        if part_cols
+        else F.col(bin_col).cast("string"),
+    )

@@ -1,0 +1,112 @@
+"""Deterministic sampling / mixing / packing operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_etl_using_hyperjoin_spark.operators.sampling import (
+    hash_sample,
+    pack_documents,
+    stratified_sample,
+    upsample,
+)
+from datawarehouse_etl_using_hyperjoin_spark.operators.text import ws_token_count
+from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import load_table
+
+
+def test_hash_sample_rate_and_determinism(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.count()
+    s = hash_sample(cust, 0.3, "c_custkey")
+    frac = s.count() / n
+    assert 0.2 < frac < 0.4
+    # deterministic: identical row set on rerun and under repartition
+    again = hash_sample(cust.repartition(13), 0.3, "c_custkey")
+    assert s.select("c_custkey").exceptAll(again.select("c_custkey")).count() == 0
+    # different salts give (near-)independent samples
+    other = hash_sample(cust, 0.3, "c_custkey", salt="other")
+    overlap = s.select("c_custkey").intersect(other.select("c_custkey")).count()
+    assert overlap < 0.2 * n  # ≈ 0.09 expected if independent
+    # nested property: a 0.1 sample is a subset of the 0.3 sample
+    small = hash_sample(cust, 0.1, "c_custkey")
+    assert small.select("c_custkey").exceptAll(s.select("c_custkey")).count() == 0
+    with pytest.raises(ValueError):
+        hash_sample(cust, 1.5, "c_custkey")
+
+
+def test_stratified_sample_applies_per_stratum_rates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    src_a, src_b = sorted(per_source)[:2]
+    out = stratified_sample(
+        docs, "source", {src_a: 0.2, src_b: 1.0}, "doc_id", default_rate=0.0
+    )
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= {src_a, src_b}
+    assert got.get(src_b) == per_source[src_b]  # rate 1.0 keeps everything
+    assert 0.05 * per_source[src_a] < got.get(src_a, 0) < 0.45 * per_source[src_a]
+
+
+def test_upsample_epoch_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_by_src = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    src = sorted(n_by_src)[0]
+    base = n_by_src[src]
+    out = upsample(docs, "source", {src: 2.5}, "doc_id")
+    got = out.filter(F.col("source") == src)
+    n_out = got.count()
+    # 2.5 ⇒ between 2× and 3×, ≈2.5× in expectation
+    assert 2 * base <= n_out <= 3 * base
+    assert abs(n_out - 2.5 * base) < 0.35 * base
+    # every doc appears at least twice, repeat_idx dense from 0
+    per_doc = got.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("repeat_idx").alias("mx")
+    )
+    assert per_doc.filter(F.col("n") < 2).count() == 0
+    assert per_doc.filter(F.col("mx") != F.col("n") - 1).count() == 0
+    # other strata (weight 0 default) are dropped entirely
+    assert out.filter(F.col("source") != src).count() == 0
+
+
+def test_pack_documents_fills_bins_to_budget(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.withColumn("n_tokens", ws_token_count(F.col("text")))
+    budget = 512
+    packed = pack_documents(docs, "n_tokens", budget)
+    bins = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("total"), F.count("*").alias("n_docs")
+    )
+    rows = bins.collect()
+    assert len(rows) > 1
+    max_doc = docs.agg(F.max("n_tokens")).first()[0]
+    # greedy bound: no bin exceeds budget + one document
+    assert all(r.total <= budget + max_doc for r in rows)
+    # packing efficiency: bin index = floor(start/budget) with starts in
+    # [0, total), so distinct bins ≤ ceil(total/budget) — no wasted bins
+    import math
+
+    total_tokens = docs.agg(F.sum("n_tokens")).first()[0]
+    assert len(rows) <= math.ceil(total_tokens / budget)
+    # every doc lands in exactly one bin
+    assert packed.count() == docs.count()
+
+
+def test_pack_documents_partitioned_by_split(spark, sf_dir):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.text import (
+        train_eval_split,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("n_tokens", ws_token_count(F.col("text")))
+        .withColumn("split", train_eval_split(F.col("text"), 90))
+    )
+    packed = pack_documents(docs, "n_tokens", 512, partition_col="split")
+    # bin ids are namespaced per split → no cross-split bins
+    crossed = packed.groupBy("bin_id").agg(F.countDistinct("split").alias("k"))
+    assert crossed.filter(F.col("k") > 1).count() == 0
+    assert packed.filter(~F.col("bin_id").startswith("train")).filter(
+        ~F.col("bin_id").startswith("eval")
+    ).count() == 0
