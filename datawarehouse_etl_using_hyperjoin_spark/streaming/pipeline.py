@@ -298,3 +298,104 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.processAllAvailable()
     return q
+
+
+def run_pipeline_streaming(
+    spark: SparkSession,
+    txn_stream: DataFrame,
+    master: DataFrame,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+) -> dict[str, int]:
+    """The reference's ``main()`` in its native streaming form, end-to-end
+    (StreamGeneratorThread.java:373-406): transaction stream → HyperJoin
+    enrichment (stream–static, broadcast master) → per-micro-batch keyed
+    upsert of the product dimension + append of enriched fact rows.
+
+    One ``foreachBatch`` sink does both writes so a micro-batch commits
+    dim and fact together (the reference opened five JDBC connections per
+    matched tuple, StreamGeneratorThread.java:134-158 — at-least-once at
+    best; here the dim upsert is idempotent per key and the fact append
+    is checkpoint-guarded).  Drains synchronously; returns row counts.
+    """
+    from ..operators.upsert import upsert_parquet_sink
+
+    enriched = stream_static_hyperjoin(txn_stream, master)
+    dim_sink = upsert_parquet_sink(f"{out_dir}/dim_product", "product_id")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            dim_updates = batch_df.select(
+                "product_id", "product_name", "product_price"
+            ).dropDuplicates(["product_id"])
+            dim_sink(dim_updates, batch_id)
+            batch_df.select(
+                "order_id", "line_number", "product_id", "quantity",
+                "product_price_num", "total_sale",
+            ).write.mode("append").parquet(f"{out_dir}/fact_enriched")
+        finally:
+            batch_df.unpersist()
+
+    writer = enriched.writeStream.outputMode("append").foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return {
+        "dim_product": spark.read.parquet(f"{out_dir}/dim_product").count(),
+        "fact_enriched": spark.read.parquet(f"{out_dir}/fact_enriched").count(),
+    }
+
+
+def consume_once_stateful(stream: DataFrame, key_col: str, ttl_ms: int = 60_000) -> DataFrame:
+    """The reference's literal evict-on-match (StreamGeneratorThread.java
+    :126) as explicit keyed state with a processing-time TTL: the first
+    row of a key is emitted and the key's state is registered; repeats
+    are suppressed while the state lives; the timeout evicts the state so
+    a key seen again after ``ttl_ms`` is re-admitted — the count-bound
+    FIFO of the reference replaced by a time bound the state store owns
+    (``dropDuplicatesWithinWatermark`` is the event-time flavor; this is
+    the processing-time one, useful when the stream carries no usable
+    event time).
+
+    Run with ``trigger(availableNow=True)`` (or a real processing-time
+    trigger) in drain-style tests: with a timeout configured, the default
+    as-fast-as-possible trigger schedules empty batches indefinitely to
+    service future timeouts, so ``processAllAvailable`` never settles.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def dedup(key, pdfs, state: GroupState):
+        empty = pd.DataFrame({"key": pd.Series(dtype="int64"),
+                              "n_suppressed": pd.Series(dtype="int64")})
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.hasTimedOut:
+            state.remove()
+            yield empty
+            return
+        first_time = not state.exists
+        if first_time:
+            state.update((1,))
+        state.setTimeoutDuration(ttl_ms)
+        if first_time and n > 0:
+            yield pd.DataFrame({"key": [key[0]], "n_suppressed": [n - 1]})
+        else:
+            yield empty
+
+    return (
+        stream.withColumn("key", F.col(key_col).cast("long"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            dedup,
+            outputStructType="key long, n_suppressed long",
+            stateStructType="seen int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
