@@ -87,6 +87,63 @@ def prepare_corpus(
     return kept.withColumn("split", tx.train_eval_split(F.col(text_col), train_pct))
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination report: for every corpus document, the
+    fraction of its word ``k``-gram shingles that also appear in the
+    benchmark/eval set — the pre-training decontamination step (eval
+    questions leaking into training data inflate benchmark scores).
+
+    Shape: the benchmark's distinct shingle set is tiny relative to the
+    corpus (eval sets are small by definition), so the corpus's exploded
+    shingles inner-join it — Catalyst broadcasts the benchmark side — and
+    a single groupBy yields per-doc overlap.  Corpus-side cost is one
+    explode + one aggregation; the 100 TB corpus is never self-joined.
+    Long k (default 8) keeps chance collisions near zero, the standard
+    n-gram-overlap decontamination setting.
+
+    Returns (id_col, n_shingles, n_contaminated, contamination) for every
+    corpus doc with at least one hit; docs with zero overlap are absent
+    (left-join the corpus and coalesce to 0 for a full report).
+    """
+    from .dedup import shingle_array
+
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(shingle_array(text_col, k))).alias("shingle")
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(shingle_array(bench_text_col, k))
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    sizes = corpus.select(
+        F.col(id_col),
+        F.size(F.array_distinct(shingle_array(text_col, k))).cast("long").alias("n_shingles"),
+    )
+    hits = (
+        corpus_sh.join(bench_sh, "shingle", "inner")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    return hits.join(sizes, id_col).select(
+        id_col,
+        "n_shingles",
+        "n_contaminated",
+        (F.col("n_contaminated") / F.col("n_shingles")).alias("contamination"),
+    )
+
+
 def write_corpus(prepared: DataFrame, out_dir: str, partition_cols: list[str] | None = None) -> None:
     """Persist the prepared corpus partitioned by the downstream prune keys
     (default: split) — training jobs then read only their partition."""

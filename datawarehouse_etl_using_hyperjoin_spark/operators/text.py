@@ -121,3 +121,40 @@ def normalize_text(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Deterministic 128-bit content fingerprint of the normalized text."""
     return F.md5(normalize_text(text))
+
+
+# ---------------------------------------------------------------- PII scrub
+# Conservative, pattern-based masks for the classic structured PII shapes.
+# Pure regexp_replace chains — JVM-side, codegen'd, no Python.  A production
+# pipeline layers an NER model behind these; the regexes are the cheap
+# always-on first pass (high precision on structured formats).
+PII_PATTERNS = (
+    # email
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # 13-19 digit card-like runs — MUST run before the phone mask, which
+    # would otherwise eat a card number's leading digit groups
+    (r"\b(?:\d[ -]?){13,19}\b", "<CARD>"),
+    # IPv4 — before phone, which could eat dotted digit runs
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # international-ish phone: optional +CC, groups of digits with -/./space
+    (r"\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column, patterns=PII_PATTERNS) -> Column:
+    """Mask structured PII (emails, phones, IPs, card-like digit runs) with
+    typed placeholders.  Order matters: longer/more-specific patterns run
+    first so a card number is not half-eaten by the phone mask."""
+    out = text
+    for pattern, token in patterns:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_hit_count(text: Column, patterns=PII_PATTERNS) -> Column:
+    """How many PII-shaped spans a document carries (for gating/reporting:
+    docs above a threshold are dropped rather than scrubbed)."""
+    total = F.lit(0)
+    for pattern, _ in patterns:
+        total = total + F.regexp_count(text, F.lit(pattern))
+    return total.cast("long")

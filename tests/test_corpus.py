@@ -135,3 +135,68 @@ def test_corpus_metrics_is_single_projection_no_python(spark, sf_dir):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
     assert plan.count("Exchange") == 0  # metrics add no shuffle
+
+
+def test_contamination_check_flags_leaked_eval_docs(spark, sf_dir):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        contamination_check,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # "benchmark" = 10 fixture docs; the corpus contains them verbatim
+    bench = docs.filter(F.col("doc_id") < 10)
+    report = contamination_check(docs, bench, k=8)
+    rows = {r.doc_id: r for r in report.collect()}
+    # every leaked doc is fully contaminated
+    for i in range(10):
+        assert i in rows and rows[i].contamination == 1.0
+    # the report stays small: the fixture generator reuses sentences, so a
+    # handful of other docs legitimately share 8-grams (the checker is
+    # doing its job surfacing them), but the bulk of the corpus is clean
+    n_docs = docs.count()
+    assert len(rows) < 10 + 0.05 * n_docs
+
+
+def test_contamination_check_partial_overlap(spark, sf_dir):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        contamination_check,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    # corpus doc = first 30 words of an eval doc + its own tail
+    half = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(w, 1, 30), F.array(F.lit("zzz_unique_tail_token"))
+        ).alias("text"),
+    )
+    report = contamination_check(half, docs.filter(F.col("doc_id") < 5), k=8)
+    rows = report.filter(F.col("doc_id") >= 500_000).collect()
+    assert rows and all(0.5 < r.contamination < 1.0 for r in rows)
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.text import (
+        pii_hit_count,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+x@example.org or +1 (415) 555-0173"),
+            (2, "server 10.0.12.7 charged card 4111 1111 1111 1111 ok"),
+            (3, "perfectly clean prose with no identifiers at all"),
+        ],
+        "id int, text string",
+    )
+    out = {r.id: r for r in df.select(
+        "id", scrub_pii(F.col("text")).alias("clean"),
+        pii_hit_count(F.col("text")).alias("hits"),
+    ).collect()}
+    assert "<EMAIL>" in out[1].clean and "<PHONE>" in out[1].clean
+    assert "jane" not in out[1].clean and "555" not in out[1].clean
+    assert "<IP>" in out[2].clean and "<CARD>" in out[2].clean
+    assert "4111" not in out[2].clean
+    assert out[3].clean == "perfectly clean prose with no identifiers at all"
+    assert out[3].hits == 0 and out[1].hits >= 2 and out[2].hits >= 2
