@@ -10,10 +10,10 @@ no Python in any hot path):
 Scale posture (100 TB):
 - every stage is linear except LSH candidate generation, which is bounded
   per band bucket (``max_bucket`` guard, SCALE.md);
-- near-dup removal keeps the minimum-id document of every candidate pair —
-  a join-free "survivor" rule that needs no connected-components iteration
-  (transitive chains collapse over repeated runs; exact clustering is a
-  deliberate non-goal for corpus thinning);
+- near-dup removal keeps the minimum-id document of every candidate pair
+  by default (join-free, no iteration); ``transitive=True`` upgrades to
+  exact duplicate CLUSTERS via distributed connected components
+  (``operators.graph``) when chains must resolve to one survivor;
 - the split is content-hash based, so duplicates that survive land in the
   same split and reruns/backfills are stable across cluster sizes;
 - the write partitions by split (and optionally language), the keys
@@ -55,11 +55,18 @@ def prepare_corpus(
     shingle_k: int = 3,
     max_bucket: int = 1000,
     train_pct: int = 90,
+    transitive: bool = False,
 ) -> DataFrame:
     """The full prep chain; returns surviving docs with metrics + ``split``.
 
     Survivor rules: one doc per exact content fingerprint (min id), then
-    the min-id side of every LSH near-dup candidate pair survives.
+    near-dup thinning over the LSH candidate pairs — per-pair min-id by
+    default, or exact connected-component clustering with
+    ``transitive=True`` (``operators.graph``).  The per-pair rule can keep
+    two survivors of one chain when ids are not monotone along it
+    (edges (5,9),(9,3) drop only 9); the transitive mode keeps exactly
+    one per component at the cost of O(component-diameter) label-
+    propagation rounds.
     """
     scored = corpus_metrics(docs, id_col, text_col)
     gated = scored.filter(
@@ -81,8 +88,13 @@ def prepare_corpus(
     sig = minhash_array(exact.select(id_col, text_col), id_col, text_col, shingle_k, n_hashes)
     bands = lsh_bands_from_array(sig, id_col, n_hashes, n_bands)
     pairs = lsh_candidate_pairs(bands, id_col, max_bucket)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    kept = exact.join(losers, on=id_col, how="left_anti")
+    if transitive:
+        from .graph import dedup_survivors
+
+        kept = dedup_survivors(exact, pairs, id_col)
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        kept = exact.join(losers, on=id_col, how="left_anti")
 
     return kept.withColumn("split", tx.train_eval_split(F.col(text_col), train_pct))
 

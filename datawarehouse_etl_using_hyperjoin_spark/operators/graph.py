@@ -1,0 +1,103 @@
+"""Distributed connected components over a pair/edge relation.
+
+The dedup operators emit candidate PAIRS (a,b); true duplicate CLUSTERS
+are the connected components of that graph — a drop-one-word chain
+doc→v1→v2 may never pair doc with v2 directly, so per-pair survivor rules
+under-merge.  This module resolves components with min-label propagation
+expressed purely in DataFrame operations:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+iterated to fixpoint.  Each round is one join + one aggregation (two
+shuffles); convergence takes O(graph diameter) rounds, and near-dup
+graphs are shallow (dozens of hops at worst — components are "same
+document" clusters, not social networks).  Lineage is truncated every
+round with ``localCheckpoint`` so the plan doesn't grow with iterations
+(the classic iterative-algorithm failure mode on Spark).  For
+billion-edge general graphs the large-star/small-star variant (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+converges in O(log n) rounds with the same per-round shape; the
+propagation loop below keeps the implementation transparent and is the
+right trade at dedup-graph diameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve connected components of the undirected graph ``edges``.
+
+    Returns (id, component) with ``component`` = the minimum vertex id in
+    the component (a stable, meaningful representative: the survivor the
+    dedup pipeline keeps).  Isolated vertices don't appear in ``edges``
+    and therefore not in the output — treat absence as "own component".
+
+    Raises ``RuntimeError`` if the propagation hasn't converged after
+    ``max_iter`` rounds (diameter larger than expected) rather than
+    returning silently-wrong half-merged labels.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "graph diameter exceeds the dedup-cluster assumption; raise max_iter"
+    )
+
+
+def dedup_survivors(
+    ids: DataFrame, pairs: DataFrame, id_col: str, *, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Exact-cluster dedup: keep one document per connected component of
+    the candidate-pair graph (the minimum id), plus every unpaired doc.
+
+    The transitive upgrade of the per-pair min-id survivor rule: a chain
+    a–b, b–c keeps only ``a`` (the pairwise rule would also keep ``c``
+    since the pair (a,c) never materialized).
+    """
+    comp = connected_components(pairs, src, dst)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return ids.join(losers, id_col, "left_anti")

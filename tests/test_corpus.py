@@ -200,3 +200,14 @@ def test_scrub_pii_masks_and_counts(spark):
     assert "4111" not in out[2].clean
     assert out[3].clean == "perfectly clean prose with no identifiers at all"
     assert out[3].hits == 0 and out[1].hits >= 2 and out[2].hits >= 2
+
+
+def test_prepare_corpus_transitive_mode(spark, sf_dir):
+    corpus = _docs_with_dups(spark, sf_dir)
+    kept = prepare_corpus(corpus, min_quality=0.0, min_tokens=1, transitive=True)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # same guarantee as the pairwise rule on this (monotone-id) corpus:
+    # no exact copies survive, near-dups nearly all removed
+    assert not any(1_000_000 <= i < 2_000_000 for i in ids)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(1 for i in ids if i >= 2_000_000) < 0.05 * n_docs
