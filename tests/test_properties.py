@@ -76,3 +76,84 @@ def test_asof_invariants(spark, left, right):
             assert row.t_right == max(cand)
         else:
             assert not [rt for (rk, rt, _) in right if rk == row.k and rt <= row.t]
+
+
+# -------------------------------------------- connected components vs oracle
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=18,
+)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@given(edges=edges_strategy)
+@_settings
+def test_connected_components_matches_union_find(spark, edges):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    want = _union_find_components(edges)
+    assert got == want
+
+
+# --------------------------------------------------- packing invariants
+token_lists = st.lists(st.integers(1, 300), min_size=1, max_size=25)
+
+
+@given(tokens=token_lists, budget=st.integers(16, 256))
+@_settings
+def test_pack_documents_invariants(spark, tokens, budget):
+    """Every doc lands in exactly one bin; bins used ≤ ceil(total/budget);
+    no bin exceeds budget + its largest doc (greedy overfill bound)."""
+    import math
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.sampling import (
+        pack_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    packed = pack_documents(docs, "n_tokens", budget)
+    rows = packed.collect()
+    assert len(rows) == len(tokens)
+    per_bin: dict[str, int] = {}
+    for r in rows:
+        per_bin[r.bin_id] = per_bin.get(r.bin_id, 0) + r.n_tokens
+    assert len(per_bin) <= math.ceil(sum(tokens) / budget)
+    assert all(total <= budget + max(tokens) for total in per_bin.values())
+
+
+# ------------------------------------------------ sampling determinism
+@given(rate=st.floats(0.0, 1.0), salt=st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=6))
+@_settings
+def test_hash_sample_deterministic_and_nested(spark, rate, salt):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.sampling import hash_sample
+
+    df = spark.range(200).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in hash_sample(df, rate, "k", salt).collect())
+    b = sorted(r.k for r in hash_sample(df.repartition(7), rate, "k", salt).collect())
+    assert a == b  # partition-layout independent
+    if rate >= 0.1:
+        smaller = set(r.k for r in hash_sample(df, rate / 2, "k", salt).collect())
+        assert smaller <= set(a)  # nested: lower rate ⊆ higher rate
