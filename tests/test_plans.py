@@ -86,3 +86,16 @@ def test_transactions_view_prunes_unused_columns(spark, sf_dir):
     read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
     # lineitem scan must not read l_extendedprice for this projection
     assert read_lines and not any("l_extendedprice" in l for l in read_lines)
+
+
+def test_transactions_customer_join_is_size_gated(spark, sf_dir):
+    """The transactions role view must not force-broadcast customer (it
+    grows with the fact table): with the threshold disabled the join
+    degrades to a shuffle join instead of OOM-bait."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_string(transactions(spark, sf_dir), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
