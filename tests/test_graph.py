@@ -81,3 +81,31 @@ def test_dedup_survivors_transitive_chain(spark, sf_dir):
             assert vid not in kept_ids
             n_transitive += 1
     assert n_transitive >= 40  # the chain case actually occurred en masse
+
+
+def test_bigstar_matches_propagation_on_random_shapes(spark):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.graph import (
+        connected_components_bigstar,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22),
+             (7, 30), (30, 8), (8, 31)]
+    a = {r.id: r.component for r in connected_components(_edges(spark, edges)).collect()}
+    b = {r.id: r.component
+         for r in connected_components_bigstar(_edges(spark, edges)).collect()}
+    assert a == b
+
+
+def test_bigstar_deep_path_converges_fast(spark):
+    """A 200-vertex path: propagation would need ~200 rounds; the
+    alternating-star algorithm resolves it within its O(log² n) budget."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.graph import (
+        connected_components_bigstar,
+    )
+
+    n = 200
+    comp = connected_components_bigstar(
+        _edges(spark, [(i, i + 1) for i in range(n)]), max_iter=25
+    )
+    got = {r.id: r.component for r in comp.collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1

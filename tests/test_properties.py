@@ -116,6 +116,19 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want
 
 
+@given(edges=edges_strategy)
+@_settings
+def test_bigstar_components_match_union_find(spark, edges):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.graph import (
+        connected_components_bigstar,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components_bigstar(df).collect()}
+    want = _union_find_components(edges)
+    assert got == want
+
+
 # --------------------------------------------------- packing invariants
 token_lists = st.lists(st.integers(1, 300), min_size=1, max_size=25)
 
