@@ -452,3 +452,39 @@ def test_consume_once_stateful_ttl_readmits_after_eviction(spark, tmp_path_facto
     rows = {r.key: r.n_suppressed for r in spark.table(name).collect()}
     # each key emitted exactly once; batch-1's duplicate of key 1 counted
     assert rows == {1: 1, 2: 0, 3: 0}
+
+
+def test_streaming_dedup_on_rocksdb_state_store(spark, events_stream_dir):
+    """The 100 TB state posture: the same consume-once dedup runs on the
+    RocksDB state store provider (state spills to local disk instead of
+    living on the JVM heap — the backend a large-key-cardinality stream
+    needs).  Provider is read per-query at start, so setting the conf
+    before .start() is sufficient."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        stream = read_parquet_stream(spark, events_stream_dir, max_files_per_trigger=10)
+        doubled = stream.unionByName(stream)
+        name = f"rocks_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(consume_once(doubled, ["event_id"]), name)
+        out = spark.sql(f"SELECT * FROM {name}")
+        n_unique = (
+            spark.read.parquet(events_stream_dir).select("event_id").distinct().count()
+        )
+        got = out.count()
+        # the query genuinely used RocksDB (progress reports the provider's
+        # memory metrics only when active)
+        progress = q.recentProgress
+        q.stop()
+        assert got == n_unique
+        assert progress, "no progress recorded"
+        mem = progress[-1]["stateOperators"][0].get("customMetrics", {})
+        assert any("rocksdb" in k.lower() for k in mem), sorted(mem)[:5]
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
