@@ -68,14 +68,18 @@ def main() -> None:
 
     # Steady-state measurement: first execution compiles the whole-stage
     # codegen for the plan (a per-query JVM one-off, not engine
-    # throughput); the reported time is the second run.
+    # throughput); the reported time is the MEDIAN of three subsequent
+    # runs — single-run numbers swing ±40%+ with background machine load
+    # on a shared host, medians keep cross-round comparisons meaningful.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = registry[name].fn(spark, sf_dir)
-        materialize(df)
-        t0 = time.time()
-        materialize(registry[name].fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        materialize(registry[name].fn(spark, sf_dir))  # warm/codegen
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            materialize(registry[name].fn(spark, sf_dir))
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
     total = round(sum(timings.values()), 3)
 
     print(

@@ -40,3 +40,29 @@ def total_sale(quantity: Column | str, price: Column | str) -> Column:
     q = F.col(quantity) if isinstance(quantity, str) else quantity
     p = F.col(price) if isinstance(price, str) else price
     return F.round(q * p, 2)
+
+
+def parse_json_strict(col: Column | str, schema: str) -> tuple[Column, Column]:
+    """Typed JSON parsing with explicit corrupt-row accounting.
+
+    Returns (parsed_struct, is_corrupt).  PERMISSIVE ``from_json`` maps
+    malformed input to an all-NULL struct — indistinguishable from a row
+    of genuinely null fields — so the corrupt marker comes from the
+    parser itself via ``columnNameOfCorruptRecord``: malformed input
+    lands verbatim in that field, the flag tests it, and the field is
+    dropped from the returned struct.  Lets a pipeline quarantine corrupt
+    rows instead of silently nulling them (the dirty-input discipline of
+    the reference's CASE→NULL cleansing, createDW.sql:68-80, applied to
+    semi-structured data).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    corrupt_field = "__corrupt"
+    full = F.from_json(
+        c,
+        f"{schema}, {corrupt_field} string",
+        {"columnNameOfCorruptRecord": corrupt_field},
+    )
+    return (
+        full.dropFields(corrupt_field),
+        full.getField(corrupt_field).isNotNull(),
+    )

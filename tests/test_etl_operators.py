@@ -79,3 +79,50 @@ def test_scd1_upsert_latest_version_wins(spark):
         existing, updates, key="k", version_order=[F.col("ver").desc()]
     )
     assert [(r.k, r.v) for r in out.collect()] == [(1, "new")]
+
+
+def test_results_independent_of_session_timezone(spark, sf_dir):
+    """The ntz convention's contract: a foreign driver session in any
+    timezone produces identical results (timestamps are timestamp_ntz
+    end-to-end, so no UTC-offset shifts leak into windows or dates)."""
+    from datawarehouse_etl_using_hyperjoin_spark.queries import load_registry
+
+    reg = load_registry()
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    base = reg["q_tumbling_window"].fn(spark, sf_dir).collect()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")  # +05:45
+        shifted = reg["q_tumbling_window"].fn(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert sorted(map(tuple, base)) == sorted(map(tuple, shifted))
+
+
+def test_parse_json_strict_quarantines_corrupt_rows(spark, sf_dir):
+    from datawarehouse_etl_using_hyperjoin_spark.functions.scalar import (
+        parse_json_strict,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "props").limit(50)
+    # inject malformed and NULL rows alongside the clean fixture JSON
+    dirty = ev.unionByName(
+        spark.createDataFrame(
+            [(900001, "{not json"), (900002, None), (900003, '{"k": "NaNope"}')],
+            "event_id long, props string",
+        )
+    )
+    parsed, corrupt = parse_json_strict("props", "k int, tag string")
+    out = dirty.select("event_id", parsed.alias("p"), corrupt.alias("bad"))
+    rows = {r.event_id: r for r in out.collect()}
+    # clean fixture rows parse with the typed value intact
+    clean = [r for i, r in rows.items() if i < 900000]
+    assert clean and all(not r.bad and r.p is not None for r in clean)
+    # malformed JSON → quarantined (struct fields all NULL per PERMISSIVE)
+    assert rows[900001].bad and rows[900001].p.k is None
+    # NULL input → NOT corrupt, just absent
+    assert not rows[900002].bad and rows[900002].p is None
+    # a type-mismatched field inside valid JSON nulls the field AND flags
+    # the record (Spark records the raw text in the corrupt column) — the
+    # quarantine catches partial corruption too
+    assert rows[900003].bad and rows[900003].p.k is None and rows[900003].p.tag is None
