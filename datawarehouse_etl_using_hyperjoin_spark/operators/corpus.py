@@ -156,8 +156,23 @@ def contamination_check(
     )
 
 
-def write_corpus(prepared: DataFrame, out_dir: str, partition_cols: list[str] | None = None) -> None:
+def write_corpus(
+    prepared: DataFrame,
+    out_dir: str,
+    partition_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
     """Persist the prepared corpus partitioned by the downstream prune keys
-    (default: split) — training jobs then read only their partition."""
+    (default: split) — training jobs then read only their partition.
+
+    ``max_records_per_file`` caps file size (writer splits past the cap):
+    at corpus scale unbounded task outputs produce multi-GB files that
+    serialize downstream scan parallelism, while the partition columns
+    alone can produce a small-files explosion — the cap plus AQE's
+    coalesced shuffle partitions bound both ends.
+    """
     cols = partition_cols or ["split"]
-    prepared.write.mode("overwrite").partitionBy(*cols).parquet(out_dir)
+    writer = prepared.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*cols).parquet(out_dir)

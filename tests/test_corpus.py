@@ -211,3 +211,16 @@ def test_prepare_corpus_transitive_mode(spark, sf_dir):
     assert not any(1_000_000 <= i < 2_000_000 for i in ids)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(1 for i in ids if i >= 2_000_000) < 0.05 * n_docs
+
+
+def test_write_corpus_caps_records_per_file(spark, sf_dir, tmp_path):
+    import glob
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prepared = prepare_corpus(docs, min_quality=0.0, min_tokens=1).coalesce(1)
+    out = str(tmp_path / "capped")
+    write_corpus(prepared, out, max_records_per_file=50)
+    files = glob.glob(f"{out}/split=*/*.parquet")
+    assert len(files) > 1  # one task still produced multiple capped files
+    for f in files:
+        assert spark.read.parquet(f).count() <= 50
