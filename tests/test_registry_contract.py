@@ -1,0 +1,77 @@
+"""Registry-contract guards — the driver-facing invariants.
+
+The correctness driver checks the FIRST 50 registered queries; these
+tests pin the registry size, the core-ETL-first registration order, and
+that every declared oracle is valid DuckDB SQL bound against the fixture
+schemas (EXPLAIN only — no execution), so a bad oracle fails pytest
+instead of burning a driver round.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from datawarehouse_etl_using_hyperjoin_spark.queries import load_registry
+from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import FIXTURE_TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_registry()
+
+
+@pytest.fixture(scope="module")
+def duck(registry):
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def test_registry_fits_driver_window(registry):
+    # the driver verifies the first 50 entries; every registered query
+    # must receive a correctness row
+    assert len(registry) <= 50
+
+
+def test_core_etl_registers_first(registry):
+    names = list(registry)
+    # the reference's own semantics (relational + star + streaming) sit
+    # inside the front of the window, before pipeline/analytics extras
+    core = {
+        "q_scan_transactions", "q_cleanse", "q_enrich", "q_hyperjoin",
+        "q_join_first_match", "q_fact_assembly", "q_join_semi_anti",
+        "q_dim_product", "q_dim_supplier", "q_dim_store", "q_dim_order",
+        "q_dim_customer", "q_upsert_scd1", "q_upsert_scd2", "q_collect_set",
+        "q_stream_hyperjoin", "q_stream_stream_join", "q_stream_tumbling",
+    }
+    assert core <= set(names[: len(core)])
+    # the weakest row (rows-only UDF demo) is deliberately last
+    assert names[-1] == "q_pandas_udf"
+
+
+def test_every_oracle_is_valid_duckdb_sql(registry, duck):
+    bad = {}
+    for name, qd in registry.items():
+        if qd.oracle is None:
+            continue
+        try:
+            duck.execute(f"EXPLAIN {qd.oracle}")
+        except Exception as e:  # noqa: BLE001
+            bad[name] = str(e).splitlines()[0]
+    assert not bad, bad
+
+
+def test_rows_only_queries_are_the_declared_four(registry):
+    rows_only = {n for n, qd in registry.items() if qd.oracle is None}
+    assert rows_only == {
+        "q_pandas_udf",       # arbitrary Python not oracle-able
+        "q_multimodal_meta",  # Python decode stage
+        "q_stream_hyperjoin",  # true streaming run
+        "q_stream_tumbling",   # true streaming run
+    }
