@@ -109,3 +109,34 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, in
     counts = load_star(spark, sf_dir, out_dir)
     counts["enriched_stream"] = enriched.count()
     return counts
+
+
+def refresh_fact_month(
+    spark: SparkSession, sf_dir: str, out_dir: str, month: str
+) -> int:
+    """Incremental fact maintenance: rebuild ONE order-month partition.
+
+    The month-partitioned layout's payoff (SCALE.md): a late-arriving
+    correction or backfill recomputes and atomically replaces only the
+    affected partition — ``partitionOverwriteMode=dynamic`` makes the
+    overwrite touch exactly the partitions present in the written frame,
+    leaving every other month's files untouched.  At 100 TB this is the
+    difference between rewriting ~0.1% and rewriting everything.
+
+    Returns the row count of the refreshed partition.
+    """
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "customer", "part", "supplier", "nation")}
+    fact = assemble_fact(
+        t["lineitem"], t["orders"], t["customer"], t["part"], t["supplier"], t["nation"]
+    ).withColumn("order_month", F.date_format("order_date", "yyyy-MM"))
+    one_month = fact.filter(F.col("order_month") == month)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        one_month.write.mode("overwrite").partitionBy("order_month").parquet(
+            f"{out_dir}/fact_sales"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return one_month.count()

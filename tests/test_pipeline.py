@@ -61,3 +61,38 @@ def test_fact_scan_prunes_partitions_statically_and_dynamically(
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
     joined = fact.join(months.filter(F.col("is_q1")), "order_month")
     assert "dynamicpruning" in plan_string(joined).lower()
+
+
+def test_refresh_fact_month_touches_only_one_partition(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite: refreshing one month leaves every
+    other month's files byte-identical (the incremental-maintenance
+    contract the month partitioning exists for)."""
+    import glob
+    import os
+
+    from datawarehouse_etl_using_hyperjoin_spark.etl import (
+        load_star,
+        refresh_fact_month,
+    )
+
+    out = str(tmp_path / "dw")
+    load_star(spark, sf_dir, out)
+    fact_dir = f"{out}/fact_sales"
+    months = sorted(
+        os.path.basename(p).split("=")[1] for p in glob.glob(f"{fact_dir}/order_month=*")
+    )
+    assert len(months) > 3
+    target, untouched = months[1], months[2]
+    before_target = {p: os.path.getmtime(p) for p in glob.glob(f"{fact_dir}/order_month={target}/*.parquet")}
+    before_other = {p: os.path.getmtime(p) for p in glob.glob(f"{fact_dir}/order_month={untouched}/*.parquet")}
+    n_before = spark.read.parquet(fact_dir).count()
+
+    n = refresh_fact_month(spark, sf_dir, out, target)
+    assert n > 0
+    # target partition was rewritten (new files)
+    after_target = {p: os.path.getmtime(p) for p in glob.glob(f"{fact_dir}/order_month={target}/*.parquet")}
+    assert after_target and after_target != before_target
+    # other partitions untouched, and total content unchanged (same input)
+    after_other = {p: os.path.getmtime(p) for p in glob.glob(f"{fact_dir}/order_month={untouched}/*.parquet")}
+    assert after_other == before_other
+    assert spark.read.parquet(fact_dir).count() == n_before
