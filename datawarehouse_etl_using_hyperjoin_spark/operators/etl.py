@@ -58,6 +58,13 @@ def hyperjoin(
     """
     m = master.withColumn("product_price_num", price_cleanse("product_price"))
     m = m.withColumnRenamed(master_key, "__master_key")
+    # Master columns that also exist on the transaction side would survive the
+    # join as duplicate output labels (Spark tolerates ambiguous schemas;
+    # Arrow/pandas sinks and SELECT-by-name don't) — prefix the master copy so
+    # every caller gets a usable, unambiguous schema.
+    for c in m.columns:
+        if c in txn.columns:
+            m = m.withColumnRenamed(c, f"master_{c}")
     if broadcast_master:
         m = F.broadcast(m)
     joined = txn.join(m, txn[txn_key] == F.col("__master_key"), "inner").drop("__master_key")

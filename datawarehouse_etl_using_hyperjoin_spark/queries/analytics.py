@@ -705,18 +705,39 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------- §2.10 pandas UDF (slow path)
-@query("q_pandas_udf", oracle=None)  # rows-only: driver can't oracle arbitrary Python
+@query(
+    "q_pandas_udf",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CASE WHEN coalesce(stddev_samp(c_acctbal)
+                            OVER (PARTITION BY c_nationkey), 0.0) = 0.0
+            THEN 0.0
+            ELSE round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey))
+                       / stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey), 6)
+       END AS z
+FROM customer""",
+)
 def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: grouped normalization via applyInPandas (Arrow-batched) —
     z-score of account balance within each nation.  The UDF surface the
     reference lacks entirely (module-info.java:8-9: JDBC + collections
-    only)."""
+    only).
+
+    The z-score is rounded to 6 decimals on both engines: pandas computes
+    the sample stddev in a different summation order than DuckDB's
+    streaming aggregate, so the raw doubles differ in the last ulps; at
+    6 decimals both land on the same value (analytics-layer float-parity
+    convention)."""
     cust = load_table(spark, sf_dir, "customer")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         std = pdf["c_acctbal"].std(ddof=1)
         mean = pdf["c_acctbal"].mean()
-        pdf["z"] = 0.0 if (std == 0 or pd.isna(std)) else (pdf["c_acctbal"] - mean) / std
+        pdf["z"] = (
+            0.0
+            if (std == 0 or pd.isna(std))
+            else ((pdf["c_acctbal"] - mean) / std).round(6)
+        )
         return pdf[["c_custkey", "c_nationkey", "c_acctbal", "z"]]
 
     return cust.select("c_custkey", "c_nationkey", "c_acctbal").groupBy(

@@ -1,10 +1,12 @@
-"""Declared streaming queries (SURVEY.md §2.9) — rows-only checks.
+"""Declared streaming queries (SURVEY.md §2.9).
 
-Structured Streaming runs can't be oracled by DuckDB SQL, so these drain a
-real micro-batched stream synchronously (memory sink + processAllAvailable)
-and return the materialized result; the driver records row counts.  The
-batch-checkable analogues (q_tumbling_window, q_sessionize, q_hyperjoin)
-carry the value-level oracles for the same logic.
+Each drains a real micro-batched stream synchronously (memory sink +
+processAllAvailable) and returns the materialized result.  Where the
+drained run is deterministic — inner joins (which emit exactly the
+relational join; watermarks only bound state) and exact windowed
+aggregates under the decimal-sum convention — the query carries a full
+DuckDB value oracle; the batch analogues (q_tumbling_window,
+q_sessionize, q_hyperjoin) cover the same logic from the batch planner.
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table, master_data, transactions
+from .relational import CTE_TXN_MASTER
 from ..streaming.pipeline import (
     orders_lineitem_stream_join,
     read_parquet_stream,
@@ -46,16 +49,39 @@ def _as_stream_dir(df: DataFrame, prefix: str, n_files: int, cache_key: str = ""
     return path
 
 
-@query("q_stream_hyperjoin", oracle=None)  # rows-only: true streaming run
+@query(
+    "q_stream_hyperjoin",
+    oracle=f"""{CTE_TXN_MASTER}
+SELECT t.order_id, t.line_number, t.product_id,
+       m.product_name, m.supplier_name, m.store_name,
+       t.quantity,
+       CAST(regexp_replace(m.product_price, '[$]', '') AS DOUBLE) AS product_price_num,
+       round(t.quantity * CAST(regexp_replace(m.product_price, '[$]', '') AS DOUBLE), 2)
+         AS total_sale
+FROM transactions t JOIN master_data m ON t.product_id = m.product_id""",
+)
 def q_stream_hyperjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1+ST3: the HyperJoin as an actual micro-batched stream — the
     transaction feed replayed in 4-file chunks (the reference's chunked
     replay, StreamGeneratorThread.java:53-58) stream-static-joined against
-    broadcast master data.  Row count equals the batch q_hyperjoin
-    pre-limit count; values are oracled via the batch form."""
+    broadcast master data.
+
+    An inner stream–static join emits exactly the relational join and the
+    master side has one row per product, so the fully-drained run is
+    value-oracled (same projection as batch q_hyperjoin, pre-limit)."""
     path = _as_stream_dir(transactions(spark, sf_dir), "stream_txn_", 4, cache_key=sf_dir)
     stream = read_parquet_stream(spark, path, max_files_per_trigger=2)
-    joined = stream_static_hyperjoin(stream, master_data(spark, sf_dir))
+    joined = stream_static_hyperjoin(stream, master_data(spark, sf_dir)).select(
+        "order_id",
+        "line_number",
+        "product_id",
+        "product_name",
+        "supplier_name",
+        "store_name",
+        "quantity",
+        "product_price_num",
+        "total_sale",
+    )
     name = f"q_stream_hj_{uuid.uuid4().hex[:8]}"
     run_to_memory(joined, name).stop()
     return spark.table(name)
@@ -101,14 +127,37 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_tumbling", oracle=None)  # rows-only: true streaming run
+@query(
+    "q_stream_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts)                   AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3""",
+)
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4+ST5: watermarked tumbling-window aggregation over the event
-    stream (complete mode so the trailing unexpired windows emit)."""
+    stream (complete mode so the trailing unexpired windows emit).
+
+    The drained run is deterministic — every event lands in exactly one
+    hour bucket and the sum is decimal-exact — so it carries the same
+    value oracle as batch q_tumbling_window (plus window_end), not just a
+    rows-only check."""
     ev = with_event_time(load_table(spark, sf_dir, "events"))
     path = _as_stream_dir(ev, "stream_ev_", 3, cache_key=sf_dir)
     stream = read_parquet_stream(spark, path, max_files_per_trigger=3)
     agg = windowed_event_counts(stream)
     name = f"q_stream_win_{uuid.uuid4().hex[:8]}"
     run_to_memory(agg, name, output_mode="complete").stop()
-    return spark.table(name)
+    # watermarking required TIMESTAMP; restore ntz for a session-timezone-
+    # independent compare (same convention as q_stream_stream_join)
+    return spark.table(name).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

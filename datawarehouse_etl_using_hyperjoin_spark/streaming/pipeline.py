@@ -99,7 +99,13 @@ def windowed_event_counts(
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(win.alias("win"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        # decimal-sum convention (queries/__init__.py parity rules): the sum
+        # is order-exact, so a drained streaming run is value-comparable to
+        # the batch/oracle form bit-for-bit
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),

@@ -67,11 +67,11 @@ def test_every_oracle_is_valid_duckdb_sql(registry, duck):
     assert not bad, bad
 
 
-def test_rows_only_queries_are_the_declared_four(registry):
+def test_rows_only_queries_are_the_declared_one(registry):
+    # r3 upgraded q_stream_hyperjoin / q_stream_tumbling (deterministic
+    # drained runs) and q_pandas_udf (rounded z-score) to full oracles;
+    # only the Python-decode stage legitimately remains rows-only.
     rows_only = {n for n, qd in registry.items() if qd.oracle is None}
     assert rows_only == {
-        "q_pandas_udf",       # arbitrary Python not oracle-able
         "q_multimodal_meta",  # Python decode stage
-        "q_stream_hyperjoin",  # true streaming run
-        "q_stream_tumbling",   # true streaming run
     }
