@@ -398,17 +398,26 @@ def simhash64(
     hashed = df.select(
         F.col(id_col), F.transform(words, F.md5).alias("__whs")
     )
-    # vote(pos) = Σ_words (2·bit(md5(word), pos) − 1); fingerprint bit =
-    # sign of the vote.  Written as a SQL lambda expression over the
-    # precomputed hash array (named lambda vars read better than nested
-    # python closures here).
+    # One pass over the words: each hash's 16 hex nibbles decode to ints
+    # ONCE (16 string probes per word — not one per output bit), and a
+    # single aggregate folds the 64-int vote vector (vote(pos) = Σ_words
+    # (2·bit − 1); fingerprint bit = sign).  Everything lives in one
+    # expression on purpose: an alias referenced inside a per-position
+    # lambda would be inlined by CollapseProject and re-evaluated 64× —
+    # the exact trap the per-position formulation fell into.  Bit values
+    # are unchanged vs the oracle's per-position form.
     sim = F.expr(
         "array_join("
-        " transform(sequence(0, 63), pos ->"
-        "   case when aggregate(__whs, 0, (acc, h) ->"
-        f"     acc + 2 * (((instr('{_HEX}', substring(h, CAST(pos / 4 AS INT) + 1, 1)) - 1)"
-        "            >> CAST(pos % 4 AS INT)) & 1) - 1"
-        "   ) > 0 then '1' else '0' end"
+        " transform("
+        "   aggregate("
+        f"    transform(__whs, h -> transform(sequence(1, 16), i ->"
+        f"      instr('{_HEX}', substring(h, i, 1)) - 1)),"
+        "     array_repeat(0, 64),"
+        "     (acc, nibs) -> zip_with(acc, sequence(0, 63), (a, pos) ->"
+        "       a + 2 * (CAST((nibs[CAST(pos / 4 AS INT)]"
+        "              >> CAST(pos % 4 AS INT)) AS INT) & 1) - 1)"
+        "   ),"
+        "   v -> case when v > 0 then '1' else '0' end"
         " ), '')"
     )
     return hashed.select(F.col(id_col), sim.alias("simhash"))
