@@ -3,9 +3,11 @@
 Treats image/audio/video as ``binary`` columns with a metadata struct, and
 implements decode / feature-extract / frame-sample as Arrow-batched
 ``mapInPandas`` operators — the Spark-side plumbing (schema, partitioning,
-UDF signature, batch shape) is real and tested; the actual codec step is a
-STUB (this container has no image/audio libraries) with a deterministic
-fake, clearly marked below.
+UDF signature, batch shape) is real and tested.  The codec step uses PIL /
+soundfile when importable (a real cluster); in this container (no
+image/audio libraries) a clearly-marked deterministic STUB runs instead,
+and every decoded row records which path produced it in a ``codec``
+column.
 
 At 100 TB the pattern matters more than the codec: payloads stay byte
 arrays end-to-end (never hit Python row-at-a-time), batches flow through
@@ -15,15 +17,35 @@ parallelism can be sized independently of scan parallelism.
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Optional real codecs: used when importable (a real cluster image), stub
+# fallback otherwise (this test container has neither).  The import probe
+# runs on the executor side too — the workers re-import this module.
+try:  # pragma: no cover - not installed in the test container
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except Exception:  # ImportError, or a broken install
+    _PILImage = None
+    _HAVE_PIL = False
+
+try:  # pragma: no cover - not installed in the test container
+    import soundfile as _soundfile
+
+    _HAVE_SOUNDFILE = True
+except Exception:
+    _soundfile = None
+    _HAVE_SOUNDFILE = False
+
 DECODED_SCHEMA = (
     "doc_id long, media_format string, n_bytes long, width int, height int, "
-    "n_frames int, ok boolean"
+    "n_frames int, ok boolean, codec string"
 )
 
 
@@ -43,25 +65,46 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _fake_decode(payload: bytes, media_format: str) -> tuple[int, int, int]:
-    """STUB: deterministic fake decoder.
-
-    Real implementation would be ``PIL.Image.open(io.BytesIO(payload))`` /
-    ``soundfile.read`` / ``av.open`` — none of those libraries exist in
-    this container, so dimensions are derived deterministically from the
-    payload so tests are stable.  Raise ``NotImplementedError`` here if you
-    need to be loud about the missing codec instead.
-    """
+    """STUB: deterministic fake decoder (fallback when no codec library is
+    installed).  Dimensions are derived deterministically from the payload
+    so tests are stable; rows decoded this way carry ``codec='stub'`` so a
+    consumer can tell fabricated metadata from real decode output."""
     n = len(payload)
     if media_format in ("png", "jpeg"):
         return (64 + n % 640, 64 + (n * 7) % 480, 1)
     return (0, 0, 1 + n % 300)  # audio: frames only
 
 
+def _decode_one(payload: bytes, media_format: str) -> tuple[int, int, int, bool, str]:
+    """(width, height, n_frames, ok, codec) for one payload.
+
+    Real codec when importable: PIL for images, soundfile for audio — a
+    payload the real codec rejects is reported ``ok=False`` (quarantine
+    row; real pipelines route those aside) rather than silently faked.
+    Without the library, the deterministic stub runs and says so in
+    ``codec``.
+    """
+    if media_format in ("png", "jpeg") and _HAVE_PIL:
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return (int(im.width), int(im.height), 1, True, "pil")
+        except Exception:
+            return (0, 0, 0, False, "pil")
+    if media_format == "wav" and _HAVE_SOUNDFILE:
+        try:
+            info = _soundfile.info(io.BytesIO(payload))
+            return (0, 0, int(info.frames), True, "soundfile")
+        except Exception:
+            return (0, 0, 0, False, "soundfile")
+    w, h, n = _fake_decode(payload, media_format)
+    return (w, h, n, True, "stub")
+
+
 def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body: decode payloads batch-wise (Arrow transfer)."""
     for pdf in it:
         dims = [
-            _fake_decode(p, f)
+            _decode_one(p, f)
             for p, f in zip(pdf["payload"], pdf["media_format"])
         ]
         yield pd.DataFrame(
@@ -72,7 +115,8 @@ def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "width": [d[0] for d in dims],
                 "height": [d[1] for d in dims],
                 "n_frames": [d[2] for d in dims],
-                "ok": True,
+                "ok": [d[3] for d in dims],
+                "codec": [d[4] for d in dims],
             }
         )
 

@@ -557,8 +557,10 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_multimodal_meta", oracle=None)  # rows-only: decode is a Python stage
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + typed metadata decoded
-    via Arrow-batched mapInPandas (codec itself stubbed deterministically —
-    no image/audio libs in this container; see operators/multimodal.py)."""
+    via Arrow-batched mapInPandas.  The codec runs PIL/soundfile when
+    importable and a deterministic stub otherwise (this container has no
+    image/audio libs); each row's ``codec`` column says which path ran —
+    see operators/multimodal.py."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_payload(docs, "doc_id", "text")
     return decode(media)

@@ -88,10 +88,14 @@ def test_multimodal_decode_schema_and_determinism(spark, sf_dir):
     assert dict(media.dtypes)["payload"] == "binary"
     out = decode(media)
     assert out.columns == [
-        "doc_id", "media_format", "n_bytes", "width", "height", "n_frames", "ok"
+        "doc_id", "media_format", "n_bytes", "width", "height", "n_frames",
+        "ok", "codec",
     ]
     rows = {r.doc_id: r for r in out.collect()}
     assert len(rows) == 30 and all(r.ok for r in rows.values())
+    # no PIL/soundfile in this container → every row says the stub ran;
+    # on a real cluster the same rows would say 'pil'/'soundfile'
+    assert all(r.codec == "stub" for r in rows.values())
     # audio rows have frames, no dimensions; image rows the reverse
     for r in rows.values():
         if r.media_format == "wav":
@@ -101,6 +105,36 @@ def test_multimodal_decode_schema_and_determinism(spark, sf_dir):
     # deterministic across runs
     again = {r.doc_id: r for r in decode(media).collect()}
     assert rows == again
+
+
+def test_decode_one_prefers_real_codec(monkeypatch):
+    """The optional-import dispatch: with a (fake) PIL present the real
+    path runs — success reports real dimensions + codec='pil', undecodable
+    bytes become an ok=False quarantine row instead of fabricated dims —
+    while formats without a library still fall back to the stub."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators import multimodal as mm
+
+    class FakeImage:
+        width, height = 320, 200
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    class FakePIL:
+        @staticmethod
+        def open(buf):
+            if buf.read(4) != b"GOOD":
+                raise ValueError("not an image")
+            return FakeImage()
+
+    monkeypatch.setattr(mm, "_PILImage", FakePIL)
+    monkeypatch.setattr(mm, "_HAVE_PIL", True)
+    assert mm._decode_one(b"GOOD....", "png") == (320, 200, 1, True, "pil")
+    assert mm._decode_one(b"junk", "jpeg") == (0, 0, 0, False, "pil")
+    assert mm._decode_one(b"anything", "wav")[4] == "stub"  # no soundfile
 
 
 def test_decode_parallelism_repartitions(spark, sf_dir):
