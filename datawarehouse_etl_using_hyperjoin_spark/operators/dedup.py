@@ -366,6 +366,10 @@ def lsh_incremental_pairs(
             F.explode("__index_ids").alias("id_a"),
             F.col(id_col).alias("id_b"),
         )
+        # a doc present in both the index and the batch (re-ingest /
+        # backfill overlap) would otherwise emit a self-pair, and a
+        # min-id survivor rule downstream would delete it as its own dup
+        .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_shared_bands"))
         .withColumn("pair_type", F.lit("new_vs_index"))

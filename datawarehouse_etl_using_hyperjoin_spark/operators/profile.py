@@ -19,45 +19,68 @@ _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
             T.FloatType, T.DoubleType, T.DecimalType)
 
 
+def _qcol(name: str):
+    """Column reference by EXACT name: backtick-quoted so names containing
+    dots aren't parsed as nested-field paths (`a.b` ≠ field b of a)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    """Map-bearing types are neither orderable (min/max throw) nor
+    hashable (approx_count_distinct throws) in Spark."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def profile_table(df: DataFrame, *, rsd: float = 0.02) -> DataFrame:
     """Profile every column of ``df`` in one aggregation pass.
 
     Returns (column, dtype, n_rows, n_nulls, approx_distinct, min, max,
-    mean) — one row per input column; ``mean`` is NULL for non-numerics;
-    min/max/mean are stringified.  ``rsd`` is the HyperLogLog relative
-    error for the distinct estimate (exact distinct per column would be
-    one shuffle per column — the sketch keeps the whole profile at one
-    map-side pass).
+    mean) — one row per input column; ``mean`` is NULL for non-numerics,
+    and distinct/min/max are NULL for map-bearing columns (Spark defines
+    neither ordering nor hashing for maps); min/max/mean are stringified.
+    ``rsd`` is the HyperLogLog relative error for the distinct estimate
+    (exact distinct per column would be one shuffle per column — the
+    sketch keeps the whole profile at one map-side pass).
     """
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     fields = df.schema.fields
     for f in fields:
-        c = F.col(f.name)
-        safe = f.name
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"__nulls__{safe}"),
-            F.approx_count_distinct(c, rsd).alias(f"__nd__{safe}"),
-            F.min(c).cast("string").alias(f"__min__{safe}"),
-            F.max(c).cast("string").alias(f"__max__{safe}"),
-        ]
+        c = _qcol(f.name)
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"__nulls__{f.name}"))
+        if not _contains_map(f.dataType):
+            aggs += [
+                F.approx_count_distinct(c, rsd).alias(f"__nd__{f.name}"),
+                F.min(c).cast("string").alias(f"__min__{f.name}"),
+                F.max(c).cast("string").alias(f"__max__{f.name}"),
+            ]
         if isinstance(f.dataType, _NUMERIC):
-            aggs.append(F.avg(c).cast("string").alias(f"__mean__{safe}"))
+            aggs.append(F.avg(c).cast("string").alias(f"__mean__{f.name}"))
     wide = df.agg(*aggs)
+
+    def _maybe(f: T.StructField, prefix: str, dtype: str):
+        skipped = _contains_map(f.dataType) if prefix != "__mean__" else not isinstance(
+            f.dataType, _NUMERIC
+        )
+        if skipped:
+            return F.lit(None).cast(dtype)
+        return _qcol(f"{prefix}{f.name}")
 
     per_col = [
         F.struct(
             F.lit(f.name).alias("column"),
             F.lit(f.dataType.simpleString()).alias("dtype"),
             F.col("__n_rows").alias("n_rows"),
-            F.col(f"__nulls__{f.name}").alias("n_nulls"),
-            F.col(f"__nd__{f.name}").alias("approx_distinct"),
-            F.col(f"__min__{f.name}").alias("min"),
-            F.col(f"__max__{f.name}").alias("max"),
-            (
-                F.col(f"__mean__{f.name}")
-                if isinstance(f.dataType, _NUMERIC)
-                else F.lit(None).cast("string")
-            ).alias("mean"),
+            _qcol(f"__nulls__{f.name}").alias("n_nulls"),
+            _maybe(f, "__nd__", "long").alias("approx_distinct"),
+            _maybe(f, "__min__", "string").alias("min"),
+            _maybe(f, "__max__", "string").alias("max"),
+            _maybe(f, "__mean__", "string").alias("mean"),
         )
         for f in fields
     ]

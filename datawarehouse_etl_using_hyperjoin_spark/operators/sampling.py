@@ -74,6 +74,7 @@ def upsample(
     strata_col: str,
     weights: dict[str, float],
     key_col: str,
+    default_weight: float = 1.0,
     salt: str = "upsample",
 ) -> DataFrame:
     """Repeat rows per stratum weight (epoch factors for data mixing).
@@ -82,9 +83,17 @@ def upsample(
     a deterministic f-fraction of rows once more.  Output carries a
     ``repeat_idx`` column (0-based) so downstream shuffles spread the
     copies.  Weights < 1 act like :func:`stratified_sample`.
+
+    Strata absent from ``weights`` keep ``default_weight`` — 1.0 (pass
+    through once) for symmetry with :func:`stratified_sample`'s
+    ``default_rate``, so an incomplete mixture spec never silently drops
+    data; pass ``default_weight=0.0`` to make the spec exhaustive-or-drop
+    explicitly.
     """
-    k = F.lit(0)
-    frac_thresh = F.lit(0)
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+    k = F.lit(int(default_weight))
+    frac_thresh = F.lit(int((default_weight - int(default_weight)) * _BUCKETS))
     for stratum, w in weights.items():
         if w < 0:
             raise ValueError(f"weight must be >= 0, got {w} for {stratum!r}")

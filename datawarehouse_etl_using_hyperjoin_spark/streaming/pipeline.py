@@ -322,8 +322,14 @@ def run_pipeline_streaming(
     One ``foreachBatch`` sink does both writes so a micro-batch commits
     dim and fact together (the reference opened five JDBC connections per
     matched tuple, StreamGeneratorThread.java:134-158 — at-least-once at
-    best; here the dim upsert is idempotent per key and the fact append
-    is checkpoint-guarded).  Drains synchronously; returns row counts.
+    best).  Both writes are idempotent under micro-batch REPLAY: the dim
+    upsert is keyed, and the fact rows land in a ``batch_id=N``
+    subdirectory written with overwrite — a batch replayed after a crash
+    between write and checkpoint commit rewrites its own directory
+    instead of appending duplicates (foreachBatch alone is at-least-once;
+    idempotent writes are what upgrade it to effectively-once).  Readers
+    see one ``fact_enriched`` relation with ``batch_id`` as a partition
+    column.  Drains synchronously; returns row counts.
     """
     from ..operators.upsert import upsert_parquet_sink
 
@@ -340,7 +346,9 @@ def run_pipeline_streaming(
             batch_df.select(
                 "order_id", "line_number", "product_id", "quantity",
                 "product_price_num", "total_sale",
-            ).write.mode("append").parquet(f"{out_dir}/fact_enriched")
+            ).write.mode("overwrite").parquet(
+                f"{out_dir}/fact_enriched/batch_id={batch_id}"
+            )
         finally:
             batch_df.unpersist()
 
@@ -372,6 +380,8 @@ def consume_once_stateful(stream: DataFrame, key_col: str, ttl_ms: int = 60_000)
     as-fast-as-possible trigger schedules empty batches indefinitely to
     service future timeouts, so ``processAllAvailable`` never settles.
     """
+    import time as _time
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -385,10 +395,19 @@ def consume_once_stateful(stream: DataFrame, key_col: str, ttl_ms: int = 60_000)
             state.remove()
             yield empty
             return
+        now_ms = int(_time.time() * 1000)
         first_time = not state.exists
         if first_time:
-            state.update((1,))
-        state.setTimeoutDuration(ttl_ms)
+            admit_ms = now_ms
+            state.update((1, admit_ms))
+        else:
+            (_, admit_ms) = state.get
+        # GroupState clears the timeout on every invocation for a key, so
+        # the duration must be re-armed each call; arming it relative to
+        # the STORED admission time keeps expiry fixed at admit + ttl — a
+        # continuously repeating key is re-admitted after ttl_ms, not
+        # suppressed forever by a sliding window.
+        state.setTimeoutDuration(max(1, int(admit_ms) + ttl_ms - now_ms))
         if first_time and n > 0:
             yield pd.DataFrame({"key": [key[0]], "n_suppressed": [n - 1]})
         else:
@@ -400,7 +419,7 @@ def consume_once_stateful(stream: DataFrame, key_col: str, ttl_ms: int = 60_000)
         .applyInPandasWithState(
             dedup,
             outputStructType="key long, n_suppressed long",
-            stateStructType="seen int",
+            stateStructType="seen int, admit long",
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )

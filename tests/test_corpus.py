@@ -127,6 +127,16 @@ def test_lsh_incremental_pairs_new_vs_index_and_within(spark, sf_dir):
     assert all(p.n_shared_bands == 4 for p in batch_pairs)
 
 
+def test_lsh_incremental_pairs_excludes_self_pairs_on_reingest(spark, sf_dir):
+    """A doc present in both the index and the batch (re-ingest/backfill
+    overlap) must not pair with itself — a min-id survivor rule downstream
+    would otherwise delete it as its own duplicate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    bands = lsh_bands_from_array(minhash_array(docs, "doc_id", "text"), "doc_id")
+    pairs = lsh_incremental_pairs(bands, bands, "doc_id")
+    assert pairs.filter(F.col("id_a") == F.col("id_b")).count() == 0
+
+
 def test_corpus_metrics_is_single_projection_no_python(spark, sf_dir):
     from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import plan_string
 

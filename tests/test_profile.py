@@ -39,6 +39,23 @@ def test_profile_counts_nulls(spark):
     assert prof["v"].n_nulls == 2 and prof["k"].n_nulls == 0
 
 
+def test_profile_handles_dotted_names_and_map_columns(spark):
+    """Column names with dots must be read back literally (not as nested
+    field paths), and map columns — unorderable and unhashable in Spark —
+    get NULL distinct/min/max instead of an AnalysisException."""
+    df = spark.createDataFrame(
+        [(1, {"a": 1}, 2.0), (2, None, None)],
+        "`k.id` INT, props MAP<STRING,INT>, `v.x` DOUBLE",
+    )
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert set(prof) == {"k.id", "props", "v.x"}
+    assert prof["k.id"].n_nulls == 0 and prof["k.id"].min == "1"
+    assert prof["v.x"].n_nulls == 1 and float(prof["v.x"].mean) == 2.0
+    m = prof["props"]
+    assert m.n_nulls == 1
+    assert m.approx_distinct is None and m.min is None and m.max is None
+
+
 def test_profile_is_single_pass(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     plan = plan_string(profile_table(li), "simple")

@@ -53,7 +53,7 @@ def test_upsample_epoch_weights(spark, sf_dir):
     n_by_src = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
     src = sorted(n_by_src)[0]
     base = n_by_src[src]
-    out = upsample(docs, "source", {src: 2.5}, "doc_id")
+    out = upsample(docs, "source", {src: 2.5}, "doc_id", default_weight=0.0)
     got = out.filter(F.col("source") == src)
     n_out = got.count()
     # 2.5 ⇒ between 2× and 3×, ≈2.5× in expectation
@@ -65,8 +65,14 @@ def test_upsample_epoch_weights(spark, sf_dir):
     )
     assert per_doc.filter(F.col("n") < 2).count() == 0
     assert per_doc.filter(F.col("mx") != F.col("n") - 1).count() == 0
-    # other strata (weight 0 default) are dropped entirely
+    # explicit default_weight=0.0 drops unlisted strata
     assert out.filter(F.col("source") != src).count() == 0
+    # ...but the DEFAULT (1.0) passes unlisted strata through once, so an
+    # incomplete mixture spec never silently loses data
+    dflt = upsample(docs, "source", {src: 2.0}, "doc_id")
+    others = dflt.filter(F.col("source") != src)
+    assert others.count() == sum(n for s, n in n_by_src.items() if s != src)
+    assert others.filter(F.col("repeat_idx") != 0).count() == 0
 
 
 def test_pack_documents_fills_bins_to_budget(spark, sf_dir):
