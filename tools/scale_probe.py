@@ -79,6 +79,88 @@ def measure_dedup(spark, docs) -> float:
     return time.time() - t0
 
 
+def measure_stream_join_state(
+    spark, sf_dir: str = "/root/testdata/sf0.1", delays=("5 days", "30 days", "150 days")
+) -> dict[str, dict]:
+    """State-store size of the orders⋈lineitem stream–stream join as a
+    function of watermark delay — measuring the claim (streaming/pipeline
+    .py stream_stream_join) that the event-time bound is what keeps join
+    state finite.
+
+    Each side is replayed as a time-ordered multi-file stream (range-
+    partitioned on event time, one file per micro-batch) so the watermark
+    actually advances between micro-batches and expired state is evicted;
+    the reported numbers come from the engine's own stateOperators
+    progress metrics after a full drain.
+    """
+    import shutil
+
+    from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import load_table
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        read_parquet_stream,
+        stream_stream_join,
+    )
+
+    def time_ordered_stream_dir(df, ts_col, prefix, n_files=24):
+        path = tempfile.mkdtemp(prefix=prefix)
+        # range-partition on event time: part-0000i covers the i-th time
+        # slice, and the file source feeds files in path order → the
+        # watermark advances monotonically across micro-batches
+        df.repartitionByRange(n_files, F.col(ts_col)).write.mode("overwrite").parquet(path)
+        return path
+
+    opath = time_ordered_stream_dir(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "sjs_ord_"
+    )
+    lpath = time_ordered_stream_dir(
+        load_table(spark, sf_dir, "lineitem"), "l_shipdate", "sjs_li_"
+    )
+    out: dict[str, dict] = {}
+    for delay in delays:
+        # the join bound is fixed (150 days, the shape the engine ships);
+        # delay controls how long PAST the bound state lingers before the
+        # watermark lets the store evict it
+        cond = F.expr(
+            "o_orderkey = l_orderkey AND l_shipdate >= o_orderdate"
+            " AND l_shipdate <= o_orderdate + interval 150 days"
+        )
+        joined = stream_stream_join(
+            read_parquet_stream(spark, opath, max_files_per_trigger=1),
+            read_parquet_stream(spark, lpath, max_files_per_trigger=1),
+            cond,
+            left_ts="o_orderdate",
+            right_ts="l_shipdate",
+            left_delay=delay,
+            right_delay=delay,
+        ).select("o_orderkey", "l_linenumber")
+        ckpt = tempfile.mkdtemp(prefix="sjs_ckpt_")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        # aggregate across ALL micro-batches (lastProgress is per-batch):
+        # the peak is the number that must fit in executor memory at scale
+        totals, removed, mem = [], 0, []
+        for prog in q.recentProgress:
+            ops = prog.get("stateOperators") or []
+            if ops:
+                totals.append(ops[0].get("numRowsTotal") or 0)
+                removed += ops[0].get("numRowsRemoved") or 0
+                mem.append(ops[0].get("memoryUsedBytes") or 0)
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        out[delay] = {
+            "state_rows_peak": max(totals) if totals else None,
+            "state_rows_at_drain": totals[-1] if totals else None,
+            "state_rows_evicted_total": removed,
+            "state_memory_peak_bytes": max(mem) if mem else None,
+        }
+    return out
+
+
 def measure(spark, li, parts) -> dict[str, float]:
     def run(df):
         df.write.mode("overwrite").format("noop").save()
@@ -141,6 +223,7 @@ def main() -> None:
     t_big = measure(spark, big, parts)
     t_small["minhash_lsh_pairs"] = measure_dedup(spark, docs_small)
     t_big["minhash_lsh_pairs"] = measure_dedup(spark, docs_big)
+    stream_state = measure_stream_join_state(spark)
     rows_in = {
         "minhash_lsh_pairs": (n_docs_small, n_docs_big),
     }
@@ -162,6 +245,7 @@ def main() -> None:
             "big_rows_per_sec": int(rb),
             "throughput_ratio_big_vs_small": round(rb / rs, 2),
         }
+    report["stream_join_state_vs_watermark_delay"] = stream_state
     print(json.dumps(report, indent=2))
 
 
