@@ -80,6 +80,45 @@ def test_fact_assembly_broadcasts_are_size_gated(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_runtime_bloom_filter_prunes_fact_side_of_shuffle_join(spark, sf_dir):
+    """At 100 TB a selective dim filter should not only prune the dim —
+    Spark's runtime row-level filtering injects a bloom filter built from
+    the filtered dim keys into the FACT side's scan, cutting shuffle input
+    before the join.  Thresholds are scaled down (the application-side
+    default is a 10 GB scan) to pin the behavior at fixture scale; the
+    production confs are the defaults (bloomFilter.enabled=true)."""
+    saved = {}
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k)
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").filter(
+            F.col("p_retailprice") > 1800
+        )
+        joined = li.join(part, li.l_partkey == part.p_partkey)
+        opt = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt
+        assert "might_contain" in opt, opt
+        # and the result is the plain join's result
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        plain = li.join(part, li.l_partkey == part.p_partkey).count()
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        assert joined.count() == plain
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_transactions_view_prunes_unused_columns(spark, sf_dir):
     txn = transactions(spark, sf_dir).select("order_id", "quantity")
     plan = plan_string(txn)
