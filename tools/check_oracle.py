@@ -102,10 +102,24 @@ def compare(name, spark_df, oracle_sql, con):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     registry = load_registry()
-    spark = get_spark("check-oracle", cpus=8)
+    if plain:
+        # the grading driver's conditions: a bare SparkSession with none of
+        # the engine conf — everything correctness-critical must come from
+        # ensure_engine_conf (wrapped around every registered query)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-oracle-plain")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check-oracle", cpus=8)
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
         con.execute(
