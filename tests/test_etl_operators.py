@@ -34,6 +34,21 @@ def test_hyperjoin_price_cleansed(spark, sf_dir):
     assert all(r.product_price_num > 0 for r in prices)
 
 
+def test_hyperjoin_output_has_no_duplicate_labels(spark, sf_dir):
+    """The r2 driver crash class: transactions and master_data both carry
+    supplier_id; hyperjoin must rename the master-side copy (master_*) so
+    its output schema is unambiguous for Arrow/pandas sinks and
+    SELECT-by-name — on EVERY call path, not just the queries that
+    happen to project it away."""
+    joined = hyperjoin(transactions(spark, sf_dir), master_data(spark, sf_dir))
+    assert len(joined.columns) == len(set(joined.columns)), joined.columns
+    assert "supplier_id" in joined.columns  # the stream side's copy
+    assert "master_supplier_id" in joined.columns  # the renamed master copy
+    # the renamed column still carries the master values (selectable by name)
+    row = joined.select("product_id", "master_supplier_id").first()
+    assert row.master_supplier_id is not None
+
+
 def test_first_match_keeps_one_row_per_key(spark, sf_dir):
     m = master_data(spark, sf_dir)
     dup = m.unionByName(m)  # force duplicate keys (J2 multi-valued build)
