@@ -34,11 +34,27 @@ def tuned_conf(builder: SparkSession.Builder, cpus: int) -> SparkSession.Builder
     )
 
 
-def get_spark(app_name: str = "hyperjoin-spark", cpus: int | None = None) -> SparkSession:
-    """Build (or fetch) the engine SparkSession for local runs."""
+def get_spark(
+    app_name: str = "hyperjoin-spark",
+    cpus: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession for local runs.
+
+    ``driver_memory`` (default ``$SPARK_GRAFT_DRIVER_MEM`` or 8g) sizes the
+    single local JVM that is both driver and executor here — the 1g Spark
+    default OOMs on exact percentiles / large collects at sf0.1.  Only
+    effective at JVM launch; a pre-existing session keeps its heap.
+    """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    if driver_memory is None:
+        driver_memory = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", driver_memory)
+    )
     spark = tuned_conf(builder, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
