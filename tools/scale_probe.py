@@ -161,6 +161,17 @@ def measure_stream_join_state(
     return out
 
 
+def measure_simhash(spark, docs) -> float:
+    """Wall for the zero-shuffle simhash fingerprint (rewritten r3:
+    single-pass nibble-decoded vote folding)."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import simhash64
+
+    simhash64(docs, "doc_id", "text").write.mode("overwrite").format("noop").save()
+    t0 = time.time()
+    simhash64(docs, "doc_id", "text").write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
 def measure(spark, li, parts) -> dict[str, float]:
     def run(df):
         df.write.mode("overwrite").format("noop").save()
@@ -223,9 +234,12 @@ def main() -> None:
     t_big = measure(spark, big, parts)
     t_small["minhash_lsh_pairs"] = measure_dedup(spark, docs_small)
     t_big["minhash_lsh_pairs"] = measure_dedup(spark, docs_big)
+    t_small["simhash64"] = measure_simhash(spark, docs_small)
+    t_big["simhash64"] = measure_simhash(spark, docs_big)
     stream_state = measure_stream_join_state(spark)
     rows_in = {
         "minhash_lsh_pairs": (n_docs_small, n_docs_big),
+        "simhash64": (n_docs_small, n_docs_big),
     }
     report = {
         "n_small": n_small,
