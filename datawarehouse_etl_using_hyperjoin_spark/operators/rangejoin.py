@@ -53,3 +53,58 @@ def range_join_bucketed(
         .filter((F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi)))
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    keys: list[str] | None = None,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Inner join of two HALF-OPEN interval relations on overlap:
+    ``[left_lo, left_hi) ∩ [right_lo, right_hi) ≠ ∅`` (optionally also
+    equi-matched on ``keys`` — e.g. sessions of the same user whose time
+    windows intersect).
+
+    Same bucketization as :func:`range_join_bucketed`, on both sides:
+    each interval explodes into its covered buckets and pairs meet on a
+    bucket equi-join Catalyst can hash/shuffle — never the O(N·M)
+    nested loop the raw ``l_lo < r_hi AND r_lo < l_hi`` theta join plans.
+    A pair overlapping k buckets would match k times; emitting only in
+    the FIRST shared bucket (``max`` of the two lo-buckets) makes each
+    pair appear exactly once with no distinct pass.
+
+    ``bucket_width`` tunes the explode factor: ≈ the typical interval
+    length keeps it O(1) rows per interval; long-tail intervals cost
+    length/width bucket rows (the documented spread trade).
+    """
+    def bucketed(df: DataFrame, lo: str, hi: str, tag: str) -> DataFrame:
+        lo_b = F.floor(F.col(lo) / bucket_width).cast("long")
+        hi_b = F.floor((F.col(hi) - F.lit(1e-9)) / bucket_width).cast("long")
+        return (
+            df.withColumn(f"__{tag}lob", lo_b)
+            .withColumn("__bucket", F.explode(F.sequence(lo_b, hi_b)))
+        )
+
+    l = bucketed(left, left_lo, left_hi, "l")
+    r = bucketed(right, right_lo, right_hi, "r")
+    if broadcast_right:
+        r = F.broadcast(r)
+    on = ["__bucket"] + list(keys or [])
+    overlap = (F.col(left_lo) < F.col(right_hi)) & (
+        F.col(right_lo) < F.col(left_hi)
+    )
+    first_shared = F.col("__bucket") == F.greatest(
+        F.col("__llob"), F.col("__rlob")
+    )
+    return (
+        l.join(r, on=on)
+        .filter(overlap & first_shared)
+        .drop("__bucket", "__llob", "__rlob")
+    )

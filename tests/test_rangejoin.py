@@ -55,3 +55,63 @@ def test_plans_hash_join_not_nested_loop(spark, sf_dir):
     plan = plan_string(fast, "simple")
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def _sessions(spark, tag, n, stride, length, n_users=5):
+    """Deterministic half-open interval relation: [i*stride, i*stride+length)."""
+    rows = [
+        (i % n_users, float(i * stride), float(i * stride + length), f"{tag}{i}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, f"user_id int, {tag}_lo double, {tag}_hi double, {tag}_id string")
+
+
+def test_interval_overlap_join_matches_theta_join(spark):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    a = _sessions(spark, "a", 120, stride=7, length=15)
+    b = _sessions(spark, "b", 90, stride=11, length=4)
+    got = interval_overlap_join(
+        a, b, left_lo="a_lo", left_hi="a_hi", right_lo="b_lo", right_hi="b_hi",
+        bucket_width=10.0, keys=["user_id"],
+    )
+    want = (
+        a.join(b, on="user_id")
+        .filter((F.col("a_lo") < F.col("b_hi")) & (F.col("b_lo") < F.col("a_hi")))
+    )
+    got_pairs = sorted((r.a_id, r.b_id) for r in got.collect())
+    want_pairs = sorted((r.a_id, r.b_id) for r in want.collect())
+    assert got_pairs == want_pairs  # same pairs, each exactly once
+    assert want.count() > 0
+
+
+def test_interval_overlap_join_emits_each_pair_once_across_buckets(spark):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    # long intervals spanning many tiny buckets: the k-shared-bucket trap
+    a = spark.createDataFrame([(0.0, 100.0, "A")], "a_lo double, a_hi double, a_id string")
+    b = spark.createDataFrame([(50.0, 160.0, "B"), (200.0, 300.0, "C")],
+                              "b_lo double, b_hi double, b_id string")
+    got = interval_overlap_join(
+        a, b, left_lo="a_lo", left_hi="a_hi", right_lo="b_lo", right_hi="b_hi",
+        bucket_width=5.0,
+    ).collect()
+    assert [(r.a_id, r.b_id) for r in got] == [("A", "B")]
+
+
+def test_interval_overlap_half_open_touching_edges_dont_match(spark):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame([(0.0, 10.0, "A")], "a_lo double, a_hi double, a_id string")
+    b = spark.createDataFrame([(10.0, 20.0, "B")], "b_lo double, b_hi double, b_id string")
+    got = interval_overlap_join(
+        a, b, left_lo="a_lo", left_hi="a_hi", right_lo="b_lo", right_hi="b_hi",
+        bucket_width=10.0,
+    )
+    assert got.count() == 0  # [0,10) and [10,20) touch but don't overlap
