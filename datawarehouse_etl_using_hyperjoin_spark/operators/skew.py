@@ -25,10 +25,17 @@ def salted_sum(
     alone.  Valid for any algebraic aggregate; ``measures`` maps output
     name → aggregate column used identically in both phases (sums here).
 
-    Salt is deterministic (hash of the whole row's key+measure inputs mod
-    n_salt) so reruns produce identical partials.
+    Salt is deterministic — a hash of the WHOLE ROW's content mod
+    ``n_salt`` (``monotonically_increasing_id`` would depend on the
+    physical partitioning, so partials would differ run to run) — so
+    reruns produce identical phase-1 partials at any parallelism.
+    Identical rows sharing a salt is harmless for an algebraic
+    aggregate: they just land in the same partial.  Caveat: a hot key
+    whose rows are bit-identical in EVERY column co-salts entirely and
+    is not spread — keep a distinguishing column (line number, event
+    id) in ``df`` when salting such data; real fact rows have one.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), n_salt)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n_salt)
     phase1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -51,9 +58,12 @@ def replicate_broadcast_join(
     value; the join key becomes (key, salt) so one hot key spreads over
     n_salt reducers.
     """
+    # row-content salt (not monotonically_increasing_id): deterministic
+    # across runs/partitionings; identical rows co-salting is harmless —
+    # the join result is row-wise either way
     salted_big = skewed.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), n_salt).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), n_salt).cast("int"),
     )
     replicated_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
