@@ -87,6 +87,38 @@ def test_windowed_counts_match_batch_tumbling(spark, events_stream_dir):
     assert got == want
 
 
+def test_sliding_window_counts_match_batch_expansion(spark, events_stream_dir):
+    """ST4 sliding form: 1-hour windows sliding every 30 min — each event
+    lands in exactly 2 windows, checked against the batch expansion
+    (explode each event into both covering half-hour-aligned starts)."""
+    stream = read_parquet_stream(spark, events_stream_dir, max_files_per_trigger=10)
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(
+        windowed_event_counts(stream, window="1 hour", slide="30 minutes"),
+        name,
+        output_mode="complete",
+    )
+    out = spark.sql(f"SELECT * FROM {name}")
+    got = {(r.window_start, r.event_type): r.n_events for r in out.collect()}
+    q.stop()
+    ev = spark.read.parquet(events_stream_dir)
+    # covering starts: the half-hour floor and the one 30 min before it
+    half = F.expr(
+        "date_trunc('hour', ts) + make_interval(0,0,0,0,0,"
+        " CASE WHEN minute(ts) >= 30 THEN 30 ELSE 0 END, 0)"
+    )
+    starts = F.array(half, half - F.expr("INTERVAL 30 MINUTES"))
+    batch = (
+        ev.withColumn("window_start", F.explode(starts))
+        .groupBy("window_start", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    want = {(r.window_start, r.event_type): r.n_events for r in batch.collect()}
+    assert got == want
+    # sanity: every event really appears twice across the sliding windows
+    assert sum(got.values()) == 2 * ev.count()
+
+
 def test_session_windows_run(spark, events_stream_dir):
     stream = read_parquet_stream(spark, events_stream_dir, max_files_per_trigger=1)
     name = f"sess_{uuid.uuid4().hex[:8]}"
