@@ -51,6 +51,35 @@ def test_minhash_array_matches_exploded_formulation(spark, sf_dir):
     assert arr_rows == exp_rows
 
 
+def test_row_form_banding_and_signature_string_consistent(spark, sf_dir):
+    """The row-per-seed composition surface: lsh_band_hashes over exploded
+    signatures must produce the identical band table as the array form,
+    and minhash_signature_string must render the seed-ordered 8-hex-prefix
+    string of the same values."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        lsh_band_hashes,
+        minhash_signature_string,
+    )
+
+    docs = _docs(spark, sf_dir, 15)
+    sig_rows = minhash_signatures(shingles(docs, "doc_id", "text", 3), "doc_id", 8)
+    row_bands = {
+        (r.doc_id, r.band): r.band_hash
+        for r in lsh_band_hashes(sig_rows, "doc_id", 8, 2).collect()
+    }
+    arr = minhash_array(docs, "doc_id", "text", 3, 8)
+    arr_bands = {
+        (r.doc_id, r.band): r.band_hash
+        for r in lsh_bands_from_array(arr, "doc_id", 8, 2).collect()
+    }
+    assert row_bands == arr_bands
+    sigs = {r.doc_id: r.signature for r in
+            minhash_signature_string(sig_rows, "doc_id").collect()}
+    vals = {r.doc_id: r.minhashes for r in arr.collect()}
+    for doc_id, s in sigs.items():
+        assert s == ":".join(str(h)[:8] for h in vals[doc_id])
+
+
 def test_lsh_finds_injected_near_dups(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     w = F.split(F.trim(F.col("text")), r"\s+")

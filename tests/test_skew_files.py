@@ -111,3 +111,13 @@ def test_csv_json_round_trip(spark, sf_dir, tmp_path):
 
     land_to_parquet(back_csv, pq_dir)
     assert sorted(map(tuple, spark.read.parquet(pq_dir).collect())) == want
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    from datawarehouse_etl_using_hyperjoin_spark.sources.files import read_orc
+
+    nation = load_table(spark, sf_dir, "nation")
+    orc_dir = str(tmp_path / "orc")
+    nation.write.mode("overwrite").orc(orc_dir)
+    back = read_orc(spark, orc_dir)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
