@@ -1,4 +1,4 @@
-"""Mergeable distinct-count sketches — incremental statistics at rest.
+"""Mergeable sketches — incremental statistics at rest.
 
 ``approx_count_distinct`` (used by ``profile_table``) answers one query
 over one scan and throws its state away.  At 100 TB the useful form is
@@ -15,11 +15,21 @@ The estimate carries the standard HLL relative error (~1.04/√2^lg_k;
 lg_k=12 ≈ 1.6%); the trade against exact count-distinct (one expensive
 expand/shuffle per query — see q_agg_multi's plan note) is the whole
 point at scale.
+
+The quantile family below follows the same pattern for percentiles:
+DDSketch-style log-γ bucketing (Masson/Rim/Lee, "DDSketch: A Fast and
+Fully-Mergeable Quantile Sketch with Relative-Error Guarantees",
+VLDB 2019).  The sketch is stored RELATIONALLY — one (group, bucket,
+count) row per occupied bucket — so merge is a plain groupBy-sum (exact,
+batching-invariant) and estimation is one window cumsum; no binary blobs,
+no UDFs, and any engine that can sum can maintain it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,3 +86,119 @@ def updated_sketches(
         .groupBy(*group_cols)
         .agg(F.hll_union_agg("sketch").alias("sketch"))
     )
+
+
+# --- DDSketch-style mergeable quantile sketch ------------------------------
+#
+# Bucket i holds values with γ^(i-1) < x ≤ γ^i, γ = (1+α)/(1-α); the bucket
+# midpoint 2γ^i/(γ+1) is within relative error α of every value in the
+# bucket.  Zero and negative values get their own buckets (negatives bucket
+# |x| with the index order flipped), and the three ranges are packed into ONE
+# sortable bigint key so the quantile walk is a single ORDER BY:
+#
+#   x < 0 : key = -OFFSET - i(|x|)      (ascending key == ascending value)
+#   x = 0 : key = 0
+#   x > 0 : key = +OFFSET + i(x)
+#
+# |i| ≤ log_γ(DBL_MAX) ≈ 7×10^5 even at α = 0.0005, far below OFFSET.
+_QSKETCH_OFFSET = 10_000_000
+
+
+def _gamma(alpha: float) -> float:
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def quantile_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """One relational quantile sketch of ``value_col`` per group:
+    (group_cols..., qbucket, cnt) — one row per occupied log-γ bucket.
+
+    INGEST-side pass, same contract as :func:`distinct_sketches`: run once
+    per batch/date-partition and persist.  One map-side-combined
+    aggregation; the shuffle carries only occupied buckets (≤ a few
+    thousand rows per group at α = 0.01, independent of data volume).
+    NULLs are excluded (SQL aggregate convention).
+    """
+    g = _gamma(alpha)
+    x = F.col(value_col).cast("double")
+    idx = F.ceil(F.log(F.abs(x)) / math.log(g)).cast("long")
+    key = (
+        F.when(x > 0, F.lit(_QSKETCH_OFFSET) + idx)
+        .when(x < 0, F.lit(-_QSKETCH_OFFSET) - idx)
+        .when(x == 0, F.lit(0))
+    )
+    return (
+        df.select(*group_cols, key.alias("qbucket"))
+        .filter(F.col("qbucket").isNotNull())
+        .groupBy(*group_cols, "qbucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def merge_quantile_sketches(
+    sketches: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Union persisted quantile sketches to any coarser grouping: plain
+    groupBy-sum over bucket counts.  Exact over the sketch state
+    (associative + commutative), so any PARTITION of the data into batches
+    gives identical estimates.  Unlike HLL union, counts are additive, not
+    idempotent — re-merging the SAME batch double-counts, so the ingest
+    path must be exactly-once per batch (the fact sink's batch_id-keyed
+    overwrite provides exactly that)."""
+    return sketches.groupBy(*group_cols, "qbucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def sketch_quantiles(
+    sketches: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Estimate quantiles from a (merged) sketch table: one row per group
+    with a ``p{q}`` double column per requested quantile (``0.5`` →
+    ``p50``, ``0.999`` → ``p99_9``).
+
+    QUERY-side pass — reads only the sketch table.  One window cumsum in
+    bucket-key order (value order by construction), then each quantile
+    picks the first bucket whose cumulative count covers rank
+    ⌊q·(n−1)⌋+1 and decodes the bucket midpoint, which is within relative
+    error α of the true quantile value.
+    """
+    g = _gamma(alpha)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("qbucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = sketches.select(
+        *group_cols,
+        "qbucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    # |i| ≪ OFFSET, so the sign ranges are separated by wide gaps around
+    # ±OFFSET/2 (i may be negative for |x| < 1, putting positive-range keys
+    # below OFFSET — hence the half-offset thresholds, not exact ones).
+    mag = F.lit(2.0) * F.pow(F.lit(g), F.abs(F.col("qbucket")) - _QSKETCH_OFFSET) / (g + 1.0)
+    est = (
+        F.when(F.col("qbucket") >= _QSKETCH_OFFSET // 2, mag)
+        .when(F.col("qbucket") <= -_QSKETCH_OFFSET // 2, -mag)
+        .otherwise(F.lit(0.0))
+    )
+    aggs = []
+    for q in qs:
+        rank = F.floor(F.lit(float(q)) * (F.col("total") - 1)) + 1
+        name = f"p{q * 100:g}".replace(".", "_")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, est)).alias(name)
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)

@@ -1,5 +1,6 @@
-"""Mergeable HLL distinct sketches: accuracy, merge-invariance, and the
-incremental update flow."""
+"""Mergeable sketches: HLL distinct (accuracy, merge-invariance,
+incremental update) and DDSketch-style quantiles (relative-error
+guarantee, merge-invariance, sign/zero handling)."""
 
 from __future__ import annotations
 
@@ -7,7 +8,10 @@ from pyspark.sql import functions as F
 
 from datawarehouse_etl_using_hyperjoin_spark.operators.sketches import (
     distinct_sketches,
+    merge_quantile_sketches,
     merge_sketches,
+    quantile_sketches,
+    sketch_quantiles,
     updated_sketches,
 )
 from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import load_table
@@ -72,3 +76,67 @@ def test_updated_sketches_converge_on_replay(spark, sf_dir):
         ).collect()
     }
     assert est_once == scratch
+
+
+ALPHA = 0.01
+QS = [0.5, 0.95, 0.99]
+
+
+def test_quantile_sketch_relative_error_guarantee(spark, sf_dir):
+    """The DDSketch contract: the estimate for quantile q is within
+    relative error alpha of the rank-⌊q·(n−1)⌋ value, per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = quantile_sketches(li, ["l_returnflag"], "l_extendedprice", ALPHA)
+    ests = {
+        r.l_returnflag: r
+        for r in sketch_quantiles(sk, ["l_returnflag"], QS, ALPHA).collect()
+    }
+    exact = {
+        r.l_returnflag: sorted(v.l_extendedprice for v in r.vals)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.collect_list(F.struct("l_extendedprice")).alias("vals"))
+        .collect()
+    }
+    for flag, vals in exact.items():
+        for q, name in zip(QS, ["p50", "p95", "p99"]):
+            truth = float(vals[int(q * (len(vals) - 1))])
+            est = ests[flag][name]
+            assert abs(est - truth) <= ALPHA * abs(truth) + 1e-9, (flag, q)
+
+
+def test_quantile_sketch_merge_equals_whole(spark, sf_dir):
+    """Any partition of the data into batches must produce the exact same
+    sketch (bucket counts) and hence the same estimates."""
+    orders = load_table(spark, sf_dir, "orders")
+    whole = quantile_sketches(orders, [], "o_totalprice", ALPHA)
+    parts = [
+        quantile_sketches(
+            orders.filter(F.col("o_orderkey") % 3 == i), [], "o_totalprice", ALPHA
+        )
+        for i in range(3)
+    ]
+    stacked = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = merge_quantile_sketches(stacked, [])
+    assert {(r.qbucket, r.cnt) for r in merged.collect()} == {
+        (r.qbucket, r.cnt) for r in whole.collect()
+    }
+
+
+def test_quantile_sketch_signs_zero_and_subunit_values(spark):
+    """Negative, zero, and |x| < 1 values land in the right sign ranges and
+    decode back with the right sign and magnitude."""
+    vals = [-100.0, -1.0, -0.25, 0.0, 0.5, 1.0, 100.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    sk = quantile_sketches(df, [], "x", ALPHA)
+    row = sketch_quantiles(sk, [], [0.0, 0.5, 1.0], ALPHA).first()
+    # rank 0 → -100, rank 3 → 0.0, rank 6 → +100
+    assert abs(row.p0 + 100.0) <= ALPHA * 100.0 + 1e-9
+    assert row.p50 == 0.0
+    assert abs(row.p100 - 100.0) <= ALPHA * 100.0 + 1e-9
+    # every sub-unit value decodes with correct sign and ~magnitude
+    sk2 = quantile_sketches(
+        spark.createDataFrame([(0.5,), (-0.25,)], ["x"]), [], "x", ALPHA
+    )
+    r2 = sketch_quantiles(sk2, [], [0.0, 1.0], ALPHA).first()
+    assert abs(r2.p0 + 0.25) <= ALPHA * 0.25 + 1e-9
+    assert abs(r2.p100 - 0.5) <= ALPHA * 0.5 + 1e-9
