@@ -124,10 +124,15 @@ def quantile_sketches(
     aggregation; the shuffle carries only occupied buckets (≤ a few
     thousand rows per group at α = 0.01, independent of data volume).
     NULLs are excluded (SQL aggregate convention).
+
+    The log-ratio is rounded to 9 dp before ``ceil`` so bucket assignment
+    is reproducible across engines whose ``ln`` differs in the last ulp
+    (the sketch is relational state other engines may maintain/query); the
+    induced boundary shift is ≤ 1e-9 relative, absorbed by α.
     """
     g = _gamma(alpha)
     x = F.col(value_col).cast("double")
-    idx = F.ceil(F.log(F.abs(x)) / math.log(g)).cast("long")
+    idx = F.ceil(F.round(F.log(F.abs(x)) / math.log(g), 9)).cast("long")
     key = (
         F.when(x > 0, F.lit(_QSKETCH_OFFSET) + idx)
         .when(x < 0, F.lit(-_QSKETCH_OFFSET) - idx)

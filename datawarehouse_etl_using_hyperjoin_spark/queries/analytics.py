@@ -24,12 +24,15 @@ compared raw.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
 from ..operators.rangejoin import range_join_bucketed
+from ..operators.sketches import quantile_sketches, sketch_quantiles
 from ..sources.fixtures import load_table
 from . import query
 
@@ -224,14 +227,54 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DDSketch constants shared verbatim between the Spark operator
+# (operators/sketches.py) and the DuckDB oracle below: γ = (1+α)/(1-α) for
+# α = 0.01, embedded via repr so both engines divide by the *identical*
+# double (the operator additionally rounds the log-ratio to 9 dp before
+# ceil, making bucket assignment libm-proof — see quantile_sketches).
+_DD_ALPHA = 0.01
+_DD_G = (1.0 + _DD_ALPHA) / (1.0 - _DD_ALPHA)
+_DD_LN_G = math.log(_DD_G)
+
+
 @query(
     "q_stats",
-    oracle="""
+    oracle=f"""
+WITH b AS (
+  SELECT l_returnflag,
+         CASE WHEN l_extendedprice > 0
+              THEN 10000000 + CAST(ceil(round(ln(l_extendedprice) / {_DD_LN_G!r}, 9)) AS BIGINT)
+              WHEN l_extendedprice < 0
+              THEN -10000000 - CAST(ceil(round(ln(-l_extendedprice) / {_DD_LN_G!r}, 9)) AS BIGINT)
+              ELSE 0 END AS qbucket
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+c AS (SELECT l_returnflag, qbucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, qbucket,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY qbucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
+  FROM c
+),
+e AS (
+  SELECT *, CASE WHEN qbucket >= 5000000
+                 THEN  2 * pow({_DD_G!r}, qbucket - 10000000) / ({_DD_G!r} + 1)
+                 WHEN qbucket <= -5000000
+                 THEN -2 * pow({_DD_G!r}, -qbucket - 10000000) / ({_DD_G!r} + 1)
+                 ELSE 0.0 END AS est
+  FROM cum
+),
+dd AS (
+  SELECT l_returnflag,
+         round(MIN(CASE WHEN cum >= floor(0.5 * (total - 1)) + 1 THEN est END), 6) AS dd_p50,
+         round(MIN(CASE WHEN cum >= floor(0.9 * (total - 1)) + 1 THEN est END), 6) AS dd_p90
+  FROM e GROUP BY l_returnflag
+)
 SELECT l_returnflag, n, sum_x, sum_x2,
        (sum_x2 - sum_x * sum_x / n) / (n - 1)       AS var_samp,
        sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)) AS stddev_samp,
        sum_x / n                                    AS mean,
-       p50, p90, med
+       p50, p90, med, dd_p50, dd_p90
 FROM (
   SELECT l_returnflag,
          count(*) AS n,
@@ -241,14 +284,18 @@ FROM (
          quantile_cont(l_extendedprice, 0.9) AS p90,
          median(l_extendedprice)             AS med
   FROM lineitem GROUP BY l_returnflag
-)""",
+) JOIN dd USING (l_returnflag)""",
 )
 def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moment statistics (variance/stddev/mean from exact decimal power
     sums — bit-identical across engines, unlike streaming Welford
     accumulators) plus exact percentiles/median per group (the DW reporting
-    surface; ``approx_percentile`` is the at-scale variant, exercised in
-    tests because approximate sketches can't be oracle-matched)."""
+    surface), plus the at-scale form: DDSketch-style mergeable quantile
+    estimates (``dd_p50``/``dd_p90`` from ``operators/sketches.py`` —
+    relational log-γ bucket counts, merge = groupBy-sum) value-matched
+    against the same bucket math reproduced in the DuckDB oracle.  The
+    exact and sketched percentiles sit side by side, so the oracle also
+    implicitly certifies the α = 1% relative-error contract."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
@@ -257,6 +304,12 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.5).alias("p50"),
         F.percentile("l_extendedprice", 0.9).alias("p90"),
         F.median("l_extendedprice").alias("med"),
+    )
+    sk = quantile_sketches(li, ["l_returnflag"], "l_extendedprice", _DD_ALPHA)
+    dd = sketch_quantiles(sk, ["l_returnflag"], [0.5, 0.9], _DD_ALPHA).select(
+        "l_returnflag",
+        F.round("p50", 6).alias("dd_p50"),
+        F.round("p90", 6).alias("dd_p90"),
     )
     var = (F.col("sum_x2") - F.col("sum_x") * F.col("sum_x") / F.col("n")) / (
         F.col("n") - 1
@@ -272,7 +325,7 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50",
         "p90",
         "med",
-    )
+    ).join(dd, "l_returnflag")
 
 
 # ------------------------------------------------------------- §2.5 windows
