@@ -7,6 +7,19 @@ Prints ONE JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
 Each query is materialized with the noop writer (full execution, nothing
 collected to the driver) — the number measures the engine, not the
 driver-side pickle path.
+
+Measurement protocol (r4): one warm pass over the whole roster (codegen,
+file-listing, stream-fixture writes — per-query JVM one-offs, not engine
+throughput), then THREE timed passes over the whole roster, INTERLEAVED —
+pass 1 times every query, then pass 2, then pass 3 — and each query
+reports the median of its three passes.  r1–r3 timed each query's three
+runs back-to-back, which let a single transient external load spike (tens
+of seconds of co-located CPU work on a shared host) land entirely inside
+one query's measurement window and poison all three of its runs at once:
+that is exactly the BENCH_r03 q_minhash_pairs anomaly (official 8.98 s vs
+1.6–1.8 s on every controlled re-run of the identical code and config).
+With interleaving, a spike of any duration shorter than a full suite pass
+hits each query in at most one pass, and the per-query median discards it.
 """
 
 from __future__ import annotations
@@ -22,7 +35,9 @@ from datawarehouse_etl_using_hyperjoin_spark.queries import load_registry
 from datawarehouse_etl_using_hyperjoin_spark.session import get_spark
 
 # Representative slice of SURVEY.md §2 + north-star ops: the ETL core
-# (scan→cleanse→join→fact), the analytics layer, and the pipeline ops.
+# (scan→cleanse→join→fact), the analytics layer (incl. sketch-backed
+# q_stats, rollup/grouping-sets, range join), the pipeline ops, and one
+# drained real micro-batched stream.
 HEADLINE = [
     "q_fact_assembly",
     "q_hyperjoin",
@@ -40,7 +55,16 @@ HEADLINE = [
     "q_ann_multiprobe",
     "q_sql_api",
     "q_asof_join",
+    # r4 roster additions (BENCH_NOTES.md: compare r3→r4 like-for-like on
+    # the 16 queries above; suite totals are not comparable across the
+    # roster change).
+    "q_stats",
+    "q_range_join",
+    "q_grouping_sets",
+    "q_stream_hyperjoin",
 ]
+
+N_PASSES = 3
 
 
 def materialize(df) -> None:
@@ -60,26 +84,22 @@ def main() -> None:
     spark = get_spark("hyperjoin-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen/file-listing paths once so per-query numbers
-    # measure steady-state engine throughput, not session startup and
-    # first-touch footer reads.
+    # Warm pass: session/codegen/file-listing/stream-fixture one-offs.
     materialize(registry["q_scan_transactions"].fn(spark, sf_dir))
-    materialize(registry["q_fact_assembly"].fn(spark, sf_dir))
-
-    # Steady-state measurement: first execution compiles the whole-stage
-    # codegen for the plan (a per-query JVM one-off, not engine
-    # throughput); the reported time is the MEDIAN of three subsequent
-    # runs — single-run numbers swing ±40%+ with background machine load
-    # on a shared host, medians keep cross-round comparisons meaningful.
-    timings: dict[str, float] = {}
     for name in HEADLINE:
-        materialize(registry[name].fn(spark, sf_dir))  # warm/codegen
-        runs = []
-        for _ in range(3):
+        materialize(registry[name].fn(spark, sf_dir))
+
+    # Interleaved timed passes (see module docstring).
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(N_PASSES):
+        for name in HEADLINE:
             t0 = time.time()
             materialize(registry[name].fn(spark, sf_dir))
-            runs.append(time.time() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+            runs[name].append(time.time() - t0)
+    timings = {
+        name: round(sorted(times)[len(times) // 2], 3)
+        for name, times in runs.items()
+    }
     total = round(sum(timings.values()), 3)
 
     print(
@@ -90,6 +110,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "protocol": "interleaved median-of-3 (warm pass excluded)",
+                "spread": {
+                    name: round(max(times) - min(times), 3)
+                    for name, times in runs.items()
+                },
             }
         )
     )

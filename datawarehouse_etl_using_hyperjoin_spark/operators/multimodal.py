@@ -75,15 +75,21 @@ def _fake_decode(payload: bytes, media_format: str) -> tuple[int, int, int]:
     return (0, 0, 1 + n % 300)  # audio: frames only
 
 
-def _decode_one(payload: bytes, media_format: str) -> tuple[int, int, int, bool, str]:
+def _decode_one(
+    payload: bytes, media_format: str, force_stub: bool = False
+) -> tuple[int, int, int, bool, str]:
     """(width, height, n_frames, ok, codec) for one payload.
 
     Real codec when importable: PIL for images, soundfile for audio — a
     payload the real codec rejects is reported ``ok=False`` (quarantine
     row; real pipelines route those aside) rather than silently faked.
     Without the library, the deterministic stub runs and says so in
-    ``codec``.
+    ``codec``.  ``force_stub`` pins the stub regardless of what is
+    importable — the engine-portable mode the declared oracle query uses.
     """
+    if force_stub:
+        w, h, n = _fake_decode(payload, media_format)
+        return (w, h, n, True, "stub")
     if media_format in ("png", "jpeg") and _HAVE_PIL:
         try:
             with _PILImage.open(io.BytesIO(payload)) as im:
@@ -100,11 +106,13 @@ def _decode_one(payload: bytes, media_format: str) -> tuple[int, int, int, bool,
     return (w, h, n, True, "stub")
 
 
-def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def decode_batch(
+    it: Iterator[pd.DataFrame], force_stub: bool = False
+) -> Iterator[pd.DataFrame]:
     """mapInPandas body: decode payloads batch-wise (Arrow transfer)."""
     for pdf in it:
         dims = [
-            _decode_one(p, f)
+            _decode_one(p, f, force_stub)
             for p, f in zip(pdf["payload"], pdf["media_format"])
         ]
         yield pd.DataFrame(
@@ -121,16 +129,33 @@ def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def decode(media: DataFrame, *, decode_parallelism: int | None = None) -> DataFrame:
+def decode(
+    media: DataFrame,
+    *,
+    decode_parallelism: int | None = None,
+    codec: str = "auto",
+) -> DataFrame:
     """Decode a payload relation to typed media metadata.
 
     ``decode_parallelism`` repartitions before the (CPU-heavy in real life)
     codec stage — the knob that decouples codec cores from scan splits at
     cluster scale.
+
+    ``codec``: ``"auto"`` (default) dispatches to PIL/soundfile when
+    importable with the stub fallback; ``"stub"`` pins the deterministic
+    stub on every row — the mode whose output is pure arithmetic over the
+    payload, reproducible by any engine (the declared query's oracle).
     """
+    if codec not in ("auto", "stub"):
+        raise ValueError(f"codec must be 'auto' or 'stub', got {codec!r}")
     if decode_parallelism:
         media = media.repartition(decode_parallelism)
-    return media.mapInPandas(decode_batch, schema=DECODED_SCHEMA)
+    force_stub = codec == "stub"
+
+    def _body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return decode_batch(it, force_stub)
+
+    return media.mapInPandas(_body, schema=DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = (

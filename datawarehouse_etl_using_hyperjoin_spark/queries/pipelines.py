@@ -554,13 +554,41 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- multimodal
-@query("q_multimodal_meta", oracle=None)  # rows-only: decode is a Python stage
+@query(
+    "q_multimodal_meta",
+    # The declared query pins codec='stub' (deterministic arithmetic over
+    # the utf-8 payload length, multimodal.py:_fake_decode), so the full
+    # decode output is value-oracle-able in ANY environment; the
+    # production 'auto' dispatch (PIL/soundfile when importable) is
+    # exercised by the fake-codec dispatch tests instead.  strlen() is
+    # DuckDB's byte length — matches len(encode(text,'utf-8')).
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'png'
+              WHEN doc_id % 3 = 1 THEN 'jpeg'
+              ELSE 'wav' END AS media_format,
+         strlen(text) AS n
+  FROM documents
+)
+SELECT doc_id, media_format, n AS n_bytes,
+       CASE WHEN media_format IN ('png', 'jpeg')
+            THEN CAST(64 + n % 640 AS INT) ELSE 0 END AS width,
+       CASE WHEN media_format IN ('png', 'jpeg')
+            THEN CAST(64 + (n * 7) % 480 AS INT) ELSE 0 END AS height,
+       CASE WHEN media_format IN ('png', 'jpeg')
+            THEN 1 ELSE CAST(1 + n % 300 AS INT) END AS n_frames,
+       TRUE AS ok,
+       'stub' AS codec
+FROM m""",
+)
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + typed metadata decoded
-    via Arrow-batched mapInPandas.  The codec runs PIL/soundfile when
-    importable and a deterministic stub otherwise (this container has no
-    image/audio libs); each row's ``codec`` column says which path ran —
-    see operators/multimodal.py."""
+    via Arrow-batched mapInPandas.  The declared query pins the
+    deterministic stub codec (``codec='stub'``) so its output is engine-
+    portable and fully value-oracled; production ``codec='auto'`` dispatch
+    (PIL/soundfile when importable, stub fallback with provenance) is
+    covered by the dispatch tests — see operators/multimodal.py."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_payload(docs, "doc_id", "text")
-    return decode(media)
+    return decode(media, codec="stub")
