@@ -43,6 +43,14 @@ except Exception:
     _soundfile = None
     _HAVE_SOUNDFILE = False
 
+try:  # pragma: no cover - not installed in the test container
+    import av as _av  # PyAV: the standard ffmpeg binding for frame access
+
+    _HAVE_AV = True
+except Exception:
+    _av = None
+    _HAVE_AV = False
+
 DECODED_SCHEMA = (
     "doc_id long, media_format string, n_bytes long, width int, height int, "
     "n_frames int, ok boolean, codec string"
@@ -160,8 +168,33 @@ def decode(
 
 RESIZED_SCHEMA = (
     "doc_id long, media_format string, target_w int, target_h int, "
-    "payload binary, n_bytes long"
+    "payload binary, n_bytes long, ok boolean, codec string"
 )
+
+_PIL_FORMATS = {"png": "PNG", "jpeg": "JPEG"}
+
+
+def _resize_one(
+    payload: bytes, media_format: str, target_w: int, target_h: int
+) -> tuple[bytes, bool, str]:
+    """(payload_out, ok, codec) for one image payload.
+
+    Real path (PIL importable, image format): decode → ``resize((w, h))``
+    → re-encode to the same format.  A payload PIL rejects is a
+    quarantine row (original bytes, ok=False) — never silently faked.
+    Stub path (no PIL, or non-image format): byte-exact pass-through with
+    the target dimensions stamped, ``codec='stub'``.
+    """
+    fmt = _PIL_FORMATS.get(media_format)
+    if fmt is not None and _HAVE_PIL:
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                buf = io.BytesIO()
+                im.resize((target_w, target_h)).save(buf, format=fmt)
+                return (buf.getvalue(), True, "pil")
+        except Exception:
+            return (payload, False, "pil")
+    return (payload, True, "stub")
 
 
 def resize(
@@ -174,34 +207,82 @@ def resize(
     """Image resize stage (payload → payload): the normalize-to-model-input
     step of a vision pipeline.
 
-    STUB codec (like :func:`decode`): the real body is
-    ``PIL.Image.open(...).resize((w, h))`` re-encoded to bytes; here the
-    payload is passed through with the target dimensions stamped, keeping
-    batch shape, schema, and the payload-in/payload-out contract real.  At
-    scale the contract is what matters: the stage is payload-to-payload
-    (composable with decode/feature steps without re-shuffling), Arrow-
-    batched, and its parallelism is sized independently of scan splits.
+    Same optional-import dispatch as :func:`decode`: with PIL importable
+    (a real cluster image) the payload is decoded, resized, and re-encoded
+    in its own format; without it, a byte-exact pass-through stub runs with
+    the target dimensions stamped — and every row's ``codec`` column says
+    which path produced it.  At scale the contract is what matters: the
+    stage is payload-to-payload (composable with decode/feature steps
+    without re-shuffling), Arrow-batched, and its parallelism is sized
+    independently of scan splits.
     """
     if parallelism:
         media = media.repartition(parallelism)
 
     def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            out = [
+                _resize_one(p, f, target_w, target_h)
+                for p, f in zip(pdf["payload"], pdf["media_format"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_format": pdf["media_format"],
                     "target_w": target_w,
                     "target_h": target_h,
-                    "payload": pdf["payload"],  # STUB: real impl re-encodes
-                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "payload": [o[0] for o in out],
+                    "n_bytes": [len(o[0]) for o in out],
+                    "ok": [o[1] for o in out],
+                    "codec": [o[2] for o in out],
                 }
             )
 
     return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
 
 
-FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_ts_ms long, frame binary"
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ts_ms long, frame binary, codec string"
+)
+
+_VIDEO_FORMATS = {"mp4", "mkv", "webm", "avi", "mov"}
+
+
+def _frames_one(
+    payload: bytes, media_format: str, every_n: int, max_frames: int
+) -> list[tuple[int, int, bytes, str]]:
+    """Sampled frames for one payload: [(frame_idx, frame_ts_ms, frame
+    bytes, codec)].
+
+    Real path (PyAV importable, video format): demux-decode the container,
+    keep every ``every_n``-th frame up to ``max_frames``, each re-encoded
+    as PNG bytes (ready for the image path).  An unreadable container
+    yields no frames — quarantine by absence, the natural shape for a
+    fan-out stage.  Stub path: frame count from the fake decoder and a
+    deterministic payload slice per "frame"."""
+    if media_format in _VIDEO_FORMATS and _HAVE_AV:
+        frames: list[tuple[int, int, bytes, str]] = []
+        try:
+            with _av.open(io.BytesIO(payload)) as container:
+                for i, frame in enumerate(container.decode(video=0)):
+                    if i % every_n:
+                        continue
+                    buf = io.BytesIO()
+                    frame.to_image().save(buf, format="PNG")
+                    ts_ms = int((frame.time or 0.0) * 1000)
+                    frames.append((i, ts_ms, buf.getvalue(), "av"))
+                    if len(frames) >= max_frames:
+                        break
+        except Exception:
+            return []
+        return frames
+    _, _, n_frames = _fake_decode(payload, media_format)
+    out = []
+    for idx in list(range(0, n_frames, every_n))[:max_frames]:
+        # STUB: deterministic payload slice stands in for a frame
+        lo = idx % max(1, len(payload) - 16)
+        out.append((idx, idx * 33, bytes(payload[lo : lo + 16]), "stub"))
+    return out
 
 
 def frame_sample(
@@ -215,10 +296,11 @@ def frame_sample(
     (doc_id, frame_idx, frame_ts_ms, frame bytes) — the fan-out stage that
     turns a video corpus into an image corpus.
 
-    STUB codec: frame count comes from the fake decoder and each "frame"
-    is a deterministic slice of the payload (real body: ``av.open`` +
-    keyframe seek).  The plumbing is the point: a bounded fan-out
-    (``max_frames`` caps output rows per doc — the skew guard for
+    Optional-import dispatch like :func:`decode`: with PyAV importable the
+    container is really demuxed and sampled frames re-encode as PNG; the
+    deterministic stub runs otherwise, and ``codec`` says which path each
+    frame came from.  The plumbing is the point either way: a bounded
+    fan-out (``max_frames`` caps output rows per doc — the skew guard for
     long-tail videos), Arrow-batched, schema'd as binary frames ready for
     the image path (resize → feature_extract).
     """
@@ -227,48 +309,85 @@ def frame_sample(
 
     def _sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_ts_ms": [],
+                "frame": [], "codec": [],
+            }
             for doc_id, fmt, payload in zip(
                 pdf["doc_id"], pdf["media_format"], pdf["payload"]
             ):
-                _, _, n_frames = _fake_decode(payload, fmt)
-                picked = list(range(0, n_frames, every_n))[:max_frames]
-                for idx in picked:
+                for idx, ts_ms, frame, codec in _frames_one(
+                    payload, fmt, every_n, max_frames
+                ):
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
-                    out["frame_ts_ms"].append(idx * 33)  # ~30 fps
-                    # STUB: deterministic payload slice stands in for a frame
-                    lo = idx % max(1, len(payload) - 16)
-                    out["frame"].append(bytes(payload[lo : lo + 16]))
+                    out["frame_ts_ms"].append(ts_ms)
+                    out["frame"].append(frame)
+                    out["codec"].append(codec)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_sample, schema=FRAMES_SCHEMA)
 
 
-FEATURES_SCHEMA = "doc_id long, feature array<float>"
+FEATURES_SCHEMA = "doc_id long, feature array<float>, codec string"
+
+
+def _feature_one(payload: bytes, media_format: str, dim: int) -> tuple[list[float], str]:
+    """(feature, codec) for one payload.
+
+    Real path (PIL importable, image format): decode → grayscale →
+    ``isqrt(dim)``² thumbnail → normalized pixel intensities, zero-padded
+    to ``dim`` — a real (if simple) image descriptor; a production
+    deployment swaps this one function for an ONNX/torch encoder forward
+    pass, the mapInPandas batch already being the model batch.  An
+    undecodable image falls through to the stub descriptor (a feature
+    stage must emit a vector for every row — downstream ANN joins assume
+    dense coverage).  Stub path: deterministic byte-histogram projection.
+    """
+    fmt = _PIL_FORMATS.get(media_format)
+    if fmt is not None and _HAVE_PIL:
+        try:
+            g = max(1, int(dim**0.5))
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                px = list(im.convert("L").resize((g, g)).getdata())
+            vec = [v / 255.0 for v in px][:dim]
+            return (vec + [0.0] * (dim - len(vec)), "pil")
+        except Exception:
+            pass
+    hist = [0.0] * dim
+    for b in payload:
+        hist[b % dim] += 1.0
+    n = max(1.0, float(len(payload)))
+    return ([v / n for v in hist], "stub")
 
 
 def feature_extract(media: DataFrame, dim: int = 16, *, parallelism: int | None = None) -> DataFrame:
     """Feature extraction: payload → fixed-dim embedding (array<float>).
 
-    STUB model: a deterministic byte-histogram projection stands in for a
-    real vision/audio encoder forward pass (ONNX/torch batch inference in
-    production — the mapInPandas batch is exactly the model batch).  The
-    output column is the same ``array<float>`` shape as the embeddings
-    fixture, so the ANN/near-dup operators compose directly downstream.
+    Optional-import dispatch like :func:`decode`: with PIL importable,
+    image payloads get a real thumbnail-intensity descriptor; otherwise a
+    deterministic byte-histogram projection stands in for the encoder
+    forward pass (ONNX/torch batch inference in production — the
+    mapInPandas batch is exactly the model batch), with ``codec`` naming
+    the path per row.  The output column is the same ``array<float>``
+    shape as the embeddings fixture, so the ANN/near-dup operators compose
+    directly downstream.
     """
     if parallelism:
         media = media.repartition(parallelism)
 
     def _feat(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = []
-            for payload in pdf["payload"]:
-                hist = [0.0] * dim
-                for b in payload:
-                    hist[b % dim] += 1.0
-                n = max(1.0, float(len(payload)))
-                feats.append([v / n for v in hist])
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+            out = [
+                _feature_one(p, f, dim)
+                for p, f in zip(pdf["payload"], pdf["media_format"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feature": [o[0] for o in out],
+                    "codec": [o[1] for o in out],
+                }
+            )
 
     return media.mapInPandas(_feat, schema=FEATURES_SCHEMA)

@@ -202,3 +202,135 @@ def test_feature_extract_composes_with_ann(spark, sf_dir):
     a = {r.vec_id: tuple(r.embedding) for r in feats.collect()}
     b = {r.vec_id: tuple(r.embedding) for r in feats.collect()}
     assert a == b
+
+
+class _FakeImage:
+    """Minimal PIL.Image stand-in: 320x200, resizable, encodable."""
+
+    width, height = 320, 200
+
+    def __init__(self, w=320, h=200):
+        self.width, self.height = w, h
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def resize(self, wh):
+        return _FakeImage(*wh)
+
+    def convert(self, mode):
+        return self
+
+    def getdata(self):
+        return [17] * (self.width * self.height)
+
+    def save(self, buf, format=None):
+        buf.write(b"IMG!" + bytes([self.width % 256, self.height % 256]))
+
+
+class _FakePIL:
+    @staticmethod
+    def open(buf):
+        if buf.read(4) != b"GOOD":
+            raise ValueError("not an image")
+        return _FakeImage()
+
+
+def _with_fake_pil(monkeypatch):
+    from datawarehouse_etl_using_hyperjoin_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_PILImage", _FakePIL)
+    monkeypatch.setattr(mm, "_HAVE_PIL", True)
+    return mm
+
+
+def test_resize_one_prefers_real_codec(monkeypatch):
+    """With a (fake) PIL present the real resize path decodes, resizes to
+    the target box, and re-encodes (payload changes, codec='pil');
+    undecodable bytes quarantine as ok=False with the ORIGINAL payload;
+    non-image formats and no-PIL environments run the byte-exact stub."""
+    mm = _with_fake_pil(monkeypatch)
+    out, ok, codec = mm._resize_one(b"GOOD....", "png", 64, 48)
+    assert (ok, codec) == (True, "pil")
+    assert out == b"IMG!" + bytes([64, 48])  # re-encoded at target dims
+    assert mm._resize_one(b"junk", "jpeg", 64, 48) == (b"junk", False, "pil")
+    assert mm._resize_one(b"anything", "wav", 64, 48) == (b"anything", True, "stub")
+    monkeypatch.setattr(mm, "_HAVE_PIL", False)
+    assert mm._resize_one(b"GOOD....", "png", 64, 48) == (b"GOOD....", True, "stub")
+
+
+def test_frames_one_prefers_real_codec(monkeypatch):
+    """With a (fake) PyAV present, video formats demux real frames (every_n
+    sampling + max_frames cap + PNG re-encode via PIL), unreadable
+    containers yield zero rows, and non-video formats keep the stub."""
+    mm = _with_fake_pil(monkeypatch)
+
+    class _FakeFrame:
+        def __init__(self, i):
+            self.time = i / 30.0
+
+        def to_image(self):
+            return _FakeImage()
+
+    class _FakeContainer:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def decode(self, video=0):
+            return iter(_FakeFrame(i) for i in range(100))
+
+    class _FakeAV:
+        @staticmethod
+        def open(buf):
+            if buf.read(4) != b"VIDS":
+                raise ValueError("not a container")
+            return _FakeContainer()
+
+    monkeypatch.setattr(mm, "_av", _FakeAV)
+    monkeypatch.setattr(mm, "_HAVE_AV", True)
+    frames = mm._frames_one(b"VIDS....", "mp4", every_n=30, max_frames=3)
+    assert [(f[0], f[3]) for f in frames] == [(0, "av"), (30, "av"), (60, "av")]
+    assert frames[1][1] == 1000  # 30th frame at 30fps = 1.0s
+    assert all(f[2].startswith(b"IMG!") for f in frames)  # PNG re-encode ran
+    assert mm._frames_one(b"junk", "mp4", 30, 3) == []  # unreadable → absent
+    stub = mm._frames_one(b"VIDS....", "wav", 30, 3)  # non-video → stub
+    assert stub and all(f[3] == "stub" for f in stub)
+
+
+def test_feature_one_prefers_real_codec(monkeypatch):
+    """With a (fake) PIL present, image payloads get the thumbnail-intensity
+    descriptor (dim-length, codec='pil'); undecodable images fall through
+    to the stub histogram (dense coverage for downstream ANN), as do
+    non-image formats."""
+    mm = _with_fake_pil(monkeypatch)
+    vec, codec = mm._feature_one(b"GOOD....", "png", 16)
+    assert codec == "pil" and len(vec) == 16
+    assert all(abs(v - 17 / 255.0) < 1e-6 for v in vec)  # fake pixel value
+    vec2, codec2 = mm._feature_one(b"junk", "jpeg", 16)
+    assert codec2 == "stub" and len(vec2) == 16
+    assert mm._feature_one(b"abc", "wav", 8)[1] == "stub"
+
+
+def test_resize_and_feature_stub_columns_in_plan(spark, sf_dir):
+    """End-to-end through mapInPandas in this container: every row reports
+    the stub codec and the provenance columns survive the Arrow batches."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.multimodal import (
+        feature_extract,
+        frame_sample,
+        resize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 15)
+    media = attach_payload(docs, "doc_id", "text")
+    r = resize(media, 32, 32).select("ok", "codec").distinct().collect()
+    assert {(x.ok, x.codec) for x in r} == {(True, "stub")}
+    f = feature_extract(media, dim=8).select("codec").distinct().collect()
+    assert {x.codec for x in f} == {"stub"}
+    fr = frame_sample(media, every_n=10, max_frames=2).select("codec").distinct().collect()
+    assert {x.codec for x in fr} == {"stub"}
