@@ -14,8 +14,29 @@ co-locating repeated range lookups (e.g. price-band, time-band rollups).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _hi_bucket_exclusive(hi: Column, bucket_width: float, lo_bucket: Column) -> Column:
+    """Last bucket a half-open interval ending at ``hi`` reaches into.
+
+    ``floor(hi / w)``, minus 1 exactly when ``hi`` is an exact multiple of
+    ``w`` (``hi % w == 0`` — IEEE fmod is exact, so the test identifies
+    precisely the on-edge endpoints).  Integer-exact at every magnitude,
+    unlike the absolute-epsilon form ``floor((hi − 1e-9) / w)`` this
+    replaces, which silently stopped excluding the boundary bucket once
+    ``ulp(hi) > 1e-9`` (endpoints ≳ 1e7).  Safe: correctly-rounded
+    division is monotone, so no ``v < hi`` can floor past ``floor(hi/w)``;
+    and when ``hi = k·w`` exactly, the quotient of any ``v < hi`` rounds
+    strictly below ``k`` (deficit ≥ half-spacing, with the boundary case
+    landing on exact power-of-two arithmetic).  Clamped to ``lo_bucket``
+    so a degenerate empty interval (``hi ≤ lo``) yields one residual-
+    filtered bucket row instead of a descending sequence.
+    """
+    q = F.floor(hi / F.lit(bucket_width)).cast("long")
+    on_edge = (hi % F.lit(bucket_width)) == 0
+    return F.greatest(F.when(on_edge, q - 1).otherwise(q), lo_bucket)
 
 
 def range_join_bucketed(
@@ -30,17 +51,13 @@ def range_join_bucketed(
 ) -> DataFrame:
     """Inner join facts to half-open intervals [lo, hi) containing
     ``value``; intervals may overlap (every covering interval matches)."""
+    lo_b = F.floor(F.col(lo) / bucket_width).cast("long")
     ivals = intervals.withColumn(
         "__bucket",
+        # hi is exclusive: a hi exactly on a bucket edge does not reach
+        # into the next bucket
         F.explode(
-            F.sequence(
-                F.floor(F.col(lo) / bucket_width).cast("long"),
-                # hi is exclusive: a hi exactly on a bucket edge does not
-                # reach into the next bucket
-                F.floor(
-                    (F.col(hi) - F.lit(1e-9)) / bucket_width
-                ).cast("long"),
-            )
+            F.sequence(lo_b, _hi_bucket_exclusive(F.col(hi), bucket_width, lo_b))
         ),
     )
     if broadcast_intervals:
@@ -86,7 +103,7 @@ def interval_overlap_join(
     """
     def bucketed(df: DataFrame, lo: str, hi: str, tag: str) -> DataFrame:
         lo_b = F.floor(F.col(lo) / bucket_width).cast("long")
-        hi_b = F.floor((F.col(hi) - F.lit(1e-9)) / bucket_width).cast("long")
+        hi_b = _hi_bucket_exclusive(F.col(hi), bucket_width, lo_b)
         return (
             df.withColumn(f"__{tag}lob", lo_b)
             .withColumn("__bucket", F.explode(F.sequence(lo_b, hi_b)))

@@ -115,3 +115,87 @@ def test_interval_overlap_half_open_touching_edges_dont_match(spark):
         bucket_width=10.0,
     )
     assert got.count() == 0  # [0,10) and [10,20) touch but don't overlap
+
+
+def test_on_edge_hi_excludes_boundary_bucket_exactly(spark):
+    """The r3 epsilon (hi − 1e-9) was absolute: above ~1e7 it vanished
+    under double ulp and the boundary bucket leaked back in as wasted
+    join rows.  The exact form (floor(hi/w) − [hi % w == 0]) must exclude
+    it at every magnitude — asserted via the internal bucket count, not
+    just final semantics (the residual filter would hide the waste)."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.rangejoin import (
+        _hi_bucket_exclusive,
+    )
+
+    w = 100.0
+    rows = []
+    for base in (0.0, 1e9, 1e12, 4 * 1e15):
+        rows += [
+            (base, base + 300.0),        # both ends on bucket edges
+            (base + 50.0, base + 250.0), # neither on an edge
+            (base + 100.0, base + 100.0 + w),  # exactly one bucket wide
+        ]
+    ivals = spark.createDataFrame(rows, "lo double, hi double")
+    lo_b = F.floor(F.col("lo") / w).cast("long")
+    got = ivals.select(
+        "lo", "hi",
+        (_hi_bucket_exclusive(F.col("hi"), w, lo_b) - lo_b + 1).alias("n_buckets"),
+    ).collect()
+    for r in got:
+        span = r.hi - r.lo
+        on_edge = (r.hi % w) == 0.0
+        want = int(span // w) + (0 if on_edge else 1)
+        assert r.n_buckets == want, (r.lo, r.hi, r.n_buckets, want)
+
+
+def test_matches_theta_join_at_large_magnitudes(spark):
+    """Semantics at endpoints ≥1e9 sitting exactly on bucket edges — the
+    regime where the old epsilon produced (filtered) boundary rows and an
+    exclusive-hi mistake would lose matches outright."""
+    base = 1e9
+    facts = spark.createDataFrame(
+        [(i, base + v) for i, v in enumerate(
+            [0.0, 99.999, 100.0, 199.0, 200.0, 250.0, 299.999, 300.0]
+        )],
+        "id long, v double",
+    )
+    bands = spark.createDataFrame(
+        [("x", base, base + 100.0), ("y", base + 100.0, base + 300.0),
+         ("wide", base + 50.0, base + 250.0)],
+        "band string, lo double, hi double",
+    )
+    fast = range_join_bucketed(
+        facts, bands, value="v", lo="lo", hi="hi", bucket_width=100.0
+    )
+    slow = facts.join(
+        bands, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+    )
+    got = sorted((r.id, r.band) for r in fast.collect())
+    want = sorted((r.id, r.band) for r in slow.collect())
+    assert got == want and got
+
+
+def test_interval_overlap_theta_equivalence_large_magnitude_edges(spark):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    base = 1e12
+    a = spark.createDataFrame(
+        [(base + i * 10.0, base + i * 10.0 + 30.0, f"a{i}") for i in range(40)],
+        "a_lo double, a_hi double, a_id string",
+    )
+    b = spark.createDataFrame(
+        [(base + i * 30.0, base + i * 30.0 + 10.0, f"b{i}") for i in range(15)],
+        "b_lo double, b_hi double, b_id string",
+    )
+    got = interval_overlap_join(
+        a, b, left_lo="a_lo", left_hi="a_hi", right_lo="b_lo", right_hi="b_hi",
+        bucket_width=10.0,
+    )
+    want = a.join(
+        b, (F.col("a_lo") < F.col("b_hi")) & (F.col("b_lo") < F.col("a_hi"))
+    )
+    got_pairs = sorted((r.a_id, r.b_id) for r in got.collect())
+    want_pairs = sorted((r.a_id, r.b_id) for r in want.collect())
+    assert got_pairs == want_pairs and got_pairs
