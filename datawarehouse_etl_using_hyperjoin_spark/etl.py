@@ -18,11 +18,34 @@ unpartitioned tables (they are small by definition).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.constraints import (
+    expect_clean,
+    not_null_violations,
+    pk_violations,
+    star_schema_checks,
+)
 from .operators.etl import assemble_fact, build_dim, first_match, hyperjoin
 from .sources.fixtures import load_table, master_data, transactions
+
+# The createDW.sql contract (createDW.sql:2-98): dim name → (dim PK, fact
+# FK into it); plus the fact columns its DDL declares NOT NULL.
+STAR_DIM_KEYS: dict[str, tuple[str, str]] = {
+    "dim_product": ("product_id", "product_id"),
+    "dim_supplier": ("supplier_id", "supplier_id"),
+    "dim_store": ("store_id", "store_id"),
+    "dim_order": ("order_id", "order_id"),
+    "dim_customer": ("customer_id", "customer_id"),
+}
+FACT_NOT_NULL = [
+    "order_id", "line_number", "customer_id", "product_id",
+    "store_id", "supplier_id", "order_date", "quantity", "sales",
+]
 
 
 def ingest(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -70,31 +93,79 @@ def build_dimensions(
     }
 
 
+def write_star(
+    spark: SparkSession,
+    dims: dict[str, DataFrame],
+    fact: DataFrame,
+    out_dir: str,
+    *,
+    validate: bool = False,
+) -> dict[str, int]:
+    """Persist a star schema; with ``validate``, enforce the createDW.sql
+    constraints on load the way the reference's MySQL did.
+
+    Validation order mirrors the reference: each dim's PK is checked
+    before its write (createDW.sql:8,26,38,49,67 — a dup/NULL key aborts
+    the load), then the fact is written to a STAGING path, its FK-per-dim
+    and NOT NULL contracts (createDW.sql:83-98) are checked against the
+    data as written (one parquet scan — no recompute of the assembly
+    plan), and only a clean fact is promoted to the published path; a
+    violating batch raises with the staging dir left for inspection and
+    the published fact absent/unchanged.  The stage→validate→promote
+    rename assumes a rename-capable filesystem (local/HDFS); on object
+    stores the same gate composes with a table-format commit instead
+    (sources/table_formats.py).
+    """
+    counts: dict[str, int] = {}
+    for name, df in dims.items():
+        if validate:
+            pk, _ = STAR_DIM_KEYS[name]
+            expect_clean({f"pk_{name}": pk_violations(df, [pk])})
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        counts[name] = spark.read.parquet(f"{out_dir}/{name}").count()
+
+    target = f"{out_dir}/fact_sales"
+    staging = f"{out_dir}/fact_sales.staging" if validate else target
+    fact.write.mode("overwrite").partitionBy("order_month").parquet(staging)
+    if validate:
+        written = spark.read.parquet(staging)
+        checks = star_schema_checks(
+            written,
+            {
+                name: (spark.read.parquet(f"{out_dir}/{name}"), pk, fk)
+                for name, (pk, fk) in STAR_DIM_KEYS.items()
+            },
+        )
+        # dims were just PK-checked pre-write; keep only the fact-side
+        # contracts here (FK resolution + NOT NULL)
+        checks = {n: c for n, c in checks.items() if n.startswith("fk_")}
+        checks["fact_not_null"] = not_null_violations(written, FACT_NOT_NULL)
+        expect_clean(checks)
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        os.rename(staging, target)
+    counts["fact_sales"] = spark.read.parquet(target).count()
+    return counts
+
+
 def load_star(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession, sf_dir: str, out_dir: str, *, validate: bool = False
 ) -> dict[str, int]:
     """Build and persist the full star schema; returns row counts.
 
     Fact is partitioned by order month (dynamic partition pruning +
     bounded incremental rebuilds at scale); dims are plain parquet.
+    ``validate`` runs the createDW.sql integrity gate on load (see
+    :func:`write_star`).
     """
     _, master = ingest(spark, sf_dir)
     dims = build_dimensions(spark, sf_dir, master)
-    counts: dict[str, int] = {}
-    for name, df in dims.items():
-        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
-        counts[name] = spark.read.parquet(f"{out_dir}/{name}").count()
-
     t = {n: load_table(spark, sf_dir, n) for n in
          ("lineitem", "orders", "customer", "part", "supplier", "nation")}
     fact = assemble_fact(
         t["lineitem"], t["orders"], t["customer"], t["part"], t["supplier"], t["nation"]
     ).withColumn("order_month", F.date_format("order_date", "yyyy-MM"))
-    fact.write.mode("overwrite").partitionBy("order_month").parquet(
-        f"{out_dir}/fact_sales"
-    )
-    counts["fact_sales"] = spark.read.parquet(f"{out_dir}/fact_sales").count()
-    return counts
+    return write_star(spark, dims, fact, out_dir, validate=validate)
 
 
 def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
@@ -106,7 +177,9 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, in
     """
     txn, master = ingest(spark, sf_dir)
     enriched = run_hyperjoin(txn, master)
-    counts = load_star(spark, sf_dir, out_dir)
+    # the flagship pipeline publishes only an integrity-checked star — the
+    # reference's MySQL constraints were enforced on load (createDW.sql)
+    counts = load_star(spark, sf_dir, out_dir, validate=True)
     counts["enriched_stream"] = enriched.count()
     return counts
 

@@ -96,3 +96,62 @@ def test_refresh_fact_month_touches_only_one_partition(spark, sf_dir, tmp_path):
     after_other = {p: os.path.getmtime(p) for p in glob.glob(f"{fact_dir}/order_month={untouched}/*.parquet")}
     assert after_other == before_other
     assert spark.read.parquet(fact_dir).count() == n_before
+
+
+def test_load_star_validate_gate(spark, sf_dir, tmp_path):
+    """The createDW.sql integrity gate on load: a clean build publishes
+    (with the staging dir promoted away), a fact batch carrying an FK
+    orphan or a NULL measure raises and never publishes a fact, and a
+    dim with a duplicated PK aborts before any fact work."""
+    import os
+
+    import pytest
+
+    from datawarehouse_etl_using_hyperjoin_spark.etl import (
+        build_dimensions,
+        ingest,
+        load_star,
+        write_star,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.etl import assemble_fact
+    from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import load_table
+
+    # clean build → publishes, no staging residue
+    out = str(tmp_path / "dw_clean")
+    counts = load_star(spark, sf_dir, out, validate=True)
+    assert counts["fact_sales"] > 0
+    assert os.path.isdir(f"{out}/fact_sales")
+    assert not os.path.isdir(f"{out}/fact_sales.staging")
+
+    _, master = ingest(spark, sf_dir)
+    dims = build_dimensions(spark, sf_dir, master)
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "customer", "part", "supplier", "nation")}
+    fact = assemble_fact(
+        t["lineitem"], t["orders"], t["customer"], t["part"], t["supplier"], t["nation"]
+    ).withColumn("order_month", F.date_format("order_date", "yyyy-MM"))
+
+    # FK orphan (product_id resolving to no dim row) → raises, fact absent
+    out_bad = str(tmp_path / "dw_orphan")
+    orphan = fact.limit(1).withColumn("product_id", F.lit(-999).cast("long"))
+    with pytest.raises(ValueError, match="fk_dim_product"):
+        write_star(spark, dims, fact.unionByName(orphan), out_bad, validate=True)
+    assert not os.path.isdir(f"{out_bad}/fact_sales")
+    assert os.path.isdir(f"{out_bad}/fact_sales.staging")  # quarantined
+
+    # NULL in a NOT NULL fact column → raises, fact absent
+    out_null = str(tmp_path / "dw_null")
+    nullrow = fact.limit(1).withColumn(
+        "quantity", F.lit(None).cast(dict(fact.dtypes)["quantity"])
+    )
+    with pytest.raises(ValueError, match="fact_not_null"):
+        write_star(spark, dims, fact.unionByName(nullrow), out_null, validate=True)
+    assert not os.path.isdir(f"{out_null}/fact_sales")
+
+    # duplicated dim PK → aborts before the fact stage
+    out_dup = str(tmp_path / "dw_dup")
+    bad_dims = dict(dims)
+    bad_dims["dim_store"] = dims["dim_store"].unionByName(dims["dim_store"].limit(1))
+    with pytest.raises(ValueError, match="pk_dim_store"):
+        write_star(spark, bad_dims, fact, out_dup, validate=True)
+    assert not os.path.isdir(f"{out_dup}/fact_sales")
