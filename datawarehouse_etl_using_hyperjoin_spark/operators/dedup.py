@@ -344,7 +344,9 @@ def lsh_incremental_pairs(
 
     The 100 TB workflow: the historical corpus's band table (id, band,
     band_hash — from :func:`lsh_bands_from_array`) is persisted once as the
-    dedup *index*, partitioned/bucketed by ``band_hash`` at rest; each
+    dedup *index*, bucketed by ``band_hash`` at rest (:func:`write_lsh_index`
+    / :func:`read_lsh_index` — the index-side groupBy below then plans with
+    no exchange); each
     incoming batch computes only its own signatures (linear in batch size)
     and equi-joins the index on (band, band_hash) — never re-reading, let
     alone re-hashing, the 100 TB corpus.  Output: (id_a, id_b,
@@ -378,6 +380,33 @@ def lsh_incremental_pairs(
         "pair_type", F.lit("new_vs_new")
     )
     return cross.unionByName(within)
+
+
+def write_lsh_index(
+    bands: DataFrame, table: str, *, n_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """Persist a band table (id, band, band_hash) as the at-rest LSH dedup
+    index: a catalog table BUCKETED BY ``band_hash``.
+
+    This is the layout :func:`lsh_incremental_pairs` assumes: the index's
+    groupBy(band, band_hash) bucket-collection runs EXCHANGE-FREE off the
+    bucketed scan (``HashPartitioning(band_hash)`` already clusters every
+    (band, band_hash) group into one partition), so each incoming batch
+    pays only its own shuffle — the 100 TB corpus index is never
+    re-shuffled, batch after batch.  Append new batches' bands with
+    ``mode='append'`` (bucketing is preserved per-file).
+    """
+    from ..sources.files import write_bucketed
+
+    write_bucketed(
+        bands, table, "band_hash", n_buckets=n_buckets, sort=True, mode=mode
+    )
+
+
+def read_lsh_index(spark, table: str) -> DataFrame:
+    """Read the persisted LSH index written by :func:`write_lsh_index` —
+    the ``index_bands`` side of :func:`lsh_incremental_pairs`."""
+    return spark.table(table)
 
 
 _HEX = "0123456789abcdef"

@@ -234,3 +234,48 @@ def test_write_corpus_caps_records_per_file(spark, sf_dir, tmp_path):
     assert len(files) > 1  # one task still produced multiple capped files
     for f in files:
         assert spark.read.parquet(f).count() <= 50
+
+
+def test_persisted_lsh_index_reads_exchange_free_and_matches(spark, sf_dir):
+    """write_lsh_index/read_lsh_index round trip: the persisted index is
+    bucketed by band_hash, its bucket-collection groupBy plans with NO
+    Exchange on the index side (the at-rest layout lsh_incremental_pairs
+    documents), and the incremental pairs from the persisted index equal
+    the in-memory path exactly."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        read_lsh_index,
+        write_lsh_index,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import plan_string
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    index_bands = lsh_bands_from_array(
+        minhash_array(docs, "doc_id", "text"), "doc_id"
+    )
+    new = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 2, F.size(w) - 1)).alias("text"),
+    )
+    new_bands = lsh_bands_from_array(minhash_array(new, "doc_id", "text"), "doc_id")
+
+    try:
+        write_lsh_index(index_bands, "lsh_idx", n_buckets=8)
+        idx = read_lsh_index(spark, "lsh_idx")
+
+        # index-side bucket collection: bucketed scan feeds the groupBy
+        # (band, band_hash) directly — zero shuffles on the corpus side
+        buckets = idx.groupBy("band", "band_hash").agg(
+            F.array_sort(F.collect_set("doc_id")).alias("ids")
+        )
+        plan = plan_string(buckets, "simple")
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+
+        got = lsh_incremental_pairs(new_bands, idx, "doc_id")
+        want = lsh_incremental_pairs(new_bands, index_bands, "doc_id")
+        g = sorted((r.id_a, r.id_b, r.n_shared_bands, r.pair_type) for r in got.collect())
+        x = sorted((r.id_a, r.id_b, r.n_shared_bands, r.pair_type) for r in want.collect())
+        assert g == x and g
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_idx")
