@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
 from ..operators.rangejoin import range_join_bucketed
-from ..operators.sketches import quantile_sketches, sketch_quantiles
+from ..operators.sketches import (
+    exact_group_quantiles,
+    quantile_sketches,
+    sketch_quantiles,
+)
 from ..sources.fixtures import load_table
 from . import query
 
@@ -301,10 +305,16 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         _dec_sum("l_quantity", 2).alias("sum_x"),
         _dec_sum(F.col("l_quantity") * F.col("l_quantity"), 4).alias("sum_x2"),
-        F.percentile("l_extendedprice", 0.5).alias("p50"),
-        F.percentile("l_extendedprice", 0.9).alias("p90"),
-        F.median("l_extendedprice").alias("med"),
     )
+    # exact percentiles from the compressed distribution, not Spark's
+    # map-per-buffer percentile aggregate (8.1 s → ~1 s at sf0.1; see
+    # operators/sketches.exact_group_quantiles); med ≡ the 0.5 quantile
+    pct = exact_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9]
+    ).select(
+        "l_returnflag", "p50", "p90", F.col("p50").alias("med")
+    )
+    base = base.join(pct, "l_returnflag")
     sk = quantile_sketches(li, ["l_returnflag"], "l_extendedprice", _DD_ALPHA)
     dd = sketch_quantiles(sk, ["l_returnflag"], [0.5, 0.9], _DD_ALPHA).select(
         "l_returnflag",

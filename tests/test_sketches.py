@@ -140,3 +140,53 @@ def test_quantile_sketch_signs_zero_and_subunit_values(spark):
     r2 = sketch_quantiles(sk2, [], [0.0, 1.0], ALPHA).first()
     assert abs(r2.p0 + 0.25) <= ALPHA * 0.25 + 1e-9
     assert abs(r2.p100 - 0.5) <= ALPHA * 0.5 + 1e-9
+
+
+def test_exact_group_quantiles_matches_percentile_semantics(spark):
+    """exact_group_quantiles ≡ percentile_cont: linear interpolation at
+    (n−1)·q per group, NULLs ignored, single-value groups degenerate to
+    that value, and frac=0 ranks return the rank value exactly."""
+    import math
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.sketches import (
+        exact_group_quantiles,
+    )
+
+    rows = (
+        [("a", float(v)) for v in [10, 20, 30, 40, 50]]      # n=5: p50 exact rank
+        + [("b", float(v)) for v in [1, 2, 4, 8]]            # n=4: p50 interpolates
+        + [("c", 7.25)]                                      # n=1
+        + [("d", None), ("d", 3.0), ("d", 9.0)]              # NULL ignored
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r.g: (r.p50, r.p90)
+        for r in exact_group_quantiles(df, ["g"], "v", [0.5, 0.9]).collect()
+    }
+    def ref(vals, q):
+        vals = sorted(vals)
+        pos = (len(vals) - 1) * q
+        lo, hi = math.floor(pos), math.ceil(pos)
+        frac = pos - lo
+        return vals[lo] * (1 - frac) + vals[hi] * frac
+
+    assert got["a"] == (30.0, ref([10, 20, 30, 40, 50], 0.9))
+    assert got["b"] == (ref([1, 2, 4, 8], 0.5), ref([1, 2, 4, 8], 0.9))
+    assert got["c"] == (7.25, 7.25)
+    assert got["d"] == (ref([3.0, 9.0], 0.5), ref([3.0, 9.0], 0.9))
+
+    # and agrees with Spark's own percentile aggregate within float noise
+    from pyspark.sql import functions as F
+
+    want = {
+        r.g: (r.p50, r.p90)
+        for r in df.filter(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(
+            F.percentile("v", 0.5).alias("p50"),
+            F.percentile("v", 0.9).alias("p90"),
+        )
+        .collect()
+    }
+    for g, (p50, p90) in want.items():
+        assert abs(got[g][0] - p50) < 1e-9 and abs(got[g][1] - p90) < 1e-9
