@@ -246,9 +246,11 @@ def exact_group_quantiles(
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    totals = vals.groupBy(*group_cols).agg(F.count("*").alias("__n"))
-    cum = dist.withColumn("__cum", F.sum("__c").over(wcum)).join(
-        F.broadcast(totals), list(group_cols)
+    # group total from a second frame over the SAME window partitioning —
+    # one Window node, no second scan/aggregate/join for the counts
+    wt = Window.partitionBy(*group_cols)
+    cum = dist.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+        "__n", F.sum("__c").over(wt)
     )
     lo_his = []
     for q in qs:
