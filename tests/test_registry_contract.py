@@ -70,8 +70,8 @@ def test_every_oracle_is_valid_duckdb_sql(registry, duck):
 def test_rows_only_queries_are_the_declared_one(registry):
     # r3 upgraded q_stream_hyperjoin / q_stream_tumbling (deterministic
     # drained runs) and q_pandas_udf (rounded z-score) to full oracles;
-    # only the Python-decode stage legitimately remains rows-only.
+    # r4 upgraded q_multimodal_meta (declared query pins the deterministic
+    # stub codec, pure payload arithmetic) — every registered query now
+    # carries a full DuckDB value oracle.
     rows_only = {n for n, qd in registry.items() if qd.oracle is None}
-    assert rows_only == {
-        "q_multimodal_meta",  # Python decode stage
-    }
+    assert rows_only == set()

@@ -194,7 +194,19 @@ def measure(spark, li, parts) -> dict[str, float]:
         li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
         .groupBy("l_returnflag").agg(F.count("*").alias("n"))
     )
-    return {"q1_agg": run(q1), "hyperjoin_agg": run(hyper), "window_topk": run(topk)}
+    from datawarehouse_etl_using_hyperjoin_spark.operators.sketches import (
+        exact_group_quantiles,
+    )
+
+    quant = exact_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9]
+    )
+    return {
+        "q1_agg": run(q1),
+        "hyperjoin_agg": run(hyper),
+        "window_topk": run(topk),
+        "exact_quantiles": run(quant),
+    }
 
 
 def main() -> None:
