@@ -214,6 +214,8 @@ def exact_group_quantiles(
     group_cols: list[str],
     value_col: str,
     qs: list[float],
+    *,
+    chunks: int | None = None,
 ) -> DataFrame:
     """EXACT linear-interpolated quantiles per group (SQL ``percentile_cont``
     semantics), computed from the value DISTRIBUTION rather than Spark's
@@ -238,20 +240,77 @@ def exact_group_quantiles(
     Output: ``group_cols`` + one double column per q (``0.5`` → ``p50``,
     ``0.999`` → ``p99_9``), NULL for groups with no non-null values —
     callers wanting those groups join this back outer.
+
+    ``chunks`` picks the cumulative-sum strategy.  Default (``None``): one
+    window per group — optimal while each group's distinct-value
+    distribution fits a single task's sort.  ``chunks=N`` switches to a
+    DISTRIBUTED prefix sum for huge per-group distributions (the regime
+    where a per-group window serializes onto one core): N−1 approximate
+    value boundaries are computed once and embedded as literals (so chunk
+    assignment is a deterministic per-row expression — safe under plan
+    re-evaluation, unlike ``repartitionByRange``'s re-sampled
+    boundaries), local cumsums run per (group, chunk) in parallel, and a
+    per-(group, chunk) totals prefix — rows = groups × N, broadcast —
+    shifts each chunk by everything before it.  Counts are integers, so
+    both strategies produce identical ranks and identical results; the
+    boundaries only balance work, never affect values.
     """
     vals = df.filter(F.col(value_col).isNotNull()).select(*group_cols, value_col)
     dist = vals.groupBy(*group_cols, value_col).agg(F.count("*").alias("__c"))
-    wcum = (
-        Window.partitionBy(*group_cols)
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    # group total from a second frame over the SAME window partitioning —
-    # one Window node, no second scan/aggregate/join for the counts
-    wt = Window.partitionBy(*group_cols)
-    cum = dist.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
-        "__n", F.sum("__c").over(wt)
-    )
+    if chunks is None:
+        wcum = (
+            Window.partitionBy(*group_cols)
+            .orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        # group total from a second frame over the SAME window partitioning
+        # — one Window node, no second scan/aggregate/join for the counts
+        wt = Window.partitionBy(*group_cols)
+        cum = dist.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+            "__n", F.sum("__c").over(wt)
+        )
+    else:
+        probs = [i / chunks for i in range(1, chunks)]
+        row = dist.agg(
+            F.percentile_approx(value_col, probs, 1000).alias("b")
+        ).first()
+        bounds = sorted(set(row.b or []))
+        if bounds:
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            chunk_of = F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, b: acc + (F.col(value_col) >= b).cast("int"),
+            )
+        else:
+            chunk_of = F.lit(0)
+        ch = dist.withColumn("__chunk", chunk_of)
+        wloc = (
+            Window.partitionBy(*group_cols, "__chunk")
+            .orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        loc = ch.withColumn("__loc", F.sum("__c").over(wloc))
+        woff = (
+            Window.partitionBy(*group_cols)
+            .orderBy("__chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wtot = Window.partitionBy(*group_cols)
+        offs = (
+            ch.groupBy(*group_cols, "__chunk")
+            .agg(F.sum("__c").alias("__t"))
+            .select(
+                *group_cols,
+                "__chunk",
+                F.coalesce(F.sum("__t").over(woff), F.lit(0)).alias("__off"),
+                F.sum("__t").over(wtot).alias("__n"),
+            )
+        )
+        cum = (
+            loc.join(F.broadcast(offs), [*group_cols, "__chunk"])
+            .withColumn("__cum", F.col("__loc") + F.col("__off"))
+        )
     lo_his = []
     for q in qs:
         pos = (F.col("__n") - 1) * F.lit(float(q))

@@ -190,3 +190,30 @@ def test_exact_group_quantiles_matches_percentile_semantics(spark):
     }
     for g, (p50, p90) in want.items():
         assert abs(got[g][0] - p50) < 1e-9 and abs(got[g][1] - p90) < 1e-9
+
+
+def test_exact_group_quantiles_distributed_chunks_identical(spark, sf_dir):
+    """The chunks=N distributed prefix-sum strategy returns byte-identical
+    results to the single-window default — boundaries balance work, never
+    affect values — including when chunks exceed the distinct values."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.sketches import (
+        exact_group_quantiles,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    want = {
+        r.l_returnflag: (r.p50, r.p99_9)
+        for r in exact_group_quantiles(
+            li, ["l_returnflag"], "l_extendedprice", [0.5, 0.999]
+        ).collect()
+    }
+    for n_chunks in (2, 8, 64):
+        got = {
+            r.l_returnflag: (r.p50, r.p99_9)
+            for r in exact_group_quantiles(
+                li, ["l_returnflag"], "l_extendedprice", [0.5, 0.999],
+                chunks=n_chunks,
+            ).collect()
+        }
+        assert got == want, n_chunks

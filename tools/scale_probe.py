@@ -201,11 +201,15 @@ def measure(spark, li, parts) -> dict[str, float]:
     quant = exact_group_quantiles(
         li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9]
     )
+    quant_dist = exact_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9], chunks=32
+    )
     return {
         "q1_agg": run(q1),
         "hyperjoin_agg": run(hyper),
         "window_topk": run(topk),
         "exact_quantiles": run(quant),
+        "exact_quantiles_chunked": run(quant_dist),
     }
 
 
