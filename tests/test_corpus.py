@@ -279,3 +279,35 @@ def test_persisted_lsh_index_reads_exchange_free_and_matches(spark, sf_dir):
         assert g == x and g
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_idx")
+
+
+def test_persisted_lsh_index_append_batches(spark, sf_dir):
+    """The incremental workflow appends each ingested batch's bands to the
+    index (write_lsh_index mode='append'); the appended table still reads
+    exchange-free and contains both batches' bands."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        read_lsh_index,
+        write_lsh_index,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import plan_string
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = lsh_bands_from_array(
+        minhash_array(docs.filter(F.col("doc_id") < 250), "doc_id", "text"), "doc_id"
+    )
+    b2 = lsh_bands_from_array(
+        minhash_array(docs.filter(F.col("doc_id") >= 250), "doc_id", "text"), "doc_id"
+    )
+    try:
+        write_lsh_index(b1, "lsh_idx_app", n_buckets=4)
+        write_lsh_index(b2, "lsh_idx_app", n_buckets=4, mode="append")
+        idx = read_lsh_index(spark, "lsh_idx_app")
+        assert idx.count() == b1.count() + b2.count()
+        buckets = idx.groupBy("band", "band_hash").agg(
+            F.count("*").alias("n")
+        )
+        plan = plan_string(buckets, "simple")
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_idx_app")

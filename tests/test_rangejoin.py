@@ -199,3 +199,49 @@ def test_interval_overlap_theta_equivalence_large_magnitude_edges(spark):
     got_pairs = sorted((r.a_id, r.b_id) for r in got.collect())
     want_pairs = sorted((r.a_id, r.b_id) for r in want.collect())
     assert got_pairs == want_pairs and got_pairs
+
+
+def test_property_bucketized_equals_theta_join_random_intervals(spark):
+    """Property test: for randomized interval relations — magnitudes from
+    1e-3 to 4e15, endpoints forced onto bucket edges with 50% probability,
+    widths from sub-bucket to many-bucket — the bucketized join equals the
+    theta join exactly.  Batched: each example is one DataFrame of many
+    intervals, so the property runs hundreds of interval cases in a
+    handful of Spark jobs."""
+    import random
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(20260813)
+    for case in range(4):
+        base = rng.choice([0.0, 1e3, 1e9, 1e12, 4e15])
+        w = rng.choice([0.5, 1.0, 100.0, 1000.0])
+
+        def mk(tag, n):
+            rows = []
+            for i in range(n):
+                lo = base + rng.uniform(0, 50) * w
+                if rng.random() < 0.5:  # force onto a bucket edge
+                    lo = (lo // w) * w
+                length = rng.choice([w * 0.25, w * 0.5, w, w * 3.7, w * 9])
+                hi = lo + length
+                if rng.random() < 0.5:  # force hi onto an edge too
+                    hi = max(lo + w, (hi // w) * w)
+                rows.append((float(lo), float(hi), f"{tag}{i}"))
+            return spark.createDataFrame(
+                rows, f"{tag}_lo double, {tag}_hi double, {tag}_id string"
+            )
+
+        a, b = mk("a", 60), mk("b", 40)
+        got = interval_overlap_join(
+            a, b, left_lo="a_lo", left_hi="a_hi",
+            right_lo="b_lo", right_hi="b_hi", bucket_width=w,
+        )
+        want = a.join(
+            b, (F.col("a_lo") < F.col("b_hi")) & (F.col("b_lo") < F.col("a_hi"))
+        )
+        got_pairs = sorted((r.a_id, r.b_id) for r in got.collect())
+        want_pairs = sorted((r.a_id, r.b_id) for r in want.collect())
+        assert got_pairs == want_pairs, (case, base, w)
