@@ -354,6 +354,22 @@ def _feature_one(payload: bytes, media_format: str, dim: int) -> tuple[list[floa
             return (vec + [0.0] * (dim - len(vec)), "pil")
         except Exception:
             pass
+    if media_format == "wav" and _HAVE_SOUNDFILE:
+        try:
+            data, _rate = _soundfile.read(io.BytesIO(payload))
+            samples = [float(s) for s in (data[:, 0] if getattr(data, "ndim", 1) > 1 else data)]
+            # per-segment RMS over `dim` equal slices — the classic cheap
+            # loudness-envelope descriptor
+            seg = max(1, len(samples) // dim)
+            vec = []
+            for i in range(dim):
+                chunk = samples[i * seg : (i + 1) * seg]
+                vec.append(
+                    (sum(s * s for s in chunk) / len(chunk)) ** 0.5 if chunk else 0.0
+                )
+            return (vec, "soundfile")
+        except Exception:
+            pass
     hist = [0.0] * dim
     for b in payload:
         hist[b % dim] += 1.0

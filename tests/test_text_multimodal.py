@@ -334,3 +334,26 @@ def test_resize_and_feature_stub_columns_in_plan(spark, sf_dir):
     assert {x.codec for x in f} == {"stub"}
     fr = frame_sample(media, every_n=10, max_frames=2).select("codec").distinct().collect()
     assert {x.codec for x in fr} == {"stub"}
+
+
+def test_feature_one_audio_prefers_soundfile(monkeypatch):
+    """With a (fake) soundfile present, wav payloads get the per-segment
+    RMS loudness-envelope descriptor (codec='soundfile'); unreadable audio
+    falls through to the stub histogram."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators import multimodal as mm
+
+    class _FakeSF:
+        @staticmethod
+        def read(buf):
+            if buf.read(4) != b"RIFF":
+                raise ValueError("not audio")
+            import types
+
+            return [0.5] * 64, 8000  # constant signal, ndim-1 list
+
+    monkeypatch.setattr(mm, "_soundfile", _FakeSF)
+    monkeypatch.setattr(mm, "_HAVE_SOUNDFILE", True)
+    vec, codec = mm._feature_one(b"RIFF....", "wav", 8)
+    assert codec == "soundfile" and len(vec) == 8
+    assert all(abs(v - 0.5) < 1e-9 for v in vec)  # RMS of constant 0.5
+    assert mm._feature_one(b"junk", "wav", 8)[1] == "stub"
