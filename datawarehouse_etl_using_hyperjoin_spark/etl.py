@@ -111,10 +111,11 @@ def write_star(
     data as written (one parquet scan — no recompute of the assembly
     plan), and only a clean fact is promoted to the published path; a
     violating batch raises with the staging dir left for inspection and
-    the published fact absent/unchanged.  The stage→validate→promote
-    rename assumes a rename-capable filesystem (local/HDFS); on object
-    stores the same gate composes with a table-format commit instead
-    (sources/table_formats.py).
+    the published fact absent/unchanged.  The stage→validate→promote step
+    uses a local-filesystem rename here; on HDFS the same gate promotes
+    via a FileSystem.rename, and on object stores it composes with a
+    table-format commit instead (sources/table_formats.py) — the gate
+    logic (validate the WRITTEN data, publish only clean) is identical.
     """
     counts: dict[str, int] = {}
     for name, df in dims.items():

@@ -91,7 +91,9 @@ def compact_table(
     ``repartitionByRange`` when ``sort_by`` is given, which additionally
     clusters the data so min/max footer stats become selective — the
     poor-man's Z-order for one key family), and atomically replaces the
-    directory via write-to-staging + rename.
+    directory via write-to-staging + rename (local filesystem here; on
+    HDFS use FileSystem.rename, on object stores a table-format commit —
+    the pack-from-listing sizing logic is the portable part).
 
     Returns {"files_before", "files_after", "rows"} so callers can assert
     the compaction actually compacted.  Partitioned layouts pass
