@@ -34,7 +34,12 @@ from .operators.etl import assemble_fact, build_dim, first_match, hyperjoin
 from .sources.fixtures import load_table, master_data, transactions
 
 # The createDW.sql contract (createDW.sql:2-98): dim name → (dim PK, fact
-# FK into it); plus the fact columns its DDL declares NOT NULL.
+# FK into it).  FACT_NOT_NULL is this framework's TIGHTENING of that
+# contract, not a mirror of it: createDW.sql:83-98 declares no NOT NULL
+# fact columns (only PRIMARY KEY(OrderID)), and the reference's customer
+# load even maps non-numeric keys to NULL — here every FK plus the
+# implicit PK and core measures must be present before a fact batch is
+# published.
 STAR_DIM_KEYS: dict[str, tuple[str, str]] = {
     "dim_product": ("product_id", "product_id"),
     "dim_supplier": ("supplier_id", "supplier_id"),
@@ -111,9 +116,13 @@ def write_star(
     data as written (one parquet scan — no recompute of the assembly
     plan), and only a clean fact is promoted to the published path; a
     violating batch raises with the staging dir left for inspection and
-    the published fact absent/unchanged.  The stage→validate→promote step
-    uses a local-filesystem rename here; on HDFS the same gate promotes
-    via a FileSystem.rename, and on object stores it composes with a
+    the published fact unchanged (note: the dims HAVE been refreshed by
+    that point — a rejected fact batch leaves new dims paired with the
+    previous fact until the batch is fixed and re-run; SCD1 dims are
+    idempotent so the re-run converges).  Promotion is a near-atomic
+    two-rename swap (live → ``.old``, staging → live, delete ``.old``) so
+    the published path is never absent; on HDFS the same gate promotes
+    via FileSystem.rename, and on object stores it composes with a
     table-format commit instead (sources/table_formats.py) — the gate
     logic (validate the WRITTEN data, publish only clean) is identical.
     """
@@ -142,9 +151,16 @@ def write_star(
         checks = {n: c for n, c in checks.items() if n.startswith("fk_")}
         checks["fact_not_null"] = not_null_violations(written, FACT_NOT_NULL)
         expect_clean(checks)
+        # two-rename swap: published path is never absent mid-promote
         if os.path.isdir(target):
-            shutil.rmtree(target)
-        os.rename(staging, target)
+            old = target + ".old"
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(target, old)
+            os.rename(staging, target)
+            shutil.rmtree(old)
+        else:
+            os.rename(staging, target)
     counts["fact_sales"] = spark.read.parquet(target).count()
     return counts
 

