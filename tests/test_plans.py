@@ -138,3 +138,59 @@ def test_transactions_customer_join_is_size_gated(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning, end to end on the published star: a
+    SEPARATE date-dimension table filtered by a literal predicate, joined
+    to the month-partitioned fact on the partition key, must plan a
+    ``dynamicpruning`` subquery INSIDE the fact scan's PartitionFilters —
+    i.e. the dim filter prunes fact partitions at runtime, before the
+    fact's bytes are read.  This is the 100 TB claim in SCALE.md: a
+    quarter-scoped report touches ~3/84 months of fact files.
+    (Complements tests/test_pipeline.py's static PartitionFilters asserts
+    and its derived-dim DPP smoke with the real shape: literal filter on
+    an at-rest dim relation.)"""
+    from datawarehouse_etl_using_hyperjoin_spark.etl import load_star
+
+    out = str(tmp_path / "dw")
+    load_star(spark, sf_dir, out)
+    fact = spark.read.parquet(f"{out}/fact_sales")
+
+    # an at-rest calendar dim: one row per month with a quarter attribute
+    (
+        fact.select("order_month")
+        .distinct()
+        .withColumn(
+            "quarter",
+            F.concat(
+                F.substring("order_month", 1, 4),
+                F.lit("-Q"),
+                F.ceil(F.substring("order_month", 6, 2).cast("int") / 3).cast("string"),
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/dim_month")
+    )
+    dim_month = spark.read.parquet(f"{out}/dim_month")
+
+    # literal filter on the dim, join on the fact's partition key
+    q1 = dim_month.filter(F.col("quarter") == "1995-Q1")
+    joined = fact.join(q1, "order_month")
+    plan = plan_string(joined)
+
+    # the pruning subquery must sit in the FACT scan's PartitionFilters
+    # (order_month is the fact's partition column; the dim is unpartitioned,
+    # so a PartitionFilters line naming order_month is the fact scan)
+    dpp_lines = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l
+        and "order_month" in l
+        and "dynamicpruning" in l
+    ]
+    assert dpp_lines, f"no dynamicpruning in fact PartitionFilters:\n{plan}"
+
+    # and the pruned plan computes the same answer as a static filter
+    months = [r[0] for r in q1.select("order_month").collect()]
+    assert joined.count() == fact.filter(F.col("order_month").isin(months)).count()
