@@ -202,7 +202,14 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, in
 
 
 def refresh_fact_month(
-    spark: SparkSession, sf_dir: str, out_dir: str, month: str
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    month: str,
+    *,
+    compact: bool = True,
+    target_file_mb: int = 128,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Incremental fact maintenance: rebuild ONE order-month partition.
 
@@ -212,6 +219,15 @@ def refresh_fact_month(
     overwrite touch exactly the partitions present in the written frame,
     leaving every other month's files untouched.  At 100 TB this is the
     difference between rewriting ~0.1% and rewriting everything.
+
+    Per-month refresh is also exactly where small files accumulate (each
+    rewrite lands one file per shuffle partition regardless of bytes), so
+    by default the refreshed month's directory is immediately compacted
+    to ~``target_file_mb`` files (``sources.files.compact_table`` on the
+    leaf partition dir — its staging/old side dirs are hidden names, so
+    concurrent scans of the table root never see them).  ``cluster_by``
+    additionally range-clusters the rewrite (e.g. ``["order_id"]``) so
+    min/max footer stats stay selective on the cluster key.
 
     Returns the row count of the refreshed partition.
     """
@@ -229,4 +245,13 @@ def refresh_fact_month(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if compact:
+        from .sources.files import compact_table
+
+        compact_table(
+            spark,
+            f"{out_dir}/fact_sales/order_month={month}",
+            target_file_mb=target_file_mb,
+            sort_by=cluster_by,
+        )
     return one_month.count()

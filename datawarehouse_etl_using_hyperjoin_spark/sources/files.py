@@ -92,12 +92,17 @@ def compact_table(
     clusters the data so min/max footer stats become selective — the
     poor-man's Z-order for one key family), and replaces the directory
     via a near-atomic two-rename swap: the live dir is renamed aside
-    first (``path + ".old"``), staging is renamed into place, and only
-    then is the old copy deleted — so the published path is never absent
-    and a crash mid-swap leaves the data recoverable at ``.old`` or
-    ``.compacting``.  (Local filesystem here; on HDFS use
-    FileSystem.rename, on object stores a table-format commit — the
-    pack-from-listing sizing logic is the portable part.)
+    first, staging is renamed into place, and only then is the old copy
+    deleted — so the published path is never absent and a crash mid-swap
+    leaves the data recoverable in the dot-prefixed side dirs.  Both side
+    dirs (``.<name>.compacting``, ``.<name>.old``) are HIDDEN names —
+    dot-prefixed basenames are excluded by Spark/Hadoop path filters — so
+    ``path`` may be a LEAF PARTITION directory inside a partitioned
+    table (``.../order_month=1995-03``) and concurrent scans of the table
+    root never see staging or old data as extra partitions.  (Local
+    filesystem here; on HDFS use FileSystem.rename, on object stores a
+    table-format commit — the pack-from-listing sizing logic is the
+    portable part.)
 
     Returns {"files_before", "files_after", "rows"} so callers can assert
     the compaction actually compacted.  Partitioned layouts pass
@@ -131,21 +136,22 @@ def compact_table(
         packed = df.repartitionByRange(n_out, *[F.col(c) for c in sort_by]).sortWithinPartitions(*sort_by)
     else:
         packed = df.repartition(n_out)
-    staging = path.rstrip("/") + ".compacting"
+    live = path.rstrip("/").removeprefix("file:")
+    parent, base = os.path.split(live)
+    staging = os.path.join(parent, f".{base}.compacting")
+    old = os.path.join(parent, f".{base}.old")
     writer = packed.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
     rows = spark.read.parquet(staging).count()
-    live = path.removeprefix("file:")
     # two-rename swap: move the live dir aside, promote staging, then
     # delete the old copy — the published path is never absent, and a
-    # crash between steps leaves data at `.old` and/or `.compacting`
-    old = live.rstrip("/") + ".old"
+    # crash between steps leaves data in the hidden side dirs
     if os.path.isdir(old):
         shutil.rmtree(old)
     os.rename(live, old)
-    os.rename(staging.removeprefix("file:"), live)
+    os.rename(staging, live)
     shutil.rmtree(old)
     n_after = len(spark.read.parquet(path).inputFiles())
     return {"files_before": n_before, "files_after": n_after, "rows": rows}

@@ -155,3 +155,66 @@ def test_load_star_validate_gate(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="pk_dim_store"):
         write_star(spark, bad_dims, fact, out_dup, validate=True)
     assert not os.path.isdir(f"{out_dup}/fact_sales")
+
+
+def test_refresh_fact_month_compacts_refreshed_partition(spark, sf_dir, tmp_path):
+    """Per-month refresh is where small files accumulate (one file per
+    shuffle partition per rewrite), so refresh_fact_month compacts the
+    refreshed month's leaf dir by default: post-refresh file count hits
+    the byte-sized target (1 file at test scale), values are unchanged,
+    and the compaction side dirs are hidden names a table-root scan never
+    sees as extra partitions."""
+    import glob
+    import os
+
+    from datawarehouse_etl_using_hyperjoin_spark.etl import (
+        load_star,
+        refresh_fact_month,
+    )
+
+    out = str(tmp_path / "dw")
+    load_star(spark, sf_dir, out)
+    fact_dir = f"{out}/fact_sales"
+    months = sorted(
+        os.path.basename(p).split("=")[1]
+        for p in glob.glob(f"{fact_dir}/order_month=*")
+    )
+    target = months[2]
+    before = (
+        spark.read.parquet(fact_dir)
+        .groupBy("order_month")
+        .count()
+        .orderBy("order_month")
+        .collect()
+    )
+
+    # simulate weeks of accumulated micro-refreshes: fragment the month's
+    # leaf dir into 8 small files (at sf0.001 a single refresh writes one
+    # file — broadcast joins over one input split — so fragmentation is
+    # staged directly; at scale every rewrite lands one file per shuffle
+    # partition and this state arises on its own)
+    leaf = f"{fact_dir}/order_month={target}"
+    frag = spark.read.parquet(leaf).repartition(8).cache()
+    frag.count()
+    frag.write.mode("overwrite").parquet(leaf)
+    frag.unpersist()
+    assert len(glob.glob(f"{leaf}/*.parquet")) == 8
+
+    # compacted refresh (default): byte-sized target → 1 file at sf0.001,
+    # range-clustered on the order key
+    n = refresh_fact_month(spark, sf_dir, out, target, cluster_by=["order_id"])
+    assert n > 0
+    files_compacted = glob.glob(f"{fact_dir}/order_month={target}/*.parquet")
+    assert len(files_compacted) == 1
+    # no staging/old residue, and nothing visible to partition discovery
+    assert not glob.glob(f"{fact_dir}/order_month={target}.*")
+    assert not glob.glob(f"{fact_dir}/.order_month={target}*")
+    # values unchanged across both refreshes
+    after = (
+        spark.read.parquet(fact_dir)
+        .groupBy("order_month")
+        .count()
+        .orderBy("order_month")
+        .collect()
+    )
+    assert after == before
