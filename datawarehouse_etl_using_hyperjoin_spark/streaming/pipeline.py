@@ -306,6 +306,39 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+def make_star_sink(out_dir: str):
+    """The ``foreachBatch`` body of :func:`run_pipeline_streaming` as a
+    standalone factory: per micro-batch, keyed SCD1 upsert of the product
+    dim + idempotent per-batch fact append under ``out_dir``.
+
+    Exposed separately so restart-recovery tests can wrap the EXACT
+    production sink with crash injection (a raise after the writes but
+    before the checkpoint commit is precisely the replay window the
+    idempotency claims cover) instead of testing a lookalike.
+    """
+    from ..operators.upsert import upsert_parquet_sink
+
+    dim_sink = upsert_parquet_sink(f"{out_dir}/dim_product", "product_id")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            dim_updates = batch_df.select(
+                "product_id", "product_name", "product_price"
+            ).dropDuplicates(["product_id"])
+            dim_sink(dim_updates, batch_id)
+            batch_df.select(
+                "order_id", "line_number", "product_id", "quantity",
+                "product_price_num", "total_sale",
+            ).write.mode("overwrite").parquet(
+                f"{out_dir}/fact_enriched/batch_id={batch_id}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return sink
+
+
 def run_pipeline_streaming(
     spark: SparkSession,
     txn_stream: DataFrame,
@@ -331,28 +364,10 @@ def run_pipeline_streaming(
     see one ``fact_enriched`` relation with ``batch_id`` as a partition
     column.  Drains synchronously; returns row counts.
     """
-    from ..operators.upsert import upsert_parquet_sink
-
     enriched = stream_static_hyperjoin(txn_stream, master)
-    dim_sink = upsert_parquet_sink(f"{out_dir}/dim_product", "product_id")
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
-        try:
-            dim_updates = batch_df.select(
-                "product_id", "product_name", "product_price"
-            ).dropDuplicates(["product_id"])
-            dim_sink(dim_updates, batch_id)
-            batch_df.select(
-                "order_id", "line_number", "product_id", "quantity",
-                "product_price_num", "total_sale",
-            ).write.mode("overwrite").parquet(
-                f"{out_dir}/fact_enriched/batch_id={batch_id}"
-            )
-        finally:
-            batch_df.unpersist()
-
-    writer = enriched.writeStream.outputMode("append").foreachBatch(sink)
+    writer = enriched.writeStream.outputMode("append").foreachBatch(
+        make_star_sink(out_dir)
+    )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()

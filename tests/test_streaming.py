@@ -520,3 +520,81 @@ def test_streaming_dedup_on_rocksdb_state_store(spark, events_stream_dir):
         assert any("rocksdb" in k.lower() for k in mem), sorted(mem)[:5]
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_foreach_batch_upsert_recovers_from_mid_run_crash(
+    spark, sf_dir, txn_stream_dir, tmp_path_factory
+):
+    """ST6 exactly-once, tested by replay instead of argued by reasoning:
+    the production star sink crashes AFTER a micro-batch's dim+fact writes
+    but BEFORE the checkpoint commit (the at-least-once replay window);
+    a restart from the same checkpoint replays that batch, and the final
+    dim/fact state is row-identical to an uninterrupted run."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        make_star_sink,
+        run_pipeline_streaming,
+    )
+
+    master = master_data(spark, sf_dir)
+
+    # reference run: uninterrupted drain
+    ref_out = str(tmp_path_factory.mktemp("dw_ref"))
+    run_pipeline_streaming(
+        spark,
+        read_parquet_stream(spark, txn_stream_dir, max_files_per_trigger=1),
+        master,
+        ref_out,
+        checkpoint_dir=ref_out + "/_ckpt",
+    )
+
+    # crash run: same sink, with one injected failure after batch 1's
+    # writes land but before its checkpoint commit
+    out = str(tmp_path_factory.mktemp("dw_crash"))
+    ckpt = out + "/_ckpt"
+    sink = make_star_sink(out)
+    crashed = {"done": False}
+
+    def crashing_sink(batch_df, batch_id):
+        sink(batch_df, batch_id)
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash: writes done, commit pending")
+
+    stream = read_parquet_stream(spark, txn_stream_dir, max_files_per_trigger=1)
+    enriched = stream_static_hyperjoin(stream, master)
+    q = (
+        enriched.writeStream.outputMode("append")
+        .foreachBatch(crashing_sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.processAllAvailable()
+    q.stop()
+    assert crashed["done"]
+    # batch 1's data IS on disk (written, uncommitted) — the replay hazard
+    assert spark.read.parquet(f"{out}/fact_enriched").count() > 0
+
+    # restart from the same checkpoint: batch 1 replays, rest drains
+    q2 = (
+        stream_static_hyperjoin(
+            read_parquet_stream(spark, txn_stream_dir, max_files_per_trigger=1),
+            master,
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    # final state == uninterrupted run, row for row
+    for table in ("dim_product", "fact_enriched"):
+        got = spark.read.parquet(f"{out}/{table}")
+        want = spark.read.parquet(f"{ref_out}/{table}")
+        assert got.count() == want.count(), table
+        assert got.exceptAll(want).count() == 0, table
+        assert want.exceptAll(got).count() == 0, table
