@@ -1,12 +1,25 @@
-"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS].
+"""Benchmark harness: the FULL declared-query roster at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
 "queries": {name: sec}, "sf": <sf>}.
 
-Each query is materialized with the noop writer (full execution, nothing
-collected to the driver) — the number measures the engine, not the
-driver-side pickle path.
+Roster (r5): every query in the registry — 50 of 50.  r1–r4 timed a
+20-query headline slice, which left 30 queries (rollup, pivot, window
+rank, JSON, the dim/upsert family, 2 of 3 streaming queries ...) invisible
+to the per-round artifact; a regression there could not be seen.  Batch
+queries are materialized with the noop writer (full execution, nothing
+collected to the driver).
+
+Streaming queries (r5): drained through the no-op STREAMING sink
+(run_to_noop) instead of the declared queries' memory sink — the memory
+sink collects every micro-batch's rows into driver memory, so timing it
+measured the test harness as much as the engine.  The declared queries
+keep the memory sink (the oracle needs the rows back); the bench times
+the identical unsunk plan (queries/streamingq.stream_*_df) through noop.
+An extra "stream_attribution" field times q_stream_hyperjoin at 1× and 2×
+input (same per-batch size, double the batch count): per-batch marginal
+cost = wall(2×) − wall(1×), fixed machinery = 2·wall(1×) − wall(2×).
 
 Measurement protocol (r4): one warm pass over the whole roster (codegen,
 file-listing, stream-fixture writes — per-query JVM one-offs, not engine
@@ -20,6 +33,8 @@ that is exactly the BENCH_r03 q_minhash_pairs anomaly (official 8.98 s vs
 1.6–1.8 s on every controlled re-run of the identical code and config).
 With interleaving, a spike of any duration shorter than a full suite pass
 hits each query in at most one pass, and the per-query median discards it.
+The per-query "spread" field (max−min of the three passes) makes a
+poisoned pass visible in the artifact itself.
 """
 
 from __future__ import annotations
@@ -34,36 +49,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datawarehouse_etl_using_hyperjoin_spark.queries import load_registry
 from datawarehouse_etl_using_hyperjoin_spark.session import get_spark
 
-# Representative slice of SURVEY.md §2 + north-star ops: the ETL core
-# (scan→cleanse→join→fact), the analytics layer (incl. sketch-backed
-# q_stats, rollup/grouping-sets, range join), the pipeline ops, and one
-# drained real micro-batched stream.
-HEADLINE = [
-    "q_fact_assembly",
-    "q_hyperjoin",
-    "q_agg_multi",
-    "q_agg_sales_by_key",
-    "q_window_running",
-    "q_tumbling_window",
-    "q_sessionize",
-    "q_dedup_exact",
-    "q_minhash_pairs",
-    "q_simhash",
-    "q_ngram_jaccard",
-    "q_text_metrics",
-    "q_ann_topk",
-    "q_ann_multiprobe",
-    "q_sql_api",
-    "q_asof_join",
-    # r4 roster additions (BENCH_NOTES.md: compare r3→r4 like-for-like on
-    # the 16 queries above; suite totals are not comparable across the
-    # roster change).
-    "q_stats",
-    "q_range_join",
-    "q_grouping_sets",
-    "q_stream_hyperjoin",
-]
-
 N_PASSES = 3
 
 
@@ -71,7 +56,25 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _stream_benches():
+    """name → (plan_builder, output_mode): the streaming queries' unsunk
+    plans, drained through the no-op streaming sink for timing."""
+    from datawarehouse_etl_using_hyperjoin_spark.queries.streamingq import (
+        stream_hyperjoin_df,
+        stream_stream_join_df,
+        stream_tumbling_df,
+    )
+
+    return {
+        "q_stream_hyperjoin": (stream_hyperjoin_df, "append"),
+        "q_stream_stream_join": (stream_stream_join_df, "append"),
+        "q_stream_tumbling": (stream_tumbling_df, "complete"),
+    }
+
+
 def main() -> None:
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import run_to_noop
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -81,20 +84,28 @@ def main() -> None:
         sf_val = sf
 
     registry = load_registry()
+    streaming = _stream_benches()
+    roster = sorted(registry)
     spark = get_spark("hyperjoin-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    def run_once(name: str) -> None:
+        if name in streaming:
+            builder, mode = streaming[name]
+            run_to_noop(builder(spark, sf_dir), output_mode=mode)
+        else:
+            materialize(registry[name].fn(spark, sf_dir))
+
     # Warm pass: session/codegen/file-listing/stream-fixture one-offs.
-    materialize(registry["q_scan_transactions"].fn(spark, sf_dir))
-    for name in HEADLINE:
-        materialize(registry[name].fn(spark, sf_dir))
+    for name in roster:
+        run_once(name)
 
     # Interleaved timed passes (see module docstring).
-    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    runs: dict[str, list[float]] = {name: [] for name in roster}
     for _ in range(N_PASSES):
-        for name in HEADLINE:
+        for name in roster:
             t0 = time.time()
-            materialize(registry[name].fn(spark, sf_dir))
+            run_once(name)
             runs[name].append(time.time() - t0)
     timings = {
         name: round(sorted(times)[len(times) // 2], 3)
@@ -102,19 +113,43 @@ def main() -> None:
     }
     total = round(sum(timings.values()), 3)
 
+    # Fixed-vs-marginal attribution for the flagship stream (see docstring).
+    hj, _mode = streaming["q_stream_hyperjoin"]
+
+    def stream_wall(mult: int) -> float:
+        walls = []
+        for _ in range(N_PASSES):
+            t0 = time.time()
+            run_to_noop(hj(spark, sf_dir, mult=mult))
+            walls.append(time.time() - t0)
+        return sorted(walls)[len(walls) // 2]
+
+    run_to_noop(hj(spark, sf_dir, mult=2))  # warm the 2x fixture dir
+    w1, w2 = stream_wall(1), stream_wall(2)
+    attribution = {
+        "wall_1x_sec": round(w1, 3),
+        "wall_2x_sec": round(w2, 3),
+        "per_input_marginal_sec": round(w2 - w1, 3),
+        "fixed_machinery_sec": round(2 * w1 - w2, 3),
+    }
+
     print(
         json.dumps(
             {
-                "metric": "headline_suite_wall",
+                "metric": "full_roster_suite_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
-                "protocol": "interleaved median-of-3 (warm pass excluded)",
+                "protocol": (
+                    "interleaved median-of-3 (warm pass excluded); "
+                    "full 50-query roster; streaming via noop sink"
+                ),
                 "spread": {
                     name: round(max(times) - min(times), 3)
                     for name, times in runs.items()
                 },
+                "stream_attribution": attribution,
             }
         )
     )

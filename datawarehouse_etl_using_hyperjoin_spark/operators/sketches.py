@@ -254,6 +254,13 @@ def exact_group_quantiles(
     shifts each chunk by everything before it.  Counts are integers, so
     both strategies produce identical ranks and identical results; the
     boundaries only balance work, never affect values.
+
+    Measured crossover (tools/scale_probe.py, SCALE.md r5): on a 32-core
+    host the strategies break even around ~3 M distinct values per group;
+    below that the chunked form's boundary-sampling pass and extra
+    shuffle volume lose, above it the default's one-core-per-group sort
+    ceiling dominates.  Rule of thumb: ``chunks=N`` when per-group
+    distributions exceed a few million values.
     """
     vals = df.filter(F.col(value_col).isNotNull()).select(*group_cols, value_col)
     dist = vals.groupBy(*group_cols, value_col).agg(F.count("*").alias("__c"))

@@ -49,6 +49,62 @@ def _as_stream_dir(df: DataFrame, prefix: str, n_files: int, cache_key: str = ""
     return path
 
 
+def stream_hyperjoin_df(spark: SparkSession, sf_dir: str, mult: int = 1) -> DataFrame:
+    """The q_stream_hyperjoin STREAMING plan, unsunk — shared between the
+    declared query (memory sink, returns rows for the oracle) and the
+    bench (no-op sink, measures the engine not the driver collect).
+
+    ``mult`` replays the transaction feed ``mult`` times (ids offset so
+    rows stay distinct) as ``4 × mult`` files at the same
+    maxFilesPerTrigger — double the input, double the micro-batches, same
+    per-batch size.  Benching mult=1 vs mult=2 separates fixed streaming
+    machinery (trigger scheduling, offset log) from per-batch cost."""
+    txn = transactions(spark, sf_dir)
+    if mult > 1:
+        parts = [txn] + [
+            txn.withColumn("order_id", F.col("order_id") + F.lit(i * 100_000_000))
+            for i in range(1, mult)
+        ]
+        base = parts[0]
+        for p in parts[1:]:
+            base = base.unionByName(p)
+        txn = base
+    path = _as_stream_dir(
+        txn, f"stream_txn_x{mult}_", 4 * mult, cache_key=f"{sf_dir}|x{mult}"
+    )
+    stream = read_parquet_stream(spark, path, max_files_per_trigger=2)
+    return stream_static_hyperjoin(stream, master_data(spark, sf_dir)).select(
+        "order_id",
+        "line_number",
+        "product_id",
+        "product_name",
+        "supplier_name",
+        "store_name",
+        "quantity",
+        "product_price_num",
+        "total_sale",
+    )
+
+
+def stream_stream_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_stream_stream_join streaming plan, unsunk (see
+    :func:`stream_hyperjoin_df` for why)."""
+    opath = _as_stream_dir(load_table(spark, sf_dir, "orders"), "stream_ord_", 2, cache_key=sf_dir)
+    lpath = _as_stream_dir(load_table(spark, sf_dir, "lineitem"), "stream_li_", 2, cache_key=sf_dir)
+    return orders_lineitem_stream_join(
+        read_parquet_stream(spark, opath, max_files_per_trigger=10),
+        read_parquet_stream(spark, lpath, max_files_per_trigger=10),
+    )
+
+
+def stream_tumbling_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_stream_tumbling streaming plan, unsunk (complete-mode sink)."""
+    ev = with_event_time(load_table(spark, sf_dir, "events"))
+    path = _as_stream_dir(ev, "stream_ev_", 3, cache_key=sf_dir)
+    stream = read_parquet_stream(spark, path, max_files_per_trigger=3)
+    return windowed_event_counts(stream)
+
+
 @query(
     "q_stream_hyperjoin",
     oracle=f"""{CTE_TXN_MASTER}
@@ -69,19 +125,7 @@ def q_stream_hyperjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     An inner stream–static join emits exactly the relational join and the
     master side has one row per product, so the fully-drained run is
     value-oracled (same projection as batch q_hyperjoin, pre-limit)."""
-    path = _as_stream_dir(transactions(spark, sf_dir), "stream_txn_", 4, cache_key=sf_dir)
-    stream = read_parquet_stream(spark, path, max_files_per_trigger=2)
-    joined = stream_static_hyperjoin(stream, master_data(spark, sf_dir)).select(
-        "order_id",
-        "line_number",
-        "product_id",
-        "product_name",
-        "supplier_name",
-        "store_name",
-        "quantity",
-        "product_price_num",
-        "total_sale",
-    )
+    joined = stream_hyperjoin_df(spark, sf_dir)
     name = f"q_stream_hj_{uuid.uuid4().hex[:8]}"
     run_to_memory(joined, name).stop()
     return spark.table(name)
@@ -106,12 +150,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark only bounds STATE — and each side drains in one
     micro-batch here, so the full run is value-oracled against the batch
     join, not rows-only."""
-    opath = _as_stream_dir(load_table(spark, sf_dir, "orders"), "stream_ord_", 2, cache_key=sf_dir)
-    lpath = _as_stream_dir(load_table(spark, sf_dir, "lineitem"), "stream_li_", 2, cache_key=sf_dir)
-    joined = orders_lineitem_stream_join(
-        read_parquet_stream(spark, opath, max_files_per_trigger=10),
-        read_parquet_stream(spark, lpath, max_files_per_trigger=10),
-    )
+    joined = stream_stream_join_df(spark, sf_dir)
     name = f"q_stream_ss_{uuid.uuid4().hex[:8]}"
     run_to_memory(joined, name).stop()
     # watermarking required TIMESTAMP; restore the fixtures' ntz for a
@@ -146,10 +185,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour bucket and the sum is decimal-exact — so it carries the same
     value oracle as batch q_tumbling_window (plus window_end), not just a
     rows-only check."""
-    ev = with_event_time(load_table(spark, sf_dir, "events"))
-    path = _as_stream_dir(ev, "stream_ev_", 3, cache_key=sf_dir)
-    stream = read_parquet_stream(spark, path, max_files_per_trigger=3)
-    agg = windowed_event_counts(stream)
+    agg = stream_tumbling_df(spark, sf_dir)
     name = f"q_stream_win_{uuid.uuid4().hex[:8]}"
     run_to_memory(agg, name, output_mode="complete").stop()
     # watermarking required TIMESTAMP; restore ntz for a session-timezone-

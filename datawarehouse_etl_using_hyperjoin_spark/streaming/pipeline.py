@@ -306,6 +306,28 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+def run_to_noop(df: DataFrame, output_mode: str = "append") -> dict[str, float]:
+    """Benchmark sink: drain all available input synchronously through the
+    no-op sink — FULL executor-side execution of every micro-batch, nothing
+    collected to the driver.  The memory sink (:func:`run_to_memory`)
+    collects every batch's rows into driver memory, so timing it measures the
+    test harness as much as the engine; this is the drain the bench uses.
+
+    Returns summed engine-reported micro-batch metrics from the progress
+    events: {"n_batches", "input_rows", "batch_duration_ms_sum"} — the
+    per-batch durations let fixed trigger overhead be separated from
+    per-row throughput."""
+    q = df.writeStream.outputMode(output_mode).format("noop").start()
+    q.processAllAvailable()
+    n, rows, dur = 0, 0, 0
+    for prog in q.recentProgress:
+        n += 1
+        rows += prog.get("numInputRows") or 0
+        dur += (prog.get("durationMs") or {}).get("triggerExecution") or 0
+    q.stop()
+    return {"n_batches": n, "input_rows": rows, "batch_duration_ms_sum": dur}
+
+
 def make_star_sink(out_dir: str):
     """The ``foreachBatch`` body of :func:`run_pipeline_streaming` as a
     standalone factory: per micro-batch, keyed SCD1 upsert of the product

@@ -311,3 +311,54 @@ def test_persisted_lsh_index_append_batches(spark, sf_dir):
         assert "Bucketed: true" in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_idx_app")
+
+
+def test_incremental_lsh_full_plan_index_side_exchange_free(spark, sf_dir):
+    """The COMPLETE lsh_incremental_pairs plan over the persisted bucketed
+    index: the index side must contribute ZERO exchanges (its groupBy
+    clusters off the bucketed scan), proven structurally — the same plan
+    with the identical band table stored as plain parquet carries strictly
+    more Exchange nodes, and the bucketed plan's exchange count equals the
+    plain plan's minus the index-side aggregation exchange(s)."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        read_lsh_index,
+        write_lsh_index,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import plan_string
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    index_bands = lsh_bands_from_array(
+        minhash_array(docs, "doc_id", "text"), "doc_id"
+    )
+    new = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 2, F.size(w) - 1)).alias("text"),
+    )
+    new_bands = lsh_bands_from_array(
+        minhash_array(new, "doc_id", "text"), "doc_id"
+    ).persist()
+    new_bands.count()
+
+    import tempfile
+
+    plain_path = tempfile.mkdtemp(prefix="lsh_plain_") + "/bands"
+    try:
+        write_lsh_index(index_bands, "lsh_idx_plan", n_buckets=8)
+        idx = read_lsh_index(spark, "lsh_idx_plan")
+        idx.write.mode("overwrite").parquet(plain_path)
+        plain = spark.read.parquet(plain_path)
+
+        bucketed_plan = plan_string(
+            lsh_incremental_pairs(new_bands, idx, "doc_id"), "simple"
+        )
+        plain_plan = plan_string(
+            lsh_incremental_pairs(new_bands, plain, "doc_id"), "simple"
+        )
+        assert "Bucketed: true" in bucketed_plan
+        n_bucketed = bucketed_plan.count("Exchange")
+        n_plain = plain_plan.count("Exchange")
+        assert n_bucketed < n_plain, (bucketed_plan, plain_plan)
+    finally:
+        new_bands.unpersist()
+        spark.sql("DROP TABLE IF EXISTS lsh_idx_plan")

@@ -59,6 +59,123 @@ def synth_documents(spark, n_docs: int, path: str, n_words: int = 80) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
+def shuffle_write_bytes(spark) -> int:
+    """Cumulative shuffle-write bytes across all completed stages, from the
+    driver's AppStatusStore (works with spark.ui.enabled=false — the store
+    backs the UI, it doesn't require it).  Take a delta around a run to
+    attribute shuffle volume to it."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    store = spark.sparkContext._jsc.sc().statusStore()
+    stages = store.stageList(
+        jvm.java.util.ArrayList(),
+        False,
+        False,
+        gw.new_array(gw.jvm.double, 0),
+        jvm.java.util.ArrayList(),
+    )
+    return sum(stages.apply(i).shuffleWriteBytes() for i in range(stages.size()))
+
+
+def run_metered(spark, df) -> dict[str, float]:
+    """Warm once, then time a materialization and attribute its shuffle
+    volume: {wall_sec, shuffle_mb}."""
+    df.write.mode("overwrite").format("noop").save()
+    b0 = shuffle_write_bytes(spark)
+    t0 = time.time()
+    df.write.mode("overwrite").format("noop").save()
+    return {
+        "wall_sec": round(time.time() - t0, 2),
+        "shuffle_mb": round((shuffle_write_bytes(spark) - b0) / (1 << 20), 1),
+    }
+
+
+def synth_intervals(spark, n_intervals: int, lo_max: float = 1e6, width_max: float = 500.0):
+    """Deterministic half-open intervals [lo, hi) — overlapping, edge-heavy
+    (every 7th hi lands exactly on a bucket edge, the boundary case the
+    integer-exact bucket arithmetic exists for)."""
+    base = spark.range(n_intervals).select(
+        F.col("id").alias("interval_id"),
+        (F.pmod(F.xxhash64("id"), int(lo_max * 100)) / 100).alias("lo"),
+    )
+    return base.withColumn(
+        "hi",
+        F.when(
+            F.pmod(F.col("interval_id"), 7) == 0,
+            ((F.floor(F.col("lo") / 100) + 1) * 100).cast("double"),
+        ).otherwise(
+            F.col("lo")
+            + F.pmod(F.xxhash64(F.col("interval_id") + 3), int(width_max * 100)) / 100
+            + 0.01
+        ),
+    )
+
+
+def measure_range_join(spark, facts, n_intervals: int = 2000) -> dict[str, float]:
+    """The bucketized range join (operators/rangejoin.py) joining fact
+    values into overlapping intervals: O(N + M·spread) equi-join work, one
+    probe-side shuffle at most — vs the nested-loop theta join stock Spark
+    would plan."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.rangejoin import (
+        range_join_bucketed,
+    )
+
+    ivals = synth_intervals(spark, n_intervals)
+    joined = range_join_bucketed(
+        facts.select(F.col("l_extendedprice").alias("v")),
+        ivals,
+        value="v",
+        lo="lo",
+        hi="hi",
+        bucket_width=100.0,
+    ).groupBy("interval_id").agg(F.count("*").alias("n"))
+    return run_metered(spark, joined)
+
+
+def measure_incremental_lsh(
+    spark, docs, batch_frac: float = 0.02
+) -> dict[str, dict[str, float]]:
+    """The incremental-dedup claim, measured: dedup a small new batch
+    against the persisted bucketed index (lsh_incremental_pairs) vs
+    re-running full-corpus candidate generation over corpus+batch.  At
+    100 TB the full path is off the table entirely; the probe shows the
+    incremental path's cost tracks the BATCH size (wall and shuffle bytes)
+    while the full path tracks the CORPUS."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        lsh_bands_from_array,
+        lsh_candidate_pairs,
+        lsh_incremental_pairs,
+        minhash_array,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    n = docs.count()
+    batch = docs.filter(F.col("doc_id") < int(n * batch_frac)).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    index_bands = lsh_bands_from_array(minhash_array(docs, "doc_id", "text"), "doc_id")
+    write_lsh_index(index_bands, "scale_probe_lsh_idx", n_buckets=32)
+    try:
+        idx = read_lsh_index(spark, "scale_probe_lsh_idx")
+        new_bands = lsh_bands_from_array(
+            minhash_array(batch, "doc_id", "text"), "doc_id"
+        )
+        incremental = lsh_incremental_pairs(new_bands, idx, "doc_id")
+        full = lsh_candidate_pairs(
+            lsh_bands_from_array(
+                minhash_array(docs.unionByName(batch), "doc_id", "text"), "doc_id"
+            ),
+            "doc_id",
+        )
+        return {
+            "incremental_batch_vs_index": run_metered(spark, incremental),
+            "full_recompute": run_metered(spark, full),
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS scale_probe_lsh_idx")
+
+
 def measure_dedup(spark, docs) -> float:
     """Wall for the linear dedup stages: MinHash signatures → band table →
     bucket-grouped candidate pairs (the north-star corpus-thinning path)."""
@@ -276,6 +393,40 @@ def main() -> None:
             "throughput_ratio_big_vs_small": round(rb / rs, 2),
         }
     report["stream_join_state_vs_watermark_delay"] = stream_state
+
+    # r5 metered probes: wall + attributed shuffle bytes (run_metered)
+    report["metered"] = {
+        "range_join_2k_intervals": {
+            "small": measure_range_join(spark, small),
+            "big": measure_range_join(spark, big),
+        },
+        "incremental_lsh": {
+            "small_corpus": measure_incremental_lsh(spark, docs_small),
+            "big_corpus": measure_incremental_lsh(spark, docs_big),
+        },
+    }
+    # exact-quantiles strategy crossover: 3 groups → per-group distributions
+    # of n/3 rows; the default windowed strategy serializes each group's
+    # cumulative walk on one core, the chunked prefix sum distributes it
+    from datawarehouse_etl_using_hyperjoin_spark.operators.sketches import (
+        exact_group_quantiles,
+    )
+
+    quant_rows = {}
+    for label, df in (("600k", small), (f"{n_rows // 1_000_000}M", big)):
+        quant_rows[label] = {
+            "default": run_metered(
+                spark,
+                exact_group_quantiles(df, ["l_returnflag"], "l_extendedprice", [0.5, 0.9]),
+            ),
+            "chunked_32": run_metered(
+                spark,
+                exact_group_quantiles(
+                    df, ["l_returnflag"], "l_extendedprice", [0.5, 0.9], chunks=32
+                ),
+            ),
+        }
+    report["metered"]["exact_group_quantiles_strategies"] = quant_rows
     print(json.dumps(report, indent=2))
 
 
