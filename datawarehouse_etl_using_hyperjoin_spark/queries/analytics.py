@@ -240,6 +240,39 @@ _DD_ALPHA = 0.01
 _DD_G = (1.0 + _DD_ALPHA) / (1.0 - _DD_ALPHA)
 _DD_LN_G = math.log(_DD_G)
 
+# Higher-moment / correlation finals, shared VERBATIM between the Spark
+# select (F.expr) and the DuckDB oracle so both engines build the identical
+# double-arithmetic tree over the identical exact-decimal sums.  Written
+# with *, /, sqrt only — no pow(), whose libm implementation may differ in
+# the last ulp between the JVM (fdlibm-specified) and DuckDB's platform
+# libm — and rounded to 9 dp on BOTH sides because C++ compilers may fuse
+# `a*b − c*d` patterns into FMAs (one rounding instead of two) while the
+# JVM never contracts: observed as a 1-ulp corr divergence at sf0.001.
+# 9 dp keeps far more precision than the estimators' statistical meaning
+# carries (same convention as the DDSketch bucket rounding above).
+# This is also why the engine offers these instead of Spark's built-in
+# skewness/kurtosis: those stream float moments in partition order, so
+# their results change run to run with partitioning; power sums are
+# decimal-exact and partition-invariant — at 1000 executors the same
+# query gives the same answer every run.
+_CORR_QP = (
+    "round((n * sum_qp - sum_x * sum_p)"
+    " / sqrt((n * sum_x2 - sum_x * sum_x) * (n * sum_p2 - sum_p * sum_p)), 9)"
+)
+_SKEW_Q = (
+    "round((sum_x3 / n - 3 * (sum_x / n) * (sum_x2 / n)"
+    " + 2 * (sum_x / n) * (sum_x / n) * (sum_x / n))"
+    " / ((sum_x2 / n - (sum_x / n) * (sum_x / n))"
+    "    * sqrt(sum_x2 / n - (sum_x / n) * (sum_x / n))), 9)"
+)
+_KURT_Q = (
+    "round((sum_x4 / n - 4 * (sum_x / n) * (sum_x3 / n)"
+    " + 6 * (sum_x / n) * (sum_x / n) * (sum_x2 / n)"
+    " - 3 * (sum_x / n) * (sum_x / n) * (sum_x / n) * (sum_x / n))"
+    " / ((sum_x2 / n - (sum_x / n) * (sum_x / n))"
+    "    * (sum_x2 / n - (sum_x / n) * (sum_x / n))) - 3, 9)"
+)
+
 
 @query(
     "q_stats",
@@ -274,16 +307,24 @@ dd AS (
          round(MIN(CASE WHEN cum >= floor(0.9 * (total - 1)) + 1 THEN est END), 6) AS dd_p90
   FROM e GROUP BY l_returnflag
 )
-SELECT l_returnflag, n, sum_x, sum_x2,
+SELECT l_returnflag, n, sum_x, sum_x2, sum_x3, sum_x4,
        (sum_x2 - sum_x * sum_x / n) / (n - 1)       AS var_samp,
        sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)) AS stddev_samp,
        sum_x / n                                    AS mean,
+       {_CORR_QP} AS corr_qty_price,
+       {_SKEW_Q} AS skew_qty,
+       {_KURT_Q} AS kurt_qty,
        p50, p90, med, dd_p50, dd_p90
 FROM (
   SELECT l_returnflag,
          count(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
          CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_x2,
+         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sum_x3,
+         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sum_x4,
+         CAST(SUM(CAST(round(l_quantity * l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_qp,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+         CAST(SUM(CAST(round(l_extendedprice * l_extendedprice, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_p2,
          quantile_cont(l_extendedprice, 0.5) AS p50,
          quantile_cont(l_extendedprice, 0.9) AS p90,
          median(l_extendedprice)             AS med
@@ -291,20 +332,34 @@ FROM (
 ) JOIN dd USING (l_returnflag)""",
 )
 def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moment statistics (variance/stddev/mean from exact decimal power
-    sums — bit-identical across engines, unlike streaming Welford
-    accumulators) plus exact percentiles/median per group (the DW reporting
-    surface), plus the at-scale form: DDSketch-style mergeable quantile
-    estimates (``dd_p50``/``dd_p90`` from ``operators/sketches.py`` —
+    """Moment statistics (variance/stddev/mean, and r5: skewness, excess
+    kurtosis, quantity–price correlation — all from exact decimal power
+    sums up to x⁴, so bit-identical across engines AND across partitionings,
+    unlike streaming Welford accumulators or Spark's built-in
+    skewness/kurtosis/corr) plus exact percentiles/median per group (the DW
+    reporting surface), plus the at-scale form: DDSketch-style mergeable
+    quantile estimates (``dd_p50``/``dd_p90`` from ``operators/sketches.py`` —
     relational log-γ bucket counts, merge = groupBy-sum) value-matched
     against the same bucket math reproduced in the DuckDB oracle.  The
     exact and sketched percentiles sit side by side, so the oracle also
     implicitly certifies the α = 1% relative-error contract."""
     li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
     base = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         _dec_sum("l_quantity", 2).alias("sum_x"),
-        _dec_sum(F.col("l_quantity") * F.col("l_quantity"), 4).alias("sum_x2"),
+        _dec_sum(q * q, 4).alias("sum_x2"),
+        # quantity is integral ≤50, so q³/q⁴ are exact in double and the
+        # scale-0 decimal cast is lossless — higher moments stay exact
+        _dec_sum(q * q * q, 0).alias("sum_x3"),
+        _dec_sum(q * q * q * q, 0).alias("sum_x4"),
+        # cross/price sums for correlation: products rounded back to their
+        # true decimal scale before the exact-decimal cast (the
+        # q_agg_sales_by_key convention — both engines round the identical
+        # double the same way)
+        F.sum(F.round(q * p, 2).cast("decimal(18,2)")).cast("double").alias("sum_qp"),
+        _dec_sum("l_extendedprice", 2).alias("sum_p"),
+        F.sum(F.round(p * p, 4).cast("decimal(18,4)")).cast("double").alias("sum_p2"),
     )
     # exact percentiles from the compressed distribution, not Spark's
     # map-per-buffer percentile aggregate (8.1 s → ~1 s at sf0.1; see
@@ -332,9 +387,14 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_x",
         "sum_x2",
+        "sum_x3",
+        "sum_x4",
         var.alias("var_samp"),
         F.sqrt(var).alias("stddev_samp"),
         (F.col("sum_x") / F.col("n")).alias("mean"),
+        F.expr(_CORR_QP).alias("corr_qty_price"),
+        F.expr(_SKEW_Q).alias("skew_qty"),
+        F.expr(_KURT_Q).alias("kurt_qty"),
         "p50",
         "p90",
         "med",
@@ -349,12 +409,29 @@ SELECT c_custkey, c_nationkey, c_acctbal,
        row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
          AS rn,
        rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rk,
-       dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drk
+       dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drk,
+       lead(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+         AS next_bal,
+       first_value(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+         AS top_bal,
+       nth_value(c_acctbal, 2) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+         AS second_bal,
+       ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+         AS quartile,
+       percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS pr,
+       cume_dist()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS cd
 FROM customer""",
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1: ranking windows — the primitive behind first-match join (J3) and
-    latest-wins upsert (U1)."""
+    """W1 complete ranking/navigation/distribution window surface:
+    row_number/rank/dense_rank (the primitives behind first-match join J3
+    and latest-wins upsert U1) plus lead, first_value, nth_value(2) over
+    the running frame, ntile quartiles, and the rank-ratio pair
+    percent_rank/cume_dist ((rk−1)/(n−1) and rank_hi/n — exact rational
+    doubles, identical across engines).  Navigation columns use the
+    unique-ordered window (acctbal DESC, custkey) so results are
+    deterministic under any partitioning; the rank trio tolerates ties by
+    construction."""
     cust = load_table(spark, sf_dir, "customer")
     w_det = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
@@ -367,6 +444,12 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_det).alias("rn"),
         F.rank().over(w_val).alias("rk"),
         F.dense_rank().over(w_val).alias("drk"),
+        F.lead("c_acctbal").over(w_det).alias("next_bal"),
+        F.first_value("c_acctbal").over(w_det).alias("top_bal"),
+        F.nth_value("c_acctbal", 2).over(w_det).alias("second_bal"),
+        F.ntile(4).over(w_det).alias("quartile"),
+        F.percent_rank().over(w_val).alias("pr"),
+        F.cume_dist().over(w_val).alias("cd"),
     )
 
 
