@@ -322,9 +322,9 @@ FROM (
          CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_x2,
          CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sum_x3,
          CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sum_x4,
-         CAST(SUM(CAST(round(l_quantity * l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_qp,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_qp,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
-         CAST(SUM(CAST(round(l_extendedprice * l_extendedprice, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_p2,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_p2,
          quantile_cont(l_extendedprice, 0.5) AS p50,
          quantile_cont(l_extendedprice, 0.9) AS p90,
          median(l_extendedprice)             AS med
@@ -345,6 +345,16 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     implicitly certifies the α = 1% relative-error contract."""
     li = load_table(spark, sf_dir, "lineitem")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    # decimal-FIRST arithmetic for the cross/price sums: cast each factor
+    # to its true decimal scale once, multiply exactly in decimal, and
+    # cast the (≤15-digit) product to a compact long-backed decimal(18,s)
+    # before summing.  NOT round(q*p, 2): Spark's round on doubles goes
+    # through BigDecimal per row — measured 2× the whole aggregate's cost
+    # at sf0.1 — while decimal casts/multiplies stay in compact-long
+    # codegen.  q³/q⁴ are integral ≤6.25e6, but their SUMS are decimal,
+    # not long: at 100 TB a single group's Σq⁴ passes 9.2e18 and a long
+    # sum would wrap silently under non-ANSI semantics.
+    qd, pd = q.cast("decimal(6,2)"), p.cast("decimal(18,2)")
     base = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         _dec_sum("l_quantity", 2).alias("sum_x"),
@@ -353,13 +363,9 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scale-0 decimal cast is lossless — higher moments stay exact
         _dec_sum(q * q * q, 0).alias("sum_x3"),
         _dec_sum(q * q * q * q, 0).alias("sum_x4"),
-        # cross/price sums for correlation: products rounded back to their
-        # true decimal scale before the exact-decimal cast (the
-        # q_agg_sales_by_key convention — both engines round the identical
-        # double the same way)
-        F.sum(F.round(q * p, 2).cast("decimal(18,2)")).cast("double").alias("sum_qp"),
+        F.sum((qd * pd).cast("decimal(18,4)")).cast("double").alias("sum_qp"),
         _dec_sum("l_extendedprice", 2).alias("sum_p"),
-        F.sum(F.round(p * p, 4).cast("decimal(18,4)")).cast("double").alias("sum_p2"),
+        F.sum((pd * pd).cast("decimal(18,4)")).cast("double").alias("sum_p2"),
     )
     # exact percentiles from the compressed distribution, not Spark's
     # map-per-buffer percentile aggregate (8.1 s → ~1 s at sf0.1; see
