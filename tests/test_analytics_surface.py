@@ -83,3 +83,39 @@ def test_unpivot_inverts_pivot(spark, sf_dir):
     )
     assert long.exceptAll(direct).count() == 0
     assert direct.exceptAll(long).count() == 0
+
+
+def test_q_stats_moments_match_numpy(spark, sf_dir):
+    """The skewness/kurtosis/correlation expressions are shared VERBATIM
+    between the Spark select and the DuckDB oracle — a formula error would
+    pass the oracle on both sides in lockstep.  This check is the
+    independent witness: recompute the population moments and Pearson
+    correlation with numpy from the raw parquet and compare to the query's
+    columns (1e-9 relative — the 9 dp artifact rounding dominates)."""
+    import numpy as np
+
+    from datawarehouse_etl_using_hyperjoin_spark.queries import load_registry
+
+    reg = load_registry()
+    rows = {
+        r["l_returnflag"]: r
+        for r in reg["q_stats"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+
+    for flag, grp in li.groupby("l_returnflag"):
+        q = grp["l_quantity"].to_numpy()
+        p = np.round(grp["l_extendedprice"].to_numpy(), 2)
+        m = q.mean()
+        m2 = ((q - m) ** 2).mean()
+        m3 = ((q - m) ** 3).mean()
+        m4 = ((q - m) ** 4).mean()
+        want_skew = m3 / m2**1.5
+        want_kurt = m4 / m2**2 - 3
+        want_corr = np.corrcoef(q, p)[0, 1]
+        got = rows[flag]
+        assert abs(got["skew_qty"] - want_skew) < 1e-9 * max(1, abs(want_skew)), flag
+        assert abs(got["kurt_qty"] - want_kurt) < 1e-9 * max(1, abs(want_kurt)), flag
+        assert abs(got["corr_qty_price"] - want_corr) < 1e-7, flag
