@@ -176,6 +176,53 @@ def measure_incremental_lsh(
         spark.sql("DROP TABLE IF EXISTS scale_probe_lsh_idx")
 
 
+def measure_bucketed_fact_join(spark, li, n_orders: int) -> dict[str, dict[str, float]]:
+    """The engine's only big⋈big edge (SCALE.md: lineitem ⋈ orders) with
+    its at-rest answer, measured at probe scale: both sides written
+    bucketed by the order key, the join plans exchange-free off the
+    bucketed scans; vs the same join from plain parquet, which shuffles
+    both sides.  Broadcast is disabled — at 100 TB neither side fits."""
+    orders = spark.range(n_orders).select(
+        F.col("id").alias("o_orderkey"),
+        F.pmod(F.xxhash64("id"), 5).alias("o_priority"),
+        (F.pmod(F.xxhash64(F.col("id") + 31), 900000) / 100).alias("o_totalprice"),
+    )
+    spark.sql("DROP TABLE IF EXISTS probe_li_bkt")
+    spark.sql("DROP TABLE IF EXISTS probe_ord_bkt")
+    from datawarehouse_etl_using_hyperjoin_spark.sources.files import write_bucketed
+
+    write_bucketed(li, "probe_li_bkt", "l_orderkey", n_buckets=32)
+    write_bucketed(orders, "probe_ord_bkt", "o_orderkey", n_buckets=32)
+    plain_li = tempfile.mkdtemp(prefix="probe_li_") + "/t"
+    plain_ord = tempfile.mkdtemp(prefix="probe_ord_") + "/t"
+    li.write.mode("overwrite").parquet(plain_li)
+    orders.write.mode("overwrite").parquet(plain_ord)
+
+    def agg(l, o):
+        return (
+            l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_priority")
+            .agg(F.sum(F.col("l_quantity") * F.col("o_totalprice")).alias("v"))
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = {
+            "bucketed": run_metered(
+                spark, agg(spark.table("probe_li_bkt"), spark.table("probe_ord_bkt"))
+            ),
+            "plain": run_metered(
+                spark, agg(spark.read.parquet(plain_li), spark.read.parquet(plain_ord))
+            ),
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS probe_li_bkt")
+        spark.sql("DROP TABLE IF EXISTS probe_ord_bkt")
+    return out
+
+
 def measure_dedup(spark, docs) -> float:
     """Wall for the linear dedup stages: MinHash signatures → band table →
     bucket-grouped candidate pairs (the north-star corpus-thinning path)."""
@@ -404,6 +451,9 @@ def main() -> None:
             "small_corpus": measure_incremental_lsh(spark, docs_small),
             "big_corpus": measure_incremental_lsh(spark, docs_big),
         },
+        "bucketed_fact_orders_join": measure_bucketed_fact_join(
+            spark, big, n_orders=n_rows // 4
+        ),
     }
     # exact-quantiles strategy crossover: 3 groups → per-group distributions
     # of n/3 rows; the default windowed strategy serializes each group's
