@@ -356,6 +356,13 @@ def lsh_incremental_pairs(
     Skew guard: index buckets are collected to capped arrays first
     (``max_bucket``, same rationale as :func:`lsh_candidate_pairs`), so a
     boilerplate band bucket costs O(cap) per new doc, not O(bucket).
+
+    The remaining linear term (measured, SCALE.md r5) is ONE exchange-free
+    columnar scan of the index per call — shuffle tracks the batch, not
+    the corpus.  When ingest cadence makes that scan dominant, amortize
+    it: union several ingest batches' bands into one ``new_bands`` and
+    dedup them against the index in a single call (within-batch pairs are
+    still found — ``new_vs_new`` covers the union).
     """
     index_buckets = (
         index_bands.groupBy("band", "band_hash")
