@@ -354,6 +354,11 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen.  q³/q⁴ are integral ≤6.25e6, but their SUMS are decimal,
     # not long: at 100 TB a single group's Σq⁴ passes 9.2e18 and a long
     # sum would wrap silently under non-ANSI semantics.
+    # Accumulator headroom: sum over decimal(18,4) accumulates in
+    # decimal(28,4) (24 integer digits).  The tightest case is Σp²
+    # (p² ≤ 1.1e10): ~1e14 rows per group before 1e24 overflows — a
+    # 100 TB lineitem is ~5e11 rows, ×400 headroom.  Past that, widen the
+    # per-element cast to decimal(28,4) (Int128 per row, ~2× slower).
     qd, pd = q.cast("decimal(6,2)"), p.cast("decimal(18,2)")
     base = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),

@@ -298,6 +298,7 @@ def measure_stream_join_state(
             right_delay=delay,
         ).select("o_orderkey", "l_linenumber")
         ckpt = tempfile.mkdtemp(prefix="sjs_ckpt_")
+        t0 = time.time()
         q = (
             joined.writeStream.outputMode("append")
             .format("noop")
@@ -305,6 +306,7 @@ def measure_stream_join_state(
             .start()
         )
         q.processAllAvailable()
+        drain_wall = time.time() - t0
         # aggregate across ALL micro-batches (lastProgress is per-batch):
         # the peak is the number that must fit in executor memory at scale
         totals, removed, mem = [], 0, []
@@ -321,6 +323,7 @@ def measure_stream_join_state(
             "state_rows_at_drain": totals[-1] if totals else None,
             "state_rows_evicted_total": removed,
             "state_memory_peak_bytes": max(mem) if mem else None,
+            "drain_wall_sec": round(drain_wall, 2),
         }
     return out
 
