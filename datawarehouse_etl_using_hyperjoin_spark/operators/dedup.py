@@ -389,6 +389,36 @@ def lsh_incremental_pairs(
     return cross.unionByName(within)
 
 
+def lsh_ingest_pairs(
+    batches: "list[DataFrame]",
+    index_bands: DataFrame,
+    id_col: str,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Amortized multi-batch ingest dedup: candidate pairs for SEVERAL
+    ingest batches against the persisted index in ONE index scan.
+
+    :func:`lsh_incremental_pairs` pays one exchange-free columnar scan of
+    the at-rest index per call — the measured linear term of incremental
+    dedup (SCALE.md).  When batches arrive faster than that scan
+    amortizes (micro-batch cadence over a huge index), union K batches'
+    band tables and dedup them together: the index is scanned ONCE for
+    all K, while the per-batch signature work is unchanged (it was
+    already linear in each batch).
+
+    Pair-set equivalence to sequential ingest (append index after each
+    batch) holds by construction and is pinned in
+    tests/test_corpus.py: a cross-batch pair (doc in batch i, doc in
+    batch j>i) that sequential ingest reports as new_vs_index is reported
+    here as new_vs_new — same canonical (id_a, id_b) set, labels differ
+    only for pairs spanning batches inside the window.
+    """
+    new_bands = batches[0]
+    for b in batches[1:]:
+        new_bands = new_bands.unionByName(b)
+    return lsh_incremental_pairs(new_bands, index_bands, id_col, max_bucket)
+
+
 def write_lsh_index(
     bands: DataFrame, table: str, *, n_buckets: int = 32, mode: str = "overwrite"
 ) -> None:

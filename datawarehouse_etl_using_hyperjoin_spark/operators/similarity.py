@@ -410,6 +410,109 @@ def ann_ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def write_ivf_index(
+    assigned: DataFrame, path: str, *, mode: str = "overwrite"
+) -> None:
+    """Persist a cell assignment (from :func:`ivf_assign`) as the at-rest
+    IVF index: parquet PARTITIONED BY ``centroid_id``.
+
+    This makes :func:`ivf_assign`'s "cell id = partition key at rest"
+    posture real: each IVF cell is its own partition directory, so a probe
+    that touches ``nprobe`` cells prunes every other cell at SCAN time
+    (``PartitionFilters`` on the file listing — no data read, no shuffle).
+    At 100 TB with C=65k cells and nprobe=8, a query batch reads
+    ~nprobe/C of the corpus bytes instead of all of them; the full-corpus
+    assignment scan is paid ONCE at write time.  Append new batches with
+    ``mode='append'`` after assigning them against the SAME published
+    centroids (:func:`ivf_append`) — rows land inside their cell's
+    directory, so the index never needs re-clustering.
+    """
+    assigned.write.mode(mode).partitionBy("centroid_id").parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    """Read the at-rest IVF index written by :func:`write_ivf_index`."""
+    return spark.read.parquet(path)
+
+
+def ivf_append(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally ingest a vector batch into the at-rest IVF index:
+    assign against the PUBLISHED centroids (never retrained per batch —
+    retraining would silently re-cell the history) and append into the
+    cell partitions.  Cost is linear in the batch; the indexed corpus is
+    not re-read."""
+    write_ivf_index(
+        ivf_assign(new_vectors, centroids, id_col=id_col, vec_col=vec_col),
+        path,
+        mode="append",
+    )
+
+
+def ann_ivf_index_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search against the AT-REST index (:func:`write_ivf_index`):
+    identical semantics to :func:`ann_ivf_topk`, but the corpus side is
+    the cell-partitioned table and the probed cells are pushed down as a
+    LITERAL partition filter, so non-probed cells are pruned from the
+    file listing before any bytes are read.
+
+    The probe set is materialized driver-side first — bounded by
+    ``min(Q·nprobe, C)`` distinct cell ids (the same
+    bounded-literal-collect pattern as ``exact_group_quantiles``'s chunk
+    boundaries), never by data volume — because a literal ``isin`` prunes
+    at PLANNING time on any Spark version/source, where relying on
+    runtime DPP would leave correctness of the pruning to an optimizer
+    heuristic.
+    """
+    qs = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__qc", cosine(F.col("__qvec"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__qc").desc(), F.col("centroid_id")
+    )
+    probe_df = (
+        qs.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qvec", "centroid_id")
+    )
+    probed_cells = sorted(
+        r[0] for r in probe_df.select("centroid_id").distinct().collect()
+    )
+    cells = index.filter(F.col("centroid_id").isin(probed_cells)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        # partition-column type is inferred on read (int); normalize so the
+        # probe join and the output schema match ann_ivf_topk exactly
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+    )
+    scored = (
+        F.broadcast(probe_df)
+        .join(cells, on="centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("__qvec"), F.col("__cvec")))
+        .drop("__qvec", "__cvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def near_dup_pairs(
     vectors: DataFrame,
     *,

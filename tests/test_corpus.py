@@ -362,3 +362,58 @@ def test_incremental_lsh_full_plan_index_side_exchange_free(spark, sf_dir):
     finally:
         new_bands.unpersist()
         spark.sql("DROP TABLE IF EXISTS lsh_idx_plan")
+
+
+def test_lsh_ingest_pairs_equals_sequential_ingest(spark, sf_dir):
+    """Amortized multi-batch ingest (lsh_ingest_pairs: K batches, ONE
+    index scan) finds exactly the canonical pair set that sequential
+    per-batch ingest (pairs → append → pairs) finds; n_shared_bands — a
+    property of the two signatures — matches pair for pair.  Only the
+    label differs for pairs spanning batches inside the window
+    (sequential: new_vs_index; amortized: new_vs_new)."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        lsh_incremental_pairs,
+        lsh_ingest_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    drop_first = F.concat_ws(" ", F.slice(w, 2, F.size(w) - 1))
+
+    base = docs.filter(F.col("doc_id") < 300)
+    index0 = lsh_bands_from_array(minhash_array(base, "doc_id", "text"), "doc_id")
+    # batch1: near-dups of base docs 0-99; batch2: near-dups of base docs
+    # 50-149 — so batch2 collides with BOTH the index and batch1
+    b1_docs = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), drop_first.alias("text")
+    )
+    b2_docs = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 150)).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), drop_first.alias("text")
+    )
+    b1 = lsh_bands_from_array(minhash_array(b1_docs, "doc_id", "text"), "doc_id")
+    b2 = lsh_bands_from_array(minhash_array(b2_docs, "doc_id", "text"), "doc_id")
+
+    def canon(rows):
+        return sorted(
+            (min(r.id_a, r.id_b), max(r.id_a, r.id_b), r.n_shared_bands)
+            for r in rows
+        )
+
+    seq1 = lsh_incremental_pairs(b1, index0, "doc_id").collect()
+    index1 = index0.unionByName(b1)
+    seq2 = lsh_incremental_pairs(b2, index1, "doc_id").collect()
+    sequential = canon(seq1 + seq2)
+
+    amortized_rows = lsh_ingest_pairs([b1, b2], index0, "doc_id").collect()
+    amortized = canon(amortized_rows)
+
+    assert amortized == sequential and len(sequential) > 100
+    # the window must actually contain cross-batch pairs for this test to
+    # mean anything — and those carry the new_vs_new label in the
+    # amortized result
+    cross = [
+        r
+        for r in amortized_rows
+        if min(r.id_a, r.id_b) >= 1_000_000 and max(r.id_a, r.id_b) >= 2_000_000
+    ]
+    assert cross and all(r.pair_type == "new_vs_new" for r in cross)

@@ -177,3 +177,97 @@ def test_ivf_recall_grows_with_nprobe(spark, sf_dir):
     assert r1 <= r4 <= r16
     # probing every cell IS brute force: recall must be perfect
     assert r16 == 1.0
+
+
+def test_ivf_index_search_matches_on_the_fly_and_prunes_partitions(
+    spark, sf_dir, tmp_path
+):
+    """The at-rest IVF index must (a) return bit-identical results to the
+    on-the-fly ann_ivf_topk under the same centroids, and (b) prune
+    non-probed cells from the file listing (PartitionFilters + fewer
+    input files than the full index)."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_index_topk,
+        ann_ivf_topk,
+        ivf_assign,
+        ivf_seed_centroids,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import plan_string
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_seed_centroids(em, 16)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(ivf_assign(em, cent), path)
+    index = read_ivf_index(spark, path)
+
+    q = em.filter(F.col("vec_id") < 8)
+    k, nprobe = 3, 4
+    via_index = ann_ivf_index_topk(q, index, cent, k=k, nprobe=nprobe)
+    on_the_fly = ann_ivf_topk(q, em, cent, k=k, nprobe=nprobe)
+    key = lambda r: (r.query_id, r.rank)
+    a = {key(r): (r.neighbor_id, r.centroid_id, round(r.cos, 12)) for r in via_index.collect()}
+    b = {key(r): (r.neighbor_id, r.centroid_id, round(r.cos, 12)) for r in on_the_fly.collect()}
+    assert a == b and len(a) == 8 * k
+
+    # pruning evidence: the probed-cell filter reaches PartitionFilters…
+    pruned = index.filter(F.col("centroid_id").isin([0, 1, 2]))
+    plan = plan_string(pruned)
+    pf = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "centroid_id" in l
+    ]
+    assert pf, f"no centroid_id PartitionFilters:\n{plan}"
+    # …and the executed pruned scan READS strictly fewer files than the
+    # index holds (inputFiles() lists pre-pushdown, so witness at runtime)
+    read_files = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(read_files) == 3  # one file per probed cell at this size
+    assert len(read_files) < len(index.inputFiles())
+
+
+def test_ivf_append_is_incremental_and_equals_batch_rebuild(spark, sf_dir, tmp_path):
+    """ivf_append lands a new batch inside the existing cell partitions
+    (no new top-level layout, history untouched) and a search over the
+    appended index equals one over a from-scratch rebuild of the union."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_index_topk,
+        ivf_append,
+        ivf_assign,
+        ivf_seed_centroids,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    base = em.filter(F.col("vec_id") < 400)
+    batch = em.filter(F.col("vec_id") >= 400)
+    cent = ivf_seed_centroids(em, 16)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    write_ivf_index(ivf_assign(base, cent), inc_path)
+    base_files = set(read_ivf_index(spark, inc_path).inputFiles())
+    ivf_append(batch, cent, inc_path)
+    appended = read_ivf_index(spark, inc_path)
+    # append-only: every pre-append file is still present (history not rewritten)
+    assert base_files <= set(appended.inputFiles())
+    assert appended.count() == em.count()
+
+    full_path = str(tmp_path / "ivf_full")
+    write_ivf_index(ivf_assign(em, cent), full_path)
+    q = em.filter(F.col("vec_id") < 8)
+    key = lambda r: (r.query_id, r.rank)
+    a = {
+        key(r): (r.neighbor_id, round(r.cos, 12))
+        for r in ann_ivf_index_topk(q, appended, cent, k=3, nprobe=4).collect()
+    }
+    b = {
+        key(r): (r.neighbor_id, round(r.cos, 12))
+        for r in ann_ivf_index_topk(
+            q, read_ivf_index(spark, full_path), cent, k=3, nprobe=4
+        ).collect()
+    }
+    assert a == b
