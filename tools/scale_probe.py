@@ -176,6 +176,125 @@ def measure_incremental_lsh(
         spark.sql("DROP TABLE IF EXISTS scale_probe_lsh_idx")
 
 
+def measure_lsh_batch_amortization(
+    spark, docs, k_batches: int = 4, batch_frac: float = 0.02
+) -> dict[str, object]:
+    """The multi-batch ingest amortization (lsh_ingest_pairs), measured:
+    K small batches deduped against the persisted index SEQUENTIALLY
+    (K calls → K exchange-free index scans) vs in ONE amortized call
+    (1 index scan).  The delta is the per-call index-scan term — the cost
+    that dominates when ingest cadence outpaces index size."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        lsh_bands_from_array,
+        lsh_incremental_pairs,
+        lsh_ingest_pairs,
+        minhash_array,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    n = docs.count()
+    per_batch = int(n * batch_frac)
+    batches = []
+    for i in range(k_batches):
+        b = docs.filter(
+            (F.col("doc_id") >= i * per_batch) & (F.col("doc_id") < (i + 1) * per_batch)
+        ).select((F.col("doc_id") + (i + 1) * 10_000_000).alias("doc_id"), "text")
+        batches.append(
+            lsh_bands_from_array(minhash_array(b, "doc_id", "text"), "doc_id")
+        )
+    index_bands = lsh_bands_from_array(minhash_array(docs, "doc_id", "text"), "doc_id")
+    write_lsh_index(index_bands, "scale_probe_lsh_amort", n_buckets=32)
+    try:
+        idx = read_lsh_index(spark, "scale_probe_lsh_amort")
+        seq_wall, seq_shuffle = 0.0, 0.0
+        for b in batches:
+            m = run_metered(spark, lsh_incremental_pairs(b, idx, "doc_id"))
+            seq_wall += m["wall_sec"]
+            seq_shuffle += m["shuffle_mb"]
+        amort = run_metered(spark, lsh_ingest_pairs(batches, idx, "doc_id"))
+        return {
+            "k_batches": k_batches,
+            "docs_per_batch": per_batch,
+            "sequential": {"wall_sec": round(seq_wall, 2), "shuffle_mb": round(seq_shuffle, 1)},
+            "amortized_one_scan": amort,
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS scale_probe_lsh_amort")
+
+
+def synth_vectors(spark, n: int, dim: int, path: str) -> None:
+    """Deterministic synthetic embeddings: n vectors of dim floats in
+    [-1, 1) from hash arithmetic (no RNG)."""
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("id") * 97 + i), 1000) / 500.0 - 1.0
+        ).cast("float"),
+    )
+    spark.range(n).select(
+        F.col("id").alias("vec_id"), emb.alias("embedding")
+    ).write.mode("overwrite").parquet(path)
+
+
+def measure_ivf_index(
+    spark, vecs, n_cells: int = 64, n_queries: int = 16, nprobe: int = 4
+) -> dict[str, object]:
+    """The at-rest IVF index claim, measured: ANN over the cell-partitioned
+    index (probed cells pruned from the file listing before any bytes are
+    read) vs the on-the-fly path (full corpus assigned per query batch) vs
+    brute force.  Also reports the fraction of index files the pruned scan
+    actually reads — the number that becomes ~nprobe/C of corpus bytes at
+    100 TB."""
+    import tempfile as _tf
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_index_topk,
+        ann_ivf_topk,
+        cosine_topk,
+        ivf_assign,
+        ivf_seed_centroids,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    cent = ivf_seed_centroids(vecs, n_cells).persist()
+    cent.count()
+    path = _tf.mkdtemp(prefix="scale_probe_ivf_") + "/index"
+    write_ivf_index(ivf_assign(vecs, cent), path)
+    index = read_ivf_index(spark, path)
+    q = vecs.filter(F.col("vec_id") < n_queries)
+
+    at_rest = run_metered(
+        spark, ann_ivf_index_topk(q, index, cent, k=5, nprobe=nprobe)
+    )
+    fly = run_metered(spark, ann_ivf_topk(q, vecs, cent, k=5, nprobe=nprobe))
+    brute = run_metered(spark, cosine_topk(q, vecs, k=5))
+
+    # pruning fraction: rebuild the probe-cell filter and count files the
+    # executed scan touches vs the full listing
+    probes = ann_ivf_index_topk(q, index, cent, k=5, nprobe=nprobe).select(
+        "centroid_id"
+    ).distinct()
+    cells = [r[0] for r in probes.collect()]
+    read_files = (
+        index.filter(F.col("centroid_id").isin(cells))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    cent.unpersist()
+    return {
+        "n_cells": n_cells,
+        "nprobe": nprobe,
+        "n_queries": n_queries,
+        "at_rest_index": at_rest,
+        "on_the_fly_assign": fly,
+        "brute_force": brute,
+        "files_read_fraction": round(read_files / max(1, len(index.inputFiles())), 3),
+    }
+
+
 def measure_bucketed_fact_join(spark, li, n_orders: int) -> dict[str, dict[str, float]]:
     """The engine's only big⋈big edge (SCALE.md: lineitem ⋈ orders) with
     its at-rest answer, measured at probe scale: both sides written
@@ -457,7 +576,14 @@ def main() -> None:
         "bucketed_fact_orders_join": measure_bucketed_fact_join(
             spark, big, n_orders=n_rows // 4
         ),
+        "lsh_batch_amortization": measure_lsh_batch_amortization(spark, docs_big),
     }
+    vec_path = tempfile.mkdtemp(prefix="scale_probe_") + "/vectors"
+    n_vecs = int(os.environ.get("SCALE_PROBE_VECS", 200_000))
+    synth_vectors(spark, n_vecs, 32, vec_path)
+    report["metered"]["ivf_index_200k_vecs"] = measure_ivf_index(
+        spark, spark.read.parquet(vec_path)
+    )
     # exact-quantiles strategy crossover: 3 groups → per-group distributions
     # of n/3 rows; the default windowed strategy serializes each group's
     # cumulative walk on one core, the chunked prefix sum distributes it
