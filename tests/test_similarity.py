@@ -271,3 +271,74 @@ def test_ivf_append_is_incremental_and_equals_batch_rebuild(spark, sf_dir, tmp_p
         ).collect()
     }
     assert a == b
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark, sf_dir):
+    """int8 quantization: codes are tinyint (4x storage), reconstruction
+    error is elementwise <= scale/2, and the zero vector is exact."""
+    from pyspark.sql import types as T
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        dequantize,
+        quantize_embeddings,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").limit(100)
+    qd = quantize_embeddings(em)
+    elem = dict(qd.dtypes)["qembedding"]
+    assert elem == "array<tinyint>"
+    rows = qd.withColumn(
+        "deq", dequantize(F.col("qembedding"), F.col("qscale"))
+    ).select("embedding", "deq", "qscale").collect()
+    for r in rows:
+        bound = r.qscale / 2 + 1e-12
+        for orig, rec in zip(r.embedding, r.deq):
+            assert abs(orig - rec) <= bound
+
+    zero = spark.createDataFrame(
+        [(0, [0.0] * 8)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    zr = quantize_embeddings(zero).collect()[0]
+    assert zr.qscale == 0.0 and all(v == 0 for v in zr.qembedding)
+
+
+def test_quantized_topk_recall_and_rerank_exactness(spark, sf_dir):
+    """Quantized top-k recovers nearly all exact top-k pairs; the reranked
+    variant re-scores candidates with exact float cosine, so its cos
+    values match cosine_topk's bit-for-bit on shared pairs and its recall
+    dominates the unreranked one."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus_q = quantize_embeddings(em)
+    q = em.filter(F.col("vec_id") < 8)
+    k = 5
+    exact = cosine_topk(q, em, k=k)
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    exact_cos = {
+        (r.query_id, r.neighbor_id): r.cos for r in exact.collect()
+    }
+
+    quant = cosine_topk_quantized(q, corpus_q, k=k)
+    got = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    recall_q = len(want & got) / len(want)
+    assert recall_q >= 0.8, recall_q
+
+    rr_rows = cosine_topk_quantized(q, corpus_q, k=k, rerank=3 * k).collect()
+    got_rr = {(r.query_id, r.neighbor_id) for r in rr_rows}
+    recall_rr = len(want & got_rr) / len(want)
+    assert recall_rr >= recall_q
+    for r in rr_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert r.cos == exact_cos[key]
