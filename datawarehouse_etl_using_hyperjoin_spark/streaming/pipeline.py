@@ -306,26 +306,58 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
-def run_to_noop(df: DataFrame, output_mode: str = "append") -> dict[str, float]:
+def run_to_noop(
+    df: DataFrame,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+) -> dict[str, float]:
     """Benchmark sink: drain all available input synchronously through the
     no-op sink — FULL executor-side execution of every micro-batch, nothing
     collected to the driver.  The memory sink (:func:`run_to_memory`)
     collects every batch's rows into driver memory, so timing it measures the
     test harness as much as the engine; this is the drain the bench uses.
 
+    ``state_partitions`` sets ``spark.sql.shuffle.partitions`` for THIS
+    query's lifetime — for a stateful stream that is the number of state
+    store instances, fixed FOREVER at the query's first checkpoint (Spark
+    cannot repartition existing state), so it must be chosen at query
+    birth.  Per-micro-batch cost carries a per-instance checkpoint term:
+    at small state (tens of MB) fewer instances win — measured on the
+    orders⋈lineitem join drain at sf0.1: 13.0 s @64 / 7.9 s @32 /
+    4.6 s @16 / 3.3 s @8 (SCALE.md) — while state ≫ heap needs many, for
+    memory and parallelism.  Size it from projected state bytes ÷
+    executor memory, not from the batch-side shuffle default.  Default
+    ``None`` keeps the session conf (the engine changes no default: the
+    batch-oriented 32 stays right for everything non-streaming).
+
     Returns summed engine-reported micro-batch metrics from the progress
     events: {"n_batches", "input_rows", "batch_duration_ms_sum"} — the
     per-batch durations let fixed trigger overhead be separated from
     per-row throughput."""
-    q = df.writeStream.outputMode(output_mode).format("noop").start()
-    q.processAllAvailable()
-    n, rows, dur = 0, 0, 0
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = df.writeStream.outputMode(output_mode).format("noop").start()
+        q.processAllAvailable()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    n, rows, dur, instances = 0, 0, 0, 0
     for prog in q.recentProgress:
         n += 1
         rows += prog.get("numInputRows") or 0
         dur += (prog.get("durationMs") or {}).get("triggerExecution") or 0
+        for op in prog.get("stateOperators") or []:
+            instances = max(instances, op.get("numStateStoreInstances") or 0)
     q.stop()
-    return {"n_batches": n, "input_rows": rows, "batch_duration_ms_sum": dur}
+    return {
+        "n_batches": n,
+        "input_rows": rows,
+        "batch_duration_ms_sum": dur,
+        "state_store_instances": instances,
+    }
 
 
 def make_star_sink(out_dir: str):

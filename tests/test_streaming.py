@@ -598,3 +598,25 @@ def test_foreach_batch_upsert_recovers_from_mid_run_crash(
         assert got.count() == want.count(), table
         assert got.exceptAll(want).count() == 0, table
         assert want.exceptAll(got).count() == 0, table
+
+
+def test_run_to_noop_state_partitions_knob(spark, events_stream_dir):
+    """state_partitions pins the query's state-store instance count at
+    birth (the un-repartitionable-after-checkpoint knob) without touching
+    the session conf afterwards, and the drained result volume is
+    unchanged."""
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        run_to_noop,
+    )
+
+    def counts():
+        stream = read_parquet_stream(spark, events_stream_dir, max_files_per_trigger=1)
+        return windowed_event_counts(stream)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    default = run_to_noop(counts(), output_mode="complete")
+    tuned = run_to_noop(counts(), output_mode="complete", state_partitions=5)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert tuned["state_store_instances"] == 5
+    assert default["state_store_instances"] == int(prev)
+    assert tuned["input_rows"] == default["input_rows"]
