@@ -29,10 +29,12 @@ from ..operators.multimodal import attach_payload, decode
 from ..operators.similarity import (
     ann_ivf_topk,
     ann_multiprobe_topk,
+    cosine_quantized,
     cosine_topk,
     ivf_seed_centroids,
     kmeans_refine,
     near_dup_pairs,
+    quantize_embeddings,
 )
 from ..sources.fixtures import load_table
 from . import query
@@ -206,17 +208,33 @@ _COS_SQL = """list_aggregate(list_transform(range(1, len({a}) + 1),
   * sqrt(list_aggregate(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"""
 
 
+_QCODES_SQL = """list_transform({v}, x -> round(CAST(x AS DOUBLE) / {s}))"""
+_QCOS_SQL = """CASE WHEN {sa} > 0 AND {sb} > 0 THEN
+   list_aggregate(list_transform(range(1, len({a}) + 1),
+                  i -> {a}[i] * {b}[i]), 'sum')
+   / (sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))
+    * sqrt(list_aggregate(list_transform({b}, x -> x * x), 'sum')))
+ ELSE 0.0 END"""
+
+
 @query(
     "q_ann_topk",
     oracle=f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS sa
+            FROM embeddings WHERE vec_id < 8),
+c0 AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS sb
+       FROM embeddings),
+q AS (SELECT *, {_QCODES_SQL.format(v="qv", s="sa")} AS qa FROM q0),
+c AS (SELECT *, {_QCODES_SQL.format(v="cv", s="sb")} AS qb FROM c0),
 scored AS (
   SELECT query_id, neighbor_id,
-         {_COS_SQL.format(a="qv", b="cv")} AS cos_sim
+         {_COS_SQL.format(a="qv", b="cv")} AS cos_sim,
+         {_QCOS_SQL.format(a="qa", b="qb", sa="sa", sb="sb")} AS qcos_sim
   FROM q CROSS JOIN c WHERE query_id != neighbor_id
 )
-SELECT query_id, neighbor_id, cos_sim, rank FROM (
+SELECT query_id, neighbor_id, cos_sim, qcos_sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, neighbor_id) AS rank
   FROM scored
@@ -225,12 +243,41 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search, exact baseline: brute-force cosine top-5 for the
     first 8 vectors against the whole corpus (broadcast queries, one corpus
-    scan, zip_with/aggregate fold — no Python, no explode)."""
+    scan, zip_with/aggregate fold — no Python, no explode).
+
+    ``qcos_sim`` widens the verified surface to the int8 quantization
+    family (operators.similarity.quantize_embeddings/cosine_quantized):
+    the cosine the 4×-compressed codes would score for the same pair.
+    Its value-hash match is exact by construction — integer code products
+    and squares sum EXACTLY in doubles (|code| ≤ 127, dims ≤ 64 ⇒ sums
+    < 2^21 ≪ 2^53, so summation order cannot matter), and sqrt/divide are
+    IEEE correctly rounded on both engines; the only cross-engine risk is
+    the code rounding itself (both engines round ties away from zero)."""
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 8)
     out = cosine_topk(queries, em, k=5)
-    return out.select(
-        "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
+    qq = quantize_embeddings(
+        em.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+    ).select("query_id", F.col("qembedding").alias("__qa"), F.col("qscale").alias("__sa"))
+    cc = quantize_embeddings(
+        em.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    ).select(
+        "neighbor_id", F.col("qembedding").alias("__qb"), F.col("qscale").alias("__sb")
+    )
+    return (
+        out.join(F.broadcast(qq), "query_id")
+        .join(cc, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cos").alias("cos_sim"),
+            cosine_quantized(
+                F.col("__qa"), F.col("__sa"), F.col("__qb"), F.col("__sb")
+            ).alias("qcos_sim"),
+            "rank",
+        )
     )
 
 
