@@ -261,23 +261,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"), "embedding"
         )
     ).select("query_id", F.col("qembedding").alias("__qa"), F.col("qscale").alias("__sa"))
-    cc = quantize_embeddings(
-        em.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    ).select(
-        "neighbor_id", F.col("qembedding").alias("__qb"), F.col("qscale").alias("__sb")
+    # broadcast the 40-row top-k result against the corpus so neighbor
+    # codes are computed on the k·Q joined rows, not the whole corpus
+    joined = F.broadcast(out.join(qq, "query_id")).join(
+        em.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id"
     )
-    return (
-        out.join(F.broadcast(qq), "query_id")
-        .join(cc, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("cos").alias("cos_sim"),
-            cosine_quantized(
-                F.col("__qa"), F.col("__sa"), F.col("__qb"), F.col("__sb")
-            ).alias("qcos_sim"),
-            "rank",
-        )
+    return quantize_embeddings(joined, q_col="__qb", scale_col="__sb").select(
+        "query_id",
+        "neighbor_id",
+        F.col("cos").alias("cos_sim"),
+        cosine_quantized(
+            F.col("__qa"), F.col("__sa"), F.col("__qb"), F.col("__sb")
+        ).alias("qcos_sim"),
+        "rank",
     )
 
 
