@@ -255,3 +255,77 @@ def refresh_fact_month(
             sort_by=cluster_by,
         )
     return one_month.count()
+
+
+# The materialized-summary grain: month × product × store.  Measures are
+# MERGEABLE ONLY (sums, counts, min/max) — a mean or percentile stored
+# here could not be maintained per-partition; derive ratios at query
+# time (e.g. avg = sum_sale / n_lines).
+SUMMARY_KEYS = ["order_month", "product_id", "store_id"]
+
+
+def build_summary(fact: DataFrame) -> DataFrame:
+    """Aggregate the published fact to the summary grain — the
+    materialized rollup a 100 TB warehouse answers dashboard-shaped
+    queries from without scanning the fact.
+
+    The reference rebuilt its whole DW per run (StreamGeneratorThread
+    re-INSERTs everything); here the summary composes with the
+    month-partitioned fact: because every measure is mergeable and
+    ``order_month`` is both a fact partition AND a summary grain key,
+    one fact partition maps to exactly one summary partition, so
+    :func:`refresh_summary_month` maintains the rollup incrementally —
+    never re-aggregating history.
+    """
+    return fact.groupBy(*SUMMARY_KEYS).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("sales").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_sale"),
+        F.min("sales").alias("min_sale"),
+        F.max("sales").alias("max_sale"),
+    )
+
+
+def write_summary(spark: SparkSession, out_dir: str) -> int:
+    """Full build of the summary table from the published fact, written
+    partitioned by ``order_month`` (same incremental unit as the fact).
+    Run once at bootstrap; afterwards :func:`refresh_summary_month` keeps
+    it current month by month."""
+    fact = spark.read.parquet(f"{out_dir}/fact_sales")
+    build_summary(fact).write.mode("overwrite").partitionBy("order_month").parquet(
+        f"{out_dir}/summary_sales"
+    )
+    return spark.read.parquet(f"{out_dir}/summary_sales").count()
+
+
+def refresh_summary_month(spark: SparkSession, out_dir: str, month: str) -> int:
+    """Incremental rollup maintenance: after a fact partition is refreshed
+    (:func:`refresh_fact_month`), re-aggregate ONLY that month.
+
+    The source scan is partition-pruned to the one refreshed month (a
+    literal filter on the fact's partition column), and the write
+    dynamically overwrites only that month's summary partition — cost is
+    O(one month), independent of table history.  Correct because the
+    grain includes the partition key and every measure is mergeable:
+    no summary row aggregates across months, so months refresh
+    independently."""
+    fact = spark.read.parquet(f"{out_dir}/fact_sales").filter(
+        F.col("order_month") == month
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        build_summary(fact).write.mode("overwrite").partitionBy(
+            "order_month"
+        ).parquet(f"{out_dir}/summary_sales")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(f"{out_dir}/summary_sales")
+        .filter(F.col("order_month") == month)
+        .count()
+    )

@@ -218,3 +218,85 @@ def test_refresh_fact_month_compacts_refreshed_partition(spark, sf_dir, tmp_path
         .collect()
     )
     assert after == before
+
+
+def test_summary_incremental_refresh_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """The materialized month×product×store rollup: after a one-month fact
+    correction, refresh_summary_month brings the summary to exactly the
+    state a from-scratch rebuild would produce, while touching only the
+    refreshed month's partition (all other partitions' files are the same
+    physical files afterwards)."""
+    import glob
+
+    from datawarehouse_etl_using_hyperjoin_spark.etl import (
+        build_summary,
+        load_star,
+        refresh_summary_month,
+        write_summary,
+    )
+
+    out = str(tmp_path / "dw")
+    load_star(spark, sf_dir, out)
+    n = write_summary(spark, out)
+    assert n > 0
+
+    fact_path = out + "/fact_sales"
+    fact = spark.read.parquet(fact_path)
+    month = fact.select("order_month").orderBy("order_month").first()[0]
+
+    # a correction backfill: double that month's quantities and sales
+    mod = (
+        fact.filter(F.col("order_month") == month)
+        .withColumn("quantity", F.col("quantity") * 2)
+        .withColumn("sales", F.round(F.col("sales") * 2, 2))
+    )
+    # snapshot the month's pre-correction rollup NOW — after the dynamic
+    # overwrite the old files are gone and this frame is unreadable
+    stale = sorted(
+        map(
+            tuple,
+            build_summary(fact.filter(F.col("order_month") == month)).collect(),
+        )
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        mod.write.mode("overwrite").partitionBy("order_month").parquet(fact_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    before = {
+        f
+        for f in glob.glob(out + "/summary_sales/order_month=*/*.parquet")
+        if f"order_month={month}" not in f
+    }
+    refreshed = refresh_summary_month(spark, out, month)
+    assert refreshed > 0
+    after = {
+        f
+        for f in glob.glob(out + "/summary_sales/order_month=*/*.parquet")
+        if f"order_month={month}" not in f
+    }
+    # incremental: every OTHER month's summary file is physically untouched
+    assert before == after and before
+
+    # partitioned read moves order_month to the schema tail — pin order
+    cols = ["order_month", "product_id", "store_id", "n_lines", "sum_qty",
+            "sum_sale", "min_sale", "max_sale"]
+    got = sorted(
+        map(tuple, spark.read.parquet(out + "/summary_sales").select(cols).collect())
+    )
+    want = sorted(
+        map(tuple, build_summary(spark.read.parquet(fact_path)).select(cols).collect())
+    )
+    assert got == want
+    # and the corrected month really changed the rollup (the test bites)
+    fresh = sorted(
+        map(
+            tuple,
+            build_summary(
+                spark.read.parquet(fact_path).filter(F.col("order_month") == month)
+            ).collect(),
+        )
+    )
+    assert stale != fresh
