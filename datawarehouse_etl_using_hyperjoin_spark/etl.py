@@ -210,6 +210,7 @@ def refresh_fact_month(
     compact: bool = True,
     target_file_mb: int = 128,
     cluster_by: list[str] | None = None,
+    refresh_summary: bool = False,
 ) -> int:
     """Incremental fact maintenance: rebuild ONE order-month partition.
 
@@ -228,6 +229,10 @@ def refresh_fact_month(
     concurrent scans of the table root never see them).  ``cluster_by``
     additionally range-clusters the rewrite (e.g. ``["order_id"]``) so
     min/max footer stats stay selective on the cluster key.
+
+    ``refresh_summary`` chains :func:`refresh_summary_month` after the
+    rewrite (+compaction) so the materialized rollup never serves stale
+    months — pass it whenever the warehouse publishes ``summary_sales``.
 
     Returns the row count of the refreshed partition.
     """
@@ -254,6 +259,8 @@ def refresh_fact_month(
             target_file_mb=target_file_mb,
             sort_by=cluster_by,
         )
+    if refresh_summary:
+        refresh_summary_month(spark, out_dir, month)
     return one_month.count()
 
 

@@ -300,3 +300,40 @@ def test_summary_incremental_refresh_matches_full_rebuild(spark, sf_dir, tmp_pat
         )
     )
     assert stale != fresh
+
+
+def test_refresh_fact_month_chains_summary_refresh(spark, sf_dir, tmp_path):
+    """refresh_fact_month(refresh_summary=True) leaves the rollup equal to
+    a full rebuild from the refreshed fact — the one-call maintenance
+    path for warehouses publishing summary_sales."""
+    from datawarehouse_etl_using_hyperjoin_spark.etl import (
+        build_summary,
+        load_star,
+        refresh_fact_month,
+        write_summary,
+    )
+
+    out = str(tmp_path / "dw")
+    load_star(spark, sf_dir, out)
+    write_summary(spark, out)
+    month = (
+        spark.read.parquet(out + "/fact_sales")
+        .select("order_month")
+        .orderBy("order_month")
+        .first()[0]
+    )
+    refresh_fact_month(spark, sf_dir, out, month, refresh_summary=True)
+    cols = ["order_month", "product_id", "store_id", "n_lines", "sum_qty",
+            "sum_sale", "min_sale", "max_sale"]
+    got = sorted(
+        map(tuple, spark.read.parquet(out + "/summary_sales").select(cols).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            build_summary(spark.read.parquet(out + "/fact_sales"))
+            .select(cols)
+            .collect(),
+        )
+    )
+    assert got == want
