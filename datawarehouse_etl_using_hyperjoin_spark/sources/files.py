@@ -69,6 +69,66 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def zorder_value(cols, bounds: dict[str, tuple[float, float]], *, bits: int = 16):
+    """Morton (Z-order) key: interleave the bits of each column's
+    ``bits``-level linear quantization — rows close in EVERY dimension get
+    close keys, so range-clustering on this one key gives parquet
+    min/max footer locality on ALL the named columns at once (single-key
+    range clustering can only narrow its own column).
+
+    ``bounds`` maps column → (min, max) — literals, so the expression is
+    deterministic under plan re-evaluation (the same reason
+    exact_group_quantiles embeds its chunk boundaries).  Linear
+    quantization is skew-sensitive; for heavy skew pre-transform the
+    column (log, rank) before z-ordering.  All JVM-side bit arithmetic:
+    no UDF, no shuffle beyond the caller's range partitioning.
+
+    Public technique (Morton 1966; used by Delta/Iceberg OPTIMIZE
+    ZORDER); implementation is original.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    assert n * bits <= 63, "z-value must fit a signed long"
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        lo, hi = bounds[c]
+        span = (hi - lo) or 1.0
+        # linear quantization to [0, 2^bits)
+        q = F.least(
+            F.lit((1 << bits) - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * (1 << bits)).cast(
+                    "long"
+                ),
+            ),
+        )
+        # spread bit i of q to position i*n + ci of the z-value (unrolled:
+        # shift amounts must be Python ints, and `bits` is a constant)
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(q, i).bitwiseAND(F.lit(1)).cast("long"), i * n + ci
+            )
+    return z
+
+
+def with_zorder(df: DataFrame, cols: list[str], *, bits: int = 16, out_col: str = "__zorder"):
+    """Attach a :func:`zorder_value` column, deriving each column's
+    (min, max) bounds from one metadata-cheap aggregate pass (2·k scalar
+    literals collected driver-side — bounded by the column count, never
+    by rows)."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"__hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
+    return df.withColumn(out_col, zorder_value(cols, bounds, bits=bits))
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -76,6 +136,7 @@ def compact_table(
     target_file_mb: int = 128,
     partition_by: list[str] | None = None,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict[str, int]:
     """Rewrite a parquet table directory into ~``target_file_mb`` files —
     the small-files maintenance pass every streaming/incremental sink
@@ -89,8 +150,10 @@ def compact_table(
     listing only — no data pass), bin-packs to ``ceil(bytes / target)``
     output files via a round-robin ``repartition`` (or a range
     ``repartitionByRange`` when ``sort_by`` is given, which additionally
-    clusters the data so min/max footer stats become selective — the
-    poor-man's Z-order for one key family), and replaces the directory
+    clusters the data so min/max footer stats become selective on that
+    key family; ``zorder_by`` instead clusters on a Morton key so the
+    stats narrow on EVERY listed column — see :func:`zorder_value`), and
+    replaces the directory
     via a near-atomic two-rename swap: the live dir is renamed aside
     first, staging is renamed into place, and only then is the old copy
     deleted — so the published path is never absent and a crash mid-swap
@@ -130,7 +193,20 @@ def compact_table(
     n_out = max(1, math.ceil(total_bytes / (target_file_mb << 20))) if total_bytes else max(
         1, n_before // 8
     )
-    if sort_by:
+    if zorder_by:
+        # multi-column clustering: range-partition + sort on the Morton
+        # key so EVERY zorder_by column's min/max footer stats narrow per
+        # file (sort_by narrows only its leading key); the helper column
+        # is dropped before write
+        from pyspark.sql import functions as F
+
+        packed = (
+            with_zorder(df, zorder_by)
+            .repartitionByRange(n_out, F.col("__zorder"))
+            .sortWithinPartitions("__zorder")
+            .drop("__zorder")
+        )
+    elif sort_by:
         from pyspark.sql import functions as F
 
         packed = df.repartitionByRange(n_out, *[F.col(c) for c in sort_by]).sortWithinPartitions(*sort_by)

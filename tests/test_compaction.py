@@ -78,3 +78,78 @@ def test_compact_table_preserves_partition_scheme(spark, sf_dir, tmp_path):
     plan_df = after.filter(F.col("yr") == 1995)
     assert plan_df.count() > 0
     assert "yr" in after.columns
+
+
+def test_zorder_value_matches_python_reference(spark):
+    """zorder_value = Morton interleave of linear bit-quantized columns;
+    pinned against an independent pure-python implementation."""
+    from datawarehouse_etl_using_hyperjoin_spark.sources.files import zorder_value
+
+    bits = 4
+    rows = [(float(x), float(y)) for x in range(0, 16) for y in range(0, 16)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    bounds = {"x": (0.0, 16.0), "y": (0.0, 16.0)}
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", zorder_value(["x", "y"], bounds, bits=bits)
+        ).collect()
+    }
+
+    def quant(v, lo, hi):
+        span = (hi - lo) or 1.0
+        import math
+
+        return min((1 << bits) - 1, max(0, math.floor((v - lo) / span * (1 << bits))))
+
+    def morton(qx, qy):
+        z = 0
+        for i in range(bits):
+            z |= ((qx >> i) & 1) << (2 * i)      # col 0 → even positions
+            z |= ((qy >> i) & 1) << (2 * i + 1)  # col 1 → odd positions
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(quant(x, 0.0, 16.0), quant(y, 0.0, 16.0)), (x, y)
+
+
+def test_zorder_compaction_narrows_footer_stats_on_every_column(spark, tmp_path):
+    """The multi-column clustering claim: after compact_table(zorder_by=
+    [x, y]) each output file covers a narrow slice of BOTH columns'
+    ranges (so parquet min/max stats prune scans filtered on either),
+    while single-key range clustering narrows only its own key."""
+    import glob
+
+    out_z = str(tmp_path / "zorder")
+    out_s = str(tmp_path / "single")
+    # two independent uniform columns from hash arithmetic (no RNG)
+    base = spark.range(600_000).select(
+        (F.pmod(F.xxhash64("id"), 100000) / 100000.0).alias("x"),
+        (F.pmod(F.xxhash64(F.col("id") + 7), 100000) / 100000.0).alias("y"),
+    )
+    base.repartition(8).write.mode("overwrite").parquet(out_z)
+    base.repartition(8).write.mode("overwrite").parquet(out_s)
+
+    compact_table(spark, out_z, target_file_mb=1, zorder_by=["x", "y"])
+    compact_table(spark, out_s, target_file_mb=1, sort_by=["x"])
+
+    def mean_file_width(path, col):
+        widths = []
+        for f in glob.glob(path + "/*.parquet"):
+            row = spark.read.parquet(f).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).collect()[0]
+            widths.append(row.hi - row.lo)
+        return sum(widths) / len(widths), len(widths)
+
+    zx, nz = mean_file_width(out_z, "x")
+    zy, _ = mean_file_width(out_z, "y")
+    sx, ns = mean_file_width(out_s, "x")
+    sy, _ = mean_file_width(out_s, "y")
+    assert nz >= 4 and ns >= 4  # enough files for the stats to mean anything
+    # z-order: BOTH columns' per-file ranges are much narrower than global
+    assert zx < 0.6 and zy < 0.6, (zx, zy)
+    # single-key clustering: its own key is narrow, the other is ~full
+    assert sx < 0.2 and sy > 0.9, (sx, sy)
+    # helper column never leaks into the written schema
+    assert "__zorder" not in spark.read.parquet(out_z).columns
