@@ -264,6 +264,45 @@ def refresh_fact_month(
     return one_month.count()
 
 
+def expire_fact_months(
+    spark: SparkSession,
+    out_dir: str,
+    keep_from: str,
+    *,
+    tables: tuple[str, ...] = ("fact_sales", "summary_sales"),
+) -> dict[str, list[str]]:
+    """Retention pass: drop every ``order_month`` partition strictly older
+    than ``keep_from`` (inclusive lower bound, 'yyyy-MM') from the fact
+    and, when present, the summary.
+
+    Month partitioning makes retention a pure METADATA operation — no
+    scan, no rewrite, no tombstones: expired months are directory
+    deletes, and every surviving file is untouched (readers see either
+    the old or the new listing, never partial months).  This is the
+    lifecycle complement of :func:`refresh_fact_month` — data enters and
+    leaves the warehouse one month-partition at a time.  The reference
+    kept all history forever (its MySQL DW had no retention story).
+
+    Lexicographic comparison IS chronological for zero-padded 'yyyy-MM'.
+    Returns {table: [expired months]} so callers can log/audit the drop.
+    """
+    import glob
+
+    expired: dict[str, list[str]] = {}
+    for table in tables:
+        root = f"{out_dir}/{table}"
+        if not os.path.isdir(root):
+            continue
+        dropped = []
+        for p in sorted(glob.glob(f"{root}/order_month=*")):
+            month = os.path.basename(p).split("=", 1)[1]
+            if month < keep_from:
+                shutil.rmtree(p)
+                dropped.append(month)
+        expired[table] = dropped
+    return expired
+
+
 # The materialized-summary grain: month × product × store.  Measures are
 # MERGEABLE ONLY (sums, counts, min/max) — a mean or percentile stored
 # here could not be maintained per-partition; derive ratios at query

@@ -337,3 +337,58 @@ def test_refresh_fact_month_chains_summary_refresh(spark, sf_dir, tmp_path):
         )
     )
     assert got == want
+
+
+def test_expire_fact_months_drops_only_old_partitions(spark, sf_dir, tmp_path):
+    """Retention is metadata-only: months before the cutoff disappear from
+    fact AND summary, surviving partitions' files are physically
+    untouched, and the surviving data still reads clean."""
+    import glob
+    import os
+
+    from datawarehouse_etl_using_hyperjoin_spark.etl import (
+        expire_fact_months,
+        load_star,
+        write_summary,
+    )
+
+    out = str(tmp_path / "dw")
+    load_star(spark, sf_dir, out)
+    write_summary(spark, out)
+    months = sorted(
+        os.path.basename(p).split("=")[1]
+        for p in glob.glob(out + "/fact_sales/order_month=*")
+    )
+    assert len(months) > 6
+    cutoff = months[3]
+    keep_rows = (
+        spark.read.parquet(out + "/fact_sales")
+        .filter(F.col("order_month") >= cutoff)
+        .count()
+    )
+    survivors_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(out + "/fact_sales/order_month=*/*.parquet")
+        if os.path.basename(os.path.dirname(p)).split("=")[1] >= cutoff
+    }
+
+    expired = expire_fact_months(spark, out, cutoff)
+    assert expired["fact_sales"] == months[:3]
+    assert expired["summary_sales"] == months[:3]
+
+    left = sorted(
+        os.path.basename(p).split("=")[1]
+        for p in glob.glob(out + "/fact_sales/order_month=*")
+    )
+    assert left == months[3:]
+    survivors_after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(out + "/fact_sales/order_month=*/*.parquet")
+    }
+    assert survivors_after == survivors_before  # untouched, nothing else left
+    assert spark.read.parquet(out + "/fact_sales").count() == keep_rows
+    # idempotent: a second pass drops nothing
+    assert expire_fact_months(spark, out, cutoff) == {
+        "fact_sales": [],
+        "summary_sales": [],
+    }
