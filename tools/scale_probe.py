@@ -295,6 +295,99 @@ def measure_ivf_index(
     }
 
 
+def measure_zorder_pruning(spark, n_rows: int = 10_000_000) -> dict[str, object]:
+    """The multi-column clustering claim at probe scale: a selective
+    filter on the SECOND z-ordered column should touch a small fraction
+    of files (parquet min/max row-group/file skipping), where a layout
+    sorted on the first column alone must scan everything for that
+    predicate."""
+    from datawarehouse_etl_using_hyperjoin_spark.sources.files import with_zorder
+
+    df = spark.range(n_rows).select(
+        (F.pmod(F.xxhash64("id"), 1000000) / 1000000.0).alias("x"),
+        (F.pmod(F.xxhash64(F.col("id") + 7), 1000000) / 1000000.0).alias("y"),
+        F.pmod(F.xxhash64(F.col("id") + 13), 1000).alias("payload"),
+    )
+    layouts = {}
+    base = tempfile.mkdtemp(prefix="zorder_probe_")
+    df.repartition(32).write.mode("overwrite").parquet(base + "/plain")
+    df.repartitionByRange(32, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(base + "/xsorted")
+    with_zorder(df, ["x", "y"]).repartitionByRange(32, "__zorder").sortWithinPartitions(
+        "__zorder"
+    ).drop("__zorder").write.mode("overwrite").parquet(base + "/zorder")
+
+    out: dict[str, object] = {}
+    for name in ("plain", "xsorted", "zorder"):
+        t = spark.read.parquet(f"{base}/{name}")
+        q = t.filter((F.col("y") >= 0.40) & (F.col("y") < 0.41)).agg(
+            F.sum("payload").alias("s")
+        )
+        m = run_metered(spark, q)
+        files_hit = (
+            t.filter((F.col("y") >= 0.40) & (F.col("y") < 0.41))
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+        m["files_with_matches"] = files_hit
+        m["files_total"] = len(t.inputFiles())
+        out[name] = m
+    return out
+
+
+def measure_bucketed_fact_customer_join(
+    spark, li, n_customers: int
+) -> dict[str, dict[str, float]]:
+    """The OTHER growing-dim edge (fact ⋈ customer — the dim the engine
+    refuses to force-broadcast because it grows with the fact): at-rest
+    bucketed-by-custkey layouts vs plain parquet, broadcast disabled."""
+    li = li.withColumn(
+        "l_custkey", F.pmod(F.xxhash64(F.col("l_orderkey") + 3), n_customers)
+    )
+    cust = spark.range(n_customers).select(
+        F.col("id").alias("c_custkey"),
+        F.pmod(F.xxhash64("id"), 25).alias("c_nationkey"),
+        (F.pmod(F.xxhash64(F.col("id") + 11), 10000) / 100).alias("c_acctbal"),
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.sources.files import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS probe_li_cust_bkt")
+    spark.sql("DROP TABLE IF EXISTS probe_cust_bkt")
+    write_bucketed(li, "probe_li_cust_bkt", "l_custkey", n_buckets=32)
+    write_bucketed(cust, "probe_cust_bkt", "c_custkey", n_buckets=32)
+    plain_li = tempfile.mkdtemp(prefix="probe_lic_") + "/t"
+    plain_cust = tempfile.mkdtemp(prefix="probe_cust_") + "/t"
+    li.write.mode("overwrite").parquet(plain_li)
+    cust.write.mode("overwrite").parquet(plain_cust)
+
+    def agg(l, c):
+        return (
+            l.join(c, F.col("l_custkey") == F.col("c_custkey"))
+            .groupBy("c_nationkey")
+            .agg(F.sum(F.col("l_quantity") * F.col("c_acctbal")).alias("v"))
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = {
+            "bucketed": run_metered(
+                spark,
+                agg(spark.table("probe_li_cust_bkt"), spark.table("probe_cust_bkt")),
+            ),
+            "plain": run_metered(
+                spark, agg(spark.read.parquet(plain_li), spark.read.parquet(plain_cust))
+            ),
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS probe_li_cust_bkt")
+        spark.sql("DROP TABLE IF EXISTS probe_cust_bkt")
+    return out
+
+
 def measure_bucketed_fact_join(spark, li, n_orders: int) -> dict[str, dict[str, float]]:
     """The engine's only big⋈big edge (SCALE.md: lineitem ⋈ orders) with
     its at-rest answer, measured at probe scale: both sides written
@@ -577,6 +670,10 @@ def main() -> None:
             spark, big, n_orders=n_rows // 4
         ),
         "lsh_batch_amortization": measure_lsh_batch_amortization(spark, docs_big),
+        "bucketed_fact_customer_join": measure_bucketed_fact_customer_join(
+            spark, big, n_customers=n_rows // 20
+        ),
+        "zorder_pruning": measure_zorder_pruning(spark, n_rows),
     }
     vec_path = tempfile.mkdtemp(prefix="scale_probe_") + "/vectors"
     n_vecs = int(os.environ.get("SCALE_PROBE_VECS", 200_000))
