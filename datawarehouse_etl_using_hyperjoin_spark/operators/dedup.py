@@ -560,3 +560,140 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def passage_windows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 30,
+    stride: int = 1,
+) -> DataFrame:
+    """Token windows for passage-level dedup: (id, start, passage_hash) —
+    a ``window``-word md5 every ``stride`` tokens (plus one tail window
+    ending at the last token, so trailing text is always covered).
+
+    ``stride=1`` (default) carries the exact-substring GUARANTEE: any
+    ≥``window``-token string shared by two documents yields at least one
+    identical window hash in both, wherever it sits.  ``stride > 1``
+    cuts the hashing cost ``stride``× but two occurrences then match
+    only if their positions agree modulo the stride — fine for
+    fixed-offset templates, wrong for arbitrary repeats (the
+    alignment-robust sparse alternative is winnowing, Schleimer et al.
+    2003, which selects the min hash per window of hashes).
+
+    Token grain, one explode — linear in corpus tokens, no shuffle; the
+    window hash is computed array-side from the doc's token array (no
+    self-join of token rows).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    starts = F.when(
+        F.col("__n") <= window, F.array(F.lit(0))
+    ).otherwise(
+        F.array_distinct(
+            F.concat(
+                F.sequence(
+                    F.lit(0), F.col("__n") - window, F.lit(stride)
+                ),
+                F.array(F.col("__n") - window),  # tail coverage
+            )
+        )
+    )
+    return toks.select(
+        F.col(id_col),
+        F.explode(starts).alias("start"),
+        F.col("__toks"),
+    ).select(
+        F.col(id_col),
+        "start",
+        F.md5(
+            F.array_join(F.slice("__toks", F.col("start") + 1, window), " ")
+        ).alias("passage_hash"),
+    )
+
+
+def repeated_passages(
+    windows: DataFrame, id_col: str, *, min_docs: int = 2
+) -> DataFrame:
+    """Passages appearing in ≥ ``min_docs`` DISTINCT documents:
+    (passage_hash, n_docs, n_occurrences, rep_id) — the cross-document
+    boilerplate / license-block / template detector of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    windowed: their suffix-array exact-substring pass becomes one
+    groupBy over window hashes, the shape Spark scales.
+
+    One shuffle on passage_hash.  At 100 TB the output is a small
+    relation (only passages that actually repeat across documents);
+    persist it and strip against it incrementally like the LSH index.
+    """
+    return (
+        windows.groupBy("passage_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("rep_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_repeated_passages(
+    docs: DataFrame,
+    flagged: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 30,
+    stride: int = 1,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Remove flagged repeated passages from every document (or every
+    document except the representative when ``keep_first``): tokens
+    covered by any flagged window are dropped and the remaining tokens
+    re-joined; a column ``n_stripped_tokens`` records how much was cut.
+
+    Plan shape: recompute the doc's windows (linear), semi-join the
+    (small) flagged relation, explode covered positions, per-doc
+    collect_set, then one array filter over the token array — everything
+    JVM-side, one broadcastable join + one narrow per-doc aggregate.
+    """
+    win = passage_windows(docs, id_col, text_col, window=window, stride=stride)
+    hit = win.join(
+        flagged.select("passage_hash", "rep_id"), "passage_hash", "inner"
+    )
+    if keep_first:
+        hit = hit.filter(F.col(id_col) != F.col("rep_id"))
+    covered = (
+        hit.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + window - 1)
+            ).alias("pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__cut"))
+    )
+    toks = docs.withColumn(
+        "__toks", F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    )
+    joined = toks.join(covered, id_col, "left")
+    kept = F.filter(
+        F.transform(
+            F.col("__toks"),
+            lambda t, i: F.when(
+                F.col("__cut").isNull() | ~F.array_contains("__cut", i), t
+            ),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    return joined.select(
+        *[c for c in docs.columns if c != text_col],
+        F.array_join(kept, " ").alias(text_col),
+        F.coalesce(F.size("__cut"), F.lit(0)).cast("long").alias(
+            "n_stripped_tokens"
+        ),
+    )

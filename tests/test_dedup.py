@@ -201,3 +201,71 @@ def test_lsh_bucket_cap_bounds_boilerplate_skew(spark):
     uncapped = lsh_candidate_pairs(bands, "doc_id", max_bucket=10**9)
     # without the cap the boilerplate cluster alone adds C(200,2) pairs
     assert uncapped.count() >= n_capped + (n_boiler * (n_boiler - 1)) // 2
+
+
+def test_repeated_passage_detection_and_strip(spark, sf_dir):
+    """Exact-substring (windowed) dedup: a 40-word passage planted in two
+    documents at DIFFERENT offsets is detected (stride=1 guarantee) and
+    stripped from the non-representative copy; unique docs are untouched;
+    a stride that misaligns the copies misses them (the documented
+    trade-off)."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        passage_windows,
+        repeated_passages,
+        strip_repeated_passages,
+    )
+
+    passage = " ".join(f"boiler{i}" for i in range(40))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, uniq("a", 7) + " " + passage + " " + uniq("b", 20)),
+            (2, uniq("c", 13) + " " + passage + " " + uniq("d", 5)),
+            (3, uniq("e", 60)),
+        ],
+        ["doc_id", "text"],
+    )
+    win = passage_windows(docs, "doc_id", "text", window=30)
+    flagged = repeated_passages(win, "doc_id")
+    f = flagged.collect()
+    assert f and all(r.n_docs == 2 and r.rep_id == 1 for r in f)
+
+    out = {
+        r.doc_id: r
+        for r in strip_repeated_passages(
+            docs, flagged, "doc_id", "text", window=30
+        ).collect()
+    }
+    # representative keeps its text verbatim (lower-cased join)
+    assert out[1].n_stripped_tokens == 0
+    assert "boiler0" in out[1].text
+    # the copy loses every planted token but keeps its unique words
+    assert out[2].n_stripped_tokens >= 40
+    assert "boiler" not in out[2].text
+    assert "c0" in out[2].text and "d4" in out[2].text
+    # untouched unique doc
+    assert out[3].n_stripped_tokens == 0 and "e59" in out[3].text
+
+    # stride>1 with misaligned offsets (7 vs 13 -> differ mod 5): no hits
+    win5 = passage_windows(docs, "doc_id", "text", window=30, stride=5)
+    assert repeated_passages(win5, "doc_id").count() == 0
+
+    # on the fixture corpus every flagged passage is a TRUE repeat: the
+    # occurrences' 30-token slices are literally identical across docs
+    # (the fixture's planted near-dup docs share long runs — the operator
+    # finds exactly those)
+    fixture = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    fw = passage_windows(fixture, "doc_id", "text", window=30)
+    frep = repeated_passages(fw, "doc_id")
+    assert frep.count() > 0
+    probe = frep.limit(1).collect()[0].passage_hash
+    occ = fw.filter(F.col("passage_hash") == probe).limit(3).collect()
+    assert len(occ) >= 2
+    texts = {r.doc_id: r.start for r in occ}
+    slices = set()
+    for did, start in texts.items():
+        toks = (
+            fixture.filter(F.col("doc_id") == did).collect()[0].text.lower().split()
+        )
+        slices.add(" ".join(toks[start : start + 30]))
+    assert len(slices) == 1  # one identical passage, several documents
