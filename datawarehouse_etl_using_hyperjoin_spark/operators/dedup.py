@@ -697,3 +697,88 @@ def strip_repeated_passages(
             "n_stripped_tokens"
         ),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    w: int = 12,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    algorithm): hash every k-gram, then keep only the MINIMUM hash of
+    each window of ``w`` consecutive k-gram hashes (rightmost minimum on
+    ties).  Output: (id, pos, fingerprint) with positions of the
+    selected k-grams.
+
+    Guarantee (theirs): any substring of at least ``w + k − 1`` tokens
+    shared by two documents contributes at least one IDENTICAL
+    fingerprint to both, at ANY offsets — the alignment robustness
+    stride-1 :func:`passage_windows` buys with a dense output, delivered
+    sparsely: expected fingerprint density is 2/(w+1), so the shuffle
+    that finds cross-document repeats carries ~2/(w+1) of the rows the
+    dense pass would.  Hashing cost is the same (every k-gram is hashed
+    — locally, array-side, never shuffled); winnowing is purely a
+    shuffle/at-rest-size optimization, the one that matters at 100 TB.
+
+    All array-side: k-gram hashes and the per-window argmin selection
+    happen inside each document's token array; `array_distinct` drops
+    re-selections of the same position across adjacent windows.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    # k-gram hash at every start: xxhash64 of the joined k tokens
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.col("__n") - k + 1)),
+        lambda i: F.xxhash64(F.array_join(F.slice("__toks", i, k), " ")),
+    )
+    with_h = toks.withColumn("__h", hashes).withColumn("__m", F.size("__h"))
+    # windows of w consecutive hashes; rightmost-minimum selection:
+    # scan the window and keep the LAST index attaining the min
+    def rightmost_min(start):
+        win = F.slice("__h", start, w)
+        mn = F.array_min(win)
+        # last position (1-based in win) whose hash equals the min
+        idx = F.aggregate(
+            F.sequence(F.lit(1), F.least(F.lit(w), F.col("__m") - start + 1)),
+            F.lit(0),
+            lambda acc, j: F.when(F.element_at(win, j) == mn, j).otherwise(acc),
+        )
+        return F.struct((start + idx - 1).alias("pos"), mn.alias("fingerprint"))
+
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.col("__m") - w + 1)),
+            rightmost_min,
+        )
+    )
+    return (
+        with_h.select(F.col(id_col), F.explode(selected).alias("s"))
+        .select(
+            F.col(id_col),
+            F.col("s.pos").cast("int").alias("pos"),
+            F.col("s.fingerprint").alias("fingerprint"),
+        )
+        .distinct()
+    )
+
+
+def fingerprint_matches(
+    fingerprints: DataFrame, id_col: str, *, min_docs: int = 2
+) -> DataFrame:
+    """Fingerprints appearing in ≥ ``min_docs`` distinct documents —
+    the sparse analogue of :func:`repeated_passages`: (fingerprint,
+    n_docs, rep_id).  One shuffle over the WINNOWED rows only."""
+    return (
+        fingerprints.groupBy("fingerprint")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("rep_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -269,3 +269,48 @@ def test_repeated_passage_detection_and_strip(spark, sf_dir):
         )
         slices.add(" ".join(toks[start : start + 30]))
     assert len(slices) == 1  # one identical passage, several documents
+
+
+def test_winnowing_guarantee_and_sparsity(spark, sf_dir):
+    """Winnowing (k=8, w=12): any shared run of >= w+k-1 = 19 tokens at
+    ARBITRARY offsets yields a common fingerprint; the selected
+    fingerprints are sparse (expected density 2/(w+1) ~ 0.154); and the
+    fixture corpus's planted near-dup docs surface via fingerprint
+    matches just as the dense pass finds them."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        fingerprint_matches,
+        winnow_fingerprints,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(19))  # exactly w+k-1
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, uniq("a", 7) + " " + passage + " " + uniq("b", 23)),
+            (2, uniq("c", 13) + " " + passage + " " + uniq("d", 9)),
+            (3, uniq("e", 50)),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnow_fingerprints(docs, "doc_id", "text")
+    m = fingerprint_matches(fp, "doc_id").collect()
+    assert m and all(r.n_docs == 2 and r.rep_id == 1 for r in m)
+    # doc 3 shares nothing: none of its fingerprints repeat
+    fp3 = {r.fingerprint for r in fp.filter(F.col("doc_id") == 3).collect()}
+    assert fp3.isdisjoint({r.fingerprint for r in m})
+
+    # sparsity on the fixture corpus: selected positions ≪ k-gram count,
+    # near the 2/(w+1) expectation
+    fixture = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    n_tokens = fixture.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).collect()[0][0]
+    n_fp = winnow_fingerprints(fixture, "doc_id", "text").count()
+    density = n_fp / n_tokens
+    assert 0.05 < density < 0.30, density
+
+    # the planted fixture near-dups are found sparsely too
+    matches = fingerprint_matches(
+        winnow_fingerprints(fixture, "doc_id", "text"), "doc_id"
+    )
+    assert matches.count() > 0
