@@ -706,13 +706,17 @@ def winnow_fingerprints(
     *,
     k: int = 8,
     w: int = 12,
+    positions: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
     "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
     algorithm): hash every k-gram, then keep only the MINIMUM hash of
-    each window of ``w`` consecutive k-gram hashes (rightmost minimum on
-    ties).  Output: (id, pos, fingerprint) with positions of the
-    selected k-grams.
+    each window of ``w`` consecutive k-gram hashes.  Output: (id, pos,
+    fingerprint) with positions of the selected k-grams —
+    ``positions=False`` returns just (id, fingerprint), which halves the
+    window-selection work (one slice per window instead of two; measured
+    ~2× on the 100 K-doc probe) and is all detection-only callers like
+    :func:`fingerprint_matches` need.
 
     Guarantee (theirs): any substring of at least ``w + k − 1`` tokens
     shared by two documents contributes at least one IDENTICAL
@@ -720,13 +724,21 @@ def winnow_fingerprints(
     stride-1 :func:`passage_windows` buys with a dense output, delivered
     sparsely: expected fingerprint density is 2/(w+1), so the shuffle
     that finds cross-document repeats carries ~2/(w+1) of the rows the
-    dense pass would.  Hashing cost is the same (every k-gram is hashed
-    — locally, array-side, never shuffled); winnowing is purely a
+    dense pass would (measured 470.9 MB → 32.0 MB at 100 K docs,
+    SCALE.md).  Hashing cost is the same (every k-gram is hashed —
+    locally, array-side, never shuffled); winnowing is purely a
     shuffle/at-rest-size optimization, the one that matters at 100 TB.
 
-    All array-side: k-gram hashes and the per-window argmin selection
+    All array-side: k-gram hashes and the per-window min selection
     happen inside each document's token array; `array_distinct` drops
-    re-selections of the same position across adjacent windows.
+    re-selections of the same position across adjacent windows.  On tied
+    hashes the LEFTMOST minimum is selected (one native `array_position`
+    call), not the paper's rightmost: with 64-bit hashes a tie is either
+    identical k-grams (same selection wherever window contents match) or
+    a ~2⁻⁶⁴ collision, and the flat expression matters — a per-element
+    argmin fold here re-inlined an O(w) slice per element (O(w²) per
+    window, outside codegen) and ran 26× slower (the r3 simhash
+    CollapseProject lesson, re-learned; BENCH_NOTES).
     """
     toks = docs.select(
         F.col(id_col),
@@ -738,25 +750,27 @@ def winnow_fingerprints(
         lambda i: F.xxhash64(F.array_join(F.slice("__toks", i, k), " ")),
     )
     with_h = toks.withColumn("__h", hashes).withColumn("__m", F.size("__h"))
-    # windows of w consecutive hashes; rightmost-minimum selection:
-    # scan the window and keep the LAST index attaining the min
-    def rightmost_min(start):
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.col("__m") - w + 1))
+    if not positions:
+        selected = F.array_distinct(
+            F.transform(starts, lambda s: F.array_min(F.slice("__h", s, w)))
+        )
+        return (
+            with_h.select(F.col(id_col), F.explode(selected).alias("fingerprint"))
+            .distinct()
+        )
+
+    # leftmost-minimum with its position, via one native array_position
+    # call per window (see docstring for why not a per-element argmin fold)
+    def window_min(start):
         win = F.slice("__h", start, w)
         mn = F.array_min(win)
-        # last position (1-based in win) whose hash equals the min
-        idx = F.aggregate(
-            F.sequence(F.lit(1), F.least(F.lit(w), F.col("__m") - start + 1)),
-            F.lit(0),
-            lambda acc, j: F.when(F.element_at(win, j) == mn, j).otherwise(acc),
+        return F.struct(
+            (start + F.array_position(win, mn) - 1).cast("int").alias("pos"),
+            mn.alias("fingerprint"),
         )
-        return F.struct((start + idx - 1).alias("pos"), mn.alias("fingerprint"))
 
-    selected = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.lit(1), F.col("__m") - w + 1)),
-            rightmost_min,
-        )
-    )
+    selected = F.array_distinct(F.transform(starts, window_min))
     return (
         with_h.select(F.col(id_col), F.explode(selected).alias("s"))
         .select(

@@ -314,3 +314,19 @@ def test_winnowing_guarantee_and_sparsity(spark, sf_dir):
         winnow_fingerprints(fixture, "doc_id", "text"), "doc_id"
     )
     assert matches.count() > 0
+
+
+def test_winnowing_value_only_matches_positions_variant(spark, sf_dir):
+    """positions=False returns exactly the fingerprint set of the full
+    variant (per doc), just without offsets."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    full = winnow_fingerprints(docs, "doc_id", "text")
+    lean = winnow_fingerprints(docs, "doc_id", "text", positions=False)
+    a = {(r.doc_id, r.fingerprint) for r in full.collect()}
+    b = {(r.doc_id, r.fingerprint) for r in lean.collect()}
+    assert b == {(d, f) for d, f in a}
+    assert lean.columns == ["doc_id", "fingerprint"]

@@ -223,6 +223,30 @@ def measure_lsh_batch_amortization(
         spark.sql("DROP TABLE IF EXISTS scale_probe_lsh_amort")
 
 
+def measure_passage_dedup(spark, docs) -> dict[str, dict[str, float]]:
+    """Dense stride-1 passage windows vs winnowed fingerprints finding
+    cross-document repeats: same guarantee family, the winnowed pass
+    should move ~2/(w+1) of the dense pass's shuffle volume."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        fingerprint_matches,
+        passage_windows,
+        repeated_passages,
+        winnow_fingerprints,
+    )
+
+    dense = repeated_passages(
+        passage_windows(docs, "doc_id", "text", window=19), "doc_id"
+    )
+    sparse = fingerprint_matches(
+        winnow_fingerprints(docs, "doc_id", "text", k=8, w=12, positions=False),
+        "doc_id",
+    )
+    return {
+        "dense_stride1_windows": run_metered(spark, dense),
+        "winnowed_fingerprints": run_metered(spark, sparse),
+    }
+
+
 def synth_vectors(spark, n: int, dim: int, path: str) -> None:
     """Deterministic synthetic embeddings: n vectors of dim floats in
     [-1, 1) from hash arithmetic (no RNG)."""
@@ -670,6 +694,7 @@ def main() -> None:
             spark, big, n_orders=n_rows // 4
         ),
         "lsh_batch_amortization": measure_lsh_batch_amortization(spark, docs_big),
+        "passage_dedup": measure_passage_dedup(spark, docs_big),
         "bucketed_fact_customer_join": measure_bucketed_fact_customer_join(
             spark, big, n_customers=n_rows // 20
         ),
