@@ -796,3 +796,62 @@ def fingerprint_matches(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def write_fingerprint_index(
+    fingerprints: DataFrame, table: str, *, n_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """Persist (id, fingerprint) rows as the at-rest repeat index,
+    BUCKETED BY fingerprint — same layout contract as
+    :func:`write_lsh_index`: the index-side groupBy in
+    :func:`incremental_fingerprint_matches` plans exchange-free, so each
+    ingest batch pays only its own shuffle.  Append new batches with
+    ``mode='append'``."""
+    from ..sources.files import write_bucketed
+
+    write_bucketed(
+        fingerprints, table, "fingerprint", n_buckets=n_buckets, sort=True, mode=mode
+    )
+
+
+def incremental_fingerprint_matches(
+    new_fp: DataFrame, index_fp: DataFrame, id_col: str, *, max_bucket: int = 1000
+) -> DataFrame:
+    """Cross-document repeats for an INGEST BATCH against the persisted
+    fingerprint index plus within the batch itself — the incremental
+    form of :func:`fingerprint_matches`, mirroring
+    :func:`lsh_incremental_pairs`: the corpus is never re-hashed, the
+    index side groups exchange-free off the bucketed layout, and the
+    only per-batch cost is the batch's own fingerprints plus one
+    columnar index scan.
+
+    Output: (fingerprint, n_docs, rep_id, match_type) with match_type ∈
+    {'new_vs_index', 'new_vs_new'}; for index matches rep_id is the
+    smallest INDEXED doc id and n_docs counts batch docs + capped index
+    docs sharing the fingerprint.
+    """
+    idx = (
+        index_fp.groupBy("fingerprint")
+        .agg(
+            F.countDistinct(id_col).alias("__idx_docs"),
+            F.min(id_col).alias("__idx_rep"),
+        )
+        .filter(F.col("__idx_docs") <= max_bucket)
+    )
+    vs_index = (
+        new_fp.join(idx, "fingerprint", "inner")
+        .groupBy("fingerprint", "__idx_docs", "__idx_rep")
+        .agg(F.countDistinct(id_col).alias("__new_docs"))
+        .select(
+            "fingerprint",
+            (F.col("__idx_docs") + F.col("__new_docs")).alias("n_docs"),
+            F.col("__idx_rep").alias("rep_id"),
+            F.lit("new_vs_index").alias("match_type"),
+        )
+    )
+    within = fingerprint_matches(new_fp, id_col).withColumn(
+        "match_type", F.lit("new_vs_new")
+    )
+    return vs_index.unionByName(within.select(
+        "fingerprint", "n_docs", "rep_id", "match_type"
+    ))

@@ -330,3 +330,52 @@ def test_winnowing_value_only_matches_positions_variant(spark, sf_dir):
     b = {(r.doc_id, r.fingerprint) for r in lean.collect()}
     assert b == {(d, f) for d, f in a}
     assert lean.columns == ["doc_id", "fingerprint"]
+
+
+def test_incremental_fingerprint_index(spark, sf_dir):
+    """The at-rest fingerprint index: bucketed round trip plans the
+    index-side group exchange-free, a new batch's repeats against the
+    corpus surface WITHOUT re-hashing it, and batch appends keep the
+    layout."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        incremental_fingerprint_matches,
+        winnow_fingerprints,
+        write_fingerprint_index,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import plan_string
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+    fp = winnow_fingerprints(docs, "doc_id", "text")
+    # batch: near-copies of docs 0-49 (share long runs -> fingerprints)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    batch = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 2, F.size(w) - 1)).alias("text"),
+    )
+    new_fp = winnow_fingerprints(batch, "doc_id", "text")
+    try:
+        write_fingerprint_index(fp, "fp_idx", n_buckets=8)
+        idx = spark.table("fp_idx")
+        # index-side aggregation is exchange-free off the bucketed scan
+        plan = plan_string(
+            idx.groupBy("fingerprint").agg(F.countDistinct("doc_id").alias("n")),
+            "simple",
+        )
+        assert "Exchange" not in plan and "Bucketed: true" in plan, plan
+
+        m = incremental_fingerprint_matches(new_fp, idx, "doc_id")
+        rows = m.collect()
+        vs_index = [r for r in rows if r.match_type == "new_vs_index"]
+        assert vs_index  # drop-one-word copies still share fingerprints
+        assert all(r.rep_id < 1_000_000 and r.n_docs >= 2 for r in vs_index)
+
+        # append a second batch; the table keeps both and stays bucketed
+        write_fingerprint_index(new_fp, "fp_idx", n_buckets=8, mode="append")
+        idx2 = spark.table("fp_idx")
+        assert idx2.count() == fp.count() + new_fp.count()
+        plan2 = plan_string(
+            idx2.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n")), "simple"
+        )
+        assert "Exchange" not in plan2, plan2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fp_idx")
