@@ -164,3 +164,44 @@ def upsert_parquet_sink(path: str, key: str):
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
 
     return _sink
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim2: DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time dimension lookup: join each fact row to the SCD2
+    version that was current AT ITS TIMESTAMP — the query-side complement
+    of :func:`scd2_upsert` ("what segment was this customer in when the
+    order happened?", the question Type-2 history exists to answer).
+
+    Version match: ``valid_from <= ts AND (ts < valid_to OR is_current)``
+    — half-open intervals, so the fact falling exactly on a version
+    boundary resolves to the NEWER version (the row opened at that
+    instant), matching :func:`scd2_upsert`'s close-at-effective
+    convention.  Facts before the key's first version (or with unseen
+    keys) keep NULL dim attributes under ``how='left'``.
+
+    Plan shape: an EQUI-join on ``key`` with the interval predicate as a
+    post-join filter — versions-per-key is small (one row per attribute
+    change), so the equi-join bounds the fan-out and no interval/range
+    machinery is needed; the dim side broadcasts whenever it fits, like
+    any dimension.  (A true range join on a huge interval relation is
+    ``operators.rangejoin``'s job; SCD2 history is not that shape.)
+    Output drops the bookkeeping columns and keeps (facts.*, attrs…).
+    """
+    meta = ("valid_from", "valid_to", "is_current")
+    attrs = [c for c in dim2.columns if c != key and c not in meta]
+    d = dim2.select(
+        F.col(key).alias("__k"), *attrs, "valid_from", "valid_to", "is_current"
+    )
+    cond = (
+        (facts[ts_col] >= d["valid_from"])
+        & (d["is_current"] | (facts[ts_col] < d["valid_to"]))
+    )
+    joined = facts.join(d, (facts[key] == d["__k"]) & cond, how)
+    return joined.select(*[facts[c] for c in facts.columns], *[d[a] for a in attrs])

@@ -99,3 +99,36 @@ def test_scd2_out_of_order_effective_date_documented_precondition(spark):
     closed = [r for r in out if not r.is_current]
     assert len(closed) == 1
     assert closed[0].valid_to < closed[0].valid_from  # inverted, by precondition
+
+
+def test_scd2_lookup_point_in_time(spark):
+    """scd2_lookup resolves each fact to the version current at its
+    timestamp: before-first-version facts get NULLs, boundary timestamps
+    resolve to the NEWER version (half-open intervals), and current rows
+    with open valid_to match everything after their valid_from."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.upsert import scd2_lookup
+
+    # key 1: 'a' [1995-01-01 .. 1996-06-01), 'b' [1996-06-01 .. open)
+    dim = scd2_upsert(
+        _existing(spark, [(1, "a")]),
+        _updates(spark, [(1, "b")], eff=D(1996, 6, 1)),
+        key="k",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, D(1994, 5, 1)),   # before history -> NULL
+            (101, 1, D(1995, 7, 1)),   # inside first version -> 'a'
+            (102, 1, D(1996, 6, 1)),   # exactly on the boundary -> 'b'
+            (103, 1, D(2001, 1, 1)),   # current open interval -> 'b'
+            (104, 2, D(1999, 1, 1)),   # unseen key -> NULL
+        ],
+        "fact_id long, k long, ts date",
+    )
+    out = {r.fact_id: r.attr for r in scd2_lookup(facts, dim, key="k", ts_col="ts").collect()}
+    assert out == {100: None, 101: "a", 102: "b", 103: "b", 104: None}
+    # every fact row survives the left join exactly once
+    assert scd2_lookup(facts, dim, key="k", ts_col="ts").count() == 5
+
+    # inner form drops the unmatched rows instead
+    inner = scd2_lookup(facts, dim, key="k", ts_col="ts", how="inner")
+    assert {r.fact_id for r in inner.collect()} == {101, 102, 103}
