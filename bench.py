@@ -4,12 +4,13 @@
 Prints ONE JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
 "queries": {name: sec}, "sf": <sf>}.
 
-Roster (r5): every query in the registry — 50 of 50.  r1–r4 timed a
-20-query headline slice, which left 30 queries (rollup, pivot, window
-rank, JSON, the dim/upsert family, 2 of 3 streaming queries ...) invisible
-to the per-round artifact; a regression there could not be seen.  Batch
-queries are materialized with the noop writer (full execution, nothing
-collected to the driver).
+Roster (r5): every query in the registry — all 57 (the 50 driver-window
+queries plus the 7 extension queries).  r1–r4 timed a 20-query headline
+slice, which left 30 queries (rollup, pivot, window rank, JSON, the
+dim/upsert family, 2 of 3 streaming queries ...) invisible to the
+per-round artifact; a regression there could not be seen.  Batch queries
+are materialized with the noop writer (full execution, nothing collected
+to the driver).
 
 Streaming queries (r5): drained through the no-op STREAMING sink
 (run_to_noop) instead of the declared queries' memory sink — the memory

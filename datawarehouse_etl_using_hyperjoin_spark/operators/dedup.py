@@ -707,6 +707,7 @@ def winnow_fingerprints(
     k: int = 8,
     w: int = 12,
     positions: bool = True,
+    hash_fn=None,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
     "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
@@ -740,14 +741,20 @@ def winnow_fingerprints(
     window, outside codegen) and ran 26× slower (the r3 simhash
     CollapseProject lesson, re-learned; BENCH_NOTES).
     """
+    # ``hash_fn``: Column→Column 64-bit hash of the joined k-gram string.
+    # Default xxhash64 (native, fastest).  Pass an engine-portable hash
+    # (e.g. md5-prefix → BIGINT) when the fingerprints must match another
+    # engine's — xxhash64 exists only in Spark.
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     toks = docs.select(
         F.col(id_col),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
     ).withColumn("__n", F.size("__toks"))
-    # k-gram hash at every start: xxhash64 of the joined k tokens
+    # k-gram hash at every start: 64-bit hash of the joined k tokens
     hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(F.lit(1), F.col("__n") - k + 1)),
-        lambda i: F.xxhash64(F.array_join(F.slice("__toks", i, k), " ")),
+        lambda i: hash_fn(F.array_join(F.slice("__toks", i, k), " ")),
     )
     with_h = toks.withColumn("__h", hashes).withColumn("__m", F.size("__h"))
     starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.col("__m") - w + 1))

@@ -82,6 +82,7 @@ def lm_perplexity(
     text_col: str,
     *,
     lam: float = 0.7,
+    exact_dp: int | None = None,
 ) -> DataFrame:
     """Per-document perplexity under the interpolated bigram model:
     (id, n_scored, avg_logp, perplexity), scoring every token after the
@@ -92,6 +93,15 @@ def lm_perplexity(
     (left joins — unseen words/bigrams fall back to smoothing mass), one
     per-document aggregate.  Documents with < 2 tokens get NULL scores
     (nothing to condition on) rather than being dropped.
+
+    ``exact_dp``: partition-invariant mode for cross-engine/cross-run
+    determinism (the q_stats decimal-power-sum convention).  The default
+    ``avg(log p)`` streams doubles in partition order, so its last few
+    ulps vary with partitioning; with ``exact_dp=d`` each token's
+    ``log p`` is rounded to ``d`` dp first (absorbing the ≤1-ulp libm
+    spread between engines) and summed as an exact DECIMAL, so the same
+    corpus gives the bit-identical score on 1 or 1000 executors.  Adds a
+    ``sum_logp`` column; ``perplexity`` is rounded to 6 dp.
     """
     totals = unigrams.agg(
         F.sum("c").cast("double").alias("n_tokens"),
@@ -139,13 +149,27 @@ def lm_perplexity(
             .otherwise(F.col("p")),
         )
     )
+    if exact_dp is None:
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_scored"),
+                F.avg(F.log("p")).alias("avg_logp"),
+            )
+            .withColumn("perplexity", F.exp(-F.col("avg_logp")))
+        )
+    # exact mode: per-row dp-rounded log p, exact decimal sum (see docstring);
+    # the decimal→double cast is lossless while |Σ|·10^dp < 2^53 — at
+    # avg log p ≈ −10 that is ~10^5 tokens/doc headroom at dp=9
+    logp = F.round(F.log("p"), exact_dp).cast(f"decimal(28,{exact_dp})")
     return (
         scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_scored"),
-            F.avg(F.log("p")).alias("avg_logp"),
+            F.sum(logp).cast("double").alias("sum_logp"),
         )
-        .withColumn("perplexity", F.exp(-F.col("avg_logp")))
+        .withColumn("avg_logp", F.col("sum_logp") / F.col("n_scored"))
+        .withColumn("perplexity", F.round(F.exp(-F.col("avg_logp")), 6))
     )
 
 

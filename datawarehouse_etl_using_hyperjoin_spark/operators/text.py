@@ -158,3 +158,73 @@ def pii_hit_count(text: Column, patterns=PII_PATTERNS) -> Column:
     for pattern, _ in patterns:
         total = total + F.regexp_count(text, F.lit(pattern))
     return total.cast("long")
+
+
+def repetition_metrics(
+    docs, id_col: str, text_col: str
+):
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from Training
+    Gopher", Table A1): highly repetitive documents — crawler traps,
+    keyword stuffing, templated boilerplate — are filtered by the fraction
+    of duplicated content.  Output: (id, n_words, frac_unique_words,
+    top_bigram_frac, top_trigram_frac) where ``top_{n}gram_frac`` is the
+    share of n-gram slots taken by the single most frequent n-gram (their
+    "top n-gram fraction" family) and ``frac_unique_words`` is
+    distinct/total tokens (inverse of their duplicate-word fraction).
+
+    Plan shape: token/gram arrays are built array-side (one projection, no
+    token-grain self-joins); bigrams and trigrams are tagged and exploded
+    ONCE, so finding each document's modal n-gram costs a single narrow
+    groupBy chain keyed by document — linear in corpus tokens, two
+    shuffles, no UDFs.  Documents with < n tokens get NULL for that
+    fraction.  All ratios are int/int doubles — deterministic across
+    engines and partitionings.
+    """
+    from pyspark.sql import functions as F  # local: keep module header slim
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("__n_uniq"),
+        toks.alias("__toks"),
+    )
+
+    def grams(n: int):
+        return F.when(
+            F.col("n_words") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_words") - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("sz"),
+                    F.concat_ws(" ", F.slice("__toks", i, n)).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<sz:int,g:string>>"))
+
+    top = (
+        base.select(
+            F.col(id_col), F.explode(F.concat(grams(2), grams(3))).alias("t")
+        )
+        .groupBy(id_col, "t.sz", "t.g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("sz") == 2, F.col("c"))).alias("__top2"),
+            F.max(F.when(F.col("sz") == 3, F.col("c"))).alias("__top3"),
+        )
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            (F.col("__n_uniq").cast("double") / F.col("n_words"))
+            .alias("frac_unique_words"),
+            (F.col("__top2").cast("double") / (F.col("n_words") - 1))
+            .alias("top_bigram_frac"),
+            (F.col("__top3").cast("double") / (F.col("n_words") - 2))
+            .alias("top_trigram_frac"),
+        )
+    )
