@@ -247,6 +247,45 @@ def measure_passage_dedup(spark, docs) -> dict[str, dict[str, float]]:
     }
 
 
+def measure_corpus_quality(spark, docs) -> dict[str, dict[str, float]]:
+    """The r5 corpus-quality operators at probe scale: bigram-LM training
+    + scoring (default float mode vs the exact-decimal mode the oracle
+    uses — measuring what partition-invariance costs), Gopher repetition
+    metrics, and decontamination against a 1K-doc benchmark (the corpus
+    side must stay one explode + one broadcast join as it grows)."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        contamination_check,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.lm import (
+        lm_perplexity,
+        train_ngram_lm,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    uni, big = train_ngram_lm(docs, "doc_id", "text")
+    uni, big = uni.cache(), big.cache()
+    uni.count(), big.count()  # isolate training from the scoring probes
+    out = {
+        "lm_score_float": run_metered(
+            spark, lm_perplexity(docs, uni, big, "doc_id", "text")
+        ),
+        "lm_score_exact_dp9": run_metered(
+            spark, lm_perplexity(docs, uni, big, "doc_id", "text", exact_dp=9)
+        ),
+        "repetition_metrics": run_metered(
+            spark, repetition_metrics(docs, "doc_id", "text")
+        ),
+        "contamination_vs_1k_bench": run_metered(
+            spark,
+            contamination_check(docs, docs.limit(1000), k=8),
+        ),
+    }
+    uni.unpersist(), big.unpersist()
+    return out
+
+
 def synth_vectors(spark, n: int, dim: int, path: str) -> None:
     """Deterministic synthetic embeddings: n vectors of dim floats in
     [-1, 1) from hash arithmetic (no RNG)."""
@@ -699,6 +738,7 @@ def main() -> None:
             spark, big, n_customers=n_rows // 20
         ),
         "zorder_pruning": measure_zorder_pruning(spark, n_rows),
+        "corpus_quality": measure_corpus_quality(spark, docs_big),
     }
     vec_path = tempfile.mkdtemp(prefix="scale_probe_") + "/vectors"
     n_vecs = int(os.environ.get("SCALE_PROBE_VECS", 200_000))
