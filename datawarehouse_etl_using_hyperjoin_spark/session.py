@@ -18,6 +18,22 @@ from pyspark.sql import SparkSession
 # (nanos since epoch) and sources.fixtures converts it back to timestamp_ntz.
 NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
+# InferFiltersFromGenerate synthesizes `size(arr) > 0 AND isnotnull(arr)`
+# from every explode().  When the array is an expensive expression (shingle
+# / n-gram / hash arrays built with higher-order functions), predicate
+# pushdown then substitutes that WHOLE expression into a scan-side filter —
+# below the compute repartition, so it re-runs the interpreted HOF chain at
+# scan parallelism (a small corpus arrives in 1-2 splits → 2 cores).
+# Measured: q_contamination 4.4 s → 1.1 s, q_ngram_jaccard 2.5 s → 1.5 s,
+# q_minhash_pairs 2.0 s → 1.5 s at sf0.1 with the rule off.  The rule only
+# helps when arrays are frequently NULL/empty AND dropping those rows early
+# saves downstream work — never this engine's shape (shingle arrays have a
+# whole-text fallback, so they are never empty).  Excluding it is safe for
+# correctness: it is purely an optimization rule.
+EXCLUDED_OPTIMIZER_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
 
 def tuned_conf(builder: SparkSession.Builder, cpus: int) -> SparkSession.Builder:
     """Apply engine configuration to a builder (shared by tests and bench)."""
@@ -30,6 +46,7 @@ def tuned_conf(builder: SparkSession.Builder, cpus: int) -> SparkSession.Builder
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(NANOS_AS_LONG, "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
         .config("spark.ui.enabled", "false")
     )
 
@@ -71,6 +88,7 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         (NANOS_AS_LONG, "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES),
     ):
         try:
             spark.conf.set(key, value)
