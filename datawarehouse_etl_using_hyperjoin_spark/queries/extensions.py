@@ -426,8 +426,10 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals (Rae et al. 2021, Table A1) per document:
     unique-word fraction and top-bigram/-trigram share
     (operators/text.repetition_metrics) — the repetitive-document filter
-    of a pre-training quality pipeline, all JVM-side, one tagged n-gram
-    explode + one narrow per-doc groupBy chain."""
+    of a pre-training quality pipeline, all JVM-side and ZERO-shuffle:
+    each document's modal n-gram count is the longest equal-run in its
+    sorted gram array, one fold per row (the oracle takes the classic
+    explode + GROUP BY + max route and must agree exactly)."""
     docs = load_table(spark, sf_dir, "documents")
     return repetition_metrics(docs, "doc_id", "text")
 
