@@ -4,8 +4,9 @@ actually runs over raw documents before tokenization.
 Stage chain (all JVM column expressions + the blocked dedup operators —
 no Python in any hot path):
 
-    metrics → quality/language gate → exact dedup → near-dup removal
-    (MinHash-LSH) → deterministic train/eval split → partitioned write
+    metrics → quality/language gate → (optional) repetition + LM-
+    perplexity gates → exact dedup → near-dup removal (MinHash-LSH) →
+    deterministic train/eval split → partitioned write
 
 Scale posture (100 TB):
 - every stage is linear except LSH candidate generation, which is bounded
@@ -50,6 +51,9 @@ def prepare_corpus(
     min_quality: float = 0.35,
     min_tokens: int = 5,
     langs: tuple[str, ...] | None = None,
+    max_top_bigram_frac: float | None = None,
+    max_perplexity: float | None = None,
+    lm: tuple[DataFrame, DataFrame] | None = None,
     n_hashes: int = 16,
     n_bands: int = 4,
     shingle_k: int = 3,
@@ -67,6 +71,19 @@ def prepare_corpus(
     (edges (5,9),(9,3) drop only 9); the transitive mode keeps exactly
     one per component at the cost of O(component-diameter) label-
     propagation rounds.
+
+    Optional quality gates, both off by default:
+    - ``max_top_bigram_frac`` — Gopher repetition gate (Rae et al. 2021):
+      drop documents whose single most frequent bigram fills more than
+      this share of bigram slots (crawler traps, keyword stuffing).
+      Expression-level (``text.top_gram_run_count``) — zero extra joins
+      or shuffles.
+    - ``max_perplexity`` — CCNet LM gate (``operators.lm``): drop
+      documents scoring above the threshold under the interpolated
+      bigram model.  ``lm=(unigrams, bigrams)`` supplies a pretrained
+      model (the production shape: train once on trusted text, persist
+      the count relations, score every batch); by default the model is
+      trained on the quality/language-gated corpus itself.
     """
     scored = corpus_metrics(docs, id_col, text_col)
     gated = scored.filter(
@@ -74,6 +91,31 @@ def prepare_corpus(
     )
     if langs is not None:
         gated = gated.filter(F.col("lang_pred").isin(*langs))
+    if max_top_bigram_frac is not None:
+        staged = gated.withColumn(
+            "__toks", F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).withColumn("__nw", F.size("__toks").cast("long"))
+        frac = tx.top_gram_run_count(
+            F.col("__toks"), F.col("__nw"), 2
+        ).cast("double") / (F.col("__nw") - 1)
+        gated = (
+            staged.withColumn("top_bigram_frac", frac)
+            .filter(
+                F.col("top_bigram_frac").isNull()
+                | (F.col("top_bigram_frac") <= max_top_bigram_frac)
+            )
+            .drop("__toks", "__nw")
+        )
+    if max_perplexity is not None:
+        from .lm import lm_perplexity, perplexity_gate, train_ngram_lm
+
+        uni, big = lm if lm is not None else train_ngram_lm(
+            gated, id_col, text_col
+        )
+        ppl = lm_perplexity(gated, uni, big, id_col, text_col)
+        gated = perplexity_gate(
+            gated, ppl, id_col, max_perplexity=max_perplexity
+        )
 
     # exact dedup: min id per normalized-content fingerprint (one shuffle)
     exact = (

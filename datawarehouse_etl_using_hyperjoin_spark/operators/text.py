@@ -197,41 +197,51 @@ def repetition_metrics(
         F.size(F.array_distinct("__toks")).cast("long").alias("__n_uniq"),
         F.col("__toks"),
     )
-
-    def top_gram_count(n: int):
-        """Longest equal-run in the sorted n-gram array (NULL if < n toks)."""
-        grams = F.transform(
-            F.sequence(F.lit(1), F.col("n_words") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
-        )
-        zero = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("best"),
-        )
-
-        def step(acc, x):
-            run = F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(
-                F.lit(1).cast("long")
-            )
-            return F.struct(
-                x.alias("prev"),
-                run.alias("run"),
-                F.greatest(acc.best, run).alias("best"),
-            )
-
-        return F.when(
-            F.col("n_words") >= n,
-            F.aggregate(F.array_sort(grams), zero, step, lambda acc: acc.best),
-        )
-
+    n_words = F.col("n_words")
     return base.select(
         F.col(id_col),
         "n_words",
-        (F.col("__n_uniq").cast("double") / F.col("n_words"))
+        (F.col("__n_uniq").cast("double") / n_words)
         .alias("frac_unique_words"),
-        (top_gram_count(2).cast("double") / (F.col("n_words") - 1))
-        .alias("top_bigram_frac"),
-        (top_gram_count(3).cast("double") / (F.col("n_words") - 2))
-        .alias("top_trigram_frac"),
+        (top_gram_run_count(F.col("__toks"), n_words, 2).cast("double")
+         / (n_words - 1)).alias("top_bigram_frac"),
+        (top_gram_run_count(F.col("__toks"), n_words, 3).cast("double")
+         / (n_words - 2)).alias("top_trigram_frac"),
+    )
+
+
+def top_gram_run_count(toks: Column, n_words: Column, n: int) -> Column:
+    """Modal n-gram COUNT of a token array, as a pure column expression:
+    the longest equal-run in the sorted n-gram array (NULL when the doc
+    has < n tokens).  ``toks`` must be a NAMED column (not an inline
+    split) or the tokenizer re-runs per element inside the interpreted
+    lambda; ``n_words`` likewise.  Shared by :func:`repetition_metrics`
+    and the inline repetition gate in ``operators.corpus.prepare_corpus``
+    (being expression-level, the gate costs zero joins and zero
+    shuffles)."""
+    from pyspark.sql import functions as F
+
+    grams = F.transform(
+        F.sequence(F.lit(1), n_words - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.best, run).alias("best"),
+        )
+
+    return F.when(
+        n_words >= n,
+        F.aggregate(F.array_sort(grams), zero, step, lambda acc: acc.best),
     )

@@ -417,3 +417,49 @@ def test_lsh_ingest_pairs_equals_sequential_ingest(spark, sf_dir):
         if min(r.id_a, r.id_b) >= 1_000_000 and max(r.id_a, r.id_b) >= 2_000_000
     ]
     assert cross and all(r.pair_type == "new_vs_new" for r in cross)
+
+
+def test_prepare_corpus_repetition_gate(spark, sf_dir):
+    """The Gopher repetition gate drops a planted crawler-trap doc and
+    keeps the natural corpus, without any extra join in the plan."""
+    from pyspark.sql import Row
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    trap = spark.createDataFrame(
+        [Row(doc_id=9_900_000, text="buy now " * 40)]
+    )
+    corpus = docs.unionByName(trap)
+    kept = prepare_corpus(
+        corpus, min_quality=0.0, min_tokens=1, max_top_bigram_frac=0.4
+    )
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 9_900_000 not in kept_ids
+    # the gate is surgical: at most a handful of fixture docs trip it
+    assert len(kept_ids) >= 0.9 * docs.count()
+    # and it exposes the measured signal as a column
+    assert "top_bigram_frac" in kept.columns
+
+
+def test_prepare_corpus_perplexity_gate(spark, sf_dir):
+    """The CCNet LM gate drops out-of-distribution garbage; a pretrained
+    model can be supplied (the production persist-the-counts shape)."""
+    from pyspark.sql import Row
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.lm import (
+        train_ngram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    garbage = spark.createDataFrame(
+        [Row(doc_id=9_900_001, text="zxqv wkjh qpzm vbnx hjkl zzyx qwpo mnbv")]
+    )
+    corpus = docs.unionByName(garbage)
+    # threshold picked from the in-distribution score band: fixture docs
+    # score well under 200 against a model trained on themselves
+    lm = train_ngram_lm(docs, "doc_id", "text")
+    kept = prepare_corpus(
+        corpus, min_quality=0.0, min_tokens=1, max_perplexity=200.0, lm=lm
+    )
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 9_900_001 not in kept_ids
+    assert len(kept_ids) >= 0.9 * docs.count()
