@@ -502,3 +502,67 @@ def q_passage_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, flagged, "doc_id", "text", window=15, stride=1,
         keep_first=True, windows=win,
     )
+
+
+# mixture spec shared between the Spark query and the oracle; thresholds
+# are int(rate * 1e6) exactly as operators/sampling computes them
+_MIX_RATES = {"src0": 0.25, "src1": 0.5}          # downsample these sources
+_MIX_WEIGHTS = {"src2": 2.5, "src3": 0.75}        # epoch factors for these
+_B = 1_000_000
+_RATE_CASE = " ".join(
+    f"WHEN '{s}' THEN {int(r * _B)}" for s, r in _MIX_RATES.items()
+)
+_K_CASE = " ".join(
+    f"WHEN '{s}' THEN {int(w)}" for s, w in _MIX_WEIGHTS.items()
+)
+_FRAC_CASE = " ".join(
+    f"WHEN '{s}' THEN {int((w - int(w)) * _B)}" for s, w in _MIX_WEIGHTS.items()
+)
+
+
+@query(
+    "q_mixture_sample",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           % {_B} AS mixb,
+         ('0x' || substr(md5('epoch' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           % {_B} AS epb
+  FROM documents
+),
+thin AS (
+  SELECT * FROM b
+  WHERE mixb < CASE source {_RATE_CASE} ELSE {_B} END
+),
+mul AS (
+  SELECT doc_id, source,
+         CASE source {_K_CASE} ELSE 1 END
+         + CASE WHEN epb < CASE source {_FRAC_CASE} ELSE 0 END
+                THEN 1 ELSE 0 END AS n
+  FROM thin
+)
+SELECT doc_id, source, unnest(range(0, n)) AS repeat_idx
+FROM mul WHERE n > 0""",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture reweighting (operators/sampling): per-
+    source downsampling (stratified_sample — e.g. thin over-represented
+    web sources) composed with per-source epoch upsampling (upsample —
+    weight 2.5 = every doc twice, a deterministic half a third time),
+    both decided by md5(salt, key) so the mixture is bit-identical across
+    runs, engines, partitionings and cluster sizes — `df.sample()`'s
+    per-partition RNG can satisfy none of those.  The oracle reproduces
+    the exact hash arithmetic, so membership AND copy counts are
+    value-checked row by row."""
+    from ..operators.sampling import stratified_sample, upsample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    thin = stratified_sample(
+        docs, "source", _MIX_RATES, "doc_id", default_rate=1.0, salt="mix"
+    )
+    mixed = upsample(
+        thin, "source", _MIX_WEIGHTS, "doc_id", default_weight=1.0,
+        salt="epoch",
+    )
+    return mixed.withColumn("repeat_idx", F.col("repeat_idx").cast("long"))

@@ -36,7 +36,7 @@ def duck(registry):
 EXTENSION_QUERIES = {
     "q_summary_rollup", "q_scd2_asof", "q_contamination",
     "q_passage_repeats", "q_winnow_matches", "q_lm_perplexity",
-    "q_repetition_metrics", "q_passage_strip",
+    "q_repetition_metrics", "q_passage_strip", "q_mixture_sample",
 }
 
 
