@@ -57,6 +57,19 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def loadavg() -> list[float] | None:
+    """1/5/15-minute host load — recorded around every pass so a
+    co-located-load-poisoned artifact carries its own evidence
+    (BENCH_NOTES documents both failure modes: a transient spike shows
+    as per-query spread; SUSTAINED load inflates every pass with small
+    spreads and is only visible against these samples)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [round(float(x), 2) for x in f.read().split()[:3]]
+    except Exception:  # pragma: no cover - non-Linux
+        return None
+
+
 def _stream_benches():
     """name → (plan_builder, output_mode): the streaming queries' unsunk
     plans, drained through the no-op streaming sink for timing."""
@@ -98,16 +111,19 @@ def main() -> None:
             materialize(registry[name].fn(spark, sf_dir))
 
     # Warm pass: session/codegen/file-listing/stream-fixture one-offs.
+    host_load = [loadavg()]
     for name in roster:
         run_once(name)
 
     # Interleaved timed passes (see module docstring).
     runs: dict[str, list[float]] = {name: [] for name in roster}
     for _ in range(N_PASSES):
+        host_load.append(loadavg())
         for name in roster:
             t0 = time.time()
             run_once(name)
             runs[name].append(time.time() - t0)
+    host_load.append(loadavg())
     timings = {
         name: round(sorted(times)[len(times) // 2], 3)
         for name, times in runs.items()
@@ -151,6 +167,10 @@ def main() -> None:
                     for name, times in runs.items()
                 },
                 "stream_attribution": attribution,
+                # host 1/5/15-min load sampled before the warm pass, at
+                # each timed pass start, and at end — the sustained-load
+                # detection signal (BENCH_NOTES)
+                "host_load": host_load,
             }
         )
     )
