@@ -194,3 +194,34 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir, tmp_path):
     # and the pruned plan computes the same answer as a static filter
     months = [r[0] for r in q1.select("order_month").collect()]
     assert joined.count() == fact.filter(F.col("order_month").isin(months)).count()
+
+
+def test_extension_query_plan_shapes(spark, sf_dir):
+    """Pin the scale-relevant shapes of the r5 extension queries:
+    the zero-shuffle claims are load-bearing (they are what makes these
+    operators linear at 100 TB), and the rollup must broadcast every dim
+    with exactly the one aggregate exchange."""
+    from datawarehouse_etl_using_hyperjoin_spark.queries import load_registry
+
+    reg = load_registry()
+
+    # repetition metrics: projection-only — no exchange, no join, no Python
+    plan = plan_string(reg["q_repetition_metrics"].fn(spark, sf_dir))
+    for marker in ("Exchange", "Join", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{marker} in q_repetition_metrics plan"
+
+    # mixture sampling: filter + generate only — membership/copy decisions
+    # are per-row hash arithmetic, nothing moves between partitions
+    plan = plan_string(reg["q_mixture_sample"].fn(spark, sf_dir))
+    for marker in ("Exchange", "Join"):
+        assert marker not in plan, f"{marker} in q_mixture_sample plan"
+
+    # summary rollup: five broadcast joins (star dims), exactly one
+    # shuffle (the final aggregate), no sort-merge fallback ("simple"
+    # mode: the formatted dump prints every node twice — tree + detail)
+    plan = plan_string(reg["q_summary_rollup"].fn(spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") == 5, plan
+    assert "SortMergeJoin" not in plan
+    # AQE re-plans exchanges at runtime; statically there must be exactly
+    # one shuffle exchange for the groupBy (broadcast exchanges excluded)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
