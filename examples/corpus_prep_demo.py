@@ -44,10 +44,27 @@ def main() -> None:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat_ws(" ", F.slice(w, 2, F.size(w) - 1)).alias("text"),
     )
-    corpus = docs.unionByName(dups)
-    print(f"raw corpus: {n_raw} docs + {n_raw} injected near-dups")
+    # plant a crawler trap + an out-of-distribution garbage doc so the
+    # repetition and LM-perplexity gates have real work too
+    from pyspark.sql import Row
 
-    clean = prepare_corpus(corpus, langs=("en",), transitive=True).cache()
+    planted = spark.createDataFrame([
+        Row(doc_id=9_000_001, text="buy now " * 40),
+        Row(doc_id=9_000_002,
+            text="zxqv wkjh qpzm vbnx hjkl zzyx qwpo mnbv"),
+    ])
+    corpus = docs.unionByName(dups).unionByName(planted)
+    print(f"raw corpus: {n_raw} docs + {n_raw} injected near-dups"
+          " + 1 crawler trap + 1 garbage doc")
+
+    clean = prepare_corpus(
+        corpus, langs=("en",), transitive=True,
+        max_top_bigram_frac=0.4,   # Gopher repetition gate
+        max_perplexity=200.0,      # CCNet LM gate (model trained in-corpus)
+    ).cache()
+    kept_ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    assert 9_000_001 not in kept_ids and 9_000_002 not in kept_ids
+    print("repetition + perplexity gates dropped both planted docs")
     by_split = {r.split: r.n for r in
                 clean.groupBy("split").agg(F.count("*").alias("n")).collect()}
     print(f"after gate + exact/near dedup: {clean.count()} docs, split={by_split}")
