@@ -375,3 +375,62 @@ def refresh_summary_month(spark: SparkSession, out_dir: str, month: str) -> int:
         .filter(F.col("order_month") == month)
         .count()
     )
+
+
+def dashboard_agg(
+    spark: SparkSession,
+    out_dir: str,
+    keys: list[str],
+    *,
+    months: list[str] | None = None,
+) -> DataFrame:
+    """Aggregate-aware dashboard query (the classic aggregate navigator):
+    mergeable measures at any grain COARSER than or equal to the summary
+    grain are answered from ``summary_sales`` — re-merged, never re-
+    derived (sum of sums, sum of counts, min of mins, max of maxes) — and
+    only a grain the summary cannot serve (a key outside
+    ``SUMMARY_KEYS``) falls back to scanning the fact.  At 100 TB that is
+    the difference between reading a few thousand rollup rows and a full
+    fact scan for every dashboard refresh; correctness is guaranteed by
+    the summary's mergeable-only measure contract (see
+    :func:`build_summary`).
+
+    ``months`` prunes to the given ``order_month`` partitions on either
+    path (partition filter → only those leaf dirs are read).  Money/qty
+    re-merges go through exact DECIMAL (the stored doubles are exact
+    2-dp values, so the cast is lossless) — the re-merged total is
+    bit-identical to a direct fact aggregation regardless of
+    partitioning.  Output: keys + n_lines, sum_qty, sum_sale, min_sale,
+    max_sale, avg_sale.
+    """
+    from_summary = set(keys) <= set(SUMMARY_KEYS)
+    src = spark.read.parquet(
+        f"{out_dir}/{'summary_sales' if from_summary else 'fact_sales'}"
+    )
+    if months is not None:
+        src = src.filter(F.col("order_month").isin(*months))
+    if from_summary:
+        agg = src.groupBy(*keys).agg(
+            F.sum("n_lines").alias("n_lines"),
+            F.sum(F.col("sum_qty").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("sum_sale").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("sum_sale"),
+            F.min("min_sale").alias("min_sale"),
+            F.max("max_sale").alias("max_sale"),
+        )
+    else:
+        agg = src.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("sales").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_sale"),
+            F.min("sales").alias("min_sale"),
+            F.max("sales").alias("max_sale"),
+        )
+    return agg.withColumn("avg_sale", F.col("sum_sale") / F.col("n_lines"))

@@ -392,3 +392,56 @@ def test_expire_fact_months_drops_only_old_partitions(spark, sf_dir, tmp_path):
         "fact_sales": [],
         "summary_sales": [],
     }
+
+
+def test_dashboard_agg_routes_to_summary_and_matches_fact(
+    spark, sf_dir, tmp_path
+):
+    """The aggregate navigator answers summary-servable grains FROM the
+    rollup (no fact files touched) and the re-merged totals are
+    bit-identical to aggregating the fact directly; a grain outside the
+    summary keys falls back to the fact."""
+    from datawarehouse_etl_using_hyperjoin_spark.etl import (
+        dashboard_agg,
+        load_star,
+        write_summary,
+    )
+
+    out = str(tmp_path / "dw")
+    load_star(spark, sf_dir, out)
+    write_summary(spark, out)
+
+    routed = dashboard_agg(spark, out, ["order_month"])
+    # plan evidence: the summary path must read ONLY summary files
+    files = routed.inputFiles()
+    assert files and all("summary_sales" in f for f in files)
+
+    # value evidence: identical to aggregating the fact at that grain
+    from pyspark.sql import functions as F
+
+    fact = spark.read.parquet(f"{out}/fact_sales")
+    direct = fact.groupBy("order_month").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("sales").cast("decimal(18,2)")).cast("double").alias("sum_sale"),
+        F.min("sales").alias("min_sale"),
+        F.max("sales").alias("max_sale"),
+    ).withColumn("avg_sale", F.col("sum_sale") / F.col("n_lines"))
+    assert routed.exceptAll(direct).count() == 0
+    assert direct.exceptAll(routed).count() == 0
+
+    # month pruning becomes a PartitionFilter on the summary scan
+    # (inputFiles() lists pre-pruning, so assert on the plan)
+    one = dashboard_agg(spark, out, ["order_month"], months=["1995-03"])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "1995-03" in plan, plan[:1500]
+
+    # non-summary grain (supplier) falls back to the fact
+    fb = dashboard_agg(spark, out, ["supplier_id"])
+    assert all("fact_sales" in f for f in fb.inputFiles())
+    direct_sup = fact.groupBy("supplier_id").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    got = {r.supplier_id: r.n_lines for r in fb.select("supplier_id", "n_lines").collect()}
+    want = {r.supplier_id: r.n_lines for r in direct_sup.collect()}
+    assert got == want
