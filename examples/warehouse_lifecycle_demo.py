@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from datawarehouse_etl_using_hyperjoin_spark.etl import (
+    dashboard_agg,
     expire_fact_months,
     refresh_fact_month,
     run_pipeline,
@@ -78,16 +79,15 @@ def main() -> None:
     left_sum = spark.read.parquet(f"{out}/summary_sales").count()
     print(f"   surviving: fact {left_fact} rows / summary {left_sum} rows")
 
-    print("\n== 5. rollup answers the dashboard query without the fact ==")
-    top = (
-        spark.read.parquet(f"{out}/summary_sales")
-        .groupBy("order_month")
-        .agg(F.sum("sum_sale").alias("month_sales"))
-        .orderBy(F.desc("month_sales"))
-        .limit(3)
-    )
+    print("\n== 5. aggregate navigator: summary-servable grains never scan the fact ==")
+    routed = dashboard_agg(spark, out, ["order_month"])
+    assert all("summary_sales" in f for f in routed.inputFiles())
+    top = routed.orderBy(F.desc("sum_sale")).limit(3)
     for r in top.collect():
-        print(f"   {r.order_month}: {r.month_sales:,.2f}")
+        print(f"   {r.order_month}: sales {r.sum_sale:,.2f} over {r.n_lines} lines (from rollup)")
+    fallback = dashboard_agg(spark, out, ["supplier_id"])
+    assert all("fact_sales" in f for f in fallback.inputFiles())
+    print(f"   supplier grain (outside the rollup) fell back to the fact: {fallback.count()} rows")
     spark.stop()
 
 
