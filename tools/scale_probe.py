@@ -77,16 +77,39 @@ def shuffle_write_bytes(spark) -> int:
     return sum(stages.apply(i).shuffleWriteBytes() for i in range(stages.size()))
 
 
+def _stage_totals(spark) -> tuple[int, int]:
+    """(shuffle-write bytes, input bytes) summed over completed stages."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    store = spark.sparkContext._jsc.sc().statusStore()
+    stages = store.stageList(
+        jvm.java.util.ArrayList(),
+        False,
+        False,
+        gw.new_array(gw.jvm.double, 0),
+        jvm.java.util.ArrayList(),
+    )
+    sw = sum(stages.apply(i).shuffleWriteBytes() for i in range(stages.size()))
+    ib = sum(stages.apply(i).inputBytes() for i in range(stages.size()))
+    return sw, ib
+
+
 def run_metered(spark, df) -> dict[str, float]:
     """Warm once, then time a materialization and attribute its shuffle
-    volume: {wall_sec, shuffle_mb}."""
+    volume and scan input: {wall_sec, shuffle_mb, input_mb}.  On local
+    NVMe the wall barely moves with scan size (the 100 TB regime is
+    IO/network-bound); input_mb is the scale-relevant read-amplification
+    signal."""
     df.write.mode("overwrite").format("noop").save()
-    b0 = shuffle_write_bytes(spark)
+    sw0, ib0 = _stage_totals(spark)
     t0 = time.time()
     df.write.mode("overwrite").format("noop").save()
+    wall = time.time() - t0
+    sw1, ib1 = _stage_totals(spark)
     return {
-        "wall_sec": round(time.time() - t0, 2),
-        "shuffle_mb": round((shuffle_write_bytes(spark) - b0) / (1 << 20), 1),
+        "wall_sec": round(wall, 2),
+        "shuffle_mb": round((sw1 - sw0) / (1 << 20), 1),
+        "input_mb": round((ib1 - ib0) / (1 << 20), 1),
     }
 
 
@@ -284,6 +307,80 @@ def measure_corpus_quality(spark, docs) -> dict[str, dict[str, float]]:
     }
     uni.unpersist(), big.unpersist()
     return out
+
+
+def measure_dashboard_routing(spark, n_rows: int) -> dict[str, dict[str, float]]:
+    """The aggregate navigator's value at probe scale: a month-grain
+    dashboard aggregation answered from the materialized rollup vs the
+    same answer re-derived from the full fact — the read-amplification
+    the summary exists to remove (etl.dashboard_agg)."""
+    import tempfile as _tf
+
+    from datawarehouse_etl_using_hyperjoin_spark.etl import dashboard_agg
+
+    out = _tf.mkdtemp(prefix="probe_dash_")
+    fact = spark.range(n_rows).select(
+        F.concat(
+            F.lit("19"),
+            (95 + F.pmod(F.xxhash64("id"), 5)).cast("string"),
+            F.lit("-0"),
+            (1 + F.pmod(F.xxhash64(F.col("id") + 3), 9)).cast("string"),
+        ).alias("order_month"),
+        # 45 months × 200 products × 25 stores ≈ 225 K summary rows from
+        # 10 M fact rows (~44× reduction — a modest real-world rollup;
+        # dashboards over wide date ranges see far more)
+        F.pmod(F.xxhash64(F.col("id") + 7), 200).alias("product_id"),
+        F.pmod(F.xxhash64(F.col("id") + 11), 25).alias("store_id"),
+        (1 + F.pmod(F.xxhash64(F.col("id") + 13), 50)).cast("double").alias("quantity"),
+        (F.pmod(F.xxhash64(F.col("id") + 17), 900000) / 100).alias("sales"),
+    )
+    fact.write.mode("overwrite").partitionBy("order_month").parquet(
+        f"{out}/fact_sales"
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.etl import build_summary
+
+    build_summary(spark.read.parquet(f"{out}/fact_sales")).write.mode(
+        "overwrite"
+    ).partitionBy("order_month").parquet(f"{out}/summary_sales")
+    routed = dashboard_agg(spark, out, ["order_month", "store_id"])
+    # the same answer re-derived from the fact (what every dashboard
+    # refresh would cost without the rollup)
+    direct = (
+        spark.read.parquet(f"{out}/fact_sales")
+        .groupBy("order_month", "store_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("sales").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_sale"),
+            F.min("sales").alias("min_sale"),
+            F.max("sales").alias("max_sale"),
+        )
+    )
+    def table_stats(name):
+        import glob as _g
+        import os as _os
+
+        files = _g.glob(f"{out}/{name}/**/*.parquet", recursive=True)
+        return {
+            "rows": spark.read.parquet(f"{out}/{name}").count(),
+            "at_rest_mb": round(
+                sum(_os.path.getsize(f) for f in files) / (1 << 20), 1
+            ),
+        }
+
+    return {
+        # at-rest size ratio = the read amplification the navigator
+        # removes; on local NVMe wall barely moves (scheduling-bound),
+        # at 100 TB the scan IS the cost
+        "summary_table": table_stats("summary_sales"),
+        "fact_table": table_stats("fact_sales"),
+        "from_summary": run_metered(spark, routed),
+        "from_fact": run_metered(spark, direct),
+    }
 
 
 def synth_vectors(spark, n: int, dim: int, path: str) -> None:
@@ -739,6 +836,7 @@ def main() -> None:
         ),
         "zorder_pruning": measure_zorder_pruning(spark, n_rows),
         "corpus_quality": measure_corpus_quality(spark, docs_big),
+        "dashboard_routing_10M": measure_dashboard_routing(spark, n_rows),
     }
     vec_path = tempfile.mkdtemp(prefix="scale_probe_") + "/vectors"
     n_vecs = int(os.environ.get("SCALE_PROBE_VECS", 200_000))
