@@ -170,3 +170,44 @@ def test_hash_sample_deterministic_and_nested(spark, rate, salt):
     if rate >= 0.1:
         smaller = set(r.k for r in hash_sample(df, rate / 2, "k", salt).collect())
         assert smaller <= set(a)  # nested: lower rate ⊆ higher rate
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab cd ef gh".split()), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_settings
+def test_repetition_metrics_matches_bruteforce(spark, docs):
+    """The sorted-run-length fold equals the brute-force modal n-gram
+    count for arbitrary token lists (incl. heavy repetition and docs
+    shorter than the gram size)."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    rows = [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(docs)]
+    got = {
+        r.doc_id: r
+        for r in repetition_metrics(
+            spark.createDataFrame(rows), "doc_id", "text"
+        ).collect()
+    }
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        assert got[i].n_words == n
+        assert got[i].frac_unique_words == len(set(toks)) / n
+        for size, col in ((2, "top_bigram_frac"), (3, "top_trigram_frac")):
+            val = getattr(got[i], col)
+            if n < size:
+                assert val is None
+            else:
+                grams = [" ".join(toks[j : j + size]) for j in range(n - size + 1)]
+                want = Counter(grams).most_common(1)[0][1] / (n - size + 1)
+                assert val == want, (toks, size, val, want)
