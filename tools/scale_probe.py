@@ -836,7 +836,7 @@ def main() -> None:
         ),
         "zorder_pruning": measure_zorder_pruning(spark, n_rows),
         "corpus_quality": measure_corpus_quality(spark, docs_big),
-        "dashboard_routing_10M": measure_dashboard_routing(spark, n_rows),
+        "dashboard_routing": measure_dashboard_routing(spark, n_rows),
     }
     vec_path = tempfile.mkdtemp(prefix="scale_probe_") + "/vectors"
     n_vecs = int(os.environ.get("SCALE_PROBE_VECS", 200_000))
