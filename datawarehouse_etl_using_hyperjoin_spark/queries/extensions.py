@@ -566,3 +566,43 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt="epoch",
     )
     return mixed.withColumn("repeat_idx", F.col("repeat_idx").cast("long"))
+
+
+@query(
+    "q_pack_documents",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       lang || '/' ||
+       CAST(CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS VARCHAR) AS bin_id
+FROM c""",
+)
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/sampling.pack_documents): every doc
+    assigned to a ≈512-token training bin by one window cumsum, packed
+    per language partition — the pretokenization step that turns a
+    corpus into fixed-length sequences.  Deterministic by construction
+    (greedy in id order), so bin assignments are value-checked exactly;
+    the per-partition form is the 100 TB shape (the window parallelizes
+    per shard key)."""
+    from ..operators.sampling import pack_documents
+    from ..operators.text import ws_token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        ws_token_count(F.col("text")).alias("n_tokens"),
+    )
+    return pack_documents(docs, "n_tokens", 512, partition_col="lang")
