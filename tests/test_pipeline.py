@@ -439,6 +439,10 @@ def test_dashboard_agg_routes_to_summary_and_matches_fact(
     # non-summary grain (supplier) falls back to the fact
     fb = dashboard_agg(spark, out, ["supplier_id"])
     assert all("fact_sales" in f for f in fb.inputFiles())
+    # months prune on the fallback path too
+    fb_m = dashboard_agg(spark, out, ["supplier_id"], months=["1995-03"])
+    plan_m = fb_m._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan_m and "1995-03" in plan_m
     direct_sup = fact.groupBy("supplier_id").agg(
         F.count(F.lit(1)).alias("n_lines")
     )
