@@ -38,7 +38,12 @@ from ..operators.text import repetition_metrics
 from ..operators.upsert import scd2_lookup, scd2_upsert
 from ..sources.fixtures import load_table
 from . import query
-from .pipelines import _DOCS_DUPS_SQL, _docs_with_dups
+from .pipelines import (
+    _DOCS_DUPS_SQL,
+    _MINHASH_SQL,
+    _SHINGLES_SQL,
+    _docs_with_dups,
+)
 
 
 # ------------------------------------------------------- warehouse layer
@@ -606,3 +611,78 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws_token_count(F.col("text")).alias("n_tokens"),
     )
     return pack_documents(docs, "n_tokens", 512, partition_col="lang")
+
+
+# corpus with TWO perturbation levels so dup clusters form chains
+# (doc -> drop-1-word -> drop-2-words): per-pair survivor rules
+# under-merge exactly here; components must not
+_DOCS_TRIPLE_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       array_to_string(w[2:len(w)], ' ') AS text
+FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id,
+       array_to_string(w[3:len(w)], ' ') AS text
+FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+"""
+
+
+@query(
+    "q_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE corpus AS ({_DOCS_TRIPLE_SQL}),
+sh AS ({_SHINGLES_SQL}),
+sig AS ({_MINHASH_SQL}),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, seed // 4
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT u AS id, v AS r FROM sym
+  UNION
+  SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u
+)
+SELECT id, least(id, min(r)) AS component
+FROM reach GROUP BY id""",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: LSH candidate pairs over a corpus
+    with chained perturbations (original → drop-1-word → drop-2-words)
+    resolved to connected components by distributed min-label propagation
+    (operators/graph.connected_components) — per-pair survivor rules
+    under-merge on exactly this chain shape.  The oracle computes the
+    same components via a recursive-CTE transitive closure, so the
+    distributed O(diameter)-round propagation is value-checked against
+    closed-form graph reachability."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+
+    def pert(drop: int):
+        return docs.select(
+            (F.col("doc_id") + drop * 1_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(w, drop + 1, F.size(w) - drop)).alias("text"),
+        )
+
+    corpus = docs.unionByName(pert(1)).unionByName(pert(2))
+    from ..operators.dedup import lsh_bands_from_array, lsh_candidate_pairs, minhash_array
+
+    sig = minhash_array(corpus, "doc_id", "text", 3, 16)
+    bands = lsh_bands_from_array(sig, "doc_id", 16, 4)
+    pairs = lsh_candidate_pairs(bands, "doc_id")
+    return connected_components(pairs, "id_a", "id_b")
