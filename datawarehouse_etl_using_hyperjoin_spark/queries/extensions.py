@@ -686,3 +686,44 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = lsh_bands_from_array(sig, "doc_id", 16, 4)
     pairs = lsh_candidate_pairs(bands, "doc_id")
     return connected_components(pairs, "id_a", "id_b")
+
+
+@query(
+    "q_global_sort",
+    oracle="""
+SELECT row_number() OVER (
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+       ) AS rank,
+       l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY rank
+LIMIT 1000""",
+)
+def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 global sort, made hash-visible: the driver's compare is
+    order-insensitive, so a bare ORDER BY is invisible to it — this
+    query MATERIALIZES the global ordering as a row_number rank (total
+    tie-break via the primary key), so any mis-sort anywhere in the
+    range-partitioned sort changes rank VALUES and fails the hash.
+    Scale shape: the top-1000 is taken FIRST (orderBy+limit plans
+    TakeOrderedAndProject — per-partition partial top-k, no global
+    shuffle of the full relation), and the rank window runs over the
+    bounded 1000-row result; ranking before limiting would funnel every
+    row through one window partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    order = [
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    ]
+    top = (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(*order)
+        .limit(1000)
+    )
+    return top.select(
+        F.row_number().over(Window.orderBy(*order)).alias("rank"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+    )

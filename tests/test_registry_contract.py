@@ -37,7 +37,7 @@ EXTENSION_QUERIES = {
     "q_summary_rollup", "q_scd2_asof", "q_contamination",
     "q_passage_repeats", "q_winnow_matches", "q_lm_perplexity",
     "q_repetition_metrics", "q_passage_strip", "q_mixture_sample",
-    "q_pack_documents", "q_dup_clusters",
+    "q_pack_documents", "q_dup_clusters", "q_global_sort",
 }
 
 
