@@ -4,8 +4,10 @@
 Prints ONE JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
 "queries": {name: sec}, "sf": <sf>}.
 
-Roster (r5): every query in the registry — all 57 (the 50 driver-window
-queries plus the 7 extension queries).  r1–r4 timed a 20-query headline
+Roster (since r5): every query in the registry, whatever its current size
+— the 50 driver-window queries plus every extension query registered after
+the window (the roster is read from load_registry(), never hand-listed, so
+it cannot go stale).  r1–r4 timed a 20-query headline
 slice, which left 30 queries (rollup, pivot, window rank, JSON, the
 dim/upsert family, 2 of 3 streaming queries ...) invisible to the
 per-round artifact; a regression there could not be seen.  Batch queries
@@ -103,10 +105,27 @@ def main() -> None:
     spark = get_spark("hyperjoin-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Stateful stream-stream drains get their state-store instance count
+    # sized at query birth (choose_state_partitions; 4x measured swing at
+    # sf0.1 — BENCH_NOTES.md r5/r6) instead of the batch shuffle default.
+    from datawarehouse_etl_using_hyperjoin_spark.queries.streamingq import (
+        stream_stream_join_state_bytes,
+    )
+
+    state_hints = {
+        "q_stream_stream_join": stream_stream_join_state_bytes(spark, sf_dir),
+    }
+
     def run_once(name: str) -> None:
         if name in streaming:
             builder, mode = streaming[name]
-            run_to_noop(builder(spark, sf_dir), output_mode=mode)
+            hint = state_hints.get(name)
+            run_to_noop(
+                builder(spark, sf_dir),
+                output_mode=mode,
+                state_partitions=None if hint is None else "auto",
+                projected_state_bytes=hint,
+            )
         else:
             materialize(registry[name].fn(spark, sf_dir))
 

@@ -676,6 +676,28 @@ def repeated_passages(
     )
 
 
+def write_passage_index(
+    flagged: DataFrame, table: str, *, n_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """Persist the flagged repeated-passage relation (passage_hash,
+    n_docs, n_occurrences, rep_id) as the at-rest strip index, BUCKETED
+    BY ``passage_hash`` — the steady-state form of passage dedup: the
+    flagged set is built (and appended to) once per ingest epoch, and
+    every subsequent strip pass joins straight against the persisted
+    index instead of re-building + checkpointing the corpus-wide window
+    relation (:func:`strip_repeated_passages` with ``flagged`` = the
+    read-back table and ``windows=None`` — the pass then only hashes the
+    documents it is actually stripping).  Measured steady-state walls in
+    BENCH_NOTES.md r6.  Bucketing matters once the index outgrows the
+    broadcast threshold: the probe-side join shuffles ONLY the window
+    rows, never the index."""
+    from ..sources.files import write_bucketed
+
+    write_bucketed(
+        flagged, table, "passage_hash", n_buckets=n_buckets, sort=True, mode=mode
+    )
+
+
 def strip_repeated_passages(
     docs: DataFrame,
     flagged: DataFrame,
@@ -697,12 +719,27 @@ def strip_repeated_passages(
     collect_set, then one array filter over the token array — everything
     JVM-side, one broadcastable join + one narrow per-doc aggregate.
 
-    ``windows``: pass the already-computed ``passage_windows`` relation
-    (same docs/window/stride) to avoid re-hashing the corpus when the
-    caller just derived ``flagged`` from it — worthwhile when the window
-    relation is materialized (checkpoint/persist/at rest); when it is a
-    lazy plan, passing it merely inlines the same recompute.
+    ``windows``: pass the already-computed ``passage_windows`` relation to
+    avoid re-hashing the corpus when the caller just derived ``flagged``
+    from it — worthwhile when the window relation is materialized
+    (checkpoint/persist/at rest); when it is a lazy plan, passing it
+    merely inlines the same recompute.  INVARIANT (unverifiable here —
+    provenance is the caller's): the relation MUST have been built by
+    ``passage_windows`` over these ``docs`` with these exact ``window``
+    and ``stride`` values.  ``window`` is still used to expand each
+    matched start position into covered token positions, so a relation
+    built with different parameters silently strips the wrong spans.
+    A cheap schema guard below rejects obviously-wrong relations; it
+    cannot detect a parameter mismatch.
     """
+    if windows is not None:
+        required = {"passage_hash", "start", id_col}
+        missing = required - set(windows.columns)
+        if missing:
+            raise ValueError(
+                f"windows relation lacks column(s) {sorted(missing)}; it must "
+                f"come from passage_windows(docs, window={window}, stride={stride})"
+            )
     win = (
         windows
         if windows is not None

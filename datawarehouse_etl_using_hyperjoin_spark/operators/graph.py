@@ -33,6 +33,7 @@ def connected_components(
     dst: str = "id_b",
     *,
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve connected components of the undirected graph ``edges``.
 
@@ -43,7 +44,13 @@ def connected_components(
 
     Raises ``RuntimeError`` if the propagation hasn't converged after
     ``max_iter`` rounds (diameter larger than expected) rather than
-    returning silently-wrong half-merged labels.
+    returning silently-wrong half-merged labels.  ``stats`` (optional
+    dict) receives {"rounds": n} on return — the depth probe's hook.
+
+    Depth guidance (measured, tools/scale_probe.py cc_depth + SCALE.md):
+    rounds grow linearly with component diameter, so past diameter ≈ 30
+    use :func:`connected_components_bigstar`, whose round count stays
+    ~log² regardless of depth.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -55,7 +62,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "u"), "u")
             .groupBy(F.col("v").alias("id"))
@@ -79,6 +86,8 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = round_no
             return labels.select("id", F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
@@ -104,6 +113,7 @@ def connected_components_bigstar(
     dst: str = "id_b",
     *,
     max_iter: int = 40,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -114,11 +124,11 @@ def connected_components_bigstar(
     shuffle shape as one propagation step.
 
     Returns (id, component) with component = the minimum vertex id, same
-    contract as :func:`connected_components`.
+    contract as :func:`connected_components` (``stats`` hook included).
     """
     e = _canonical(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     e = e.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
         # large-star: for every node, hang its LARGER neighbors onto the
         # minimum of its closed neighborhood
         sym = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
@@ -151,6 +161,8 @@ def connected_components_bigstar(
         )
         e = e2
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = round_no
             # fixpoint: edges form stars (v → component min)
             return e.select(
                 F.col("u").alias("id"), F.col("v").alias("component")

@@ -102,6 +102,15 @@ def lm_perplexity(
     spread between engines) and summed as an exact DECIMAL, so the same
     corpus gives the bit-identical score on 1 or 1000 executors.  Adds a
     ``sum_logp`` column; ``perplexity`` is rounded to 6 dp.
+
+    Exactness envelope: ``sum_logp`` is returned as DOUBLE, and the final
+    DECIMAL→double cast is bit-lossless only while
+    ``|Σ log p| · 10^d < 2^53`` — at avg log p ≈ −10 and ``d=9`` that is
+    ~10^5 tokens per document.  Beyond that the partition-invariance
+    guarantee degrades to last-ulp agreement (the decimal SUM itself stays
+    exact; only the final cast rounds).  For book-length documents either
+    lower ``exact_dp`` (d=6 → ~10^8 tokens/doc) or consume the exact sum
+    before the cast.
     """
     totals = unigrams.agg(
         F.sum("c").cast("double").alias("n_tokens"),

@@ -40,12 +40,27 @@ _SEQ = 0
 # correctness window checks entries front-to-back, so the reference's core
 # ETL semantics (relational scans/cleansing/joins, the star-schema write
 # path, the streaming forms) must come first, then the north-star pipeline
-# ops, then the analytics layer; the r5 extension queries come strictly
-# AFTER those 50.  Ordering is enforced HERE, by sort, not by import order:
-# importing a query module directly (tests, tools, user code) must never be
-# able to push a core query out of the driver window.
+# ops, then the analytics layer; extension queries come AFTER those unless
+# explicitly promoted (below).  Ordering is enforced HERE, by sort, not by
+# import order: importing a query module directly (tests, tools, user
+# code) must never be able to push a core query out of the driver window.
 MODULE_ORDER = (
     "relational", "star", "streamingq", "pipelines", "analytics", "extensions"
+)
+
+# Extension queries promoted INTO the driver's 50-entry correctness window
+# (round 6: same-family core queries were folded into tagged unions —
+# q_dim_bulk_load, q_rollup_cube, q_event_windows — freeing six slots so
+# the LLM-pipeline extension operators get driver-produced CORRECTNESS
+# rows instead of builder-run-only evidence).  These sort after the
+# analytics module but before the remaining extensions, in this order.
+PROMOTED = (
+    "q_scd2_asof",
+    "q_lm_perplexity",
+    "q_passage_repeats",
+    "q_mixture_sample",
+    "q_dup_clusters",
+    "q_global_sort",
 )
 
 
@@ -77,10 +92,17 @@ def load_registry() -> dict[str, QueryDef]:
     from . import relational, star, streamingq, pipelines, analytics  # noqa: F401
     from . import extensions  # noqa: F401
 
+    missing = set(PROMOTED) - set(REGISTRY)
+    if missing:  # a stale PROMOTED name must fail loudly, not reorder silently
+        raise RuntimeError(f"PROMOTED names not registered: {sorted(missing)}")
+
     rank = {m: i for i, m in enumerate(MODULE_ORDER)}
-    return dict(
-        sorted(
-            REGISTRY.items(),
-            key=lambda kv: (rank.get(kv[1].module, len(rank)), kv[1].seq),
-        )
-    )
+    ext_rank = rank["extensions"]
+
+    def key(kv):
+        name, qd = kv
+        if name in PROMOTED:  # between "analytics" and the other extensions
+            return (ext_rank - 0.5, PROMOTED.index(name))
+        return (rank.get(qd.module, len(rank)), qd.seq)
+
+    return dict(sorted(REGISTRY.items(), key=key))

@@ -172,35 +172,7 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_rollup",
-    oracle="""
-SELECT r_name, n_name,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
-       count(*) AS n_customers
-FROM customer
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP (r_name, n_name)""",
-)
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: hierarchical rollup (region → nation → grand total) — the
-    standard DW companion of the star schema."""
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    return (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .rollup("r_name", "n_name")
-        .agg(
-            _dec_sum("c_acctbal", 2).alias("total_balance"),
-            F.count("*").alias("n_customers"),
-        )
-    )
-
-
-@query(
-    "q_grouping_sets",
+    "q_rollup_cube",
     oracle="""
 SELECT l_returnflag, l_linestatus,
        CAST(grouping(l_returnflag) AS INT) + 2 * CAST(grouping(l_linestatus) AS INT)
@@ -211,12 +183,19 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
                         (l_linestatus), ())""",
 )
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 general form: explicit GROUPING SETS over all four combinations —
-    the CUBE expansion — with grouping() markers disambiguating subtotal
-    NULLs from data NULLs (the piece rollup/cube syntax leaves implicit).
-    Physical plan: one Expand + hash aggregate, identical to what CUBE
-    sugar produces, so this single query evidences the whole A4 family."""
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (whole family): explicit GROUPING SETS over all four combinations
+    of (l_returnflag, l_linestatus) — i.e. the full CUBE expansion, of
+    which ROLLUP (the sets (a,b),(a),()) is a strict subset — with
+    grouping() markers disambiguating subtotal NULLs from data NULLs (the
+    piece rollup/cube syntax leaves implicit).  Physical plan: one Expand +
+    hash aggregate, identical to what CUBE/ROLLUP sugar produces (r1-r5
+    evidenced the sugar form separately as q_rollup, folded here to free a
+    driver-window slot; the .rollup()/.cube() DataFrame API is exercised by
+    tests/test_analytics_surface.py).  At scale:
+    Expand multiplies input rows by the set count BEFORE the shuffle, but
+    partial aggregation collapses them map-side, so the shuffle carries at
+    most sets × |groups| rows."""
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem")
     return spark.sql(
@@ -228,6 +207,25 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM lineitem
            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
                                    (l_linestatus), ())"""
+    )
+
+
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 sugar form: hierarchical .rollup() (region → nation → grand
+    total) over the broadcast-joined geography dims — kept as a plain
+    builder (window slot folded into q_rollup_cube); locked by
+    tests/test_analytics_surface.py against the GROUPING SETS expansion."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            _dec_sum("c_acctbal", 2).alias("total_balance"),
+            F.count("*").alias("n_customers"),
+        )
     )
 
 
@@ -741,17 +739,7 @@ def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------- §2.9 batch-checkable analogues
-@query(
-    "q_tumbling_window",
-    oracle="""
-SELECT date_trunc('hour', ts) AS window_start,
-       event_type,
-       count(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM events
-GROUP BY date_trunc('hour', ts), event_type""",
-)
-def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tumbling_hour_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4 batch analogue: tumbling-window aggregation over the event
     stream as date_trunc bucketing (streaming form in streaming/pipeline.py
     uses groupBy(window(ts, ...)) with a watermark)."""
@@ -764,24 +752,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_sessionize",
-    oracle="""
-WITH gaps AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN datediff('microsecond',
-                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
-                > 1800 * 1000000
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-              THEN 1 ELSE 0 END AS is_new
-  FROM events
-)
-SELECT user_id,
-       CAST(sum(is_new) AS BIGINT) AS n_sessions,
-       count(*) AS n_events
-FROM gaps GROUP BY user_id""",
-)
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4 batch analogue: sessionization via lag + gap>30min (streaming
     form uses session_window).  Counts sessions per user."""
     ev = load_table(spark, sf_dir, "events")
@@ -800,6 +771,66 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@query(
+    "q_event_windows",
+    oracle="""
+WITH tumbling AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         event_type,
+         count(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events
+  GROUP BY 1, 2
+), gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN datediff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                > 1800 * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sessions AS (
+  SELECT user_id,
+         CAST(sum(is_new) AS BIGINT) AS n_sessions,
+         count(*) AS n_events
+  FROM gaps GROUP BY user_id
+)
+SELECT 'tumbling' AS mode, event_type AS grp, bucket,
+       n_events, total_value AS measure
+FROM tumbling
+UNION ALL
+SELECT 'session', CAST(user_id AS VARCHAR), NULL,
+       n_events, CAST(n_sessions AS DOUBLE)
+FROM sessions""",
+)
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 batch analogues (both event-time windowing forms, tagged
+    union): hourly tumbling-window aggregation and 30-minute-gap
+    sessionization over the events table — each branch is the unchanged
+    builder above (``tumbling_hour_agg`` / ``sessionize_users``; the
+    streaming forms live in streaming/pipeline.py with watermarks /
+    session_window).  r1-r5 evidenced these separately as
+    q_tumbling_window / q_sessionize; folded to free a driver-window slot.
+    The ``measure`` column carries the branch's headline value (decimal-
+    exact hourly sum / session count as double); buckets render through an
+    explicit format string so both engines emit identical text."""
+    tumbling = tumbling_hour_agg(spark, sf_dir).select(
+        F.lit("tumbling").alias("mode"),
+        F.col("event_type").alias("grp"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n_events",
+        F.col("total_value").alias("measure"),
+    )
+    sessions = sessionize_users(spark, sf_dir).select(
+        F.lit("session").alias("mode"),
+        F.col("user_id").cast("string").alias("grp"),
+        F.lit(None).cast("string").alias("bucket"),
+        "n_events",
+        F.col("n_sessions").cast("double").alias("measure"),
+    )
+    return tumbling.unionByName(sessions)
 
 
 @query(

@@ -19,12 +19,7 @@ from . import query
 CTE_MASTER = f"WITH master_data AS ({MASTER_DATA_ORACLE})"
 
 
-@query(
-    "q_dim_product",
-    oracle=f"""{CTE_MASTER}
-SELECT DISTINCT product_id, product_name, product_price FROM master_data""",
-)
-def q_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: product dimension bulk load — project + PK dedup, price kept as
     the reference's VARCHAR (createDW.sql:2-10)."""
     return build_dim(
@@ -34,11 +29,7 @@ def q_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dim_supplier",
-    oracle="SELECT DISTINCT s_suppkey AS supplier_id, s_name AS supplier_name FROM supplier",
-)
-def q_dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: supplier dimension (createDW.sql:18-26)."""
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("supplier_id"), F.col("s_name").alias("supplier_name")
@@ -46,11 +37,7 @@ def q_dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_dim(supp, "supplier_id", ["supplier_id", "supplier_name"])
 
 
-@query(
-    "q_dim_store",
-    oracle="SELECT DISTINCT n_nationkey AS store_id, n_name AS store_name FROM nation",
-)
-def q_dim_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dim_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: store dimension (createDW.sql:30-38); store ≈ nation per the
     fixture role mapping."""
     store = load_table(spark, sf_dir, "nation").select(
@@ -59,13 +46,7 @@ def q_dim_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_dim(store, "store_id", ["store_id", "store_name"])
 
 
-@query(
-    "q_dim_order",
-    oracle="""
-SELECT DISTINCT o_orderkey AS order_id, CAST(o_orderdate AS DATE) AS order_date
-FROM orders""",
-)
-def q_dim_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dim_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: order dimension (createDW.sql:41-49).  Implements the evidently
     intended *keyed* load — the reference's runtime order-update is a
     whole-table UPDATE bug (no WHERE, StreamGeneratorThread.java:164-167)
@@ -77,22 +58,7 @@ def q_dim_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_dim(orders, "order_id", ["order_id", "order_date"])
 
 
-@query(
-    "q_dim_customer",
-    oracle="""
-SELECT DISTINCT
-  CASE WHEN regexp_matches(key_str, '^[0-9]+$')
-       THEN CAST(key_str AS BIGINT) ELSE NULL END AS customer_id,
-  c_name       AS customer_name,
-  c_mktsegment AS customer_segment
-FROM (
-  SELECT CASE WHEN c_custkey % 7 = 3 THEN 'X' || CAST(c_custkey AS VARCHAR)
-              ELSE CAST(c_custkey AS VARCHAR) END AS key_str,
-         c_name, c_mktsegment
-  FROM customer
-)""",
-)
-def q_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5+P4: customer dimension with regex-validated dirty keys mapped to
     NULL (createDW.sql:61-80) — dirt injected as in q_key_validate."""
     cust = load_table(spark, sf_dir, "customer")
@@ -112,6 +78,72 @@ def q_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "customer_segment",
     )
     return validated.dropDuplicates()
+
+
+@query(
+    "q_dim_bulk_load",
+    oracle=f"""{CTE_MASTER}
+SELECT 'product' AS dim, CAST(product_id AS VARCHAR) AS dim_key,
+       product_name AS attr_name, product_price AS attr_extra
+FROM (SELECT DISTINCT product_id, product_name, product_price FROM master_data)
+UNION ALL
+SELECT 'supplier', CAST(supplier_id AS VARCHAR), supplier_name, NULL
+FROM (SELECT DISTINCT s_suppkey AS supplier_id, s_name AS supplier_name FROM supplier)
+UNION ALL
+SELECT 'store', CAST(store_id AS VARCHAR), store_name, NULL
+FROM (SELECT DISTINCT n_nationkey AS store_id, n_name AS store_name FROM nation)
+UNION ALL
+SELECT 'order', CAST(order_id AS VARCHAR), CAST(order_date AS VARCHAR), NULL
+FROM (SELECT DISTINCT o_orderkey AS order_id, CAST(o_orderdate AS DATE) AS order_date
+      FROM orders)
+UNION ALL
+SELECT 'customer', CAST(customer_id AS VARCHAR), customer_name, customer_segment
+FROM (
+  SELECT DISTINCT
+    CASE WHEN regexp_matches(key_str, '^[0-9]+$')
+         THEN CAST(key_str AS BIGINT) ELSE NULL END AS customer_id,
+    c_name       AS customer_name,
+    c_mktsegment AS customer_segment
+  FROM (
+    SELECT CASE WHEN c_custkey % 7 = 3 THEN 'X' || CAST(c_custkey AS VARCHAR)
+                ELSE CAST(c_custkey AS VARCHAR) END AS key_str,
+           c_name, c_mktsegment
+    FROM customer
+  )
+)""",
+)
+def q_dim_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (whole family, tagged union): all five dimension bulk loads —
+    product, supplier, store, order, customer (createDW.sql:2-80) — in one
+    driver-checkable relation.  Each branch is the unchanged per-dim
+    builder (``dim_product`` … ``dim_customer`` above, project + keyed
+    dedup); the union just tags the branch and casts key/attrs to VARCHAR
+    for a common schema.  At scale the five loads are independent scans
+    that parallelize trivially; the union adds no shuffle (no dedup across
+    branches — keys are disjoint by tag)."""
+
+    def tagged(df: DataFrame, tag: str, key, name, extra) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("dim"),
+            F.col(key).cast("string").alias("dim_key"),
+            F.col(name).cast("string").alias("attr_name"),
+            (F.col(extra).cast("string") if extra else F.lit(None).cast("string")).alias(
+                "attr_extra"
+            ),
+        )
+
+    return (
+        tagged(dim_product(spark, sf_dir), "product",
+               "product_id", "product_name", "product_price")
+        .unionByName(tagged(dim_supplier(spark, sf_dir), "supplier",
+                            "supplier_id", "supplier_name", None))
+        .unionByName(tagged(dim_store(spark, sf_dir), "store",
+                            "store_id", "store_name", None))
+        .unionByName(tagged(dim_order(spark, sf_dir), "order",
+                            "order_id", "order_date", None))
+        .unionByName(tagged(dim_customer(spark, sf_dir), "customer",
+                            "customer_id", "customer_name", "customer_segment"))
+    )
 
 
 @query(

@@ -5,8 +5,8 @@ processAllAvailable) and returns the materialized result.  Where the
 drained run is deterministic — inner joins (which emit exactly the
 relational join; watermarks only bound state) and exact windowed
 aggregates under the decimal-sum convention — the query carries a full
-DuckDB value oracle; the batch analogues (q_tumbling_window,
-q_sessionize, q_hyperjoin) cover the same logic from the batch planner.
+DuckDB value oracle; the batch analogues (q_event_windows,
+q_hyperjoin) cover the same logic from the batch planner.
 """
 
 from __future__ import annotations
@@ -97,6 +97,22 @@ def stream_stream_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_join_state_bytes(spark: SparkSession, sf_dir: str) -> int:
+    """Projected state for the orders⋈lineitem drain, for
+    ``choose_state_partitions`` at query birth.  Upper bound: a fixture
+    replay floods historical event times through the watermark faster than
+    eviction runs, so worst case BOTH full inputs are resident — total
+    rows × estimated row width per side.  (``count()`` on parquet is a
+    metadata-only read — no scan.)"""
+    from ..streaming.pipeline import estimate_row_bytes
+
+    total = 0
+    for t in ("orders", "lineitem"):
+        df = load_table(spark, sf_dir, t)
+        total += df.count() * estimate_row_bytes(df.schema)
+    return total
+
+
 def stream_tumbling_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q_stream_tumbling streaming plan, unsunk (complete-mode sink)."""
     ev = with_event_time(load_table(spark, sf_dir, "events"))
@@ -183,7 +199,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The drained run is deterministic — every event lands in exactly one
     hour bucket and the sum is decimal-exact — so it carries the same
-    value oracle as batch q_tumbling_window (plus window_end), not just a
+    value oracle as the batch tumbling aggregation (plus window_end), not just a
     rows-only check."""
     agg = stream_tumbling_df(spark, sf_dir)
     name = f"q_stream_win_{uuid.uuid4().hex[:8]}"

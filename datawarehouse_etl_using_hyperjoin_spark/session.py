@@ -84,11 +84,21 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     still read nano-timestamp parquet and compare timestamps against a
     UTC-naive oracle, so set the runtime-mutable subset here.
     """
+    # Merge our excluded rule into whatever the session already excludes —
+    # overwriting would silently re-enable a caller's own exclusions.
+    try:
+        current = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    except Exception:  # pragma: no cover
+        current = None
+    rules = [r.strip() for r in (current or "").split(",") if r.strip()]
+    if EXCLUDED_OPTIMIZER_RULES not in rules:
+        rules.append(EXCLUDED_OPTIMIZER_RULES)
+
     for key, value in (
         (NANOS_AS_LONG, "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
-        ("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES),
+        ("spark.sql.optimizer.excludedRules", ",".join(rules)),
     ):
         try:
             spark.conf.set(key, value)

@@ -90,7 +90,7 @@ def windowed_event_counts(
     watermark: str = "30 minutes",
 ) -> DataFrame:
     """ST4+ST5: watermarked tumbling/sliding window aggregation over the
-    event stream (batch-checkable analogue: q_tumbling_window)."""
+    event stream (batch-checkable analogue: q_event_windows tumbling branch)."""
     win = (
         F.window(ts_col, window)
         if slide is None
@@ -124,7 +124,7 @@ def session_windows(
     watermark: str = "30 minutes",
 ) -> DataFrame:
     """ST4: native session windows (gap-based), the streaming counterpart
-    of the batch q_sessionize lag+cumsum."""
+    of the batch q_event_windows session branch (lag+cumsum)."""
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("win"), "user_id")
@@ -306,10 +306,72 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+#: Heap slice a single HDFS-backed state store instance should stay under.
+#: The default provider keeps its state map on the executor heap; past
+#: roughly this much per instance you either add instances or switch the
+#: provider to RocksDB (provider comparison in BENCH_NOTES.md r5).
+TARGET_STATE_BYTES_PER_INSTANCE = 256 << 20
+
+_TYPE_BYTES = {
+    "boolean": 1, "byte": 1, "short": 2, "int": 4, "integer": 4, "date": 4,
+    "long": 8, "bigint": 8, "float": 4, "double": 8,
+    "timestamp": 8, "timestamp_ntz": 8,
+}
+
+
+def estimate_row_bytes(schema) -> int:
+    """Rough UnsafeRow width for a schema: 8-byte null/offset word per
+    field plus a fixed-width or string/variable estimate.  Used only to
+    PROJECT state size for :func:`choose_state_partitions` — order-of-
+    magnitude is all the sizing rule needs."""
+    total = 0
+    for f in schema.fields:
+        name = f.dataType.typeName()
+        total += 8 + _TYPE_BYTES.get(name, 24)  # strings/decimals/etc ≈ 24B
+    return max(total, 16)
+
+
+def choose_state_partitions(
+    projected_state_bytes: int,
+    parallelism: int,
+    *,
+    target_bytes_per_instance: int = TARGET_STATE_BYTES_PER_INSTANCE,
+    max_partitions: int = 2048,
+) -> int:
+    """Size a stateful query's state-store instance count at query birth.
+
+    The instance count is ``spark.sql.shuffle.partitions`` at the FIRST
+    micro-batch and is frozen into the checkpoint forever (Spark cannot
+    repartition existing state), so it must be chosen before start — and
+    the batch-side shuffle default is the wrong default: every instance
+    pays a fixed checkpoint cost per micro-batch, measured at sf0.1 on the
+    orders⋈lineitem drain as 13.0 s @64 instances vs 3.3 s @8 at ~46 MB
+    total state (BENCH_NOTES.md r5 — a 4× swing from the knob alone).
+
+    Rule (SCALE.md): as FEW instances as memory and parallelism allow —
+    ``max(parallelism/4, ceil(state_bytes / target_bytes_per_instance))``:
+
+    - the memory term keeps each instance's heap slice under
+      ``target_bytes_per_instance`` (HDFS-backed provider state lives on
+      the executor heap; at 100 TB-scale state this term dominates and
+      grows the count linearly with state);
+    - the parallelism floor (quarter of the cores, the measured sweet
+      spot — 8 on local[32]) keeps the join's probe work distributed even
+      when state is tiny;
+    - ``max_partitions`` caps runaway projections (2048 instances ≈ 0.5 TB
+      of state at the default target — past that, RocksDB + more
+      executors, not more instances per executor).
+    """
+    floor = max(1, parallelism // 4)
+    need = -(-max(projected_state_bytes, 0) // target_bytes_per_instance)
+    return min(max(floor, need), max_partitions)
+
+
 def run_to_noop(
     df: DataFrame,
     output_mode: str = "append",
-    state_partitions: int | None = None,
+    state_partitions: int | str | None = None,
+    projected_state_bytes: int | None = None,
 ) -> dict[str, float]:
     """Benchmark sink: drain all available input synchronously through the
     no-op sink — FULL executor-side execution of every micro-batch, nothing
@@ -329,12 +391,21 @@ def run_to_noop(
     executor memory, not from the batch-side shuffle default.  Default
     ``None`` keeps the session conf (the engine changes no default: the
     batch-oriented 32 stays right for everything non-streaming).
+    ``state_partitions="auto"`` applies :func:`choose_state_partitions`
+    to ``projected_state_bytes`` (required then) with the session's
+    default parallelism — the sized default for stateful drains.
 
     Returns summed engine-reported micro-batch metrics from the progress
     events: {"n_batches", "input_rows", "batch_duration_ms_sum"} — the
     per-batch durations let fixed trigger overhead be separated from
     per-row throughput."""
     spark = df.sparkSession
+    if state_partitions == "auto":
+        if projected_state_bytes is None:
+            raise ValueError('state_partitions="auto" needs projected_state_bytes')
+        state_partitions = choose_state_partitions(
+            projected_state_bytes, spark.sparkContext.defaultParallelism
+        )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))

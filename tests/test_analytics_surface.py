@@ -25,6 +25,30 @@ def test_cube_equals_explicit_grouping_sets(spark, sf_dir):
     assert "Expand" in plan_string(cube, "simple")
 
 
+def test_rollup_sugar_equals_grouping_sets_expansion(spark, sf_dir):
+    # the .rollup() DataFrame API (folded out of the registry into
+    # q_rollup_cube, round 6) still plans and computes the ROLLUP set list
+    from datawarehouse_etl_using_hyperjoin_spark.queries.analytics import (
+        rollup_region_nation,
+    )
+
+    got = rollup_region_nation(spark, sf_dir)
+    for t in ("customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"ras_{t}")
+    want = spark.sql(
+        """SELECT r_name, n_name,
+                  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                    AS total_balance,
+                  count(*) AS n_customers
+           FROM ras_customer
+           JOIN ras_nation ON c_nationkey = n_nationkey
+           JOIN ras_region ON n_regionkey = r_regionkey
+           GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())"""
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert "Expand" in plan_string(got, "simple")
+
+
 def test_percentiles_exact_and_approx_agree(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     got = li.groupBy("l_returnflag").agg(

@@ -3,6 +3,8 @@ SimHash, n-gram Jaccard."""
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import functions as F
 
 from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
@@ -379,3 +381,44 @@ def test_incremental_fingerprint_index(spark, sf_dir):
         assert "Exchange" not in plan2, plan2
     finally:
         spark.sql("DROP TABLE IF EXISTS fp_idx")
+
+
+def test_strip_against_at_rest_passage_index(spark, sf_dir, tmp_path):
+    """Steady-state passage strip: the flagged relation persisted once
+    (bucketed by passage_hash) and read back yields the identical strip
+    as the inline rebuild — and the windows-relation schema guard rejects
+    obviously-wrong relations."""
+    import pytest as _pytest
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        passage_windows,
+        repeated_passages,
+        strip_repeated_passages,
+        write_passage_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+    win = passage_windows(docs, "doc_id", "text", window=15)
+    flagged = repeated_passages(win, "doc_id", min_docs=2)
+
+    table = f"passage_idx_{uuid.uuid4().hex[:8]}"
+    write_passage_index(flagged, table)
+    try:
+        idx = spark.table(table)
+        inline = strip_repeated_passages(
+            docs, flagged, "doc_id", "text", window=15
+        )
+        steady = strip_repeated_passages(
+            docs, idx, "doc_id", "text", window=15
+        )
+        assert inline.exceptAll(steady).count() == 0
+        assert steady.exceptAll(inline).count() == 0
+        assert steady.filter(F.col("n_stripped_tokens") > 0).count() > 0
+
+        # schema guard: a relation without window columns is rejected
+        with _pytest.raises(ValueError, match="passage_windows"):
+            strip_repeated_passages(
+                docs, flagged, "doc_id", "text", window=15, windows=flagged
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -104,10 +104,10 @@ def test_results_independent_of_session_timezone(spark, sf_dir):
 
     reg = load_registry()
     prev = spark.conf.get("spark.sql.session.timeZone")
-    base = reg["q_tumbling_window"].fn(spark, sf_dir).collect()
+    base = reg["q_event_windows"].fn(spark, sf_dir).collect()
     try:
         spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")  # +05:45
-        shifted = reg["q_tumbling_window"].fn(spark, sf_dir).collect()
+        shifted = reg["q_event_windows"].fn(spark, sf_dir).collect()
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert sorted(map(tuple, base)) == sorted(map(tuple, shifted))

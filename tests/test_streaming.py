@@ -620,3 +620,50 @@ def test_run_to_noop_state_partitions_knob(spark, events_stream_dir):
     assert tuned["state_store_instances"] == 5
     assert default["state_store_instances"] == int(prev)
     assert tuned["input_rows"] == default["input_rows"]
+
+
+def test_choose_state_partitions_sizing_rule():
+    """The query-birth sizing rule (SCALE.md): parallelism/4 floor for
+    small state, memory-bounded growth for large state, hard cap."""
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        choose_state_partitions,
+    )
+
+    # small state (the measured sf0.1 regime, ~46 MB): floor wins — 8 on
+    # 32 cores, the empirically fastest instance count (3.3 s vs 13 s @64)
+    assert choose_state_partitions(46 << 20, 32) == 8
+    # large state: memory term dominates — ceil(100 GiB / 256 MiB) = 400
+    assert choose_state_partitions(100 << 30, 32) == 400
+    # huge projections hit the cap (past it: RocksDB + wider cluster)
+    assert choose_state_partitions(1 << 50, 32) == 2048
+    # degenerate inputs stay sane
+    assert choose_state_partitions(0, 4) == 1
+    assert choose_state_partitions(1, 1) == 1
+
+
+def test_run_to_noop_auto_sizes_state_instances(spark, events_stream_dir):
+    """state_partitions="auto" applies the chooser at query birth; the
+    reported instance count equals the chooser's answer for the given
+    projection and the drain result volume is unchanged."""
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        choose_state_partitions,
+        run_to_noop,
+    )
+
+    def counts():
+        stream = read_parquet_stream(spark, events_stream_dir, max_files_per_trigger=1)
+        return windowed_event_counts(stream)
+
+    projected = 10 << 20  # tiny state → parallelism floor
+    want = choose_state_partitions(
+        projected, spark.sparkContext.defaultParallelism
+    )
+    auto = run_to_noop(
+        counts(),
+        output_mode="complete",
+        state_partitions="auto",
+        projected_state_bytes=projected,
+    )
+    assert auto["state_store_instances"] == want
+    with pytest.raises(ValueError):
+        run_to_noop(counts(), output_mode="complete", state_partitions="auto")

@@ -455,6 +455,56 @@ def measure_ivf_index(
     }
 
 
+def measure_ivf_recall(
+    spark, vecs, *, n_cells: int = 64, n_queries: int = 64, k: int = 10,
+    nprobes=(1, 2, 4, 8),
+) -> dict[str, object]:
+    """Recall@k vs nprobe against the exact brute-force ground truth —
+    the operating-point curve an IVF user picks from: each nprobe row
+    reports how much of the true top-k the probed cells contain and what
+    the probe costs, so recall is bought with measured wall, not faith."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        ivf_seed_centroids,
+        kmeans_refine,
+    )
+
+    cent = kmeans_refine(
+        vecs, ivf_seed_centroids(vecs, n_cells), iters=2
+    ).localCheckpoint(eager=True)
+    q = vecs.filter(F.col("vec_id") < n_queries).localCheckpoint(eager=True)
+
+    t0 = time.time()
+    ground = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(q, vecs, k=k).select("query_id", "neighbor_id").collect()
+    }
+    brute_wall = time.time() - t0
+
+    out: dict[str, object] = {
+        "n_vectors": vecs.count(),
+        "n_cells": n_cells,
+        "n_queries": n_queries,
+        "k": k,
+        "brute_force": {"wall_sec": round(brute_wall, 2), "recall_at_k": 1.0},
+    }
+    for np_ in nprobes:
+        t0 = time.time()
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_ivf_topk(q, vecs, cent, k=k, nprobe=np_)
+            .select("query_id", "neighbor_id")
+            .collect()
+        }
+        wall = time.time() - t0
+        out[f"nprobe_{np_}"] = {
+            "wall_sec": round(wall, 2),
+            "recall_at_k": round(len(got & ground) / len(ground), 3),
+        }
+    return out
+
+
 def measure_zorder_pruning(spark, n_rows: int = 10_000_000) -> dict[str, object]:
     """The multi-column clustering claim at probe scale: a selective
     filter on the SECOND z-ordered column should touch a small fraction
@@ -752,7 +802,83 @@ def measure(spark, li, parts) -> dict[str, float]:
     }
 
 
+def measure_cc_depth(
+    spark, n_edges: int = 1_000_000, chain_lens=(10, 100, 1000),
+    prop_round_cap: int = 150,
+) -> dict[str, dict]:
+    """Convergence-depth crossover: min-label propagation (O(diameter)
+    rounds) vs large-star/small-star (O(log² n) rounds) on ~``n_edges``
+    path graphs of controlled chain length.
+
+    Chain length L = component diameter; propagation needs ~L rounds
+    (each round = 2 shuffles + a convergence count + a localCheckpoint
+    materialization, so wall grows linearly with depth), big-star stays
+    flat.  ``prop_round_cap`` bounds the propagation run for deep chains
+    — a DNF at the cap is itself the measurement."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.graph import (
+        connected_components,
+        connected_components_bigstar,
+    )
+
+    out: dict[str, dict] = {}
+    for L in chain_lens:
+        n_chains = max(1, n_edges // L)
+        # edge k: chain c = k // L, position p = k % L; path c0-c1-...-cL
+        edges = (
+            spark.range(n_chains * L)
+            .select(
+                (F.col("id") // L * (L + 1) + F.col("id") % L).alias("id_a"),
+                (F.col("id") // L * (L + 1) + F.col("id") % L + 1).alias("id_b"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        entry: dict[str, dict] = {"n_edges": n_chains * L, "chain_len": L}
+        for name, fn in (
+            ("propagation", connected_components),
+            ("bigstar", connected_components_bigstar),
+        ):
+            stats: dict = {}
+            cap = prop_round_cap if name == "propagation" else 60
+            t0 = time.time()
+            try:
+                labels = fn(edges, max_iter=cap, stats=stats)
+                # force full materialization + sanity: every chain collapses
+                # to its head label -> n_chains distinct components
+                n_comp = labels.select("component").distinct().count()
+                wall = time.time() - t0
+                assert n_comp == n_chains, (L, name, n_comp, n_chains)
+                entry[name] = {
+                    "wall_sec": round(wall, 2),
+                    "rounds": stats.get("rounds"),
+                }
+            except RuntimeError:
+                entry[name] = {
+                    "wall_sec": round(time.time() - t0, 2),
+                    "rounds": f">{cap} (DNF at cap)",
+                }
+        out[f"chain_{L}"] = entry
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "cc_depth":
+        spark = get_spark(
+            "scale-probe-cc", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({"cc_depth": measure_cc_depth(spark)}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ivf_recall":
+        spark = get_spark(
+            "scale-probe-ivf", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        vec_path = tempfile.mkdtemp(prefix="scale_probe_") + "/vectors"
+        n_vecs = int(os.environ.get("SCALE_PROBE_VECS", 200_000))
+        synth_vectors(spark, n_vecs, 32, vec_path)
+        vecs = spark.read.parquet(vec_path).localCheckpoint(eager=True)
+        print(json.dumps({"ivf_recall": measure_ivf_recall(spark, vecs)}, indent=2))
+        return
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     spark = get_spark("scale-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     spark.sparkContext.setLogLevel("ERROR")
