@@ -61,6 +61,9 @@ PROMOTED = (
     "q_mixture_sample",
     "q_dup_clusters",
     "q_global_sort",
+    "q_winnow_matches",
+    "q_contamination",
+    "q_pii_scrub",
 )
 
 

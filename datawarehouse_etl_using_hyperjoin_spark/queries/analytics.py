@@ -649,13 +649,12 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_json_extract",
-    oracle="""
+_JSON_EXTRACT_SQL = """
 SELECT event_id, event_type,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
-FROM events""",
-)
+FROM events"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 JSON family: semi-structured extraction from the events stream
     (fixture `events.props` is a JSON string)."""
@@ -667,17 +666,16 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_array_funcs",
-    oracle="""
+_ARRAY_FUNCS_SQL = """
 SELECT vec_id, label,
        len(embedding)                       AS dim,
        CAST(embedding[1] AS DOUBLE)         AS first_val,
        CAST(embedding[-1] AS DOUBLE)        AS last_val,
        list_aggregate(list_transform(embedding,
          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS norm_sq
-FROM embeddings""",
-)
+FROM embeddings"""
+
+
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 array family over the embedding column: size / element_at /
     transform / aggregate (the primitives under cosine similarity)."""
@@ -694,6 +692,47 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("norm_sq"),
     )
+
+
+_SEMISTRUCTURED_SQL = f"""
+SELECT 'json' AS family, event_id AS id, event_type AS tag,
+       'k_val' AS metric, CAST(k_val AS DOUBLE) AS val
+FROM ({_JSON_EXTRACT_SQL})
+UNION ALL
+SELECT 'array', vec_id, CAST(label AS VARCHAR), metric, val FROM (
+  SELECT vec_id, label, CAST(dim AS DOUBLE) AS dim,
+         first_val, last_val, norm_sq
+  FROM ({_ARRAY_FUNCS_SQL})
+) UNPIVOT (val FOR metric IN (dim, first_val, last_val, norm_sq))"""
+
+
+@query("q_semistructured", oracle=_SEMISTRUCTURED_SQL)
+def q_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 semi-structured families (tagged union): JSON path extraction
+    over the events stream and the array primitives under cosine
+    similarity (size / element_at / transform / aggregate) over the
+    embedding column — each branch the unchanged builder above
+    (``q_json_extract`` / ``q_array_funcs``), r1-r5's two declared
+    queries folded into one driver-window slot (round-6 promotion).  The
+    array branch lands in long form via one in-row ``stack`` (no extra
+    scan or shuffle — 4 rows per vector from the same projection)."""
+    js = q_json_extract(spark, sf_dir).select(
+        F.lit("json").alias("family"),
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("tag"),
+        F.lit("k_val").alias("metric"),
+        F.col("k_val").cast("double").alias("val"),
+    )
+    arr = q_array_funcs(spark, sf_dir).select(
+        F.lit("array").alias("family"),
+        F.col("vec_id").alias("id"),
+        F.col("label").cast("string").alias("tag"),
+        F.expr(
+            "stack(4, 'dim', CAST(dim AS DOUBLE), 'first_val', first_val, "
+            "'last_val', last_val, 'norm_sq', norm_sq) AS (metric, val)"
+        ),
+    )
+    return js.unionByName(arr)
 
 
 @query(

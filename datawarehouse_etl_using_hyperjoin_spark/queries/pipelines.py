@@ -217,9 +217,7 @@ _QCOS_SQL = """CASE WHEN {sa} > 0 AND {sb} > 0 THEN
  ELSE 0.0 END"""
 
 
-@query(
-    "q_ann_topk",
-    oracle=f"""
+_ANN_TOPK_SQL = f"""
 WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv,
               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS sa
             FROM embeddings WHERE vec_id < 8),
@@ -238,8 +236,9 @@ SELECT query_id, neighbor_id, cos_sim, qcos_sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, neighbor_id) AS rank
   FROM scored
-) WHERE rank <= 5""",
-)
+) WHERE rank <= 5"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search, exact baseline: brute-force cosine top-5 for the
     first 8 vectors against the whole corpus (broadcast queries, one corpus
@@ -277,9 +276,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_ann_multiprobe",
-    oracle=f"""
+_ANN_MULTIPROBE_SQL = f"""
 WITH v AS (
   SELECT vec_id, embedding,
          list_transform(embedding[1:8],
@@ -306,8 +303,9 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, neighbor_id) AS rank
   FROM scored
-) WHERE rank <= 3""",
-)
+) WHERE rank <= 3"""
+
+
 def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search, multi-probe sign-LSH: each query probes its own
     bucket plus the 8 buckets at Hamming distance 1 — closing the
@@ -352,9 +350,7 @@ cent AS (
 )"""
 
 
-@query(
-    "q_ann_ivf_trained",
-    oracle=f"""
+_ANN_IVF_TRAINED_SQL = f"""
 WITH {_IVF_TRAINED_CENT_SQL},
 assign AS (
   SELECT vec_id, embedding, centroid_id FROM (
@@ -385,8 +381,9 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, neighbor_id) AS rank
   FROM scored
-) WHERE rank <= 3""",
-)
+) WHERE rank <= 3"""
+
+
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: one distributed Lloyd
     iteration (kmeans_refine) over the 16 deterministic seeds, then the
@@ -400,6 +397,44 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
     )
+
+
+_ANN_FAMILY_SQL = f"""
+SELECT 'brute' AS mode, query_id, neighbor_id, cos_sim, qcos_sim, rank
+FROM ({_ANN_TOPK_SQL})
+UNION ALL
+SELECT 'multiprobe', query_id, neighbor_id, cos_sim, CAST(NULL AS DOUBLE), rank
+FROM ({_ANN_MULTIPROBE_SQL})
+UNION ALL
+SELECT 'ivf_trained', query_id, neighbor_id, cos_sim, CAST(NULL AS DOUBLE), rank
+FROM ({_ANN_IVF_TRAINED_SQL})"""
+
+
+@query("q_ann_family", oracle=_ANN_FAMILY_SQL)
+def q_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-search family (tagged union): the exact brute-force
+    baseline with its int8-quantized rescore column, multi-probe sign-LSH,
+    and trained-quantizer IVF — each branch the unchanged builder above
+    (``q_ann_topk`` / ``q_ann_multiprobe`` / ``q_ann_ivf_trained``),
+    r1-r5's three separate declared queries folded into one driver window
+    slot (round-6 promotion; the per-branch plans are identical, the union
+    adds no shuffle).  ``qcos_sim`` exists only for the brute branch
+    (NULL elsewhere): quantization evidence rides the exact baseline."""
+    brute = q_ann_topk(spark, sf_dir).select(
+        F.lit("brute").alias("mode"),
+        "query_id", "neighbor_id", "cos_sim", "qcos_sim", "rank",
+    )
+    multi = q_ann_multiprobe(spark, sf_dir).select(
+        F.lit("multiprobe").alias("mode"),
+        "query_id", "neighbor_id", "cos_sim",
+        F.lit(None).cast("double").alias("qcos_sim"), "rank",
+    )
+    ivf = q_ann_ivf_trained(spark, sf_dir).select(
+        F.lit("ivf_trained").alias("mode"),
+        "query_id", "neighbor_id", "cos_sim",
+        F.lit(None).cast("double").alias("qcos_sim"), "rank",
+    )
+    return brute.unionByName(multi).unionByName(ivf)
 
 
 @query(

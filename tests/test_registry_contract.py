@@ -37,14 +37,14 @@ def duck(registry):
 # round-6 promotion (same-family folds freed six slots; PROMOTED in
 # queries/__init__.py names the six that moved inside).
 UNPROMOTED_EXTENSIONS = {
-    "q_summary_rollup", "q_contamination", "q_winnow_matches",
-    "q_repetition_metrics", "q_passage_strip", "q_pack_documents",
-    "q_pii_scrub",
+    "q_summary_rollup", "q_repetition_metrics", "q_passage_strip",
+    "q_pack_documents",
 }
 
 PROMOTED_EXTENSIONS = (
     "q_scd2_asof", "q_lm_perplexity", "q_passage_repeats",
     "q_mixture_sample", "q_dup_clusters", "q_global_sort",
+    "q_winnow_matches", "q_contamination", "q_pii_scrub",
 )
 
 
@@ -55,8 +55,8 @@ def test_driver_window_holds_exactly_fifty(registry):
     names = list(registry)
     assert set(names[:50]) == set(registry) - UNPROMOTED_EXTENSIONS
     assert set(names[50:]) == UNPROMOTED_EXTENSIONS
-    # the promoted six occupy the window's tail, in PROMOTED order
-    assert tuple(names[44:50]) == PROMOTED_EXTENSIONS
+    # the promoted extensions occupy the window's tail, in PROMOTED order
+    assert tuple(names[41:50]) == PROMOTED_EXTENSIONS
 
 
 def test_core_etl_registers_first(registry):
@@ -72,7 +72,7 @@ def test_core_etl_registers_first(registry):
     assert core <= set(names[: len(core)])
     # the weakest §2 row (rows-only UDF demo) is deliberately the LAST
     # core query, directly before the promoted extension block
-    assert names[43] == "q_pandas_udf"
+    assert names[40] == "q_pandas_udf"
 
 
 def test_ensure_engine_conf_merges_excluded_rules(registry):

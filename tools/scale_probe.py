@@ -827,8 +827,8 @@ def measure_cc_depth(
         edges = (
             spark.range(n_chains * L)
             .select(
-                (F.col("id") // L * (L + 1) + F.col("id") % L).alias("id_a"),
-                (F.col("id") // L * (L + 1) + F.col("id") % L + 1).alias("id_b"),
+                F.expr(f"id div {L} * {L + 1} + id % {L}").alias("id_a"),
+                F.expr(f"id div {L} * {L + 1} + id % {L} + 1").alias("id_b"),
             )
             .localCheckpoint(eager=True)
         )
