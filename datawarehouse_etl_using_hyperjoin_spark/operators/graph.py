@@ -47,10 +47,11 @@ def connected_components(
     returning silently-wrong half-merged labels.  ``stats`` (optional
     dict) receives {"rounds": n} on return — the depth probe's hook.
 
-    Depth guidance (measured, tools/scale_probe.py cc_depth + SCALE.md):
-    rounds grow linearly with component diameter, so past diameter ≈ 30
-    use :func:`connected_components_bigstar`, whose round count stays
-    ~log² regardless of depth.
+    Depth guidance (measured, tools/scale_probe.py cc_depth + SCALE.md
+    r6): rounds grow linearly with component diameter and per-round cost
+    matches big-star's, so the crossover is diameter ≈ 8-10 — past it
+    (or when depth is unknown) use :func:`connected_components_bigstar`
+    / the :func:`resolve_components` chooser.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -172,6 +173,38 @@ def connected_components_bigstar(
     raise RuntimeError(
         f"connected_components_bigstar did not converge in {max_iter} rounds"
     )
+
+
+#: Measured propagation/big-star crossover diameter (SCALE.md r6 table:
+#: big-star is 2x faster at diameter 10, 10x at 100, and the only
+#: converging option at 1000).
+PROPAGATION_DEPTH_LIMIT = 8
+
+
+def resolve_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    expected_diameter: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components with the measured default algorithm choice:
+    min-label propagation (cheapest rounds, O(diameter) of them) only
+    when the caller can BOUND the component diameter at
+    ``PROPAGATION_DEPTH_LIMIT`` or less — the near-dup dedup case, where
+    chains are a few versions deep by construction — and alternating
+    large-star/small-star (O(log² n) rounds at any depth) otherwise,
+    including when ``expected_diameter`` is None/unknown.  Same (id,
+    component) contract as both underlying functions."""
+    if (
+        expected_diameter is not None
+        and expected_diameter <= PROPAGATION_DEPTH_LIMIT
+    ):
+        return connected_components(
+            edges, src, dst, max_iter=expected_diameter + 5, stats=stats
+        )
+    return connected_components_bigstar(edges, src, dst, stats=stats)
 
 
 def dedup_survivors(

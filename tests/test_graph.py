@@ -109,3 +109,33 @@ def test_bigstar_deep_path_converges_fast(spark):
     )
     got = {r.id: r.component for r in comp.collect()}
     assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_resolve_components_default_choice(spark):
+    """The measured-crossover chooser: shallow bound -> propagation
+    (round count = diameter+1 visible in stats), deep or unknown ->
+    big-star (rounds stay ~log² regardless of depth)."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.graph import (
+        resolve_components,
+    )
+
+    path = _edges(spark, [(i, i + 1) for i in range(60)])
+    shallow = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+
+    s_stats: dict = {}
+    got = {
+        r.id: r.component
+        for r in resolve_components(
+            shallow, expected_diameter=3, stats=s_stats
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert s_stats["rounds"] <= 4  # propagation, diameter-bounded
+
+    d_stats: dict = {}
+    deep = {
+        r.id: r.component
+        for r in resolve_components(path, stats=d_stats).collect()
+    }
+    assert set(deep.values()) == {0} and len(deep) == 61
+    assert d_stats["rounds"] <= 12  # big-star at depth 60: ~log² rounds

@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (  # noqa: E402
@@ -71,14 +73,43 @@ def main() -> None:
             corpus, idx, "doc_id", "text", window=15, stride=1
         ).write.format("noop").mode("overwrite").save()
 
+    # ingest-batch scenario: strip a NEW 5% batch.  The rebuild path must
+    # re-hash corpus+batch to derive the flagged set at all; the index
+    # path hashes ONLY the batch and joins the at-rest index — the cost
+    # tracks the batch, not the corpus (the 100 TB regime).
+    n = corpus.count()
+    batch = corpus.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+
+    def rebuild_batch_pass():
+        allc = corpus.unionByName(batch)
+        win = passage_windows(
+            allc, "doc_id", "text", window=15, stride=1
+        ).localCheckpoint(eager=True)
+        flagged = repeated_passages(win, "doc_id", min_docs=2)
+        strip_repeated_passages(
+            batch, flagged, "doc_id", "text", window=15, stride=1
+        ).write.format("noop").mode("overwrite").save()
+
+    def index_batch_pass():
+        strip_repeated_passages(
+            batch, idx, "doc_id", "text", window=15, stride=1
+        ).write.format("noop").mode("overwrite").save()
+
     rebuild_pass()  # warm codegen both shapes
     index_pass()
+    rebuild_batch_pass()
+    index_batch_pass()
     report = {
         "sf_dir": sf_dir,
-        "n_docs": corpus.count(),
+        "n_docs": n,
+        "batch_docs": batch.count(),
         "index_build_once_sec": round(index_build, 2),
         "rebuild_per_pass_sec": round(median3(rebuild_pass), 2),
         "strip_against_index_sec": round(median3(index_pass), 2),
+        "batch_rebuild_per_pass_sec": round(median3(rebuild_batch_pass), 2),
+        "batch_strip_against_index_sec": round(median3(index_batch_pass), 2),
     }
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     print(json.dumps(report, indent=2))

@@ -456,8 +456,8 @@ def measure_ivf_index(
 
 
 def measure_ivf_recall(
-    spark, vecs, *, n_cells: int = 64, n_queries: int = 64, k: int = 10,
-    nprobes=(1, 2, 4, 8),
+    spark, vecs, *, n_cells_list=(64, 256), n_queries: int = 64, k: int = 10,
+    nprobes=(1, 2, 4, 8), lloyd_iters: int = 1,
 ) -> dict[str, object]:
     """Recall@k vs nprobe against the exact brute-force ground truth —
     the operating-point curve an IVF user picks from: each nprobe row
@@ -470,9 +470,6 @@ def measure_ivf_recall(
         kmeans_refine,
     )
 
-    cent = kmeans_refine(
-        vecs, ivf_seed_centroids(vecs, n_cells), iters=2
-    ).localCheckpoint(eager=True)
     q = vecs.filter(F.col("vec_id") < n_queries).localCheckpoint(eager=True)
 
     t0 = time.time()
@@ -484,24 +481,27 @@ def measure_ivf_recall(
 
     out: dict[str, object] = {
         "n_vectors": vecs.count(),
-        "n_cells": n_cells,
         "n_queries": n_queries,
         "k": k,
         "brute_force": {"wall_sec": round(brute_wall, 2), "recall_at_k": 1.0},
     }
-    for np_ in nprobes:
-        t0 = time.time()
-        got = {
-            (r.query_id, r.neighbor_id)
-            for r in ann_ivf_topk(q, vecs, cent, k=k, nprobe=np_)
-            .select("query_id", "neighbor_id")
-            .collect()
-        }
-        wall = time.time() - t0
-        out[f"nprobe_{np_}"] = {
-            "wall_sec": round(wall, 2),
-            "recall_at_k": round(len(got & ground) / len(ground), 3),
-        }
+    for n_cells in n_cells_list:
+        cent = kmeans_refine(
+            vecs, ivf_seed_centroids(vecs, n_cells), iters=lloyd_iters
+        ).localCheckpoint(eager=True)
+        for np_ in nprobes:
+            t0 = time.time()
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in ann_ivf_topk(q, vecs, cent, k=k, nprobe=np_)
+                .select("query_id", "neighbor_id")
+                .collect()
+            }
+            wall = time.time() - t0
+            out[f"cells_{n_cells}_nprobe_{np_}"] = {
+                "wall_sec": round(wall, 2),
+                "recall_at_k": round(len(got & ground) / len(ground), 3),
+            }
     return out
 
 
