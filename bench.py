@@ -179,7 +179,8 @@ def main() -> None:
                 "sf": sf_val,
                 "protocol": (
                     "interleaved median-of-3 (warm pass excluded); "
-                    "full 50-query roster; streaming via noop sink"
+                    f"full {len(roster)}-query roster; streaming via noop "
+                    "sink (stream-stream state partitions auto-sized)"
                 ),
                 "spread": {
                     name: round(max(times) - min(times), 3)
