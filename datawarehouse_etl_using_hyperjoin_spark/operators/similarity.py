@@ -683,3 +683,60 @@ def near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with a coarse quantizer,
+    then drop near-duplicates WITHIN each cluster — pairs are only ever
+    scored inside a cell, so the quadratic term is bounded by cell size,
+    never corpus size (the same blocking posture as LSH text dedup; the
+    paper's insight is that semantic duplicates land in the same cluster
+    by construction, so cross-cell pairs can be skipped wholesale).
+
+    Returns the SURVIVOR relation (id, centroid_id): the keep-smallest-id
+    rule drops every vector that scores ``>= threshold`` against a
+    smaller-id vector in its cell — deterministic, partition-invariant,
+    and identical to the dedup_survivors convention so downstream
+    anti-joins compose.  ``max_cell`` guards the within-cell join the way
+    ``max_bucket`` guards LSH buckets: a degenerate cell larger than the
+    cap (a mode/dead-embedding cluster — the thing that would make one
+    task quadratic-explode at 100 TB) is passed through UNDEDUPED rather
+    than joined; split such cells by re-training with more centroids.
+
+    Plan shape: one broadcast assignment scan (ivf_assign), one
+    equi-join on centroid_id (shuffle bounded by corpus size), one
+    anti-join back.  At rest, write the assignment cell-partitioned
+    (write_ivf_index) and dedup each new batch against only its own
+    cells' files — the incremental form mirrors the LSH/fingerprint
+    index paths.
+    """
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("__n"))
+    assigned = assigned.join(F.broadcast(sizes), "centroid_id")
+    small = assigned.filter(F.col("__n") <= max_cell)
+    a = small.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "centroid_id"
+    )
+    b = small.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "centroid_id"
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(
+        id_col, "centroid_id"
+    )

@@ -342,3 +342,37 @@ def test_quantized_topk_recall_and_rerank_exactness(spark, sf_dir):
         key = (r.query_id, r.neighbor_id)
         if key in exact_cos:
             assert r.cos == exact_cos[key]
+
+
+def test_semantic_dedup_survivors_and_cell_guard(spark):
+    """SemDeDup semantics: within-cell near-dups drop (keep-smallest),
+    cross-cell near-dups survive by design, and an over-cap cell passes
+    through undeduped (the quadratic-explosion guard)."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    # two well-separated directions -> two cells under the seed quantizer
+    rows = [
+        (0, vec(1, 0, 0, 0)),          # cell A representative
+        (1, vec(0, 1, 0, 0)),          # cell B representative
+        (2, vec(0.99, 0.1, 0, 0)),     # near-dup of 0, same cell -> drops
+        (3, vec(0.1, 0.99, 0, 0)),     # near-dup of 1, same cell -> drops
+        (4, vec(-1, 0.2, 0, 0)),       # unrelated -> survives
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(rows[:2], ["vec_id", "embedding"]).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    out = semantic_dedup(vecs, cents, threshold=0.9)
+    kept = {r.vec_id for r in out.collect()}
+    assert kept == {0, 1, 4}
+
+    # cap: with max_cell below the cell size, nothing is joined or dropped
+    capped = semantic_dedup(vecs, cents, threshold=0.9, max_cell=1)
+    assert {r.vec_id for r in capped.collect()} == {0, 1, 2, 3, 4}
