@@ -15,6 +15,9 @@ expressions — no shuffle beyond what the semantics require.
 - :func:`pack_documents` — greedy sequence packing: assign docs to
   fixed-token-budget bins per partition key (one window cumsum — no
   Python, no driver loop).
+- :func:`temperature_rates` / :func:`temperature_sample` — XLM-R-style
+  p_i^alpha temperature mixing, derived from the data's own stratum
+  counts and applied via :func:`stratified_sample`.
 """
 
 from __future__ import annotations
@@ -149,3 +152,56 @@ def pack_documents(
         if part_cols
         else F.col(bin_col).cast("string"),
     )
+
+
+def temperature_rates(
+    df: DataFrame, strata_col: str, *, alpha: float = 0.5
+) -> dict[str, float]:
+    """Temperature-based mixture rates for imbalanced strata (the
+    multilingual rebalancing rule of Conneau & Lample 2019 / XLM-R,
+    Conneau et al. 2020): sample stratum i with probability ∝ p_i^alpha,
+    which flattens the distribution as alpha → 0.  Expressed as pure
+    DOWNSAMPLING rates (max rate = 1.0, for the rarest stratum):
+
+        r_i = (c_min / c_i) ** (1 - alpha)
+
+    alpha=1 keeps the natural mix (all rates 1), alpha=0 equalizes every
+    stratum to the rarest's count.  The counts aggregate collapses to one
+    row per stratum (bounded driver collect, same posture as the LM
+    totals).  alpha=0.5 computes via sqrt — IEEE-correctly-rounded in
+    every engine, so rates (and the md5 thresholds derived from them) are
+    bit-reproducible cross-engine; other alphas go through pow(), whose
+    last ulp is libm-dependent (fine for training mixes, not for oracle
+    comparison).
+    """
+    import math
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    rows = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("c")).collect()
+    if not rows:
+        return {}
+    cmin = min(r["c"] for r in rows)
+    if alpha == 0.5:
+        return {r[strata_col]: math.sqrt(cmin / r["c"]) for r in rows}
+    return {r[strata_col]: (cmin / r["c"]) ** (1.0 - alpha) for r in rows}
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    *,
+    alpha: float = 0.5,
+    salt: str = "temperature",
+) -> DataFrame:
+    """One-call temperature mixing: :func:`temperature_rates` composed
+    with :func:`stratified_sample` — deterministic md5 membership, one
+    scan, no RNG.  Returns the sampled rows plus a ``rate`` column (the
+    stratum's sampling rate) for audit/weighting downstream."""
+    rates = temperature_rates(df, strata_col, alpha=alpha)
+    sampled = stratified_sample(df, strata_col, rates, key_col, salt=salt)
+    rate_col = F.lit(1.0)
+    for stratum, r in rates.items():
+        rate_col = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate_col)
+    return sampled.withColumn("rate", rate_col)

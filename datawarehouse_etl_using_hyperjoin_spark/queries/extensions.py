@@ -880,3 +880,138 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         allv, ivf_seed_centroids(em, 16), threshold=0.85
     )
+
+
+# ------------------------------------------------ temperature mixing
+# The oracle recomputes temperature_rates' exact arithmetic from the data:
+# cmin/c is one double division, sqrt is IEEE-correctly-rounded in both
+# engines (the only libm function with a required correct rounding — the
+# parity rules ban pow() precisely because it lacks one), and the
+# membership threshold truncates rate*1e6 the way Python int() does
+# (floor, since rates are positive).  Membership hashing is the shared
+# md5-prefix idiom (q_mixture_sample).
+_TEMP_SQL = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+         sqrt(MIN(c) OVER () / c) AS rate,
+         CAST(floor(sqrt(MIN(c) OVER () / c) * 1000000) AS BIGINT) AS thr
+  FROM counts
+)
+SELECT d.doc_id, d.lang, r.rate
+FROM documents d
+JOIN rates r USING (lang)
+WHERE ('0x' || substr(md5('temperature' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
+      % 1000000 < r.thr"""
+
+
+@query("q_temperature_sample", oracle=_TEMP_SQL)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing
+    (operators/sampling.py::temperature_sample; the multilingual
+    p_i^alpha rule of XLM / XLM-R, Conneau & Lample 2019, Conneau et al.
+    2020 at alpha=0.5): per-language counts set each stratum's
+    downsampling rate to sqrt(c_min/c_i), flattening the en-heavy fixture
+    mix toward uniform, and membership is decided by md5(salt, doc_id) —
+    RNG-free, so the sampled corpus is bit-identical across runs, engines
+    and partitionings.  The oracle re-derives the rates from the same
+    counts and replays the hash arithmetic, so both the RATES (data-
+    dependent doubles) and the per-row membership are value-checked
+    exactly.  Scale shape: one count aggregate over the strata (bounded
+    driver collect — strata cardinality is languages/sources, not rows)
+    plus one scan with a pure column-expression filter."""
+    from ..operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(docs, "lang", "doc_id", alpha=0.5)
+
+
+# ------------------------------------------------ DSIR data selection
+# The oracle replays the full DSIR arithmetic: the md5 gram buckets, the
+# add-one-smoothed bucket log-probs (each ln rounded to 9 dp — the lm.py
+# libm-parity convention), the per-doc exact-decimal term sum, and the
+# derandomized Gumbel keys.  Selection is top-k on the rounded key with
+# an id tie-break, so the chosen subset is bit-identical cross-engine.
+_DSIR_B = 10_000
+_DSIR_K = 100
+_TEMP_GUMBEL = (
+    "-ln(-ln((('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT"
+    " % 1000000 + 0.5) / 1000000.0))"
+)
+_DSIR_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS w
+  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        FROM documents)
+),
+tok AS (SELECT * FROM tk WHERE w != ''),
+grams AS (
+  SELECT doc_id, w AS g FROM tok
+  UNION ALL
+  SELECT doc_id, w1 || ' ' || w2 AS g FROM (
+    SELECT doc_id, w AS w1,
+           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+  ) WHERE w2 IS NOT NULL
+),
+feat AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 12))::BIGINT % {_DSIR_B} AS bucket,
+         COUNT(*) AS n
+  FROM grams GROUP BY 1, 2
+),
+tmodel AS (
+  SELECT bucket, SUM(n) AS c FROM feat
+  JOIN documents USING (doc_id) WHERE lang = 'de' GROUP BY bucket
+),
+rmodel AS (SELECT bucket, SUM(n) AS c FROM feat GROUP BY bucket),
+ttot AS (SELECT CAST(SUM(c) AS DOUBLE) + {_DSIR_B} AS dt FROM tmodel),
+rtot AS (SELECT CAST(SUM(c) AS DOUBLE) + {_DSIR_B} AS dr FROM rmodel),
+lw AS (
+  SELECT f.doc_id, SUM(f.n) AS n_grams,
+         CAST(SUM(CAST(round(
+           f.n * (round(ln(CAST(coalesce(t.c, 0) + 1 AS DOUBLE) / ttot.dt), 9)
+                  - round(ln(CAST(coalesce(r.c, 0) + 1 AS DOUBLE) / rtot.dr), 9)),
+           9) AS DECIMAL(28,9))) AS DOUBLE) AS log_weight
+  FROM feat f
+  LEFT JOIN tmodel t USING (bucket)
+  LEFT JOIN rmodel r USING (bucket)
+  CROSS JOIN ttot CROSS JOIN rtot
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_grams, log_weight,
+       round(log_weight + ({_TEMP_GUMBEL}), 9) AS sel_key,
+       CAST(row_number() OVER (
+         ORDER BY round(log_weight + ({_TEMP_GUMBEL}), 9) DESC, doc_id
+       ) AS BIGINT) AS sel_rank
+FROM lw
+ORDER BY sel_key DESC, doc_id
+LIMIT {_DSIR_K}"""
+
+
+@query("q_dsir_select", oracle=_DSIR_SQL)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR targeted data selection (operators/importance.py; Xie et al.
+    2023): fit hashed-ngram bucket models on a trusted target slice (the
+    German documents stand in for the target domain) and on the full raw
+    pool, weight every raw doc by its model log-probability ratio, and
+    Gumbel-top-k sample 100 docs proportional to the importance weights —
+    with the Gumbel noise derandomized through md5(doc_id), so the
+    selected subset is reproducible and the oracle value-checks the
+    weights AND the exact chosen set.  Scale shape: feature extraction is
+    linear, both models are <=10 000-row broadcast relations, per-doc
+    sums are exact-decimal (partition-invariant), and the top-k is
+    TakeOrderedAndProject — never a global sort."""
+    from ..operators.importance import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    target = docs.filter(F.col("lang") == "de")
+    return dsir_select(
+        docs.select("doc_id", "text"),
+        target.select("doc_id", "text"),
+        "doc_id", "text", _DSIR_K, buckets=_DSIR_B,
+    )

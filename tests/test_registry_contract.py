@@ -38,7 +38,8 @@ def duck(registry):
 # queries/__init__.py names the six that moved inside).
 UNPROMOTED_EXTENSIONS = {
     "q_summary_rollup", "q_repetition_metrics", "q_passage_strip",
-    "q_pack_documents", "q_semantic_dedup",
+    "q_pack_documents", "q_semantic_dedup", "q_temperature_sample",
+    "q_dsir_select",
 }
 
 PROMOTED_EXTENSIONS = (

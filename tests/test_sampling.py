@@ -116,3 +116,53 @@ def test_pack_documents_partitioned_by_split(spark, sf_dir):
     assert packed.filter(~F.col("bin_id").startswith("train")).filter(
         ~F.col("bin_id").startswith("eval")
     ).count() == 0
+
+def test_temperature_sample_flattens_toward_uniform(spark, sf_dir):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.sampling import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n_by_lang = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    cmin = min(n_by_lang.values())
+    # alpha=1 keeps the natural mix: every rate is exactly 1
+    assert set(temperature_rates(docs, "lang", alpha=1.0).values()) == {1.0}
+    # alpha=0 equalizes: rate = cmin/c exactly
+    r0 = temperature_rates(docs, "lang", alpha=0.0)
+    assert all(abs(r0[l] - cmin / c) < 1e-12 for l, c in n_by_lang.items())
+    # alpha=0.5 (the XLM-R default): rate = sqrt(cmin/c); rarest rate is 1
+    r5 = temperature_rates(docs, "lang")
+    assert max(r5.values()) == 1.0
+    import math
+
+    assert all(r5[l] == math.sqrt(cmin / c) for l, c in n_by_lang.items())
+    # sampled counts land near c * rate, and the mix is flatter than the
+    # natural one (max/min count ratio shrinks)
+    out = temperature_sample(docs, "lang", "doc_id")
+    got = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, c in n_by_lang.items():
+        expected = c * r5[lang]
+        assert abs(got.get(lang, 0) - expected) <= max(6, 0.5 * expected)
+    natural_ratio = max(n_by_lang.values()) / cmin
+    sampled_ratio = max(got.values()) / min(got.values())
+    assert sampled_ratio < natural_ratio
+    # rate column carries the stratum's rate for downstream weighting
+    mism = out.join(
+        spark.createDataFrame(
+            [(l, r) for l, r in r5.items()], ["lang", "expect_rate"]
+        ),
+        "lang",
+    ).filter(F.col("rate") != F.col("expect_rate"))
+    assert mism.count() == 0
+    # deterministic: identical row set under repartition
+    again = temperature_sample(docs.repartition(7), "lang", "doc_id")
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+    with pytest.raises(ValueError):
+        temperature_rates(docs, "lang", alpha=1.5)
