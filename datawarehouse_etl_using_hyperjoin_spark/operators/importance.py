@@ -63,28 +63,31 @@ def hashed_ngram_features(
     bigrams: bool = True,
 ) -> DataFrame:
     """(id, bucket, n): hashed unigram(+bigram) counts — DSIR's feature
-    map.  One tokenize, one optional lead() for bigrams, one groupBy at
-    (doc, bucket) grain; output cardinality is min(tokens, docs*buckets).
+    map.
+
+    Bigrams are formed INSIDE the token array (``zip_with`` the array
+    against its own 1-shifted slice), not via a per-doc ``lead()``
+    window — the window form would shuffle + sort the corpus at TOKEN
+    grain just to pair neighbours that already sit adjacent in the same
+    array.  The only shuffle left is the final (id, bucket) groupBy,
+    and map-side partial aggregation reduces it to at most
+    min(tokens, docs*buckets) rows before the exchange.
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(words(F.lower(F.col(text_col)))).alias("pos", "w"),
-    ).filter(F.col("w") != "")
-    grams = toks.select(F.col(id_col), F.col("w").alias("g"))
+    arr = F.filter(words(F.lower(F.col(text_col))), lambda w: w != "")
+    grams = arr
     if bigrams:
-        nxt = toks.select(
-            F.col(id_col),
-            F.col("w").alias("w1"),
-            F.lead("w").over(Window.partitionBy(id_col).orderBy("pos")).alias("w2"),
-        ).filter(F.col("w2").isNotNull())
-        grams = grams.unionByName(
-            nxt.select(
-                F.col(id_col), F.concat_ws(" ", "w1", "w2").alias("g")
-            )
+        nxt = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+        big = F.filter(
+            F.zip_with(arr, nxt, lambda a, b: F.concat(a, F.lit(" "), b)),
+            lambda g: g.isNotNull(),
         )
-    return grams.select(
-        F.col(id_col), _gram_bucket(F.col("g"), buckets).alias("bucket")
-    ).groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("n"))
+        grams = F.concat(arr, big)
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(F.col(id_col), _gram_bucket(F.col("g"), buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def bucket_model(features: DataFrame) -> DataFrame:
@@ -214,13 +217,23 @@ def dsir_select(
     bigrams: bool = True,
     salt: str | None = "dsir",
     dp: int = 9,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """End-to-end DSIR: fit target/raw hashed-ngram models, weight every
     raw doc, Gumbel-top-k select.  Returns (id, n_grams, log_weight,
-    sel_key, sel_rank) for the k selected docs."""
+    sel_key, sel_rank) for the k selected docs.
+
+    The raw feature relation feeds BOTH the raw model and the scoring
+    join; ``checkpoint`` materializes it once (localCheckpoint) so the
+    corpus-wide tokenize+hash — the dominant linear cost — runs once,
+    not twice.  Pass ``checkpoint=False`` to keep the plan lazy (e.g.
+    when the caller persists features at rest, the DSIR paper's own
+    deployment shape)."""
     raw_feat = hashed_ngram_features(
         raw_docs, id_col, text_col, buckets=buckets, bigrams=bigrams
     )
+    if checkpoint:
+        raw_feat = raw_feat.localCheckpoint(eager=True)
     tgt_feat = hashed_ngram_features(
         target_docs, id_col, text_col, buckets=buckets, bigrams=bigrams
     )
