@@ -940,8 +940,9 @@ _TEMP_GUMBEL = (
     "-ln(-ln((('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT"
     " % 1000000 + 0.5) / 1000000.0))"
 )
-_DSIR_SQL = f"""
-WITH tk AS (
+# the hashed unigram+bigram feature map (operators/importance.py
+# hashed_ngram_features), shared by the DSIR and classifier oracles
+_FEAT_SQL = f"""tk AS (
   SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS w
   FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
         FROM documents)
@@ -961,7 +962,9 @@ feat AS (
          ('0x' || substr(md5(g), 1, 12))::BIGINT % {_DSIR_B} AS bucket,
          COUNT(*) AS n
   FROM grams GROUP BY 1, 2
-),
+)"""
+_DSIR_SQL = f"""
+WITH {_FEAT_SQL},
 tmodel AS (
   SELECT bucket, SUM(n) AS c FROM feat
   JOIN documents USING (doc_id) WHERE lang = 'de' GROUP BY bucket
@@ -1015,3 +1018,62 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.select("doc_id", "text"),
         "doc_id", "text", _DSIR_K, buckets=_DSIR_B,
     )
+
+
+# ------------------------------------------------ quality classifier
+# The declared form pins a DETERMINISTIC weight table — the multimodal
+# stub-codec pattern: the real model is trained with pyspark.ml (L-BFGS
+# is float-reduction-order sensitive, so trained coefficients are not
+# oracle material; test_classifier.py proves the trained path, including
+# exported-serving == MLlib-transform agreement), while the oracle
+# value-checks the ENTIRE serving plan — feature hashing, broadcast
+# weight join, exact-decimal dot product, sigmoid — arithmetic any
+# engine reproduces.
+_CLS_INTERCEPT = -0.5
+_CLS_SQL = f"""
+WITH {_FEAT_SQL},
+w AS (
+  SELECT range AS bucket,
+         ((range * 37 + 11) % 2001 - 1000) / 1000.0 AS weight
+  FROM range({_DSIR_B})
+),
+dot AS (
+  SELECT f.doc_id, SUM(f.n) AS n_grams,
+         CAST(SUM(CAST(round(f.n * w.weight, 9) AS DECIMAL(28,9)))
+              AS DOUBLE) AS dot
+  FROM feat f JOIN w USING (bucket)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_grams,
+       round(dot + ({_CLS_INTERCEPT}), 9) AS logit,
+       round(1.0 / (1.0 + exp(-round(dot + ({_CLS_INTERCEPT}), 9))), 9) AS score
+FROM dot"""
+
+
+@query("q_quality_score", oracle=_CLS_SQL)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (operators/classifier.py; the
+    RefinedWeb/FineWeb-Edu fastText-gate step): every document scored by
+    a linear model over its hashed-ngram features — serving runs as a
+    pure DataFrame plan (features x broadcast (bucket, weight) relation,
+    partition-invariant exact-decimal dot product, sigmoid).  The weight
+    table here is the pinned deterministic stand-in (bucket-derived, so
+    the oracle can replay it); the trained path — pyspark.ml logistic
+    regression exported to the identical serving relation — is locked by
+    test_classifier.py, including byte-level agreement between the
+    exported serving join and MLlib's own transform().  Scale shape:
+    linear feature pass, <=10 000-row broadcast model, one (doc, bucket)
+    groupBy."""
+    from ..operators.classifier import score_quality
+    from ..operators.importance import hashed_ngram_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feat = hashed_ngram_features(docs, "doc_id", "text", buckets=_DSIR_B)
+    weights = spark.range(_DSIR_B).select(
+        F.col("id").alias("bucket"),
+        (
+            (F.pmod(F.col("id") * 37 + 11, F.lit(2001)) - 1000)
+            / F.lit(1000.0)
+        ).alias("weight"),
+    )
+    return score_quality(feat, weights, _CLS_INTERCEPT, "doc_id")
