@@ -218,6 +218,7 @@ def dsir_select(
     salt: str | None = "dsir",
     dp: int = 9,
     checkpoint: bool = True,
+    target_subset: bool = False,
 ) -> DataFrame:
     """End-to-end DSIR: fit target/raw hashed-ngram models, weight every
     raw doc, Gumbel-top-k select.  Returns (id, n_grams, log_weight,
@@ -228,15 +229,24 @@ def dsir_select(
     corpus-wide tokenize+hash — the dominant linear cost — runs once,
     not twice.  Pass ``checkpoint=False`` to keep the plan lazy (e.g.
     when the caller persists features at rest, the DSIR paper's own
-    deployment shape)."""
+    deployment shape).  ``target_subset=True`` declares that
+    ``target_docs`` is a subset of ``raw_docs`` (a trusted slice of the
+    pool, the common in-corpus case): the target model is then a
+    semi-join over the already-materialized features — the target slice
+    is never tokenized a second time."""
     raw_feat = hashed_ngram_features(
         raw_docs, id_col, text_col, buckets=buckets, bigrams=bigrams
     )
     if checkpoint:
         raw_feat = raw_feat.localCheckpoint(eager=True)
-    tgt_feat = hashed_ngram_features(
-        target_docs, id_col, text_col, buckets=buckets, bigrams=bigrams
-    )
+    if target_subset:
+        tgt_feat = raw_feat.join(
+            target_docs.select(id_col).distinct(), id_col, "semi"
+        )
+    else:
+        tgt_feat = hashed_ngram_features(
+            target_docs, id_col, text_col, buckets=buckets, bigrams=bigrams
+        )
     lw = importance_log_weights(
         raw_feat, bucket_model(tgt_feat), bucket_model(raw_feat),
         id_col, buckets=buckets, dp=dp,

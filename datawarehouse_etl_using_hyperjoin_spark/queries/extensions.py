@@ -1017,6 +1017,8 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"),
         target.select("doc_id", "text"),
         "doc_id", "text", _DSIR_K, buckets=_DSIR_B,
+        target_subset=True,  # de docs ARE pool rows: model from the
+        # checkpointed features, no second tokenize pass
     )
 
 
@@ -1077,3 +1079,52 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weight"),
     )
     return score_quality(feat, weights, _CLS_INTERCEPT, "doc_id")
+
+
+# ------------------------------------------------ BPE vocab induction
+# One full training iteration is oracle-able: the corpus-weighted
+# adjacent-pair counts over the char-symbolized word histogram — the
+# relation whose argmax IS the learned merge.  The iterative trainer
+# (bpe_train: argmax -> fold-merge -> recount) is a driver loop over
+# this exact computation and is locked against a reference Python BPE
+# implementation in test_bpe.py.
+_BPE_SQL = """
+WITH w AS (
+  SELECT word, COUNT(*) AS c FROM (
+    SELECT unnest(string_split(trim(lower(text)), ' ')) AS word
+    FROM documents
+  ) WHERE word != '' GROUP BY word
+),
+ch AS (
+  SELECT word, c, generate_subscripts(s, 1) AS pos, unnest(s) AS sym
+  FROM (SELECT word, c, string_split(word, '') AS s FROM w)
+),
+pr AS (
+  SELECT c, sym AS a,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b
+  FROM ch
+)
+SELECT a, b, SUM(c) AS n
+FROM pr WHERE b IS NOT NULL
+GROUP BY a, b
+ORDER BY n DESC, a, b
+LIMIT 30"""
+
+
+@query("q_bpe_pair_counts", oracle=_BPE_SQL)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge candidates (operators/bpe.py; Sennrich et al. 2016):
+    the corpus-weighted adjacent-symbol-pair counts over the char-
+    symbolized word histogram — the top row is the merge a BPE trainer
+    learns next, and every training iteration recomputes exactly this
+    relation.  Scale shape: the corpus is touched once (word-type
+    groupBy); pair formation runs INSIDE each word's symbol array
+    (zip_with against its own shifted slice — no explode-then-window),
+    so each iteration's cost tracks the TYPE table, not the corpus.
+    The full iterative trainer + greedy fold-merge application + encoder
+    are pytest-locked against a reference BPE implementation."""
+    from ..operators.bpe import pair_counts, symbolize, word_histogram
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pc = pair_counts(symbolize(word_histogram(docs, "text")))
+    return pc.orderBy(F.col("n").desc(), "a", "b").limit(30)

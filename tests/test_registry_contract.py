@@ -39,7 +39,7 @@ def duck(registry):
 UNPROMOTED_EXTENSIONS = {
     "q_summary_rollup", "q_repetition_metrics", "q_passage_strip",
     "q_pack_documents", "q_semantic_dedup", "q_temperature_sample",
-    "q_dsir_select", "q_quality_score",
+    "q_dsir_select", "q_quality_score", "q_bpe_pair_counts",
 }
 
 PROMOTED_EXTENSIONS = (
