@@ -50,10 +50,12 @@ MODULE_ORDER = (
 
 # Extension queries promoted INTO the driver's 50-entry correctness window
 # (round 6: same-family core queries were folded into tagged unions —
-# q_dim_bulk_load, q_rollup_cube, q_event_windows — freeing six slots so
-# the LLM-pipeline extension operators get driver-produced CORRECTNESS
-# rows instead of builder-run-only evidence).  These sort after the
-# analytics module but before the remaining extensions, in this order.
+# first q_dim_bulk_load / q_rollup_cube / q_event_windows, then a third
+# fold wave q_upsert_scd / q_window_funcs / q_scalar_date_funcs /
+# q_agg_core / q_interval_joins — freeing slots so the LLM-pipeline
+# extension operators get driver-produced CORRECTNESS rows instead of
+# builder-run-only evidence).  These sort after the analytics module but
+# before the remaining extensions, in this order.
 PROMOTED = (
     "q_scd2_asof",
     "q_lm_perplexity",
@@ -64,6 +66,11 @@ PROMOTED = (
     "q_winnow_matches",
     "q_contamination",
     "q_pii_scrub",
+    "q_semantic_dedup",
+    "q_temperature_sample",
+    "q_dsir_select",
+    "q_quality_score",
+    "q_bpe_pair_counts",
 )
 
 

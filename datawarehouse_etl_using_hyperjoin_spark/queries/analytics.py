@@ -48,9 +48,7 @@ def _dec_sum(col, scale: int = 4):
 
 
 # ------------------------------------------------------------ §2.4 aggregates
-@query(
-    "q_agg_sales_by_key",
-    oracle="""
+_AGG_SALES_SQL = """
 SELECT n_name AS store_name,
        CAST(SUM(CAST(round(l_quantity * p_retailprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
          AS total_sales,
@@ -59,8 +57,9 @@ FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
-GROUP BY n_name""",
-)
+GROUP BY n_name"""
+
+
 def q_agg_sales_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: single-key hash aggregate at the fact⋈dim grain — total sales per
     store (the promotion analytics of README.md:6 over createDW.sql:83-98)."""
@@ -81,9 +80,7 @@ def q_agg_sales_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_agg_multi",
-    oracle="""
+_AGG_MULTI_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)       AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)  AS sum_base_price,
@@ -102,8 +99,9 @@ FROM (
   SELECT *, CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END AS maybe_qty
   FROM lineitem
 )
-GROUP BY l_returnflag, l_linestatus""",
-)
+GROUP BY l_returnflag, l_linestatus"""
+
+
 def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+A3+NULL discipline: multi-key aggregate with multiple measures
     (TPC-H Q1 shape) over the fact grain of createDW.sql:84-90, plus the
@@ -169,6 +167,61 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_coalesced",
         )
     )
+
+
+@query(
+    "q_agg_core",
+    oracle=f"""
+SELECT 'by_store' AS fam, store_name AS k1, CAST(NULL AS VARCHAR) AS k2,
+       total_sales AS d1,
+       CAST(NULL AS DOUBLE) AS d2, CAST(NULL AS DOUBLE) AS d3,
+       CAST(NULL AS DOUBLE) AS d4, CAST(NULL AS DOUBLE) AS d5,
+       CAST(NULL AS DOUBLE) AS d6, CAST(NULL AS DOUBLE) AS d7,
+       n_lines AS i1, CAST(NULL AS BIGINT) AS i2,
+       CAST(NULL AS BIGINT) AS i3, CAST(NULL AS BIGINT) AS i4
+FROM ({_AGG_SALES_SQL})
+UNION ALL
+SELECT 'tpch_q1', l_returnflag, l_linestatus,
+       sum_qty, sum_base_price, sum_disc_price, avg_qty,
+       min_price, max_price, qty_coalesced,
+       count_order, n_products, n_suppliers, n_qty_null
+FROM ({_AGG_MULTI_SQL})""",
+)
+def q_agg_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + A2 + A3 (tagged union, round-6 third fold wave): the
+    single-key fact⋈dim aggregate and the TPC-H-Q1-shape multi-key
+    multi-measure aggregate with distinct counts and NULL discipline —
+    each branch the unchanged builder above (``q_agg_sales_by_key`` /
+    ``q_agg_multi``), NULL-padded into (fam, 2 string keys, 7 DOUBLE
+    measures, 4 BIGINT counts).  Measures stay DOUBLE through the union
+    (string-casting doubles is an engine-rendering hazard)."""
+    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    by_store = q_agg_sales_by_key(spark, sf_dir).select(
+        F.lit("by_store").alias("fam"),
+        F.col("store_name").alias("k1"),
+        nul("string").alias("k2"),
+        F.col("total_sales").alias("d1"),
+        *[nul("double").alias(f"d{i}") for i in range(2, 8)],
+        F.col("n_lines").alias("i1"),
+        *[nul("long").alias(f"i{i}") for i in range(2, 5)],
+    )
+    q1 = q_agg_multi(spark, sf_dir).select(
+        F.lit("tpch_q1").alias("fam"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("sum_qty").alias("d1"),
+        F.col("sum_base_price").alias("d2"),
+        F.col("sum_disc_price").alias("d3"),
+        F.col("avg_qty").alias("d4"),
+        F.col("min_price").alias("d5"),
+        F.col("max_price").alias("d6"),
+        F.col("qty_coalesced").alias("d7"),
+        F.col("count_order").alias("i1"),
+        F.col("n_products").alias("i2"),
+        F.col("n_suppliers").alias("i3"),
+        F.col("n_qty_null").alias("i4"),
+    )
+    return by_store.unionByName(q1)
 
 
 @query(
@@ -411,9 +464,7 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- §2.5 windows
-@query(
-    "q_window_rank",
-    oracle="""
+_WINDOW_RANK_SQL = """
 SELECT c_custkey, c_nationkey, c_acctbal,
        row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
          AS rn,
@@ -429,8 +480,9 @@ SELECT c_custkey, c_nationkey, c_acctbal,
          AS quartile,
        percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS pr,
        cume_dist()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS cd
-FROM customer""",
-)
+FROM customer"""
+
+
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 complete ranking/navigation/distribution window surface:
     row_number/rank/dense_rank (the primitives behind first-match join J3
@@ -462,9 +514,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_window_running",
-    oracle="""
+_WINDOW_RUNNING_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -481,8 +531,9 @@ FROM (
   SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
          datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS d
   FROM orders
-)""",
-)
+)"""
+
+
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 complete frame surface: running ROWS frame + lag (running spend
     per customer — the behavioral analytics the DW serves, README.md:6) and
@@ -506,6 +557,68 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.sum(dec_price).over(w_range).cast("double").alias("spend_30d"),
     )
+
+
+@query(
+    "q_window_funcs",
+    oracle=f"""
+SELECT 'rank' AS fam, c_custkey AS k1, c_nationkey AS k2, c_acctbal AS val,
+       CAST(NULL AS TIMESTAMP) AS ord_ts,
+       rn, rk, drk, quartile, CAST(NULL AS BIGINT) AS dnum,
+       next_bal AS d1, top_bal AS d2, second_bal AS d3, pr AS d4, cd AS d5
+FROM ({_WINDOW_RANK_SQL})
+UNION ALL
+SELECT 'running', o_custkey, o_orderkey, CAST(NULL AS DOUBLE),
+       o_orderdate,
+       NULL, NULL, NULL, NULL, d,
+       running_spend, prev_price, spend_30d, NULL, NULL
+FROM ({_WINDOW_RUNNING_SQL})""",
+)
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 + W2 (tagged union, round-6 third fold wave): the complete
+    ranking/navigation/distribution window surface and the running/RANGE
+    frame surface — each branch is the unchanged builder above
+    (``q_window_rank`` / ``q_window_running``); the union tags the family
+    and pads the branch-specific columns with typed NULLs (ranks/ntile as
+    BIGINT, measures as DOUBLE, the running branch's order timestamp).
+    Folding the pair frees a driver-window slot for an extension query
+    while keeping every window function value-checked."""
+    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    rank_b = q_window_rank(spark, sf_dir).select(
+        F.lit("rank").alias("fam"),
+        F.col("c_custkey").alias("k1"),
+        F.col("c_nationkey").cast("long").alias("k2"),
+        F.col("c_acctbal").alias("val"),
+        nul("timestamp_ntz").alias("ord_ts"),
+        F.col("rn").cast("long").alias("rn"),
+        F.col("rk").cast("long").alias("rk"),
+        F.col("drk").cast("long").alias("drk"),
+        F.col("quartile").cast("long").alias("quartile"),
+        nul("long").alias("dnum"),
+        F.col("next_bal").alias("d1"),
+        F.col("top_bal").alias("d2"),
+        F.col("second_bal").alias("d3"),
+        F.col("pr").alias("d4"),
+        F.col("cd").alias("d5"),
+    )
+    run_b = q_window_running(spark, sf_dir).select(
+        F.lit("running").alias("fam"),
+        F.col("o_custkey").alias("k1"),
+        F.col("o_orderkey").alias("k2"),
+        nul("double").alias("val"),
+        F.col("o_orderdate").alias("ord_ts"),
+        nul("long").alias("rn"),
+        nul("long").alias("rk"),
+        nul("long").alias("drk"),
+        nul("long").alias("quartile"),
+        F.col("d").cast("long").alias("dnum"),
+        F.col("running_spend").alias("d1"),
+        F.col("prev_price").alias("d2"),
+        F.col("spend_30d").alias("d3"),
+        nul("double").alias("d4"),
+        nul("double").alias("d5"),
+    )
+    return rank_b.unionByName(run_b)
 
 
 # ------------------------------------------------------------ §2.7 set ops
@@ -550,9 +663,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------ §2.8 scalar functions
-@query(
-    "q_scalar_funcs",
-    oracle="""
+_SCALAR_FUNCS_SQL = """
 SELECT c_custkey,
        upper(c_name)                       AS name_upper,
        lower(c_mktsegment)                 AS segment_lower,
@@ -575,8 +686,9 @@ SELECT c_custkey,
             WHEN c_acctbal < 5000 THEN 'mid'
             ELSE 'high' END                AS bal_band,
        coalesce(nullif(c_mktsegment, 'BUILDING'), 'HQ') AS seg_label
-FROM customer""",
-)
+FROM customer"""
+
+
 def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 scalar surface in one single-pass projection — string family
     (the reference's replace/regex cleansing, MasterDataStreamGenerator
@@ -618,9 +730,7 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_date_funcs",
-    oracle="""
+_DATE_FUNCS_SQL = """
 SELECT o_orderkey,
        year(o_orderdate)                       AS order_year,
        month(o_orderdate)                      AS order_month,
@@ -629,8 +739,9 @@ SELECT o_orderkey,
        datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
        CAST(o_orderdate AS DATE) + 30          AS due_date,
        last_day(CAST(o_orderdate AS DATE))     AS month_end
-FROM orders""",
-)
+FROM orders"""
+
+
 def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 date family: the string→DATE landing (createDW.sql:89) plus the
     calendar functions a date-partitioned fact table needs."""
@@ -647,6 +758,84 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
         F.last_day(F.to_date("o_orderdate")).alias("month_end"),
     )
+
+
+@query(
+    "q_scalar_date_funcs",
+    oracle=f"""
+SELECT 'scalar' AS fam, c_custkey AS k,
+       name_len AS i1, shard AS i2, bal_floor AS i3, bal_ceil AS i4,
+       key_mod AS i5,
+       bal_dist AS d1, bal_round AS d2, bal_sqrt AS d3,
+       name_upper AS s1, segment_lower AS s2, name_trim AS s3,
+       name_seg AS s4, name_prefix AS s5, name_masked AS s6,
+       name_md5 AS s7, name_sha256 AS s8, bal_band AS s9, seg_label AS s10,
+       even_name AS b1,
+       CAST(NULL AS TIMESTAMP) AS t1,
+       CAST(NULL AS DATE) AS dt1, CAST(NULL AS DATE) AS dt2
+FROM ({_SCALAR_FUNCS_SQL})
+UNION ALL
+SELECT 'date', o_orderkey,
+       order_year, order_month, order_day, days_since_95, NULL,
+       NULL, NULL, NULL,
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       CAST(NULL AS BOOLEAN),
+       month_start, due_date, month_end
+FROM ({_DATE_FUNCS_SQL})""",
+)
+def q_scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar + date families (tagged union, round-6 third fold
+    wave): the string/hash/math/conditional surface over customer and the
+    calendar surface over orders — each branch the unchanged builder
+    above (``q_scalar_funcs`` / ``q_date_funcs``), NULL-padded into a
+    typed common schema (BIGINT ranks, DOUBLE measures, the date
+    branch's timestamp/date columns).  Frees a driver-window slot while
+    keeping every scalar function value-checked."""
+    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    sc = q_scalar_funcs(spark, sf_dir).select(
+        F.lit("scalar").alias("fam"),
+        F.col("c_custkey").alias("k"),
+        F.col("name_len").cast("long").alias("i1"),
+        F.col("shard").cast("long").alias("i2"),
+        F.col("bal_floor").cast("long").alias("i3"),
+        F.col("bal_ceil").cast("long").alias("i4"),
+        F.col("key_mod").cast("long").alias("i5"),
+        F.col("bal_dist").alias("d1"),
+        F.col("bal_round").alias("d2"),
+        F.col("bal_sqrt").alias("d3"),
+        F.col("name_upper").alias("s1"),
+        F.col("segment_lower").alias("s2"),
+        F.col("name_trim").alias("s3"),
+        F.col("name_seg").alias("s4"),
+        F.col("name_prefix").alias("s5"),
+        F.col("name_masked").alias("s6"),
+        F.col("name_md5").alias("s7"),
+        F.col("name_sha256").alias("s8"),
+        F.col("bal_band").alias("s9"),
+        F.col("seg_label").alias("s10"),
+        F.col("even_name").alias("b1"),
+        nul("timestamp_ntz").alias("t1"),
+        nul("date").alias("dt1"),
+        nul("date").alias("dt2"),
+    )
+    dt = q_date_funcs(spark, sf_dir).select(
+        F.lit("date").alias("fam"),
+        F.col("o_orderkey").alias("k"),
+        F.col("order_year").cast("long").alias("i1"),
+        F.col("order_month").cast("long").alias("i2"),
+        F.col("order_day").cast("long").alias("i3"),
+        F.col("days_since_95").cast("long").alias("i4"),
+        nul("long").alias("i5"),
+        nul("double").alias("d1"),
+        nul("double").alias("d2"),
+        nul("double").alias("d3"),
+        *[nul("string").alias(f"s{i}") for i in range(1, 11)],
+        nul("boolean").alias("b1"),
+        F.col("month_start").alias("t1"),
+        F.col("due_date").alias("dt1"),
+        F.col("month_end").alias("dt2"),
+    )
+    return sc.unionByName(dt)
 
 
 _JSON_EXTRACT_SQL = """
@@ -872,9 +1061,7 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling.unionByName(sessions)
 
 
-@query(
-    "q_asof_join",
-    oracle="""
+_ASOF_SQL = """
 WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ), purchases AS (
@@ -885,8 +1072,9 @@ SELECT l.event_id, l.user_id, l.ts,
        r.ts AS ts_right, r.purchase_value
 FROM clicks l
 ASOF LEFT JOIN purchases r
-  ON l.user_id = r.user_id AND l.ts >= r.ts""",
-)
+  ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (temporal) join — an operator Spark lacks natively: for each
     click, the user's most recent purchase at or before it.  Implemented
@@ -904,9 +1092,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_range_join",
-    oracle="""
+_RANGE_SQL = """
 WITH bands AS (
   SELECT * FROM (VALUES
     ('budget',   0.0,      50000.0),
@@ -917,8 +1103,9 @@ WITH bands AS (
 )
 SELECT o_orderkey, o_totalprice, band
 FROM orders JOIN bands
-  ON o_totalprice >= lo AND o_totalprice < hi""",
-)
+  ON o_totalprice >= lo AND o_totalprice < hi"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/band join (overlapping price bands — every covering band
     matches).  Implemented bucketized (operators/rangejoin.py): intervals
@@ -939,6 +1126,49 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, bands, value="o_totalprice", lo="lo", hi="hi", bucket_width=25000.0
     )
     return joined.select("o_orderkey", "o_totalprice", "band")
+
+
+@query(
+    "q_interval_joins",
+    oracle=f"""
+SELECT 'asof' AS fam, event_id AS k1, user_id AS k2,
+       ts AS t1, ts_right AS t2, purchase_value AS v,
+       CAST(NULL AS VARCHAR) AS tag
+FROM ({_ASOF_SQL})
+UNION ALL
+SELECT 'range', o_orderkey, NULL,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       o_totalprice, band
+FROM ({_RANGE_SQL})""",
+)
+def q_interval_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join + range/band join (tagged union, round-6 third fold
+    wave): the two interval-predicate joins Spark lacks natively — the
+    union + running-last-window as-of (operators/asof.py, oracle =
+    DuckDB's native ASOF LEFT JOIN) and the bucketized band join
+    (operators/rangejoin.py).  Each branch is the unchanged builder
+    above (``q_asof_join`` / ``q_range_join``); folding frees a
+    driver-window slot while keeping both join semantics value-checked."""
+    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    asof_b = q_asof_join(spark, sf_dir).select(
+        F.lit("asof").alias("fam"),
+        F.col("event_id").alias("k1"),
+        F.col("user_id").alias("k2"),
+        F.col("ts").alias("t1"),
+        F.col("ts_right").alias("t2"),
+        F.col("purchase_value").alias("v"),
+        nul("string").alias("tag"),
+    )
+    range_b = q_range_join(spark, sf_dir).select(
+        F.lit("range").alias("fam"),
+        F.col("o_orderkey").alias("k1"),
+        nul("long").alias("k2"),
+        nul("timestamp_ntz").alias("t1"),
+        nul("timestamp_ntz").alias("t2"),
+        F.col("o_totalprice").alias("v"),
+        F.col("band").alias("tag"),
+    )
+    return asof_b.unionByName(range_b)
 
 
 _SQL_TOP_SEGMENT_ORDERS = """

@@ -5,12 +5,13 @@ Gopher repetition signals).
 
 The driver's correctness window checks the first ~50 registry entries
 front-to-back.  Round 6 folded same-family core queries into tagged
-unions, freeing nine window slots; the nine queries named in
-``queries/__init__.py::PROMOTED`` now sort INSIDE the window (driver-
-produced CORRECTNESS rows), the rest register after it.  Every query here
-has a full DuckDB value oracle either way; `tools/check_oracle.py`
-verifies them locally with the driver's exact compare (rows + schema +
-sorted-value equality) at three scale factors.
+unions in three waves (dims/rollup/events, ANN/semistructured, then
+upserts/windows/scalars/aggs/interval-joins), freeing fourteen window
+slots; the queries named in ``queries/__init__.py::PROMOTED`` now sort
+INSIDE the window (driver-produced CORRECTNESS rows), the rest register
+after it.  Every query here has a full DuckDB value oracle either way;
+`tools/check_oracle.py` verifies them locally with the driver's exact
+compare (rows + schema + sorted-value equality) at three scale factors.
 
 Oracle parity follows the house rules (queries/__init__.py docstring):
 identical column aliases both sides, decimal-exact sums for anything

@@ -146,9 +146,7 @@ def q_dim_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_upsert_scd1",
-    oracle="""
+_SCD1_SQL = """
 WITH existing AS (
   SELECT c_custkey AS customer_id, c_name AS customer_name,
          c_mktsegment AS customer_segment
@@ -161,8 +159,9 @@ WITH existing AS (
 SELECT * FROM updates
 UNION ALL
 SELECT e.* FROM existing e
-WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.customer_id = e.customer_id)""",
-)
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.customer_id = e.customer_id)"""
+
+
 def q_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1: SCD-Type-1 keyed upsert — update matched keys in place, insert
     new ones (StreamGeneratorThread.java:205-209 et al.; createDW.sql ON
@@ -186,9 +185,7 @@ def q_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd1_upsert(existing, updates, key="customer_id")
 
 
-@query(
-    "q_upsert_scd2",
-    oracle="""
+_SCD2_SQL = """
 WITH existing AS (
   SELECT c_custkey AS customer_id, c_name AS customer_name,
          c_mktsegment AS customer_segment,
@@ -224,8 +221,9 @@ SELECT e.customer_id, e.customer_name, e.customer_segment,
        e.valid_from, e.valid_to, e.is_current
 FROM existing e
 WHERE NOT EXISTS (SELECT 1 FROM changed c
-                  WHERE c.customer_id = e.customer_id)""",
-)
+                  WHERE c.customer_id = e.customer_id)"""
+
+
 def q_upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-Type-2 upsert: validity-interval history maintenance — current
     rows whose tracked attributes changed are closed at the effective date
@@ -252,6 +250,41 @@ def q_upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_upsert(
         existing, updates, key="customer_id", effective_col="effective_date"
     )
+
+
+@query(
+    "q_upsert_scd",
+    oracle=f"""
+SELECT 'scd1' AS mode, customer_id, customer_name, customer_segment,
+       CAST(NULL AS DATE) AS valid_from, CAST(NULL AS DATE) AS valid_to,
+       CAST(NULL AS BOOLEAN) AS is_current
+FROM ({_SCD1_SQL})
+UNION ALL
+SELECT 'scd2', customer_id, customer_name, customer_segment,
+       valid_from, valid_to, is_current
+FROM ({_SCD2_SQL})""",
+)
+def q_upsert_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + SCD2 (tagged union, round-6 third fold wave): the Type-1
+    keyed upsert and the Type-2 validity-interval upsert — each branch is
+    the unchanged builder above (``q_upsert_scd1`` / ``q_upsert_scd2``,
+    both still importable); the union tags the mode and NULL-pads the
+    history columns the Type-1 form does not have.  Folding the pair
+    frees a driver-window slot for an extension query while keeping both
+    upsert semantics value-checked row by row."""
+    scd1 = q_upsert_scd1(spark, sf_dir).select(
+        F.lit("scd1").alias("mode"),
+        "customer_id", "customer_name", "customer_segment",
+        F.lit(None).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+    scd2 = q_upsert_scd2(spark, sf_dir).select(
+        F.lit("scd2").alias("mode"),
+        "customer_id", "customer_name", "customer_segment",
+        "valid_from", "valid_to", "is_current",
+    )
+    return scd1.unionByName(scd2)
 
 
 @query(

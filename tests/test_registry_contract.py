@@ -34,30 +34,32 @@ def duck(registry):
 
 
 # Extension queries left OUTSIDE the driver's 50-entry window after the
-# round-6 promotion (same-family folds freed six slots; PROMOTED in
-# queries/__init__.py names the six that moved inside).
+# round-6 promotions (three fold waves freed eleven slots; PROMOTED in
+# queries/__init__.py names the fourteen that moved inside).
 UNPROMOTED_EXTENSIONS = {
     "q_summary_rollup", "q_repetition_metrics", "q_passage_strip",
-    "q_pack_documents", "q_semantic_dedup", "q_temperature_sample",
-    "q_dsir_select", "q_quality_score", "q_bpe_pair_counts",
+    "q_pack_documents",
 }
 
 PROMOTED_EXTENSIONS = (
     "q_scd2_asof", "q_lm_perplexity", "q_passage_repeats",
     "q_mixture_sample", "q_dup_clusters", "q_global_sort",
     "q_winnow_matches", "q_contamination", "q_pii_scrub",
+    "q_semantic_dedup", "q_temperature_sample", "q_dsir_select",
+    "q_quality_score", "q_bpe_pair_counts",
 )
 
 
 def test_driver_window_holds_exactly_fifty(registry):
     # the driver verifies the first ~50 entries front-to-back; every query
-    # that carries SURVEY §2 evidence AND the six promoted LLM-pipeline
-    # extension queries must all sit inside that window
+    # that carries SURVEY §2 evidence AND the fourteen promoted
+    # LLM-pipeline extension queries must all sit inside that window
     names = list(registry)
+    assert len(names) == 54
     assert set(names[:50]) == set(registry) - UNPROMOTED_EXTENSIONS
     assert set(names[50:]) == UNPROMOTED_EXTENSIONS
     # the promoted extensions occupy the window's tail, in PROMOTED order
-    assert tuple(names[41:50]) == PROMOTED_EXTENSIONS
+    assert tuple(names[36:50]) == PROMOTED_EXTENSIONS
 
 
 def test_core_etl_registers_first(registry):
@@ -67,13 +69,13 @@ def test_core_etl_registers_first(registry):
     core = {
         "q_scan_transactions", "q_cleanse", "q_enrich", "q_hyperjoin",
         "q_join_first_match", "q_fact_assembly", "q_join_semi_anti",
-        "q_dim_bulk_load", "q_upsert_scd1", "q_upsert_scd2", "q_collect_set",
+        "q_dim_bulk_load", "q_upsert_scd", "q_collect_set",
         "q_stream_hyperjoin", "q_stream_stream_join", "q_stream_tumbling",
     }
     assert core <= set(names[: len(core)])
     # the weakest §2 row (rows-only UDF demo) is deliberately the LAST
     # core query, directly before the promoted extension block
-    assert names[40] == "q_pandas_udf"
+    assert names[35] == "q_pandas_udf"
 
 
 def test_ensure_engine_conf_merges_excluded_rules(registry):
