@@ -141,6 +141,47 @@ def prepare_corpus(
     return kept.withColumn("split", tx.train_eval_split(F.col(text_col), train_pct))
 
 
+def prepare_corpus_stream(
+    stream_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_quality: float = 0.35,
+    min_tokens: int = 5,
+    langs: tuple[str, ...] | None = None,
+    ts_col: str = "ingest_ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming corpus ingest: the stateless gates of
+    :func:`prepare_corpus` applied to a document STREAM, plus exact
+    content dedup against in-flight state.
+
+    The metric columns and quality/length/language gates are pure column
+    expressions, so they stream unchanged; exact dedup becomes
+    ``dropDuplicatesWithinWatermark`` on the content fingerprint — one
+    survivor per normalized content among all documents inside the
+    watermark horizon, with state evicted as the watermark passes (the
+    ``consume_once`` posture: bounded state at any ingest rate).
+
+    What deliberately stays OUT of the per-row stream: near-dup LSH and
+    historical exact dedup, which need the corpus-wide at-rest indexes
+    (``operators.dedup.write_lsh_index`` / ``incremental_*``) — run
+    those per micro-batch in ``foreachBatch``, the same amortized-batch
+    shape `dedup_new_batches` measures in SCALE.md.  ``ts_col`` must be
+    a timestamp column on the stream (ingest time or source event
+    time)."""
+    scored = corpus_metrics(stream_docs, id_col, text_col)
+    gated = scored.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("ws_tokens") >= min_tokens)
+    )
+    if langs is not None:
+        gated = gated.filter(F.col("lang_pred").isin(*langs))
+    return gated.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -667,3 +667,60 @@ def test_run_to_noop_auto_sizes_state_instances(spark, events_stream_dir):
     assert auto["state_store_instances"] == want
     with pytest.raises(ValueError):
         run_to_noop(counts(), output_mode="complete", state_partitions="auto")
+
+
+def test_prepare_corpus_stream_gates_and_dedups_across_batches(
+    spark, sf_dir, tmp_path_factory
+):
+    """Streaming corpus ingest (operators/corpus.prepare_corpus_stream):
+    stateless gates match the batch chain, and the fingerprint dedup
+    state survives ACROSS micro-batches — a duplicate arriving in a
+    later file is dropped."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        corpus_metrics,
+        prepare_corpus_stream,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("ingest_ts", F.timestamp_seconds(F.lit(1_000_000) + F.col("doc_id")))
+    )
+    # file 0: originals; file 1: exact duplicates under new ids (and later
+    # timestamps) — the streaming dedup must drop every one of them
+    path = str(tmp_path_factory.mktemp("corpus_stream"))
+    docs.coalesce(1).write.parquet(f"{path}/part0")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        F.timestamp_seconds(F.lit(1_100_000) + F.col("doc_id")).alias("ingest_ts"),
+    )
+    dups.coalesce(1).write.parquet(f"{path}/part1")
+
+    schema = spark.read.parquet(f"{path}/part0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/part*")
+    )
+    name = f"corpus_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(
+        prepare_corpus_stream(stream, min_quality=0.2, min_tokens=5), name
+    )
+    out = spark.sql(f"SELECT * FROM {name}")
+    q.stop()
+
+    # batch expectation: same gates, one survivor per fingerprint; every
+    # original passes before any injected dup (earlier timestamp), and
+    # fixture texts are unique, so survivors == gated originals
+    gated = corpus_metrics(docs, "doc_id", "text").filter(
+        (F.col("quality_score") >= 0.2) & (F.col("ws_tokens") >= 5)
+    )
+    got_ids = {r.doc_id for r in out.select("doc_id").collect()}
+    want_ids = {r.doc_id for r in gated.select("doc_id").collect()}
+    assert got_ids == want_ids
+    assert not any(i >= 1_000_000 for i in got_ids)  # all dups dropped
+    # metric columns came through the stream
+    assert {"quality_score", "lang_pred", "fingerprint", "ws_tokens"} <= set(
+        out.columns
+    )
