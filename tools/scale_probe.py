@@ -665,6 +665,68 @@ def measure_dedup(spark, docs) -> float:
     return time.time() - t0
 
 
+def measure_selection(spark, docs) -> dict[str, float]:
+    """r6 selection/scoring family wall seconds on ``docs`` (doc_id, text):
+    DSIR end-to-end, classifier serving, temperature mixing, one BPE
+    pair-count round.  All linear-plus-broadcast shapes — the probe shows
+    whether wall tracks corpus size."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.bpe import (
+        pair_counts,
+        symbolize,
+        word_histogram,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.classifier import (
+        score_quality,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.importance import (
+        dsir_select,
+        hashed_ngram_features,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    # imbalanced synthetic strata (~60/30/10) for the temperature probe
+    strat = docs.withColumn(
+        "stratum",
+        F.when(F.pmod("doc_id", 10) < 6, "a")
+        .when(F.pmod("doc_id", 10) < 9, "b")
+        .otherwise("c"),
+    )
+    weights = spark.range(10_000).select(
+        F.col("id").alias("bucket"),
+        ((F.pmod(F.col("id") * 37 + 11, 2001) - 1000) / F.lit(1000.0)).alias(
+            "weight"
+        ),
+    )
+
+    def timed(make) -> float:
+        make().write.mode("overwrite").format("noop").save()
+        t0 = time.time()
+        make().write.mode("overwrite").format("noop").save()
+        return round(time.time() - t0, 3)
+
+    target = docs.filter(F.pmod("doc_id", 10) == 0)
+    return {
+        "dsir_select": timed(
+            lambda: dsir_select(docs, target, "doc_id", "text", 100,
+                                target_subset=True)
+        ),
+        "quality_score": timed(
+            lambda: score_quality(
+                hashed_ngram_features(docs, "doc_id", "text"),
+                weights, -0.5, "doc_id",
+            )
+        ),
+        "temperature_sample": timed(
+            lambda: temperature_sample(strat, "stratum", "doc_id")
+        ),
+        "bpe_pair_counts": timed(
+            lambda: pair_counts(symbolize(word_histogram(docs, "text")))
+        ),
+    }
+
+
 def measure_stream_join_state(
     spark, sf_dir: str = "/root/testdata/sf0.1", delays=("5 days", "30 days", "150 days")
 ) -> dict[str, dict]:
@@ -867,6 +929,26 @@ def main() -> None:
         )
         spark.sparkContext.setLogLevel("ERROR")
         print(json.dumps({"cc_depth": measure_cc_depth(spark)}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "selection":
+        spark = get_spark(
+            "scale-probe-sel", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        docs_small = spark.read.parquet(
+            "/root/testdata/sf0.1/documents.parquet"
+        ).select("doc_id", "text")
+        n_big = int(os.environ.get("SCALE_PROBE_DOCS", 100_000))
+        docs_path = tempfile.mkdtemp(prefix="scale_probe_") + "/documents"
+        synth_documents(spark, n_big, docs_path)
+        docs_big = spark.read.parquet(docs_path)
+        print(json.dumps({
+            "selection": {
+                "n_docs": {"small": docs_small.count(), "big": n_big},
+                "small": measure_selection(spark, docs_small),
+                "big": measure_selection(spark, docs_big),
+            }
+        }, indent=2))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf_recall":
         spark = get_spark(
