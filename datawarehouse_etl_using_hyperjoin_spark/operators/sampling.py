@@ -205,3 +205,39 @@ def temperature_sample(
     for stratum, r in rates.items():
         rate_col = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate_col)
     return sampled.withColumn("rate", rate_col)
+
+
+def shuffle_shard(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    *,
+    salt: str = "shuffle",
+    shard_col: str = "shard_id",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the final step before a
+    training run: every row gets a pseudo-random but REPRODUCIBLE shard
+    (md5-hash of the key) and a position within that shard (rank by the
+    full md5 hex, key tie-break).  Unlike ``df.orderBy(rand())``, the
+    order depends only on (salt, key): stable across runs, engines,
+    partitionings and retries, and a different salt is a fresh epoch
+    permutation.
+
+    Scale shape: one hash projection plus one window PER SHARD — shards
+    sort independently in parallel, so per-shard sort size is corpus/N
+    and there is never a global sort.  At 100 TB pick n_shards ≈ the
+    file count you want (each shard written as one ordered file via
+    ``partitionBy(shard_col)``).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    h48 = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+    out = df.withColumn("__h", h).withColumn(
+        shard_col, F.pmod(h48, F.lit(n_shards))
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h"), F.col(key_col))
+    return out.withColumn(
+        pos_col, F.row_number().over(w).cast("long")
+    ).drop("__h")

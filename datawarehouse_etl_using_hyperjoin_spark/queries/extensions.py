@@ -1129,3 +1129,34 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pc = pair_counts(symbolize(word_histogram(docs, "text")))
     return pc.orderBy(F.col("n").desc(), "a", "b").limit(30)
+
+
+# ------------------------------------------------ epoch shuffle + shard
+_SHUF_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         md5('shuffle' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+)
+SELECT doc_id,
+       ('0x' || substr(hh, 1, 12))::BIGINT % 8 AS shard_id,
+       CAST(row_number() OVER (
+         PARTITION BY ('0x' || substr(hh, 1, 12))::BIGINT % 8
+         ORDER BY hh, doc_id
+       ) AS BIGINT) AS shard_pos
+FROM h"""
+
+
+@query("q_shuffle_shard", oracle=_SHUF_SQL)
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + sharding
+    (operators/sampling.py::shuffle_shard): every document assigned a
+    reproducible pseudo-random shard (md5 of the id) and an in-shard
+    position (rank by the full hash) — the pre-training corpus ordering
+    step, with no RNG anywhere so the exact permutation is
+    value-checked.  Scale shape: shards rank independently (window
+    partitioned by shard — per-shard sort, never global)."""
+    from ..operators.sampling import shuffle_shard
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shard(docs, "doc_id", 8)

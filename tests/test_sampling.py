@@ -166,3 +166,42 @@ def test_temperature_sample_flattens_toward_uniform(spark, sf_dir):
     assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
     with pytest.raises(ValueError):
         temperature_rates(docs, "lang", alpha=1.5)
+
+def test_shuffle_shard_balanced_deterministic(spark, sf_dir):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.sampling import (
+        shuffle_shard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    out = shuffle_shard(docs, "doc_id", 8)
+    rows = out.collect()
+    assert len(rows) == n
+    # shards are balanced within ~3 sigma of n/8
+    sizes = out.groupBy("shard_id").count().collect()
+    assert len(sizes) == 8
+    import math
+
+    exp = n / 8
+    assert all(abs(r["count"] - exp) < 4 * math.sqrt(exp) for r in sizes)
+    # positions are dense 1..size within each shard
+    mx = out.groupBy("shard_id").agg(
+        F.max("shard_pos").alias("mx"), F.count("*").alias("c")
+    )
+    assert mx.filter(F.col("mx") != F.col("c")).count() == 0
+    # deterministic under repartition; different salt = different permutation
+    again = shuffle_shard(docs.repartition(9), "doc_id", 8)
+    joined = out.join(
+        again.select("doc_id", F.col("shard_pos").alias("p2"),
+                     F.col("shard_id").alias("s2")), "doc_id")
+    assert joined.filter(
+        (F.col("shard_pos") != F.col("p2")) | (F.col("shard_id") != F.col("s2"))
+    ).count() == 0
+    other = shuffle_shard(docs, "doc_id", 8, salt="epoch2")
+    moved = out.join(
+        other.select("doc_id", F.col("shard_id").alias("s2")), "doc_id"
+    ).filter(F.col("shard_id") != F.col("s2"))
+    assert moved.count() > 0.7 * n  # ~7/8 expected to change shard
+    # the shuffled order is uncorrelated with id order within a shard
+    with pytest.raises(ValueError):
+        shuffle_shard(docs, "doc_id", 0)
