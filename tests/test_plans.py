@@ -225,3 +225,84 @@ def test_extension_query_plan_shapes(spark, sf_dir):
     # AQE re-plans exchanges at runtime; statically there must be exactly
     # one shuffle exchange for the groupBy (broadcast exchanges excluded)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dsir_scoring_broadcasts_models_and_heaps_topk(spark, sf_dir):
+    """DSIR's claims: both bucket models broadcast into the scoring join,
+    selection is TakeOrderedAndProject (per-partition heaps, no global
+    sort), and nothing runs in Python."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.importance import (
+        dsir_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dsir_select(
+        docs, docs.filter(F.col("doc_id") % 10 == 0), "doc_id", "text", 20,
+        target_subset=True,
+    )
+    plan = plan_string(out, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_quality_serving_broadcasts_weight_relation(spark, sf_dir):
+    """Classifier serving must never shuffle on the model side: the
+    (bucket, weight) relation broadcasts, scoring is JVM-only."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.classifier import (
+        score_quality,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.importance import (
+        hashed_ngram_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    weights = spark.range(1000).select(
+        F.col("id").alias("bucket"), (F.col("id") % 7 / 10.0).alias("weight")
+    )
+    out = score_quality(
+        hashed_ngram_features(docs, "doc_id", "text", buckets=1000),
+        weights, -0.5, "doc_id",
+    )
+    plan = plan_string(out, "simple")
+    assert "BroadcastHashJoin" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_ivf_assign_combines_map_side_before_exchange(spark, sf_dir):
+    """The assignment argmax is a MAX aggregate, not a row_number window:
+    no Window node, centroids broadcast, and the partial_max runs BEFORE
+    the exchange — map-side combine collapses the C candidate rows per
+    vector, so the shuffle carries one row per vector (the window form
+    shuffled all C).  (The struct carries an array field, so Spark plans
+    SortAggregate — its Sort is per-partition on the group key, not a
+    global sort.)"""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    out = ivf_assign(em, ivf_seed_centroids(em, 8))
+    plan = plan_string(out, "simple")
+    assert "Window" not in plan
+    assert "Broadcast" in plan
+    pre_exchange = plan.split("Exchange hashpartitioning(vec_id", 1)[1]
+    assert "partial_max" in pre_exchange
+
+
+def test_shuffle_shard_window_is_per_shard(spark, sf_dir):
+    """shuffle_shard's rank window partitions by shard_id — the plan
+    must show a partitioned Window (hashpartitioning on shard), never a
+    single-partition global sort."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.sampling import (
+        shuffle_shard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    plan = plan_string(shuffle_shard(docs, "doc_id", 8))
+    assert "Window" in plan
+    assert "hashpartitioning(shard_id" in plan
+    assert "SinglePartition" not in plan
