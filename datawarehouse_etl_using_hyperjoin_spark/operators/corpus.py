@@ -269,3 +269,93 @@ def write_corpus(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(*cols).parquet(out_dir)
+
+
+def make_corpus_ingest_sink(
+    out_dir: str,
+    index_table: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.35,
+    min_tokens: int = 5,
+    langs: tuple[str, ...] | None = None,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+):
+    """foreachBatch handler: gate each micro-batch, near-dup it against
+    the AT-REST LSH index, append survivors + their signatures.
+
+    This is the historical-dedup half :func:`prepare_corpus_stream`
+    deliberately leaves out of the per-row stream: each batch computes
+    only its own MinHash bands (linear in batch size) and joins the
+    persisted band index on (band, band_hash) — the corpus is never
+    re-read or re-hashed (``operators.dedup.lsh_incremental_pairs``; the
+    index scan is exchange-free off the bucketed table).  Exact
+    re-ingests are caught by the same join (identical text → identical
+    signature → every band shared).  Survivors are appended to
+    ``out_dir`` and ONLY their bands to ``index_table``, so the index
+    stays duplicate-free.  Exactly-once: foreachBatch may replay a batch
+    on recovery; parquet appends make that at-least-once — for strict
+    exactly-once route the append through ``upsert_parquet_sink`` or a
+    transactional table format.
+
+    Use::
+
+        q = (stream.writeStream.foreachBatch(
+                 make_corpus_ingest_sink("/data/corpus", "lsh_index"))
+             .option("checkpointLocation", ckpt).start())
+    """
+    from .dedup import (
+        lsh_bands_from_array,
+        lsh_candidate_pairs,
+        lsh_incremental_pairs,
+        minhash_array,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        scored = corpus_metrics(batch_df, id_col, text_col)
+        gated = scored.filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("ws_tokens") >= min_tokens)
+        )
+        if langs is not None:
+            gated = gated.filter(F.col("lang_pred").isin(*langs))
+        # exact within-batch dedup: one survivor per fingerprint
+        exact = (
+            gated.withColumn(
+                "__rep", F.min(id_col).over(Window.partitionBy("fingerprint"))
+            )
+            .filter(F.col(id_col) == F.col("__rep"))
+            .drop("__rep")
+        ).localCheckpoint(eager=True)
+        bands = lsh_bands_from_array(
+            minhash_array(
+                exact.select(id_col, text_col), id_col, text_col,
+                shingle_k, n_hashes,
+            ),
+            id_col, n_hashes, n_bands,
+        ).localCheckpoint(eager=True)
+        have_index = spark.catalog.tableExists(index_table)
+        if have_index:
+            pairs = lsh_incremental_pairs(
+                bands, read_lsh_index(spark, index_table), id_col, max_bucket
+            )
+        else:
+            pairs = lsh_candidate_pairs(bands, id_col, max_bucket)
+        # id_b is always the new-side / larger-id doc — the one to drop
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        kept = exact.join(losers, id_col, "left_anti").localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(out_dir)
+        write_lsh_index(
+            bands.join(kept.select(id_col), id_col, "semi"),
+            index_table,
+            mode="append" if have_index else "overwrite",
+        )
+
+    return sink

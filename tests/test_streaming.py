@@ -724,3 +724,87 @@ def test_prepare_corpus_stream_gates_and_dedups_across_batches(
     assert {"quality_score", "lang_pred", "fingerprint", "ws_tokens"} <= set(
         out.columns
     )
+
+
+def test_corpus_ingest_sink_dedups_against_at_rest_index(
+    spark, sf_dir, tmp_path_factory
+):
+    """foreachBatch ingest (operators/corpus.make_corpus_ingest_sink):
+    batch 2's near-duplicates of batch-1 docs are dropped by the join
+    against the PERSISTED band index — the corpus itself is never
+    re-read — and only survivors' bands are appended to the index."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        make_corpus_ingest_sink,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+    )
+    # batch 1: originals.  batch 2: drop-first-word near-dups of half of
+    # batch 1 (high Jaccard -> LSH candidates) + genuinely fresh docs
+    near = base.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    fresh = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 250))
+        .select((F.col("doc_id") + 20_000).alias("doc_id"), "text")
+    )
+    src = str(tmp_path_factory.mktemp("ingest_src"))
+    base.coalesce(1).write.parquet(f"{src}/b0")
+    near.unionByName(fresh).coalesce(1).write.parquet(f"{src}/b1")
+
+    out_dir = str(tmp_path_factory.mktemp("ingest_out")) + "/corpus"
+    table = f"ingest_idx_{uuid.uuid4().hex[:8]}"
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            make_corpus_ingest_sink(out_dir, table, min_quality=0.0, min_tokens=1)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    got_ids = {r.doc_id for r in got.select("doc_id").collect()}
+    # batch-1 expectation: the fixture corpus has NATURAL near-dups among
+    # docs 0-99 — the sink must keep exactly the batch-path survivors
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        lsh_bands_from_array,
+        lsh_candidate_pairs,
+        minhash_array,
+    )
+
+    b1_pairs = lsh_candidate_pairs(
+        lsh_bands_from_array(
+            minhash_array(base, "doc_id", "text", 3, 16), "doc_id", 16, 4
+        ),
+        "doc_id",
+    )
+    b1_losers = {r.id_b for r in b1_pairs.select("id_b").distinct().collect()}
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    expected_b1 = base_ids - b1_losers
+    assert expected_b1 <= got_ids
+    assert not (b1_losers & got_ids)  # within-batch losers never written
+    # near-dups of already-indexed docs are dropped (allow the odd LSH
+    # miss: 16 hashes x 4 bands on a high-jaccard pair -> P(miss) ~ 1e-3)
+    near_kept = {i for i in got_ids if 10_000 <= i < 20_000}
+    assert len(near_kept) <= 3, near_kept
+    # fresh docs overwhelmingly survive (a few may near-dup each other
+    # or batch-1 content — that is the operator working, not a bug)
+    fresh_ids = {r.doc_id for r in fresh.select("doc_id").collect()}
+    assert len(fresh_ids & got_ids) >= 0.8 * len(fresh_ids)
+    # the index holds bands for survivors only
+    idx_ids = {r.doc_id for r in spark.table(table).select("doc_id").distinct().collect()}
+    assert idx_ids == got_ids
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
