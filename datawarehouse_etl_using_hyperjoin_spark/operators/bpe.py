@@ -180,3 +180,59 @@ def bpe_encode(
     return sym.groupBy(id_col).agg(
         F.flatten(F.transform(per_word, lambda s: s["syms"])).alias("tokens")
     )
+
+
+def bpe_encode_pandas(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, tokens): the production encoder for LARGE merge lists — the
+    identical semantics of :func:`bpe_encode` (each merge applied in
+    learned order, one greedy left-to-right pass) executed inside an
+    Arrow-batched pandas UDF instead of ``len(merges)`` stacked fold
+    expressions (whose plan depth and interpretation cost grow with the
+    vocab; the column form is right for tens of merges, this for
+    thousands).  Distinct words are memoized per batch, so the Python
+    loop runs once per word TYPE, not per token — the same
+    histogram-not-corpus economics the trainer exploits.  Equality with
+    the column encoder is pinned by test."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            docs.schema[id_col],
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+        ]
+    )
+    mlist = list(merges)
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        for a, b in mlist:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    def run(batches):
+        for pdf in batches:
+            memo: dict[str, list[str]] = {}
+            ids, toks = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                row: list[str] = []
+                for w in str(txt).lower().split():
+                    if w not in memo:
+                        memo[w] = encode_word(w)
+                    row.extend(memo[w])
+                ids.append(i)
+                toks.append(row)
+            yield pd.DataFrame({id_col: ids, "tokens": toks})
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)

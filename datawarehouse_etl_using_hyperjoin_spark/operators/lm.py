@@ -195,3 +195,42 @@ def perplexity_gate(
     them explicitly."""
     keep = scores.filter(F.col("perplexity") <= max_perplexity).select(id_col)
     return docs.join(keep, id_col, "inner")
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    *,
+    edges: tuple[float, float] | None = None,
+    ppl_col: str = "perplexity",
+    bucket_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): bucket
+    documents by perplexity so downstream mixing can weight the buckets
+    (train mostly on head+middle, keep tail for diversity) instead of
+    hard-dropping at one threshold (:func:`perplexity_gate`).
+
+    ``edges=(lo, hi)``: head ≤ lo < middle ≤ hi < tail.  CCNet computes
+    the edges ONCE on a held-out sample as terciles and reuses them for
+    every shard — pass those here (the production shape: edges are two
+    published constants, bucketing is a pure column expression, zero
+    shuffles).  With ``edges=None`` the terciles are computed from
+    ``scores`` itself via exact percentile_cont (one aggregate, bounded
+    two-scalar collect — convenient for one-shot runs, but batch-
+    dependent: don't use it for incremental ingest).  NULL scores (< 2
+    tokens) get a NULL bucket."""
+    if edges is None:
+        row = scores.agg(
+            F.expr(f"percentile_cont(1.0D/3.0D) WITHIN GROUP (ORDER BY {ppl_col})"),
+            F.expr(f"percentile_cont(2.0D/3.0D) WITHIN GROUP (ORDER BY {ppl_col})"),
+        ).first()
+        edges = (float(row[0]), float(row[1]))
+    lo, hi = edges
+    if not lo <= hi:
+        raise ValueError(f"edges must be ordered, got {edges}")
+    return scores.withColumn(
+        bucket_col,
+        F.when(F.col(ppl_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col(ppl_col) <= lo, "head")
+        .when(F.col(ppl_col) <= hi, "middle")
+        .otherwise("tail"),
+    )

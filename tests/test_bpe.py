@@ -109,3 +109,17 @@ def test_bpe_encode_round_trip(spark):
     # merges actually compress: every 'newest' doc is <= 3 tokens after
     # 6 merges on this corpus (chars would be 6)
     assert all(len(rows[i]) <= 3 for i, w in enumerate(corpus) if w == "newest")
+
+
+def test_bpe_encode_pandas_matches_column_encoder(spark, sf_dir):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.bpe import (
+        bpe_encode_pandas,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, _ = bpe_train(word_histogram(docs, "text"), 10)
+    col_enc = {r.doc_id: r.tokens for r in
+               bpe_encode(docs, merges, "doc_id", "text").collect()}
+    pd_enc = {r.doc_id: r.tokens for r in
+              bpe_encode_pandas(docs, merges, "doc_id", "text").collect()}
+    assert col_enc == pd_enc

@@ -127,3 +127,38 @@ def test_min_count_pruning_only_shifts_mass_smoothly(spark, sf_dir):
     for r in scores:
         assert r.perplexity is not None and math.isfinite(r.perplexity)
         assert r.perplexity > 0
+
+
+def test_perplexity_buckets_terciles_and_fixed_edges(spark, sf_dir):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.lm import (
+        lm_perplexity,
+        perplexity_buckets,
+        train_ngram_lm,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    uni, big = train_ngram_lm(docs, "doc_id", "text")
+    scores = lm_perplexity(docs, uni, big, "doc_id", "text")
+    out = perplexity_buckets(scores)
+    counts = {r.ppl_bucket: r.n for r in
+              out.groupBy("ppl_bucket").agg(F.count("*").alias("n")).collect()}
+    n = scores.filter(F.col("perplexity").isNotNull()).count()
+    # terciles: each bucket holds about a third of the scored docs
+    assert set(counts) <= {"head", "middle", "tail", None}
+    for b in ("head", "middle", "tail"):
+        assert abs(counts.get(b, 0) - n / 3) <= max(3, 0.15 * n), counts
+    # bucket order respects the score order
+    mx_head = out.filter(F.col("ppl_bucket") == "head").agg(F.max("perplexity")).first()[0]
+    mn_tail = out.filter(F.col("ppl_bucket") == "tail").agg(F.min("perplexity")).first()[0]
+    assert mx_head <= mn_tail
+    # fixed published edges: pure column expression, reproducible
+    fixed = perplexity_buckets(scores, edges=(mx_head, mn_tail))
+    assert fixed.filter(
+        (F.col("perplexity") <= mx_head) & (F.col("ppl_bucket") != "head")
+    ).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        perplexity_buckets(scores, edges=(2.0, 1.0))
