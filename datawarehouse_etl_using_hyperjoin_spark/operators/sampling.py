@@ -241,3 +241,33 @@ def shuffle_shard(
     return out.withColumn(
         pos_col, F.row_number().over(w).cast("long")
     ).drop("__h")
+
+
+def write_shards(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    shard_col: str = "shard_id",
+    pos_col: str = "shard_pos",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a :func:`shuffle_shard` result as ordered shard files:
+    one directory per shard (``shard_id=N/``), rows inside each file in
+    ``pos_col`` order — the layout a training data-loader consumes
+    (read shard dirs round-robin, stream each file sequentially; the
+    shuffle was already done at write time).
+
+    One repartition ON the shard column clusters each shard into a
+    single task, ``sortWithinPartitions`` orders it, and the
+    partitioned write splits by shard — so every shard directory holds
+    ONE file whose row order IS the epoch order.  No global sort
+    anywhere: per-shard sorts run in parallel and are corpus/N sized.
+    """
+    n = df.select(shard_col).distinct().count()
+    (
+        df.repartition(max(int(n), 1), F.col(shard_col))
+        .sortWithinPartitions(shard_col, pos_col)
+        .write.mode(mode)
+        .partitionBy(shard_col)
+        .parquet(out_dir)
+    )

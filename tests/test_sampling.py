@@ -205,3 +205,27 @@ def test_shuffle_shard_balanced_deterministic(spark, sf_dir):
     # the shuffled order is uncorrelated with id order within a shard
     with pytest.raises(ValueError):
         shuffle_shard(docs, "doc_id", 0)
+
+def test_write_shards_emits_ordered_files(spark, sf_dir, tmp_path_factory):
+    import glob
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.sampling import (
+        shuffle_shard,
+        write_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sharded = shuffle_shard(docs, "doc_id", 4)
+    out = str(tmp_path_factory.mktemp("shards")) + "/corpus"
+    write_shards(sharded, out)
+    dirs = sorted(glob.glob(f"{out}/shard_id=*"))
+    assert len(dirs) == 4
+    total = 0
+    for d in dirs:
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1  # one ordered file per shard
+        pdf = spark.read.parquet(files[0]).toPandas()
+        total += len(pdf)
+        # row order inside the file IS the epoch order
+        assert list(pdf["shard_pos"]) == sorted(pdf["shard_pos"])
+    assert total == docs.count()
