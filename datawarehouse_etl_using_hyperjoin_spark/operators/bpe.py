@@ -140,13 +140,16 @@ def bpe_train(
 
 def bpe_vocab(symbolized: DataFrame) -> DataFrame:
     """(token, n_types, n_occurrences): the induced subword vocabulary —
-    every distinct symbol left in the type table, with how many word
-    types contain it and its corpus-weighted frequency."""
+    every distinct symbol left in the type table, with how many distinct
+    word TYPES contain it and its corpus-weighted frequency (a token
+    appearing twice in a word counts both occurrences)."""
     return (
-        symbolized.select(F.col("c"), F.explode("syms").alias("token"))
+        symbolized.select(
+            F.col("word"), F.col("c"), F.explode("syms").alias("token")
+        )
         .groupBy("token")
         .agg(
-            F.count(F.lit(1)).alias("n_types"),
+            F.countDistinct("word").alias("n_types"),
             F.sum("c").alias("n_occurrences"),
         )
     )
@@ -226,11 +229,18 @@ def bpe_encode_pandas(
             memo: dict[str, list[str]] = {}
             ids, toks = [], []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
+                # parity with the column encoder: NULL text and zero-word
+                # docs produce NO output row (posexplode + groupBy drop
+                # them there)
+                if txt is None:
+                    continue
                 row: list[str] = []
                 for w in str(txt).lower().split():
                     if w not in memo:
                         memo[w] = encode_word(w)
                     row.extend(memo[w])
+                if not row:
+                    continue
                 ids.append(i)
                 toks.append(row)
             yield pd.DataFrame({id_col: ids, "tokens": toks})

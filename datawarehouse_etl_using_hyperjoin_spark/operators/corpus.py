@@ -43,6 +43,25 @@ def corpus_metrics(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def _quality_gate(
+    scored: DataFrame,
+    *,
+    min_quality: float,
+    min_tokens: int,
+    langs: tuple[str, ...] | None,
+) -> DataFrame:
+    """The shared quality/length/language gate — ONE definition so the
+    batch chain, the per-row stream and the foreachBatch ingest sink can
+    never drift apart."""
+    gated = scored.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("ws_tokens") >= min_tokens)
+    )
+    if langs is not None:
+        gated = gated.filter(F.col("lang_pred").isin(*langs))
+    return gated
+
+
 def prepare_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -86,11 +105,9 @@ def prepare_corpus(
       trained on the quality/language-gated corpus itself.
     """
     scored = corpus_metrics(docs, id_col, text_col)
-    gated = scored.filter(
-        (F.col("quality_score") >= min_quality) & (F.col("ws_tokens") >= min_tokens)
+    gated = _quality_gate(
+        scored, min_quality=min_quality, min_tokens=min_tokens, langs=langs
     )
-    if langs is not None:
-        gated = gated.filter(F.col("lang_pred").isin(*langs))
     if max_top_bigram_frac is not None:
         staged = gated.withColumn(
             "__toks", F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -171,12 +188,9 @@ def prepare_corpus_stream(
     a timestamp column on the stream (ingest time or source event
     time)."""
     scored = corpus_metrics(stream_docs, id_col, text_col)
-    gated = scored.filter(
-        (F.col("quality_score") >= min_quality)
-        & (F.col("ws_tokens") >= min_tokens)
+    gated = _quality_gate(
+        scored, min_quality=min_quality, min_tokens=min_tokens, langs=langs
     )
-    if langs is not None:
-        gated = gated.filter(F.col("lang_pred").isin(*langs))
     return gated.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
@@ -320,12 +334,9 @@ def make_corpus_ingest_sink(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         scored = corpus_metrics(batch_df, id_col, text_col)
-        gated = scored.filter(
-            (F.col("quality_score") >= min_quality)
-            & (F.col("ws_tokens") >= min_tokens)
+        gated = _quality_gate(
+            scored, min_quality=min_quality, min_tokens=min_tokens, langs=langs
         )
-        if langs is not None:
-            gated = gated.filter(F.col("lang_pred").isin(*langs))
         # exact within-batch dedup: one survivor per fingerprint
         exact = (
             gated.withColumn(

@@ -41,9 +41,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .sampling import _BUCKETS as _SEL_BUCKETS
+from .sampling import _hash_bucket
 from .text import words
-
-_SEL_BUCKETS = 1_000_000  # uniform-hash resolution for the Gumbel draw
 
 
 def _gram_bucket(col, buckets: int):
@@ -179,24 +179,14 @@ def gumbel_topk(
     runs over the k survivors only.
     """
     if salt is None:
-        topk = (
-            weights.withColumn("sel_key", F.round(F.col(weight_col), dp))
-            .orderBy(F.col("sel_key").desc(), F.col(id_col))
-            .limit(k)
-        )
-        w = Window.orderBy(F.col("sel_key").desc(), F.col(id_col))
-        return topk.withColumn(rank_col, F.row_number().over(w).cast("long"))
-    h48 = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 12
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (
-        F.pmod(h48, F.lit(_SEL_BUCKETS)).cast("double") + F.lit(0.5)
-    ) / F.lit(float(_SEL_BUCKETS))
-    key = F.round(F.col(weight_col) + (-F.log(-F.log(u))), dp)
+        key = F.round(F.col(weight_col), dp)
+    else:
+        # the house md5-bucket idiom (operators.sampling) turned into a
+        # uniform u in (0,1), then the inverse-Gumbel transform
+        u = (
+            _hash_bucket(F.col(id_col), salt).cast("double") + F.lit(0.5)
+        ) / F.lit(float(_SEL_BUCKETS))
+        key = F.round(F.col(weight_col) + (-F.log(-F.log(u))), dp)
     topk = (
         weights.withColumn("sel_key", key)
         .orderBy(F.col("sel_key").desc(), F.col(id_col))

@@ -223,6 +223,10 @@ def perplexity_buckets(
             F.expr(f"percentile_cont(1.0D/3.0D) WITHIN GROUP (ORDER BY {ppl_col})"),
             F.expr(f"percentile_cont(2.0D/3.0D) WITHIN GROUP (ORDER BY {ppl_col})"),
         ).first()
+        if row[0] is None or row[1] is None:
+            # nothing scored (empty batch / every doc < 2 tokens): every
+            # bucket is NULL, same as the per-row NULL-score rule below
+            return scores.withColumn(bucket_col, F.lit(None).cast("string"))
         edges = (float(row[0]), float(row[1]))
     lo, hi = edges
     if not lo <= hi:

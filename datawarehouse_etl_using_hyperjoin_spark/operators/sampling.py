@@ -222,7 +222,10 @@ def shuffle_shard(
     full md5 hex, key tie-break).  Unlike ``df.orderBy(rand())``, the
     order depends only on (salt, key): stable across runs, engines,
     partitionings and retries, and a different salt is a fresh epoch
-    permutation.
+    permutation.  ``key_col`` must be UNIQUE (a doc/chunk id): rows
+    sharing a key get identical sort keys and their relative positions
+    are then partitioning-dependent — shard a non-unique grain by a
+    composite key instead.
 
     Scale shape: one hash projection plus one window PER SHARD — shards
     sort independently in parallel, so per-shard sort size is corpus/N
@@ -246,6 +249,7 @@ def shuffle_shard(
 def write_shards(
     df: DataFrame,
     out_dir: str,
+    n_shards: int,
     *,
     shard_col: str = "shard_id",
     pos_col: str = "shard_pos",
@@ -257,15 +261,21 @@ def write_shards(
     (read shard dirs round-robin, stream each file sequentially; the
     shuffle was already done at write time).
 
+    ``n_shards`` is the count the caller passed to :func:`shuffle_shard`
+    — taken as a parameter, NOT derived with a distinct-count, because
+    that would execute the whole upstream shuffle plan a second time
+    just to learn a number the caller already knows.
+
     One repartition ON the shard column clusters each shard into a
     single task, ``sortWithinPartitions`` orders it, and the
     partitioned write splits by shard — so every shard directory holds
     ONE file whose row order IS the epoch order.  No global sort
     anywhere: per-shard sorts run in parallel and are corpus/N sized.
     """
-    n = df.select(shard_col).distinct().count()
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     (
-        df.repartition(max(int(n), 1), F.col(shard_col))
+        df.repartition(int(n_shards), F.col(shard_col))
         .sortWithinPartitions(shard_col, pos_col)
         .write.mode(mode)
         .partitionBy(shard_col)

@@ -217,7 +217,7 @@ def test_write_shards_emits_ordered_files(spark, sf_dir, tmp_path_factory):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     sharded = shuffle_shard(docs, "doc_id", 4)
     out = str(tmp_path_factory.mktemp("shards")) + "/corpus"
-    write_shards(sharded, out)
+    write_shards(sharded, out, 4)
     dirs = sorted(glob.glob(f"{out}/shard_id=*"))
     assert len(dirs) == 4
     total = 0
