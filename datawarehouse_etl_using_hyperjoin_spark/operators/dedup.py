@@ -945,3 +945,106 @@ def incremental_fingerprint_matches(
     return vs_index.unionByName(within.select(
         "fingerprint", "n_docs", "rep_id", "match_type"
     ))
+
+
+# ----------------------------------------------------------- line-level dedup
+def segment_fixed_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    words_per_line: int = 10,
+) -> DataFrame:
+    """Segment documents into fixed-width pseudo-lines of ``words_per_line``
+    words → (id, pos, line).
+
+    Real crawl text is split on newlines; the fixture corpus is
+    single-line word soup, so a fixed word width stands in for the
+    delimiter while exercising the identical downstream machinery.
+    Array-side windowing (sequence + slice) then ONE explode — the
+    tokenizer runs once per document, not once per line.
+    """
+    k = words_per_line
+    staged = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
+    )
+    n_lines = F.ceil(F.size("__toks") / F.lit(float(k))).cast("long")
+    lines = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_lines - 1),
+        lambda ln: F.struct(
+            ln.alias("pos"),
+            F.concat_ws(" ", F.slice("__toks", ln * k + 1, k)).alias("line"),
+        ),
+    )
+    return staged.select(F.col(id_col), F.explode(lines).alias("s")).select(
+        id_col, "s.pos", "s.line"
+    )
+
+
+def rank_duplicate_lines(
+    lines: DataFrame, id_col: str, pos_col: str = "pos", line_col: str = "line"
+) -> DataFrame:
+    """Rank every line within its corpus-wide content-hash group: rank 1 is
+    the canonical first occurrence (ordered by (id, pos) — deterministic
+    across runs and partitionings), rank > 1 is a duplicate.
+
+    This is CCNet's paragraph-level dedup primitive (Wenzek et al. 2020,
+    §3.1: duplicated paragraphs — headers, navigation, boilerplate — are
+    removed corpus-wide before language ID).  ONE shuffle: a window
+    partitioned by the md5 line hash; linear in total corpus lines at any
+    scale, with no join and no second exchange.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("line_hash").orderBy(id_col, pos_col)
+    return lines.withColumn("line_hash", F.md5(F.col(line_col))).withColumn(
+        "dup_rank", F.row_number().over(w)
+    )
+
+
+def dedup_lines_in_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    words_per_line: int = 10,
+    sep: str = " | ",
+) -> DataFrame:
+    """Corpus-wide line-level dedup with document reassembly: segment every
+    document into lines, keep only each line's first corpus-wide
+    occurrence, and rebuild the surviving text in original line order.
+
+    Output: (id, n_lines, n_kept, text_dedup) for every document.
+
+    Scale shape (the CCNet recipe at web scale): one explode (linear), one
+    hash-partitioned window over line hashes (the only corpus-wide
+    shuffle), one per-document regroup.  Reassembly sorts each document's
+    own kept lines inside its row (``array_sort`` of (pos, line) structs —
+    ``collect_list`` order is nondeterministic, the sort restores it), so
+    no global ordering is ever required.
+    """
+    lines = segment_fixed_lines(
+        docs, id_col, text_col, words_per_line=words_per_line
+    )
+    ranked = rank_duplicate_lines(lines, id_col)
+    kept_struct = F.when(
+        F.col("dup_rank") == 1, F.struct(F.col("pos"), F.col("line"))
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum((F.col("dup_rank") == 1).cast("long"))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_sort(F.collect_list(kept_struct)).alias("__kept"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_kept",
+            F.concat_ws(
+                sep, F.transform("__kept", lambda s: s.line)
+            ).alias("text_dedup"),
+        )
+    )

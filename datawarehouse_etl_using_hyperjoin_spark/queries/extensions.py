@@ -1160,3 +1160,164 @@ def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return shuffle_shard(docs, "doc_id", 8)
+
+
+# ------------------------------------------------------- web-corpus hygiene
+def _url_synth_sql() -> str:
+    """Deterministic mixed-case URLs synthesized from the fixture docs
+    (which carry no URL column) — identical expression on both engines.
+    Exercises every canonicalization path: www./fragment/default-port
+    stripping, non-default-port retention, tracking-param removal,
+    param sorting, trailing-slash trimming."""
+    return """
+SELECT doc_id,
+       'HTTPS://WWW.' || source || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+       || CASE WHEN doc_id % 3 = 0 THEN ':443'
+               WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+       || '/Docs/' || CAST(doc_id AS VARCHAR)
+       || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+       || CASE WHEN doc_id % 5 = 0
+               THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+                    || '&utm_campaign=x'
+               WHEN doc_id % 5 = 1 THEN '?b=2&a=1&fbclid=abc'
+               WHEN doc_id % 5 = 2 THEN '?ref=home' ELSE '' END
+       || CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END AS raw_url
+FROM documents"""
+
+
+_URL_BLOCKLIST = ("src00.example.com", "src31.example.com", "src172.example.com")
+
+
+def _url_oracle() -> str:
+    from ..operators.web import DOMAIN_RE, REG_DOMAIN_RE, normalize_url_sql
+
+    blocked = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
+    return f"""
+WITH raw AS ({_url_synth_sql()}),
+normed AS (SELECT doc_id, {normalize_url_sql('raw_url')} AS url FROM raw),
+dom AS (SELECT doc_id, url,
+               regexp_extract(url, '{DOMAIN_RE}', 1) AS domain
+        FROM normed),
+ranked AS (SELECT *,
+                  regexp_extract(domain, '{REG_DOMAIN_RE}', 0) AS reg_domain,
+                  CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+                       AS BIGINT) AS domain_rank
+           FROM dom)
+SELECT doc_id, url, domain, reg_domain, domain_rank,
+       domain_rank <= 2 AS capped
+FROM ranked
+WHERE domain NOT IN ({blocked})"""
+
+
+@query("q_url_ops", oracle=_url_oracle())
+def q_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus hygiene family (operators/web.py): URL
+    canonicalization (lowercase, fragment/tracking-param/www./default-
+    port stripping, query-param sort, trailing-slash trim), host +
+    registrable-domain extraction, per-domain contribution rank
+    (RefinedWeb-style site cap, keep_all form so the rank logic is
+    value-checked at every SF) and a broadcast-anti-join blocklist.
+    The oracle's normalization SQL is GENERATED from the operator's own
+    step table (web.normalize_url_sql) so the engines cannot drift.
+    Scale: normalization is pure codegen'd column work; the cap is one
+    hash exchange on domain; the blocklist never shuffles the corpus."""
+    from ..operators.web import (
+        blocklist_filter,
+        cap_per_domain,
+        normalize_url,
+        registered_domain,
+        url_domain,
+    )
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        (d % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(d % 3 == 0, ":443").when(d % 3 == 1, ":8080").otherwise(""),
+        F.lit("/Docs/"),
+        d.cast("string"),
+        F.when(d % 4 == 0, "/").otherwise(""),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (d % 10).cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(d % 5 == 1, "?b=2&a=1&fbclid=abc")
+        .when(d % 5 == 2, "?ref=home")
+        .otherwise(""),
+        F.when(d % 6 == 0, "#Section-2").otherwise(""),
+    )
+    normed = docs.select("doc_id", normalize_url(raw).alias("url"))
+    dom = normed.withColumn("domain", url_domain(F.col("url"))).withColumn(
+        "reg_domain", registered_domain(F.col("domain"))
+    )
+    ranked = cap_per_domain(
+        dom, "domain", k=2, order_col="doc_id", keep_all=True
+    ).withColumn("domain_rank", F.col("domain_rank").cast("long"))
+    blocklist = spark.createDataFrame(
+        [(b,) for b in _URL_BLOCKLIST], "domain string"
+    )
+    return blocklist_filter(ranked, "domain", blocklist).select(
+        "doc_id",
+        "url",
+        "domain",
+        "reg_domain",
+        "domain_rank",
+        (F.col("domain_rank") <= 2).alias("capped"),
+    )
+
+
+# ------------------------------------------------------- line-level dedup
+_LINE_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+),
+t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM corpus),
+lines AS (
+  SELECT doc_id,
+         unnest(list_transform(range(CAST(ceil(len(w)/10.0) AS BIGINT)),
+                ln -> struct_pack(pos := ln,
+                                  line := array_to_string(w[(ln*10+1):(ln*10+10)], ' ')))) AS s
+  FROM t),
+ranked AS (
+  SELECT doc_id, s.pos AS pos, s.line AS line,
+         row_number() OVER (PARTITION BY md5(s.line) ORDER BY doc_id, s.pos) AS rn
+  FROM lines)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' | ' ORDER BY pos),
+                '') AS text_dedup
+FROM ranked
+GROUP BY doc_id"""
+
+
+@query("q_line_dedup", oracle=_LINE_DEDUP_SQL)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide line/paragraph dedup
+    (operators/dedup.py::dedup_lines_in_docs; Wenzek et al. 2020 §3.1):
+    every document is segmented into lines, only each line's FIRST
+    corpus-wide occurrence survives (dropping boilerplate/headers that
+    repeat across pages), and the surviving text is reassembled in
+    original line order.  Exact copies of every third doc are planted so
+    the keep-first policy demonstrably fires; the reassembled text is
+    value-checked, not just the counts.  Scale: one explode + ONE
+    hash-partitioned window on the line hash + one per-doc regroup —
+    all linear, no joins, the exact CCNet web-scale recipe."""
+    from ..operators.dedup import dedup_lines_in_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return dedup_lines_in_docs(
+        docs.unionByName(copies), "doc_id", "text", words_per_line=10
+    )
