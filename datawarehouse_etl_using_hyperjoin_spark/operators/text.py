@@ -245,3 +245,81 @@ def top_gram_run_count(toks: Column, n_words: Column, n: int) -> Column:
         n_words >= n,
         F.aggregate(F.array_sort(grams), zero, step, lambda acc: acc.best),
     )
+
+
+# ------------------------------------------------------- C4 heuristic gates
+# Placeholder obscenity blocklist — a production pipeline broadcasts the
+# full "List of Dirty, Naughty, Obscene..." table C4 uses; matching is
+# token-exact either way.
+C4_BADWORDS = ("badword", "obscenity")
+
+
+def c4_gates(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 30,
+    max_words: int = 80,
+    mean_len_range: tuple[float, float] = (2.0, 10.0),
+    badwords: tuple[str, ...] = C4_BADWORDS,
+):
+    """C4-style document-level heuristic gates (Raffel et al. 2020, §2.2:
+    the cleaning pass behind the C4 corpus): word-count bounds, mean word
+    length bounds, curly-brace (code) rejection, "lorem ipsum"
+    placeholder rejection, and an exact-token obscenity blocklist.
+
+    Output: the input columns plus per-gate booleans
+    (``len_ok``/``mean_len_ok``/``no_brace``/``no_lorem``/``no_badword``),
+    the measured ``n_words``/``mean_word_len``, and the conjunction
+    ``keep``.  Per-gate flags (rather than a filter) are deliberate: at
+    corpus scale the gate *report* — what fraction each rule rejects — is
+    as important as the filtered output, and a caller filters with
+    ``.where("keep")`` at zero extra cost.
+
+    All pure column expressions over one staged token array: JVM-side,
+    codegen'd, zero shuffle, linear at 100 TB.  ``mean_word_len`` is an
+    int/int double — deterministic across engines and partitionings.
+    """
+    from pyspark.sql import functions as F
+
+    staged = df.withColumn(
+        "__toks", F.split(F.trim(F.col(text_col)), r"\s+")
+    )
+    n_words = F.size("__toks").cast("long")
+    mean_len = (
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")).cast("double")
+        / n_words
+    )
+    lowered = F.lower(F.col(text_col))
+    lo, hi = mean_len_range
+    out = (
+        staged.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_len)
+        .withColumn(
+            "len_ok",
+            (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
+        )
+        .withColumn(
+            "mean_len_ok",
+            (F.col("mean_word_len") >= lo) & (F.col("mean_word_len") <= hi),
+        )
+        .withColumn("no_brace", ~lowered.contains("{") & ~lowered.contains("}"))
+        .withColumn("no_lorem", ~lowered.contains("lorem ipsum"))
+        .withColumn(
+            "no_badword",
+            ~F.arrays_overlap(
+                F.transform("__toks", F.lower),
+                F.array(*[F.lit(b) for b in badwords]),
+            ),
+        )
+        .drop("__toks")
+    )
+    return out.withColumn(
+        "keep",
+        F.col("len_ok")
+        & F.col("mean_len_ok")
+        & F.col("no_brace")
+        & F.col("no_lorem")
+        & F.col("no_badword"),
+    )

@@ -1321,3 +1321,125 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_in_docs(
         docs.unionByName(copies), "doc_id", "text", words_per_line=10
     )
+
+
+# --------------------------------------------------------- C4 heuristic gates
+def _c4_oracle() -> str:
+    from ..operators.text import C4_BADWORDS
+
+    bad = ", ".join(f"'{b}'" for b in C4_BADWORDS)
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 9 = 0 THEN ' {{code}}' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum dolor' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' badword' ELSE '' END AS text
+  FROM documents),
+t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM injected)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w)
+           AS mean_word_len,
+       len(w) >= 30 AND len(w) <= 80 AS len_ok,
+       mean_word_len >= 4.0 AND mean_word_len <= 5.0 AS mean_len_ok,
+       NOT (contains(lower(text), '{{') OR contains(lower(text), '}}'))
+           AS no_brace,
+       NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
+       len(list_intersect(list_transform(w, x -> lower(x)), [{bad}])) = 0
+           AS no_badword,
+       len_ok AND mean_len_ok AND no_brace AND no_lorem AND no_badword
+           AS keep
+FROM t"""
+
+
+@query("q_c4_gates", oracle=_c4_oracle())
+def q_c4_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning gates (operators/text.py::c4_gates; Raffel
+    et al. 2020 §2.2): word-count and mean-word-length bounds, curly-
+    brace (code) rejection, lorem-ipsum rejection, exact-token obscenity
+    blocklist — reported as per-gate booleans plus the conjunction, the
+    form a corpus-curation report needs.  The clean fixture docs get
+    deterministic brace/lorem/badword spans injected (same expression
+    both engines, the q_pii_scrub pattern) so every gate demonstrably
+    fires.  Pure staged-token column expressions: zero shuffle, linear
+    at any corpus size."""
+    from ..operators.text import c4_gates
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 9 == 0, " {code}").otherwise(""),
+            F.when(d % 11 == 0, " lorem ipsum dolor").otherwise(""),
+            F.when(d % 13 == 0, " badword").otherwise(""),
+        ).alias("text"),
+    )
+    # tight mean-length bounds: the fixture's word soup sits in [3.7, 5.3],
+    # so the C4 default (2, 10) would never fire — the query pins a band
+    # that demonstrably rejects docs on both sides
+    return c4_gates(
+        injected, "doc_id", "text", mean_len_range=(4.0, 5.0)
+    ).select(
+        "doc_id", "n_words", "mean_word_len", "len_ok", "mean_len_ok",
+        "no_brace", "no_lorem", "no_badword", "keep",
+    )
+
+
+# ------------------------------------------------------------------- BM25
+_BM25_TERMS = ("spark", "vector", "customer", "window", "checkpoint")
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    # mirror the Spark expression tree exactly: left-assoc sum from 0.0,
+    # ((idf * (tf*2.2)) / (tf + 1.2*(0.25 + (0.75*dl)/avgdl)))
+    terms = " + ".join(
+        f"round(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5)), 9)"
+        f" * (CAST(tf_{i} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf_{i} AS DOUBLE) + 1.2 * (0.25 + 0.75"
+        f" * CAST(dl AS DOUBLE) / (sumdl / n)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+           FROM documents),
+staged AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM t),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+         {df_cols}
+  FROM staged)
+SELECT * FROM (
+  SELECT doc_id, dl, round(0.0 + {terms}, 9) AS score
+  FROM staged, stats)
+WHERE score > 0"""
+
+
+@query("q_bm25", oracle=_bm25_oracle())
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical relevance scoring (operators/retrieval.py::
+    bm25_scores; Robertson & Zaragoza 2009) of every document against a
+    fixed query-term set — the sparse half of hybrid retrieval and the
+    topic-mining step of corpus curation.  Term frequencies are computed
+    ARRAY-SIDE per document (no explode, no posting-list join), document
+    frequencies in ONE scalar aggregate broadcast back — at 100 TB the
+    corpus rows are never shuffled.  idf's ln() is rounded to 9 dp (the
+    libm parity rule); the per-doc sum is a fixed left-assoc expression
+    tree, so scores are bit-stable across engines and partitionings."""
+    from ..operators.retrieval import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
