@@ -336,6 +336,35 @@ def build_summary(fact: DataFrame) -> DataFrame:
     )
 
 
+def merge_summaries(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two summary relations at the same grain — the partial-
+    aggregate combine step of incremental rollup maintenance when a
+    delta does NOT align with a fact partition (late rows, cross-month
+    backfills; the aligned case is :func:`refresh_summary_month`).
+
+    Every measure is mergeable by design: counts add, sums add, min/min
+    and max/max.  The money sums re-enter DECIMAL(18,2) before adding so
+    the merged value is BIT-IDENTICAL to a full rebuild regardless of how
+    the fact was split: each stored double is itself a cast of an exact
+    decimal, and double→decimal(18,2) round-trips exactly while
+    |sum| < ~4.5e13 (beyond that, last-ulp agreement — same envelope as
+    operators/lm.py exact_dp).  One hash exchange on the summary grain,
+    sized by the SUMMARY (not the fact).
+    """
+    u = old.unionByName(delta)
+    return u.groupBy(*SUMMARY_KEYS).agg(
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.sum(F.col("sum_qty").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("sum_sale").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_sale"),
+        F.min("min_sale").alias("min_sale"),
+        F.max("max_sale").alias("max_sale"),
+    )
+
+
 def write_summary(spark: SparkSession, out_dir: str) -> int:
     """Full build of the summary table from the published fact, written
     partitioned by ``order_month`` (same incremental unit as the fact).

@@ -1443,3 +1443,47 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+
+
+# ------------------------------------------- incremental summary maintenance
+@query(
+    "q_summary_incremental",
+    oracle="""
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+       l_partkey   AS product_id,
+       n_nationkey AS store_id,
+       count(*)    AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(round(l_quantity * p_retailprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_sale,
+       MIN(round(l_quantity * p_retailprice, 2)) AS min_sale,
+       MAX(round(l_quantity * p_retailprice, 2)) AS max_sale
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN part     ON l_partkey   = p_partkey
+JOIN supplier ON l_suppkey   = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1, 2, 3""",
+)
+def q_summary_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance by partial-aggregate MERGE
+    (etl.py::merge_summaries): the fact is split at an order-date cutoff,
+    each half summarized independently, and the two summaries merged —
+    the oracle is the FULL-rebuild rollup, so the value check proves
+    merge(Σ(old), Σ(delta)) ≡ Σ(old ∪ delta) bit-exactly (counts/sums
+    re-enter decimal before combining; min/max are idempotent).  This is
+    the non-partition-aligned complement of refresh_summary_month: late
+    or backfilled rows merge at summary grain without re-aggregating
+    history.  Scale: the merge exchanges only SUMMARY-sized relations."""
+    from ..etl import build_summary, merge_summaries
+
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "customer", "part", "supplier", "nation")}
+    fact = assemble_fact(
+        t["lineitem"], t["orders"], t["customer"], t["part"], t["supplier"],
+        t["nation"],
+    ).withColumn("order_month", F.date_format("order_date", "yyyy-MM"))
+    old = build_summary(fact.where(F.col("order_date") < "1996-01-01"))
+    delta = build_summary(fact.where(F.col("order_date") >= "1996-01-01"))
+    return merge_summaries(old, delta)

@@ -141,3 +141,33 @@ def test_parse_json_strict_quarantines_corrupt_rows(spark, sf_dir):
     # the record (Spark records the raw text in the corrupt column) — the
     # quarantine catches partial corruption too
     assert rows[900003].bad and rows[900003].p.k is None and rows[900003].p.tag is None
+
+
+def test_merge_summaries_identities(spark):
+    from datawarehouse_etl_using_hyperjoin_spark.etl import merge_summaries
+
+    cols = ("order_month string, product_id long, store_id long, "
+            "n_lines long, sum_qty double, sum_sale double, "
+            "min_sale double, max_sale double")
+    old = spark.createDataFrame(
+        [("1996-01", 1, 1, 2, 5.0, 10.5, 3.25, 7.25),
+         ("1996-02", 1, 1, 1, 2.0, 4.0, 4.0, 4.0)], cols)
+    delta = spark.createDataFrame(
+        [("1996-01", 1, 1, 3, 1.5, 2.25, 0.75, 1.5),  # overlaps
+         ("1996-03", 2, 1, 1, 1.0, 9.0, 9.0, 9.0)], cols)  # new group
+    got = {
+        (r["order_month"], r["product_id"]): (
+            r["n_lines"], r["sum_qty"], r["sum_sale"],
+            r["min_sale"], r["max_sale"])
+        for r in merge_summaries(old, delta).collect()
+    }
+    assert got[("1996-01", 1)] == (5, 6.5, 12.75, 0.75, 7.25)
+    assert got[("1996-02", 1)] == (1, 2.0, 4.0, 4.0, 4.0)   # old-only
+    assert got[("1996-03", 2)] == (1, 1.0, 9.0, 9.0, 9.0)   # delta-only
+    # empty delta is the identity
+    empty = spark.createDataFrame([], cols)
+    again = {
+        (r["order_month"], r["product_id"]): r["n_lines"]
+        for r in merge_summaries(old, empty).collect()
+    }
+    assert again == {("1996-01", 1): 2, ("1996-02", 1): 1}
