@@ -310,7 +310,7 @@ def expire_fact_months(
 SUMMARY_KEYS = ["order_month", "product_id", "store_id"]
 
 
-def build_summary(fact: DataFrame) -> DataFrame:
+def build_summary(fact: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """Aggregate the published fact to the summary grain — the
     materialized rollup a 100 TB warehouse answers dashboard-shaped
     queries from without scanning the fact.
@@ -322,8 +322,13 @@ def build_summary(fact: DataFrame) -> DataFrame:
     one fact partition maps to exactly one summary partition, so
     :func:`refresh_summary_month` maintains the rollup incrementally —
     never re-aggregating history.
+
+    ``extra_keys``: additional grouping columns (e.g. a batch/side tag,
+    so several partial summaries come out of ONE fact pass and Spark's
+    ReuseExchange shares the aggregation between them — see
+    ``q_summary_incremental``).
     """
-    return fact.groupBy(*SUMMARY_KEYS).agg(
+    return fact.groupBy(*SUMMARY_KEYS, *extra_keys).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("quantity").cast("decimal(18,2)"))
         .cast("double")

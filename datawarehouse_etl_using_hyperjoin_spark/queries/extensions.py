@@ -1468,14 +1468,22 @@ GROUP BY 1, 2, 3""",
 )
 def q_summary_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup maintenance by partial-aggregate MERGE
-    (etl.py::merge_summaries): the fact is split at an order-date cutoff,
-    each half summarized independently, and the two summaries merged —
-    the oracle is the FULL-rebuild rollup, so the value check proves
-    merge(Σ(old), Σ(delta)) ≡ Σ(old ∪ delta) bit-exactly (counts/sums
-    re-enter decimal before combining; min/max are idempotent).  This is
-    the non-partition-aligned complement of refresh_summary_month: late
-    or backfilled rows merge at summary grain without re-aggregating
-    history.  Scale: the merge exchanges only SUMMARY-sized relations."""
+    (etl.py::merge_summaries): the fact is split at a MID-month
+    order-date cutoff (1996-01-15, so the 1996-01 summary groups exist
+    on BOTH sides and the merge's overlap path demonstrably fires),
+    each side summarized, and the partials merged — the oracle is the
+    FULL-rebuild rollup, so the value check proves merge(Σ(old),
+    Σ(delta)) ≡ Σ(old ∪ delta) bit-exactly (counts/sums re-enter
+    decimal before combining; min/max are idempotent).  This is the
+    non-partition-aligned complement of refresh_summary_month: late or
+    backfilled rows merge at summary grain without re-aggregating
+    history.  Plan shape: the split rides as an extra grouping key over
+    one fact aggregation; Catalyst pushes the group-key filters below
+    the agg, so this self-contained demo still assembles the fact once
+    per side — in production the OLD side is the materialized summary
+    read back from disk (write_summary), so only the delta ever touches
+    the fact, and the merge exchanges only SUMMARY-sized relations
+    (that read-back path is what test_etl_operators pins)."""
     from ..etl import build_summary, merge_summaries
 
     t = {n: load_table(spark, sf_dir, n) for n in
@@ -1484,6 +1492,10 @@ def q_summary_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"], t["orders"], t["customer"], t["part"], t["supplier"],
         t["nation"],
     ).withColumn("order_month", F.date_format("order_date", "yyyy-MM"))
-    old = build_summary(fact.where(F.col("order_date") < "1996-01-01"))
-    delta = build_summary(fact.where(F.col("order_date") >= "1996-01-01"))
+    partials = build_summary(
+        fact.withColumn("__late", F.col("order_date") >= "1996-01-15"),
+        extra_keys=("__late",),
+    )
+    old = partials.where(~F.col("__late")).drop("__late")
+    delta = partials.where("__late").drop("__late")
     return merge_summaries(old, delta)

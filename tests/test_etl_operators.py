@@ -171,3 +171,40 @@ def test_merge_summaries_identities(spark):
         for r in merge_summaries(old, empty).collect()
     }
     assert again == {("1996-01", 1): 2, ("1996-02", 1): 1}
+
+
+def test_merge_readback_summary_equals_rebuild(spark, sf_dir, tmp_path):
+    """The production incremental path: OLD summary materialized to
+    parquet and read back, only the DELTA touches the fact; the merged
+    result must be bit-identical to a full rebuild."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_etl_using_hyperjoin_spark.etl import (
+        build_summary,
+        merge_summaries,
+    )
+
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "customer", "part", "supplier", "nation")}
+    fact = assemble_fact(
+        t["lineitem"], t["orders"], t["customer"], t["part"], t["supplier"],
+        t["nation"],
+    ).withColumn("order_month", F.date_format("order_date", "yyyy-MM"))
+    cutoff = "1996-01-15"  # mid-month: 1996-01 groups exist on both sides
+    path = str(tmp_path / "summary_old")
+    build_summary(fact.where(F.col("order_date") < cutoff)).write.parquet(path)
+    old = spark.read.parquet(path)
+    delta = build_summary(fact.where(F.col("order_date") >= cutoff))
+    merged = merge_summaries(old, delta)
+    full = build_summary(fact)
+    key = ["order_month", "product_id", "store_id"]
+    a = {tuple(r[k] for k in key): (r["n_lines"], r["sum_qty"], r["sum_sale"],
+                                    r["min_sale"], r["max_sale"])
+         for r in merged.collect()}
+    b = {tuple(r[k] for k in key): (r["n_lines"], r["sum_qty"], r["sum_sale"],
+                                    r["min_sale"], r["max_sale"])
+         for r in full.collect()}
+    assert a == b  # bit-exact, not approx
+    # overlap actually exercised: some jan-96 group present on both sides
+    both = old.select(*key).intersect(delta.select(*key)).count()
+    assert both > 0
