@@ -281,3 +281,55 @@ def write_shards(
         .partitionBy(shard_col)
         .parquet(out_dir)
     )
+
+
+def budget_select(
+    df: DataFrame,
+    *,
+    group_col: str,
+    token_col: str,
+    budget_col: str,
+    order_cols: list,
+    keep_all: bool = False,
+    kept_col: str = "kept",
+) -> DataFrame:
+    """Token-budget-constrained selection per group: rank each group's
+    documents by ``order_cols`` (quality-first), accumulate ``token_col``
+    down the ranking, and keep rows while the running total stays within
+    that row's ``budget_col`` — the "fill each source's token quota with
+    its best documents" step of a pre-training data recipe (the
+    budget-constrained complement of rate-based ``temperature_sample``:
+    rates hit proportions in expectation, this hits an absolute token
+    count).
+
+    ``budget_col`` is a per-row column — join a (group, budget) relation
+    (broadcast; it is mixture-table sized) or compute it by expression
+    before calling.  ``order_cols`` must end in a unique tiebreaker so
+    the cumulative sum — and therefore the exact kept set — is
+    deterministic across engines and partitionings.  A document whose
+    tokens straddle the boundary is EXCLUDED (``cum <= budget``): the
+    budget is a hard cap, and a first document larger than the whole
+    budget selects nothing.
+
+    One hash exchange on ``group_col`` (the ranking window); the running
+    sum is a per-partition scan — no joins, no second shuffle.  Skewed
+    mega-groups are the window-skew case AQE handles; at 100 TB with few
+    groups (languages/sources), pre-aggregate per (group, coarse quality
+    bucket) first if a single group outgrows an executor's sort spill
+    comfort.
+
+    Output: input columns + ``cum_tokens`` (+ ``kept`` when
+    ``keep_all=True``, instead of filtering).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn(
+        "cum_tokens", F.sum(F.col(token_col)).over(w).cast("long")
+    )
+    kept = F.col("cum_tokens") <= F.col(budget_col)
+    if keep_all:
+        return out.withColumn(kept_col, kept)
+    return out.where(kept)

@@ -1499,3 +1499,74 @@ def q_summary_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = partials.where(~F.col("__late")).drop("__late")
     delta = partials.where("__late").drop("__late")
     return merge_summaries(old, delta)
+
+
+# ------------------------------------------------- budget-constrained selection
+def _budget_oracle() -> str:
+    from ..operators.text import EN_STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w
+           FROM documents),
+s AS (SELECT doc_id, source,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(w, x -> x IN ({stop}))) AS DOUBLE) / len(w)
+                 AS quality,
+             CAST(1000 + 500 * (CAST(regexp_extract(source, '[0-9]+', 0)
+                                     AS BIGINT) % 3) AS BIGINT) AS budget
+      FROM t)
+SELECT doc_id, source, n_tokens, quality,
+       CAST(sum(n_tokens) OVER (
+            PARTITION BY source ORDER BY quality DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens,
+       budget,
+       cum_tokens <= budget AS kept
+FROM s"""
+
+
+@query("q_budget_select", oracle=_budget_oracle())
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained per-source selection
+    (operators/sampling.py::budget_select): each source's documents are
+    ranked quality-first (stopword-density proxy, doc-id tiebreak) and
+    kept while the running token total stays inside that source's
+    budget — the "fill each mixture component's token quota with its
+    best documents" step of a pre-training data recipe, the absolute-
+    count complement of rate-based q_temperature_sample.  Budgets vary
+    by source (derived from the source id, same expression both
+    engines) so the cap demonstrably binds at different depths;
+    keep_all form so BOTH sides of every threshold are value-checked.
+    Scale: one hash exchange on source (the ranking window), running
+    sum per partition, no joins."""
+    from ..operators.sampling import budget_select
+    from ..operators.text import EN_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.size(w).cast("long").alias("n_tokens"),
+        (
+            F.size(F.filter(w, lambda x: x.isin(*EN_STOPWORDS))).cast("double")
+            / F.size(w)
+        ).alias("quality"),
+        (
+            F.lit(1000)
+            + F.lit(500)
+            * (F.regexp_extract("source", "[0-9]+", 0).cast("long") % 3)
+        ).cast("long").alias("budget"),
+    )
+    return budget_select(
+        staged,
+        group_col="source",
+        token_col="n_tokens",
+        budget_col="budget",
+        order_cols=[F.desc("quality"), F.col("doc_id")],
+        keep_all=True,
+    ).select(
+        "doc_id", "source", "n_tokens", "quality", "cum_tokens", "budget",
+        "kept",
+    )

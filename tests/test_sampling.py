@@ -229,3 +229,30 @@ def test_write_shards_emits_ordered_files(spark, sf_dir, tmp_path_factory):
         # row order inside the file IS the epoch order
         assert list(pdf["shard_pos"]) == sorted(pdf["shard_pos"])
     assert total == docs.count()
+
+
+def test_budget_select_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.sampling import (
+        budget_select,
+    )
+
+    rows = [
+        # (id, grp, tokens, quality) — grp a budget 100: ranks by quality
+        (1, "a", 40, 0.9), (2, "a", 50, 0.8), (3, "a", 30, 0.7),
+        # grp b budget 100: first doc alone overflows -> selects nothing
+        (4, "b", 120, 0.9), (5, "b", 10, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, tok long, q double")
+    df = df.withColumn("budget", F.lit(100).cast("long"))
+    out = budget_select(
+        df, group_col="grp", token_col="tok", budget_col="budget",
+        order_cols=[F.desc("q"), F.col("id")],
+    )
+    kept = {r["id"]: r["cum_tokens"] for r in out.collect()}
+    # a: 40 (cum 40), 50 (cum 90) kept; 30 would make 120 > 100 -> dropped
+    assert kept == {1: 40, 2: 90}
+    # straddler excluded: b's 120-token doc never fits, nor does the doc
+    # after it (cum 130) — hard cap semantics
+    assert 4 not in kept and 5 not in kept
