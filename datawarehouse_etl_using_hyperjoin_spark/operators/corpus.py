@@ -370,3 +370,45 @@ def make_corpus_ingest_sink(
         )
 
     return sink
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: every document id that
+    appears in either, tagged ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` by comparing content fingerprints — the audit relation
+    behind corpus versioning (what changed between crawl N and N+1, what
+    a re-filtering pass actually did).
+
+    One full outer join on the id.  Content comparison rides on the md5
+    fingerprint (computed in the same projection as the scan — no second
+    pass), so wide text columns never cross the shuffle: the exchange
+    carries (id, 32-byte hash) per side.  At 100 TB, store both
+    snapshots bucketed by ``id_col`` and the join plans exchange-free,
+    same as the at-rest dedup indexes.
+
+    Returns (id, status, old_fingerprint, new_fingerprint).
+    """
+    from .text import fingerprint
+
+    o = old.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("old_fingerprint")
+    )
+    n = new.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("new_fingerprint")
+    )
+    joined = o.join(n, on=id_col, how="full_outer")
+    status = (
+        F.when(F.col("old_fingerprint").isNull(), "added")
+        .when(F.col("new_fingerprint").isNull(), "removed")
+        .when(F.col("old_fingerprint") == F.col("new_fingerprint"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(
+        id_col, status.alias("status"), "old_fingerprint", "new_fingerprint"
+    )

@@ -1570,3 +1570,51 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_tokens", "quality", "cum_tokens", "budget",
         "kept",
     )
+
+
+# ----------------------------------------------------------- corpus snapshot diff
+_DIFF_FP = "md5(trim(regexp_replace(lower({c}), '\\s+', ' ', 'g')))"
+
+_DIFF_SQL = f"""
+WITH old AS (SELECT doc_id, text FROM documents),
+new_v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' revised' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+),
+o AS (SELECT doc_id, {_DIFF_FP.format(c='text')} AS old_fingerprint FROM old),
+n AS (SELECT doc_id, {_DIFF_FP.format(c='text')} AS new_fingerprint FROM new_v)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN old_fingerprint = new_fingerprint THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_fingerprint, new_fingerprint
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+
+
+@query("q_corpus_diff", oracle=_DIFF_SQL)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/corpus.py::corpus_diff): the
+    version-N vs version-N+1 audit relation — every id tagged added /
+    removed / changed / unchanged by md5 content fingerprint.  The new
+    snapshot is derived deterministically (every 7th doc dropped, every
+    5th survivor revised, every 11th re-added under a new id) so all
+    four statuses demonstrably occur.  Scale: wide text never crosses
+    the shuffle — the full outer join exchanges (id, 32-byte hash)
+    only; bucket both snapshots by id and it plans exchange-free."""
+    from ..operators.corpus import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    survivors = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" revised"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return corpus_diff(docs, survivors.unionByName(added))

@@ -463,3 +463,19 @@ def test_prepare_corpus_perplexity_gate(spark, sf_dir):
     kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
     assert 9_900_001 not in kept_ids
     assert len(kept_ids) >= 0.9 * docs.count()
+
+
+def test_corpus_diff_statuses(spark):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "Same   TEXT"),  # same after normalization -> unchanged
+         (2, "did change"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
