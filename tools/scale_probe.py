@@ -922,6 +922,60 @@ def measure_cc_depth(
     return out
 
 
+def measure_hygiene(spark, docs) -> dict[str, float]:
+    """r6 web-hygiene family wall seconds on ``docs`` (doc_id, text):
+    corpus-wide line dedup (with planted exact copies so the window does
+    real elimination), the URL+C4 column-gate pass, and BM25 scoring.
+    Line dedup is the only shuffling member (one window exchange + one
+    regroup); the rest are linear column passes."""
+    import time as _t
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        dedup_lines_in_docs,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.retrieval import (
+        bm25_scores,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.text import c4_gates
+    from datawarehouse_etl_using_hyperjoin_spark.operators.web import (
+        normalize_url,
+        url_domain,
+    )
+
+    out: dict[str, float] = {}
+
+    def wall(label, df):
+        t0 = _t.time()
+        df.write.format("noop").mode("overwrite").save()
+        out[label] = round(_t.time() - t0, 2)
+
+    with_dups = docs.unionByName(
+        docs.where(F.pmod("doc_id", 3) == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    wall("line_dedup", dedup_lines_in_docs(with_dups, "doc_id", "text"))
+    urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://WWW.s"),
+            F.pmod("doc_id", 64).cast("string"),
+            F.lit(".Example.COM:443/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x&id=1#f"),
+        ),
+    )
+    gated = c4_gates(
+        urls.withColumn("url_norm", normalize_url(F.col("url")))
+        .withColumn("domain", url_domain(F.col("url_norm"))),
+        "doc_id", "text",
+    )
+    wall("url_c4_gates", gated)
+    wall("bm25", bm25_scores(docs, "doc_id", "text",
+                             ("w1", "w17", "w256", "w999", "w2048")))
+    return out
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "cc_depth":
         spark = get_spark(
@@ -929,6 +983,26 @@ def main() -> None:
         )
         spark.sparkContext.setLogLevel("ERROR")
         print(json.dumps({"cc_depth": measure_cc_depth(spark)}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "hygiene":
+        spark = get_spark(
+            "scale-probe-hyg", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        docs_small = spark.read.parquet(
+            "/root/testdata/sf0.1/documents.parquet"
+        ).select("doc_id", "text")
+        n_big = int(os.environ.get("SCALE_PROBE_DOCS", 100_000))
+        docs_path = tempfile.mkdtemp(prefix="scale_probe_") + "/documents"
+        synth_documents(spark, n_big, docs_path)
+        docs_big = spark.read.parquet(docs_path)
+        print(json.dumps({
+            "hygiene": {
+                "n_docs": {"small": docs_small.count(), "big": n_big},
+                "small": measure_hygiene(spark, docs_small),
+                "big": measure_hygiene(spark, docs_big),
+            }
+        }, indent=2))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "selection":
         spark = get_spark(
