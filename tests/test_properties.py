@@ -211,3 +211,106 @@ def test_repetition_metrics_matches_bruteforce(spark, docs):
                 grams = [" ".join(toks[j : j + size]) for j in range(n - size + 1)]
                 want = Counter(grams).most_common(1)[0][1] / (n - size + 1)
                 assert val == want, (toks, size, val, want)
+
+
+# ---------------------------------------------------------------- r6 hygiene
+_url_chars = st.text(
+    alphabet="abcXYZ019-._~/?&=#", min_size=0, max_size=24
+)
+
+
+@given(tail=_url_chars)
+@_settings
+def test_normalize_url_idempotent(spark, tail):
+    """normalize(normalize(u)) == normalize(u): canonical forms are fixed
+    points, so re-ingesting an already-canonicalized corpus is a no-op."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.web import (
+        normalize_url,
+    )
+
+    url = "HTTP://WWW.Host.COM:80/" + tail
+    df = spark.createDataFrame([(url,)], "u string")
+    once, twice = (
+        df.select(
+            normalize_url(F.col("u")).alias("n1"),
+        )
+        .select("n1", normalize_url(F.col("n1")).alias("n2"))
+        .first()
+    )
+    assert once == twice
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),               # group
+            st.integers(1, 40),              # tokens
+            st.integers(0, 5),               # quality (ties exercised)
+        ),
+        min_size=0,
+        max_size=16,
+    ),
+    budget=st.integers(0, 80),
+)
+@_settings
+def test_budget_select_matches_reference(spark, rows, budget):
+    """Kept set == greedy reference: per group, sort by (quality desc,
+    id), take while the running token total stays <= budget."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.sampling import (
+        budget_select,
+    )
+
+    data = [(i, f"g{g}", t, float(q)) for i, (g, t, q) in enumerate(rows)]
+    if not data:
+        return
+    df = spark.createDataFrame(
+        data, "id long, grp string, tok long, q double"
+    ).withColumn("budget", F.lit(budget).cast("long"))
+    got = {
+        r["id"]
+        for r in budget_select(
+            df, group_col="grp", token_col="tok", budget_col="budget",
+            order_cols=[F.desc("q"), F.col("id")],
+        ).collect()
+    }
+    want = set()
+    by_group: dict[str, list] = {}
+    for i, g, t, q in data:
+        by_group.setdefault(g, []).append((i, t, q))
+    for g, items in by_group.items():
+        cum = 0
+        for i, t, q in sorted(items, key=lambda x: (-x[2], x[0])):
+            cum += t
+            if cum <= budget:
+                want.add(i)
+            else:
+                break  # hard cap: nothing after the first overflow
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=9),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_settings
+def test_line_dedup_conservation(spark, docs):
+    """Σ n_kept == corpus-wide distinct line count and Σ n_lines == total
+    lines; every document id survives with honest counts."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        dedup_lines_in_docs,
+        segment_fixed_lines,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_lines_in_docs(df, "doc_id", "text", words_per_line=2).collect()
+    assert {r["doc_id"] for r in out} == {i for i, _ in rows}
+    lines = segment_fixed_lines(df, "doc_id", "text", words_per_line=2)
+    assert sum(r["n_lines"] for r in out) == lines.count()
+    assert (
+        sum(r["n_kept"] for r in out)
+        == lines.select("line").distinct().count()
+    )
