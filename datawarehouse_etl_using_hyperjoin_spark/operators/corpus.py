@@ -79,6 +79,10 @@ def prepare_corpus(
     max_bucket: int = 1000,
     train_pct: int = 90,
     transitive: bool = False,
+    scrub: bool = False,
+    line_dedup_words: int | None = None,
+    c4: bool = False,
+    c4_opts: dict | None = None,
 ) -> DataFrame:
     """The full prep chain; returns surviving docs with metrics + ``split``.
 
@@ -103,7 +107,41 @@ def prepare_corpus(
       model (the production shape: train once on trusted text, persist
       the count relations, score every batch); by default the model is
       trained on the quality/language-gated corpus itself.
+
+    r6 hygiene stages (all off by default, applied BEFORE metrics in the
+    CCNet/C4 order — scrub, then corpus-wide line dedup, then gates):
+    - ``scrub`` — mask structured PII in place (``text.scrub_pii``;
+      zero-shuffle column pass).
+    - ``line_dedup_words`` — corpus-wide keep-first line dedup
+      (``dedup.dedup_lines_in_docs`` at this line width, space-rejoined);
+      documents whose every line was boilerplate are dropped.  One
+      window exchange + one id join to keep the caller's other columns.
+    - ``c4`` / ``c4_opts`` — the C4 heuristic gates (``text.c4_gates``),
+      dropping non-``keep`` docs; per-gate flags are not kept (use the
+      operator directly for the report form).
     """
+    if scrub:
+        docs = docs.withColumn(text_col, tx.scrub_pii(F.col(text_col)))
+    if line_dedup_words is not None:
+        from .dedup import dedup_lines_in_docs
+
+        deduped = dedup_lines_in_docs(
+            docs, id_col, text_col, words_per_line=line_dedup_words, sep=" "
+        )
+        docs = docs.drop(text_col).join(
+            deduped.where(F.col("n_kept") > 0).select(
+                id_col, F.col("text_dedup").alias(text_col)
+            ),
+            on=id_col,
+        )
+    if c4:
+        flags = ("n_words", "mean_word_len", "len_ok", "mean_len_ok",
+                 "no_brace", "no_lorem", "no_badword", "keep")
+        docs = (
+            tx.c4_gates(docs, id_col, text_col, **(c4_opts or {}))
+            .where("keep")
+            .drop(*flags)
+        )
     scored = corpus_metrics(docs, id_col, text_col)
     gated = _quality_gate(
         scored, min_quality=min_quality, min_tokens=min_tokens, langs=langs
@@ -168,10 +206,17 @@ def prepare_corpus_stream(
     langs: tuple[str, ...] | None = None,
     ts_col: str = "ingest_ts",
     watermark_delay: str = "10 minutes",
+    scrub: bool = False,
+    c4: bool = False,
+    c4_opts: dict | None = None,
 ) -> DataFrame:
     """Streaming corpus ingest: the stateless gates of
     :func:`prepare_corpus` applied to a document STREAM, plus exact
-    content dedup against in-flight state.
+    content dedup against in-flight state.  ``scrub`` / ``c4`` mirror
+    the batch chain's r6 hygiene stages — both are pure column
+    expressions, so they stream unchanged (corpus-wide LINE dedup does
+    not: it needs cross-document state at line grain — run it per
+    micro-batch against the at-rest indexes in ``foreachBatch``).
 
     The metric columns and quality/length/language gates are pure column
     expressions, so they stream unchanged; exact dedup becomes
@@ -187,6 +232,18 @@ def prepare_corpus_stream(
     shape `dedup_new_batches` measures in SCALE.md.  ``ts_col`` must be
     a timestamp column on the stream (ingest time or source event
     time)."""
+    if scrub:
+        stream_docs = stream_docs.withColumn(
+            text_col, tx.scrub_pii(F.col(text_col))
+        )
+    if c4:
+        flags = ("n_words", "mean_word_len", "len_ok", "mean_len_ok",
+                 "no_brace", "no_lorem", "no_badword", "keep")
+        stream_docs = (
+            tx.c4_gates(stream_docs, id_col, text_col, **(c4_opts or {}))
+            .where("keep")
+            .drop(*flags)
+        )
     scored = corpus_metrics(stream_docs, id_col, text_col)
     gated = _quality_gate(
         scored, min_quality=min_quality, min_tokens=min_tokens, langs=langs

@@ -479,3 +479,41 @@ def test_corpus_diff_statuses(spark):
     )
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_prepare_corpus_hygiene_stages(spark):
+    """scrub + corpus-wide line dedup + C4 gates compose inside the prep
+    chain: PII masked, boilerplate lines removed corpus-wide, brace docs
+    dropped — and the survivors still get metrics + split."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        prepare_corpus,
+    )
+
+    boiler = "subscribe to our newsletter now"  # 5 words = one line
+    body_a = "the data of value and in it for on is the part merge row"
+    body_b = "a filter of sort and in it for on is the scan batch key"
+    body_c = "to group a window and on it in for is a vector hash join"
+    rows = [
+        (1, f"{boiler} {body_a}"),
+        (2, f"{boiler} {body_b}"),                     # dup boilerplate line
+        (3, f"mail me at bob@example.com {body_c}"),   # PII (distinct body —
+        # sharing body_a would make it an LSH near-dup of doc 1 and thin it)
+        (4, "code {" + f" {body_b}"),                  # C4 brace reject
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(
+        docs,
+        min_quality=0.0,
+        min_tokens=3,
+        scrub=True,
+        line_dedup_words=5,
+        c4=True,
+        c4_opts={"min_words": 3, "max_words": 100},
+    )
+    kept = {r["doc_id"]: r for r in out.collect()}
+    assert 4 not in kept                       # brace gate fired
+    assert 1 in kept and "split" in out.columns
+    # boilerplate survives only in its first holder
+    assert boiler in kept[1]["text"]
+    assert 2 in kept and boiler not in kept[2]["text"]
+    assert "<EMAIL>" in kept[3]["text"] and "bob@" not in kept[3]["text"]

@@ -808,3 +808,39 @@ def test_corpus_ingest_sink_dedups_against_at_rest_index(
     idx_ids = {r.doc_id for r in spark.table(table).select("doc_id").distinct().collect()}
     assert idx_ids == got_ids
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_prepare_corpus_stream_hygiene_gates(spark, tmp_path_factory):
+    """The r6 scrub + C4 stages stream unchanged: PII masked in-flight,
+    brace docs dropped, clean docs pass with metrics attached."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        prepare_corpus_stream,
+    )
+
+    body = "the data of value and in it for on is the part merge row"
+    rows = [
+        (1, f"write to ann@example.com {body}"),
+        (2, "code { " + body),
+        (3, f"plain {body}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1_000_000) + F.col("doc_id"))
+    )
+    path = str(tmp_path_factory.mktemp("hyg_stream")) + "/in"
+    docs.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(path)
+    name = f"hyg_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(
+        prepare_corpus_stream(
+            stream, min_quality=0.0, min_tokens=3,
+            scrub=True, c4=True, c4_opts={"min_words": 3, "max_words": 100},
+        ),
+        name,
+    )
+    out = {r["doc_id"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    q.stop()
+    assert set(out) == {1, 3}  # brace doc rejected in-flight
+    assert "<EMAIL>" in out[1]["text"] and "ann@" not in out[1]["text"]
+    assert "quality_score" in out[3].asDict()
