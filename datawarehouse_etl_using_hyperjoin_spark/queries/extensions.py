@@ -1618,3 +1618,42 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     return corpus_diff(docs, survivors.unionByName(added))
+
+
+# ------------------------------------------------------------------- funnel
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stages_reached,
+       t3 IS NOT NULL AS converted
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)"""
+
+
+@query("q_funnel", oracle=_FUNNEL_SQL)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel progression (operators/events.py::funnel): how far down
+    view → click → purchase each user got, greedy earliest-match with
+    STRICT timestamp ordering between stages.  The Spark side is one
+    groupBy + a per-user fold over the time-sorted event array (single
+    exchange); the oracle is the independent chained min-per-stage
+    formulation (one join per stage) — two different algorithms, same
+    relation, which is exactly what the value check should pin."""
+    from ..operators.events import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel(events, "user_id", "ts", "event_type",
+                  ("view", "click", "purchase"))
