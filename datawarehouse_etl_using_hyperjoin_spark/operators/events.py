@@ -87,3 +87,39 @@ def funnel_report(funnel_df: DataFrame, n_stages: int) -> DataFrame:
             ],
         )
     )
+
+
+def _epoch_week(ts_col):
+    """Week index since 1970-01-01 — explicit day-arithmetic so both
+    engines agree regardless of locale week-start conventions."""
+    return F.floor(
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01").cast("date")) / 7
+    ).cast("long")
+
+
+def cohort_retention(
+    events: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Weekly cohort-retention triangle: users are cohorted by the week
+    of their FIRST event; for every (cohort_week, weeks_since) cell,
+    how many distinct cohort members were active that week.
+
+    Two exchanges: the per-user first-event aggregate, then the
+    (cohort, offset) distinct-count — both keyed aggregations Catalyst
+    plans with map-side partials.  The events ⋈ first-event join is
+    user-keyed on both sides; with the event store bucketed by user it
+    plans exchange-free (the same at-rest layout the dedup indexes use).
+    """
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("__first_ts"))
+    joined = events.select(user_col, ts_col).join(first, on=user_col)
+    return (
+        joined.select(
+            F.col(user_col),
+            _epoch_week(F.col("__first_ts")).alias("cohort_week"),
+            (_epoch_week(F.col(ts_col)) - _epoch_week(F.col("__first_ts")))
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct(user_col).cast("long").alias("n_users"))
+    )

@@ -1657,3 +1657,38 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return funnel(events, "user_id", "ts", "event_type",
                   ("view", "click", "purchase"))
+
+
+# ----------------------------------------------------------- cohort retention
+_COHORT_SQL = """
+WITH first_ev AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+w AS (
+  SELECT e.user_id,
+         CAST(floor(datediff('day', DATE '1970-01-01',
+                             CAST(f.first_ts AS DATE)) / 7) AS BIGINT)
+             AS cohort_week,
+         CAST(floor(datediff('day', DATE '1970-01-01',
+                             CAST(e.ts AS DATE)) / 7)
+              - floor(datediff('day', DATE '1970-01-01',
+                               CAST(f.first_ts AS DATE)) / 7) AS BIGINT)
+             AS weeks_since
+  FROM events e JOIN first_ev f USING (user_id))
+SELECT cohort_week, weeks_since,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w GROUP BY 1, 2"""
+
+
+@query("q_cohort_retention", oracle=_COHORT_SQL)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle
+    (operators/events.py::cohort_retention): cohort = week of first
+    event, cells = distinct active members per weeks-since offset.
+    Week indexing is explicit epoch-day arithmetic on BOTH engines so
+    no week-start convention can diverge.  Scale: two keyed aggregates
+    + one user-keyed join (exchange-free when the event store is
+    bucketed by user)."""
+    from ..operators.events import cohort_retention
+
+    events = load_table(spark, sf_dir, "events")
+    return cohort_retention(events, "user_id", "ts")

@@ -46,3 +46,34 @@ def test_funnel_progression_and_order(spark):
     ).first()
     assert (rep["n_users"], rep["reached_1"], rep["reached_2"], rep["reached_3"]) \
         == (5, 4, 3, 2)
+
+
+def test_cohort_retention_triangle(spark):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.events import (
+        cohort_retention,
+    )
+
+    def d(day):
+        return datetime(2024, 1, day, 12, 0, 0)
+
+    rows = [
+        # u1 first in week A (Jan 1), active again 1 and 2 weeks later
+        (1, d(1)), (1, d(8)), (1, d(16)),
+        # u2 same cohort, active only at start
+        (2, d(2)),
+        # u3 cohorts one week later, returns the next week
+        (3, d(8)), (3, d(15)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    out = {(r["cohort_week"] , r["weeks_since"]): r["n_users"]
+           for r in cohort_retention(df, "user_id", "ts").collect()}
+    # normalize cohort weeks relative to the earliest
+    base = min(c for c, _ in out)
+    rel = {(c - base, w): n for (c, w), n in out.items()}
+    assert rel == {
+        (0, 0): 2,  # u1+u2 week A
+        (0, 1): 1,  # u1 returned
+        (0, 2): 1,  # u1 again
+        (1, 0): 1,  # u3 cohort B
+        (1, 1): 1,  # u3 returned
+    }

@@ -39,7 +39,7 @@ def duck(registry):
 UNPROMOTED_EXTENSIONS = {
     "q_summary_rollup", "q_repetition_metrics", "q_passage_strip",
     "q_pack_documents", "q_shuffle_shard", "q_url_ops", "q_line_dedup",
-    "q_c4_gates", "q_bm25", "q_summary_incremental", "q_budget_select", "q_corpus_diff", "q_funnel",
+    "q_c4_gates", "q_bm25", "q_summary_incremental", "q_budget_select", "q_corpus_diff", "q_funnel", "q_cohort_retention",
 }
 
 PROMOTED_EXTENSIONS = (
@@ -56,7 +56,7 @@ def test_driver_window_holds_exactly_fifty(registry):
     # that carries SURVEY §2 evidence AND the fourteen promoted
     # LLM-pipeline extension queries must all sit inside that window
     names = list(registry)
-    assert len(names) == 63
+    assert len(names) == 64
     assert set(names[:50]) == set(registry) - UNPROMOTED_EXTENSIONS
     assert set(names[50:]) == UNPROMOTED_EXTENSIONS
     # the promoted extensions occupy the window's tail, in PROMOTED order
