@@ -41,7 +41,7 @@ BASE_STEPS = (
     (r"//www\.", "//"),  # strip leading www. (host is right after //)
     (r":(80|443)/", "/"),  # default ports, mid-URL
     (r":(80|443)$", ""),  # default ports, end-of-URL
-    (r"/$", ""),  # trailing slash on the path
+    (r"/+$", ""),  # trailing slash run on the path (one pass, idempotent)
 )
 
 
