@@ -40,10 +40,20 @@ def funnel(
     # sentinel pads the lookup so element_at(reached+1) stays in bounds
     # when the funnel is already complete (ANSI mode errors on OOB)
     stage_arr = F.array(*[F.lit(s) for s in stages], F.lit(""))
+    # Only stage-type events can ever advance the fold — collect them
+    # conditionally (collect_list skips the NULLs from when(), but the
+    # group itself survives, so users with only non-stage events still
+    # come back with stages_reached=0).  Trims both the shuffle payload
+    # and the per-user fold arrays when the stream carries other types.
     per_user = events.groupBy(user_col).agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col(ts_col).alias("ts"),
-                                    F.col(type_col).alias("et")))
+            F.collect_list(
+                F.when(
+                    F.col(type_col).isin(*stages),
+                    F.struct(F.col(ts_col).alias("ts"),
+                             F.col(type_col).alias("et")),
+                )
+            )
         ).alias("__evs")
     )
     zero = F.struct(

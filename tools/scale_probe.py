@@ -976,7 +976,135 @@ def measure_hygiene(spark, docs) -> dict[str, float]:
     return out
 
 
+def synth_events(spark, n_events: int, n_users: int, path: str) -> None:
+    """Deterministic synthetic event stream shaped like the fixture
+    events table (ts, user_id, event_type) with a funnel-weighted type
+    mix (~60% view / 30% click / 10% purchase) and the fixture's
+    ~67 events/user density preserved, so per-user fold arrays stay the
+    same size while total rows scale."""
+    h = F.xxhash64(F.col("id") * 2654435761)
+    etype = (
+        F.when(F.pmod(h, 10) < 6, "view")
+        .when(F.pmod(h, 10) < 9, "click")
+        .otherwise("purchase")
+    )
+    spark.range(n_events).select(
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.pmod(F.xxhash64(F.col("id") * 31 + 7), 86400 * 90)
+        ).cast("timestamp_ntz").alias("ts"),
+        F.pmod(F.xxhash64(F.col("id") * 17 + 3), n_users).alias("user_id"),
+        etype.alias("event_type"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def measure_events(spark, events) -> dict[str, float]:
+    """Event-analytics family wall seconds on ``events`` (ts, user_id,
+    event_type): greedy 3-stage funnel + its report (ONE exchange, per-
+    user array fold), and the weekly cohort-retention triangle (two keyed
+    aggregations + a user-keyed join)."""
+    import time as _t
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.events import (
+        cohort_retention,
+        funnel,
+        funnel_report,
+    )
+
+    out: dict[str, float] = {}
+
+    def wall(label, df):
+        t0 = _t.time()
+        df.write.format("noop").mode("overwrite").save()
+        out[label] = round(_t.time() - t0, 2)
+
+    stages = ("view", "click", "purchase")
+    wall("funnel", funnel(events, "user_id", "ts", "event_type", stages))
+    wall(
+        "funnel_report",
+        funnel_report(
+            funnel(events, "user_id", "ts", "event_type", stages), len(stages)
+        ),
+    )
+    wall("cohort_retention", cohort_retention(events, "user_id", "ts"))
+
+    # Skew: one mega-user holding 10% of all events — the funnel fold is
+    # per-row sequential, so this should cost one oversized row, not a
+    # skewed join (the docstring claim under test).
+    mega = events.limit(events.count() // 10).select(
+        "ts", F.lit(-1).cast("long").alias("user_id"), "event_type"
+    )
+    wall(
+        "funnel_mega_user",
+        funnel(events.unionByName(mega), "user_id", "ts", "event_type", stages),
+    )
+    return out
+
+
+def measure_corpus_diff(spark, docs) -> dict[str, float]:
+    """corpus_diff wall: old = docs, new = docs with 1/5 dropped, 1/7
+    rewritten and a 1/9-sized tail appended — every status arm exercised.
+    The full-outer join carries only (id, 32-byte md5) per side."""
+    import time as _t
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import corpus_diff
+
+    changed = F.pmod("doc_id", 7) == 0
+    new = (
+        docs.where(F.pmod("doc_id", 5) != 0)
+        .select(
+            "doc_id",
+            F.when(changed, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where(F.pmod("doc_id", 9) == 0).select(
+                (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    t0 = _t.time()
+    corpus_diff(docs, new).write.format("noop").mode("overwrite").save()
+    return {"corpus_diff": round(_t.time() - t0, 2)}
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "events":
+        spark = get_spark(
+            "scale-probe-ev", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import (
+            load_table,
+        )
+
+        ev_small = load_table(spark, "/root/testdata/sf0.1", "events").select(
+            F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id", "event_type"
+        )
+        n_big = int(os.environ.get("SCALE_PROBE_EVENTS", 10_000_000))
+        ev_path = tempfile.mkdtemp(prefix="scale_probe_") + "/events"
+        synth_events(spark, n_big, n_big // 67, ev_path)
+        ev_big = spark.read.parquet(ev_path)
+        docs_small = spark.read.parquet(
+            "/root/testdata/sf0.1/documents.parquet"
+        ).select("doc_id", "text")
+        n_docs = int(os.environ.get("SCALE_PROBE_DOCS", 100_000))
+        docs_path = tempfile.mkdtemp(prefix="scale_probe_") + "/documents"
+        synth_documents(spark, n_docs, docs_path)
+        docs_big = spark.read.parquet(docs_path)
+        print(json.dumps({
+            "events": {
+                "n_events": {"small": ev_small.count(), "big": n_big},
+                "small": measure_events(spark, ev_small),
+                "big": measure_events(spark, ev_big),
+            },
+            "diff": {
+                "n_docs": {"small": docs_small.count(), "big": n_docs},
+                "small": measure_corpus_diff(spark, docs_small),
+                "big": measure_corpus_diff(spark, docs_big),
+            },
+        }, indent=2))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "cc_depth":
         spark = get_spark(
             "scale-probe-cc", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
