@@ -12,7 +12,12 @@ Parity rules (FIXTURES.md oracle note):
   ``CAST(... AS DOUBLE)`` so both engines produce bit-identical doubles
   regardless of summation order;
 - every LIMIT is paired with a total ORDER BY;
-- timestamps are ntz/naive-UTC on both sides.
+- timestamps are ntz/naive-UTC on both sides;
+- integer-count aggregates are wrapped ``CAST(SUM(...) AS BIGINT)`` in the
+  oracle: DuckDB types ``SUM(BIGINT)`` as HUGEINT (Arrow decimal128(38,0))
+  while Spark emits int64 — equal values, different typed hash.  This holds
+  for window SUMs too.  Enforced by tests/test_registry_contract.py's
+  Arrow output-type check.
 """
 
 from __future__ import annotations

@@ -585,10 +585,10 @@ WITH t AS (
 ),
 c AS (
   SELECT doc_id, lang, n_tokens,
-         SUM(n_tokens) OVER (
+         CAST(SUM(n_tokens) OVER (
            PARTITION BY lang ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS cum
+         ) AS BIGINT) AS cum
   FROM t
 )
 SELECT doc_id, lang, n_tokens,
@@ -974,7 +974,7 @@ rmodel AS (SELECT bucket, SUM(n) AS c FROM feat GROUP BY bucket),
 ttot AS (SELECT CAST(SUM(c) AS DOUBLE) + {_DSIR_B} AS dt FROM tmodel),
 rtot AS (SELECT CAST(SUM(c) AS DOUBLE) + {_DSIR_B} AS dr FROM rmodel),
 lw AS (
-  SELECT f.doc_id, SUM(f.n) AS n_grams,
+  SELECT f.doc_id, CAST(SUM(f.n) AS BIGINT) AS n_grams,
          CAST(SUM(CAST(round(
            f.n * (round(ln(CAST(coalesce(t.c, 0) + 1 AS DOUBLE) / ttot.dt), 9)
                   - round(ln(CAST(coalesce(r.c, 0) + 1 AS DOUBLE) / rtot.dr), 9)),
@@ -1041,7 +1041,7 @@ w AS (
   FROM range({_DSIR_B})
 ),
 dot AS (
-  SELECT f.doc_id, SUM(f.n) AS n_grams,
+  SELECT f.doc_id, CAST(SUM(f.n) AS BIGINT) AS n_grams,
          CAST(SUM(CAST(round(f.n * w.weight, 9) AS DECIMAL(28,9)))
               AS DOUBLE) AS dot
   FROM feat f JOIN w USING (bucket)
@@ -1105,7 +1105,7 @@ pr AS (
          lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b
   FROM ch
 )
-SELECT a, b, SUM(c) AS n
+SELECT a, b, CAST(SUM(c) AS BIGINT) AS n
 FROM pr WHERE b IS NOT NULL
 GROUP BY a, b
 ORDER BY n DESC, a, b

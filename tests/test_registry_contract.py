@@ -118,6 +118,33 @@ def test_every_oracle_is_valid_duckdb_sql(registry, duck):
     assert not bad, bad
 
 
+def test_oracle_output_types_hash_compatible(registry, duck, spark):
+    """Round-6 lesson: the driver's value hash is TYPE-sensitive at the
+    Arrow level.  DuckDB types a bare ``SUM(BIGINT)`` as HUGEINT (Arrow
+    decimal128(38,0)) while Spark emits int64 — bit-equal values, red
+    ``hash_match``.  r6 lost q_dsir_select / q_quality_score /
+    q_bpe_pair_counts to exactly this while the canonicalized value
+    compare said EXACT.  This test executes every oracle via Arrow at
+    sf0.001 and asserts each output column's Arrow type is
+    hash-compatible with the Spark dtype, so the class of failure dies
+    in pytest instead of burning a driver round."""
+    from datawarehouse_etl_using_hyperjoin_spark.queries.typecheck import (
+        oracle_type_mismatches,
+    )
+
+    bad = {}
+    for name, qd in registry.items():
+        if qd.oracle is None:
+            continue
+        tbl = duck.execute(qd.oracle).fetch_arrow_table()
+        mismatches = oracle_type_mismatches(
+            qd.fn(spark, SF_DIR).schema, tbl.schema
+        )
+        if mismatches:
+            bad[name] = mismatches
+    assert not bad, bad
+
+
 def test_rows_only_queries_are_the_declared_one(registry):
     # r3 upgraded q_stream_hyperjoin / q_stream_tumbling (deterministic
     # drained runs) and q_pandas_udf (rounded z-score) to full oracles;

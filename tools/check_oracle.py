@@ -22,6 +22,9 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from datawarehouse_etl_using_hyperjoin_spark.queries import load_registry  # noqa: E402
+from datawarehouse_etl_using_hyperjoin_spark.queries.typecheck import (  # noqa: E402
+    oracle_type_mismatches,
+)
 from datawarehouse_etl_using_hyperjoin_spark.session import get_spark  # noqa: E402
 from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import (  # noqa: E402
     FIXTURE_TABLES,
@@ -75,8 +78,16 @@ def compare(name, spark_df, oracle_sql, con):
     t0 = time.time()
     cur = con.execute(oracle_sql)
     ocols = [d[0] for d in cur.description]
-    orows_raw = cur.fetchall()
+    otbl = cur.fetch_arrow_table()
+    orows_raw = [
+        tuple(col[i].as_py() for col in otbl.columns)
+        for i in range(otbl.num_rows)
+    ]
     t_duck = time.time() - t0
+
+    # the driver's value hash is TYPE-sensitive (Arrow-level); a value-EXACT
+    # result with an incompatible oracle output type still fails the driver
+    type_issues = oracle_type_mismatches(spark_df.schema, otbl.schema)
 
     scols_s, srows = frame_to_rows(scols, [tuple(r) for r in srows_raw])
     ocols_s, orows = frame_to_rows(ocols, orows_raw)
@@ -95,6 +106,9 @@ def compare(name, spark_df, oracle_sql, con):
                     loose = False
                     issues.append(f"value mismatch @sorted-row {i}: spark={sr} oracle={orow}")
                     break
+    if type_issues:
+        issues.append("arrow-type: " + "; ".join(type_issues[:3]))
+        exact = loose = False
     status = "EXACT" if exact and not issues else ("CLOSE" if loose and not issues else "FAIL")
     print(f"{status:5} {name:28} rows={len(srows):>7} spark={t_spark:5.1f}s duck={t_duck:4.1f}s"
           + ("  " + "; ".join(issues[:2]) if issues else ""))
