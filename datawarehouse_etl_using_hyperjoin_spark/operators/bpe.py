@@ -155,19 +155,36 @@ def bpe_vocab(symbolized: DataFrame) -> DataFrame:
     )
 
 
+# Above this merge-list size, bpe_encode delegates to the Arrow-batched
+# pandas encoder: the column form stacks one `aggregate` fold per merge,
+# so plan construction + codegen cost grows with the vocab while the
+# pandas path is flat.  Measured (tools/scale_probe.py bpe_encode, sf0.01
+# docs, r7 BENCH_NOTES table): pandas wins at EVERY size ≥16 merges
+# (16: 2.0 s vs 4.5 s; 32: 0.4 vs 5.7; 64: 0.3 vs 10.7) — the crossover
+# is below the smallest realistic vocab, so the threshold only preserves
+# the pure-JVM column path for tiny demo merge lists and plan-assertion
+# tests where no Python worker is wanted.
+ENCODE_PANDAS_THRESHOLD = 16
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     id_col: str,
     text_col: str,
+    *,
+    pandas_threshold: int = ENCODE_PANDAS_THRESHOLD,
 ) -> DataFrame:
     """(id, tokens): tokenize text with a learned merge list — split to
     words, then chars, then apply every merge in learned order.  Each
     merge is one fold expression; the plan is ``len(merges)`` folds deep,
-    fine for the tens-of-merges regime (a production encoder with a 50k
-    vocab belongs in an Arrow-batched pandas UDF — same loop, vectorized
-    per batch; the training side above is the distributed-compute part).
-    """
+    right for the tens-of-merges regime.  Beyond ``pandas_threshold``
+    merges this dispatches to :func:`bpe_encode_pandas` (identical
+    semantics, equality-pinned by test at the boundary) — a production
+    50k-merge vocab would otherwise stack a 50k-deep fold plan whose
+    analysis alone takes minutes."""
+    if len(merges) > pandas_threshold:
+        return bpe_encode_pandas(docs, merges, id_col, text_col)
     toks = docs.select(
         F.col(id_col),
         F.posexplode(words(F.lower(F.col(text_col)))).alias("pos", "word"),
@@ -243,6 +260,14 @@ def bpe_encode_pandas(
                     continue
                 ids.append(i)
                 toks.append(row)
-            yield pd.DataFrame({id_col: ids, "tokens": toks})
+            # dtype=object even when empty: a batch whose rows were ALL
+            # skipped (null/zero-word texts) would otherwise default to
+            # float64 columns, which Arrow cannot convert to list<string>
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=object),
+                    "tokens": pd.Series(toks, dtype=object),
+                }
+            )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema)

@@ -56,9 +56,12 @@ def funnel(
             )
         ).alias("__evs")
     )
+    # the accumulator's null last_ts must carry the INPUT's timestamp
+    # type — hard-coding timestamp_ntz would mix tz-aware and ntz branches
+    # in the fold's when()/struct when ts_col is a plain TIMESTAMP
     zero = F.struct(
         F.lit(0).alias("reached"),
-        F.lit(None).cast("timestamp_ntz").alias("last_ts"),
+        F.lit(None).cast(events.schema[ts_col].dataType).alias("last_ts"),
     )
 
     def step(acc, e):

@@ -33,16 +33,24 @@ from pyspark.sql import functions as F
 # query component.
 TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
 
-# (pattern, replacement) applied IN ORDER to the lowercased pre-query
-# part of the URL.  Fixed-string replacements only — no backreferences,
-# so the same table drives both the Java-regex (Spark) and RE2 (DuckDB)
-# sides.
-BASE_STEPS = (
-    (r"//www\.", "//"),  # strip leading www. (host is right after //)
-    (r":(80|443)/", "/"),  # default ports, mid-URL
-    (r":(80|443)$", ""),  # default ports, end-of-URL
+# (pattern, replacement) step tables applied IN ORDER — HOST_STEPS to the
+# isolated host component, PATH_STEPS to the isolated path — so a
+# host-oriented pattern can never rewrite look-alike text inside the path
+# (``/a//www.b`` or ``/x:80/y`` stay intact).  Fixed-string replacements
+# only — no backreferences, so the same tables drive both the Java-regex
+# (Spark) and RE2 (DuckDB) sides.
+HOST_STEPS = (
+    (r"^www\.", ""),  # strip leading www. label
+    (r":(80|443)$", ""),  # default ports (host ends before the path)
+)
+PATH_STEPS = (
     (r"/+$", ""),  # trailing slash run on the path (one pass, idempotent)
 )
+
+# scheme / host / path decomposition of the pre-query URL (RE2-safe)
+_SCHEME_RE = r"^([a-z]+://)"
+_HOST_RE = r"^[a-z]+://([^/]*)"
+_HOSTPREFIX_RE = r"^[a-z]+://[^/]*"  # removed (fixed-string '') to get path
 
 
 def normalize_url(url: Column) -> Column:
@@ -57,10 +65,19 @@ def normalize_url(url: Column) -> Column:
     """
     u = F.lower(F.trim(url))
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
-    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    pre = F.regexp_extract(u, r"^([^?]*)", 1)
     qs = F.regexp_extract(u, r"\?(.*)$", 1)
-    for pattern, repl in BASE_STEPS:
-        base = F.regexp_replace(base, pattern, repl)
+    # decompose so host steps can't touch look-alike path text (and vice
+    # versa); a scheme-less input has no host component and passes through
+    # the path steps only
+    scheme = F.regexp_extract(pre, _SCHEME_RE, 1)
+    host = F.regexp_extract(pre, _HOST_RE, 1)
+    path = F.regexp_replace(pre, _HOSTPREFIX_RE, "")
+    for pattern, repl in HOST_STEPS:
+        host = F.regexp_replace(host, pattern, repl)
+    for pattern, repl in PATH_STEPS:
+        path = F.regexp_replace(path, pattern, repl)
+    base = F.concat(scheme, host, path)
     params = F.array_sort(
         F.filter(
             F.split(qs, "&"),
@@ -77,14 +94,21 @@ def normalize_url(url: Column) -> Column:
 
 def normalize_url_sql(expr: str) -> str:
     """DuckDB SQL equivalent of :func:`normalize_url`, generated from the
-    same ``BASE_STEPS`` / ``TRACKING_PARAM_RE`` constants so the oracle
-    cannot drift from the operator."""
-    base = f"regexp_extract(regexp_replace(lower(trim({expr})), '#.*$', '', 'g'), '^([^?]*)', 1)"
-    for pattern, repl in BASE_STEPS:
+    same ``HOST_STEPS`` / ``PATH_STEPS`` / ``TRACKING_PARAM_RE`` constants
+    so the oracle cannot drift from the operator."""
+    pre = f"regexp_extract(regexp_replace(lower(trim({expr})), '#.*$', '', 'g'), '^([^?]*)', 1)"
+    scheme = f"regexp_extract({pre}, '{_SCHEME_RE}', 1)"
+    host = f"regexp_extract({pre}, '{_HOST_RE}', 1)"
+    path = f"regexp_replace({pre}, '{_HOSTPREFIX_RE}', '', 'g')"
+    for pattern, repl in HOST_STEPS:
         # DuckDB standard string literals keep backslashes literal — insert
         # the regex as-is, only quote-escape (same as the PII oracle).
         pat = pattern.replace("'", "''")
-        base = f"regexp_replace({base}, '{pat}', '{repl}', 'g')"
+        host = f"regexp_replace({host}, '{pat}', '{repl}', 'g')"
+    for pattern, repl in PATH_STEPS:
+        pat = pattern.replace("'", "''")
+        path = f"regexp_replace({path}, '{pat}', '{repl}', 'g')"
+    base = f"({scheme} || {host} || {path})"
     qs = (
         f"regexp_extract(regexp_replace(lower(trim({expr})), '#.*$', '', 'g'), "
         r"'\?(.*)$', 1)"

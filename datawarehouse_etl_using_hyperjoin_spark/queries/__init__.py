@@ -53,26 +53,23 @@ MODULE_ORDER = (
     "relational", "star", "streamingq", "pipelines", "analytics", "extensions"
 )
 
-# Extension queries promoted INTO the driver's 50-entry correctness window
-# (round 6: same-family core queries were folded into tagged unions —
-# first q_dim_bulk_load / q_rollup_cube / q_event_windows, then a third
-# fold wave q_upsert_scd / q_window_funcs / q_scalar_date_funcs /
-# q_agg_core / q_interval_joins — freeing slots so the LLM-pipeline
-# extension operators get driver-produced CORRECTNESS rows instead of
-# builder-run-only evidence).  These sort after the analytics module but
-# before the remaining extensions, in this order.
+# Extension queries promoted to sort directly after the analytics module.
+# Rounds 4-6 used this to pull LLM-pipeline extensions into the driver's
+# 50-entry correctness window ahead of the rest; the round-7 fold wave
+# (tagged unions q_content_dedup / q_text_prep / q_text_quality /
+# q_passage_family / q_selection_family / q_web_hygiene /
+# q_event_analytics / q_summary_family) shrank the roster to EXACTLY 50,
+# so every registered query now sits inside the window and PROMOTED only
+# keeps the historical evidence names early, before the round-7 unions.
 PROMOTED = (
     "q_scd2_asof",
     "q_lm_perplexity",
-    "q_passage_repeats",
-    "q_mixture_sample",
     "q_dup_clusters",
     "q_global_sort",
     "q_winnow_matches",
     "q_contamination",
     "q_pii_scrub",
     "q_semantic_dedup",
-    "q_temperature_sample",
     "q_dsir_select",
     "q_quality_score",
     "q_bpe_pair_counts",

@@ -43,15 +43,20 @@ from . import query
 from .pipelines import (
     _DOCS_DUPS_SQL,
     _MINHASH_SQL,
+    _NULL_BIGINT,
+    _NULL_DOUBLE,
+    _NULL_VARCHAR,
     _SHINGLES_SQL,
+    _TEXT_METRICS_SQL,
     _docs_with_dups,
+    q_text_metrics,
 )
+
+_NULL_BOOLEAN = "CAST(NULL AS BOOLEAN)"
 
 
 # ------------------------------------------------------- warehouse layer
-@query(
-    "q_summary_rollup",
-    oracle="""
+_SUMMARY_ROLLUP_SQL = """
 SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
        l_partkey   AS product_id,
        n_nationkey AS store_id,
@@ -67,8 +72,9 @@ JOIN customer ON o_custkey   = c_custkey
 JOIN part     ON l_partkey   = p_partkey
 JOIN supplier ON l_suppkey   = s_suppkey
 JOIN nation   ON c_nationkey = n_nationkey
-GROUP BY 1, 2, 3""",
-)
+GROUP BY 1, 2, 3"""
+
+
 def q_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized rollup at summary grain (month × product × store),
     aggregated straight off the assembled fact — the dashboard relation
@@ -243,9 +249,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(docs, bench, k=8)
 
 
-@query(
-    "q_passage_repeats",
-    oracle=f"""
+_PASSAGE_REPEATS_SQL = f"""
 WITH corpus AS ({_DOCS_DUPS_SQL}),
 t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM corpus),
 wins AS (
@@ -262,8 +266,9 @@ SELECT passage_hash,
        min(doc_id)            AS rep_id
 FROM wins
 GROUP BY passage_hash
-HAVING count(DISTINCT doc_id) >= 2""",
-)
+HAVING count(DISTINCT doc_id) >= 2"""
+
+
 def q_passage_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring passage dedup (Lee et al. 2022, windowed): stride-1
     15-token window hashes over the near-dup corpus, grouped to the
@@ -395,9 +400,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_repetition_metrics",
-    oracle="""
+_REPETITION_SQL = """
 WITH t AS (
   SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM documents
 ),
@@ -427,8 +430,9 @@ SELECT b.doc_id, b.n_words,
        CAST(b.n_uniq AS DOUBLE) / b.n_words      AS frac_unique_words,
        CAST(t.t2 AS DOUBLE) / (b.n_words - 1)    AS top_bigram_frac,
        CAST(t.t3 AS DOUBLE) / (b.n_words - 2)    AS top_trigram_frac
-FROM base b LEFT JOIN top t USING (doc_id)""",
-)
+FROM base b LEFT JOIN top t USING (doc_id)"""
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals (Rae et al. 2021, Table A1) per document:
     unique-word fraction and top-bigram/-trigram share
@@ -441,9 +445,7 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(docs, "doc_id", "text")
 
 
-@query(
-    "q_passage_strip",
-    oracle=f"""
+_PASSAGE_STRIP_SQL = f"""
 WITH corpus AS ({_DOCS_DUPS_SQL}),
 t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM corpus),
 wins AS (
@@ -483,8 +485,9 @@ SELECT corpus.doc_id,
        coalesce(cnt.n, 0)     AS n_stripped_tokens
 FROM corpus
 LEFT JOIN agg USING (doc_id)
-LEFT JOIN cnt USING (doc_id)""",
-)
+LEFT JOIN cnt USING (doc_id)"""
+
+
 def q_passage_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The strip half of passage-level dedup
     (operators/dedup.strip_repeated_passages): tokens covered by any
@@ -527,9 +530,7 @@ _FRAC_CASE = " ".join(
 )
 
 
-@query(
-    "q_mixture_sample",
-    oracle=f"""
+_MIXTURE_SQL = f"""
 WITH b AS (
   SELECT doc_id, source,
          ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
@@ -550,8 +551,9 @@ mul AS (
   FROM thin
 )
 SELECT doc_id, source, unnest(range(0, n)) AS repeat_idx
-FROM mul WHERE n > 0""",
-)
+FROM mul WHERE n > 0"""
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data-mixture reweighting (operators/sampling): per-
     source downsampling (stratified_sample — e.g. thin over-represented
@@ -575,9 +577,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.withColumn("repeat_idx", F.col("repeat_idx").cast("long"))
 
 
-@query(
-    "q_pack_documents",
-    oracle="""
+_PACK_SQL = """
 WITH t AS (
   SELECT doc_id, lang,
          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
@@ -594,8 +594,9 @@ c AS (
 SELECT doc_id, lang, n_tokens,
        lang || '/' ||
        CAST(CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS VARCHAR) AS bin_id
-FROM c""",
-)
+FROM c"""
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/sampling.pack_documents): every doc
     assigned to a ≈512-token training bin by one window cumsum, packed
@@ -908,7 +909,6 @@ WHERE ('0x' || substr(md5('temperature' || CAST(d.doc_id AS VARCHAR)), 1, 12))::
       % 1000000 < r.thr"""
 
 
-@query("q_temperature_sample", oracle=_TEMP_SQL)
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture rebalancing
     (operators/sampling.py::temperature_sample; the multilingual
@@ -1147,7 +1147,6 @@ SELECT doc_id,
 FROM h"""
 
 
-@query("q_shuffle_shard", oracle=_SHUF_SQL)
 def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle + sharding
     (operators/sampling.py::shuffle_shard): every document assigned a
@@ -1209,7 +1208,6 @@ FROM ranked
 WHERE domain NOT IN ({blocked})"""
 
 
-@query("q_url_ops", oracle=_url_oracle())
 def q_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus hygiene family (operators/web.py): URL
     canonicalization (lowercase, fragment/tracking-param/www./default-
@@ -1300,7 +1298,6 @@ FROM ranked
 GROUP BY doc_id"""
 
 
-@query("q_line_dedup", oracle=_LINE_DEDUP_SQL)
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-wide line/paragraph dedup
     (operators/dedup.py::dedup_lines_in_docs; Wenzek et al. 2020 §3.1):
@@ -1353,7 +1350,6 @@ SELECT doc_id,
 FROM t"""
 
 
-@query("q_c4_gates", oracle=_c4_oracle())
 def q_c4_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 heuristic cleaning gates (operators/text.py::c4_gates; Raffel
     et al. 2020 §2.2): word-count and mean-word-length bounds, curly-
@@ -1446,26 +1442,6 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------- incremental summary maintenance
-@query(
-    "q_summary_incremental",
-    oracle="""
-SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
-       l_partkey   AS product_id,
-       n_nationkey AS store_id,
-       count(*)    AS n_lines,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(round(l_quantity * p_retailprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
-         AS sum_sale,
-       MIN(round(l_quantity * p_retailprice, 2)) AS min_sale,
-       MAX(round(l_quantity * p_retailprice, 2)) AS max_sale
-FROM lineitem
-JOIN orders   ON l_orderkey  = o_orderkey
-JOIN customer ON o_custkey   = c_custkey
-JOIN part     ON l_partkey   = p_partkey
-JOIN supplier ON l_suppkey   = s_suppkey
-JOIN nation   ON c_nationkey = n_nationkey
-GROUP BY 1, 2, 3""",
-)
 def q_summary_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup maintenance by partial-aggregate MERGE
     (etl.py::merge_summaries): the fact is split at a MID-month
@@ -1526,7 +1502,6 @@ SELECT doc_id, source, n_tokens, quality,
 FROM s"""
 
 
-@query("q_budget_select", oracle=_budget_oracle())
 def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget-constrained per-source selection
     (operators/sampling.py::budget_select): each source's documents are
@@ -1643,7 +1618,6 @@ LEFT JOIN s2 USING (user_id)
 LEFT JOIN s3 USING (user_id)"""
 
 
-@query("q_funnel", oracle=_FUNNEL_SQL)
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel progression (operators/events.py::funnel): how far down
     view → click → purchase each user got, greedy earliest-match with
@@ -1679,7 +1653,6 @@ SELECT cohort_week, weeks_since,
 FROM w GROUP BY 1, 2"""
 
 
-@query("q_cohort_retention", oracle=_COHORT_SQL)
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort-retention triangle
     (operators/events.py::cohort_retention): cohort = week of first
@@ -1692,3 +1665,296 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return cohort_retention(events, "user_id", "ts")
+
+
+# =================================================================
+# Round-7 fold wave: tagged unions that bring every remaining
+# outside-window family into the driver's 50-entry correctness window.
+# Each branch is the UNCHANGED builder above — the union adds typed
+# NULL pads and a tag column, nothing else, so per-branch plans (and
+# their scale shapes) are identical to the standalone queries r1-r6
+# shipped.  Fold rules: queries/__init__.py parity conventions.
+# =================================================================
+
+_TEXT_QUALITY_SQL = f"""
+SELECT 'metrics' AS metric, doc_id, lang, ws_tokens, bpe_ish_tokens,
+       approx_tokens, punct_ratio, stop_ratio, quality_score, lang_pred,
+       fingerprint, fp_prefix,
+       {_NULL_BIGINT} AS n_words, {_NULL_DOUBLE} AS frac_unique_words,
+       {_NULL_DOUBLE} AS top_bigram_frac, {_NULL_DOUBLE} AS top_trigram_frac
+FROM ({_TEXT_METRICS_SQL})
+UNION ALL
+SELECT 'repetition', doc_id, {_NULL_VARCHAR}, {_NULL_BIGINT}, {_NULL_BIGINT},
+       {_NULL_BIGINT}, {_NULL_DOUBLE}, {_NULL_DOUBLE}, {_NULL_DOUBLE},
+       {_NULL_VARCHAR}, {_NULL_VARCHAR}, {_NULL_VARCHAR},
+       n_words, frac_unique_words, top_bigram_frac, top_trigram_frac
+FROM ({_REPETITION_SQL})"""
+
+
+@query("q_text_quality", oracle=_TEXT_QUALITY_SQL)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality family (tagged union): the single-pass metric
+    projection (token counts, quality score, language ID, fingerprint —
+    ``q_text_metrics``) plus the Gopher repetition signals
+    (``q_repetition_metrics``), folded into one driver-window slot
+    (round-7 fold wave).  Both branches are zero-shuffle column
+    expressions over one documents scan each."""
+    b = F.lit(None).cast("bigint")
+    d = F.lit(None).cast("double")
+    s = F.lit(None).cast("string")
+    metrics = q_text_metrics(spark, sf_dir).select(
+        F.lit("metrics").alias("metric"),
+        "doc_id", "lang", "ws_tokens", "bpe_ish_tokens", "approx_tokens",
+        "punct_ratio", "stop_ratio", "quality_score", "lang_pred",
+        "fingerprint", "fp_prefix",
+        b.alias("n_words"), d.alias("frac_unique_words"),
+        d.alias("top_bigram_frac"), d.alias("top_trigram_frac"),
+    )
+    rep = q_repetition_metrics(spark, sf_dir).select(
+        F.lit("repetition").alias("metric"),
+        "doc_id", s.alias("lang"), b.alias("ws_tokens"),
+        b.alias("bpe_ish_tokens"), b.alias("approx_tokens"),
+        d.alias("punct_ratio"), d.alias("stop_ratio"),
+        d.alias("quality_score"), s.alias("lang_pred"),
+        s.alias("fingerprint"), s.alias("fp_prefix"),
+        "n_words", "frac_unique_words", "top_bigram_frac",
+        "top_trigram_frac",
+    )
+    return metrics.unionByName(rep)
+
+
+_PASSAGE_FAMILY_SQL = f"""
+SELECT 'repeats' AS phase, passage_hash, n_docs, n_occurrences, rep_id,
+       {_NULL_BIGINT} AS doc_id, {_NULL_VARCHAR} AS text,
+       {_NULL_BIGINT} AS n_stripped_tokens
+FROM ({_PASSAGE_REPEATS_SQL})
+UNION ALL
+SELECT 'strip', {_NULL_VARCHAR}, {_NULL_BIGINT}, {_NULL_BIGINT},
+       {_NULL_BIGINT}, doc_id, text, n_stripped_tokens
+FROM ({_PASSAGE_STRIP_SQL})"""
+
+
+@query("q_passage_family", oracle=_PASSAGE_FAMILY_SQL)
+def q_passage_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-dedup family (tagged union): the cross-document repeated
+    15-token windows (``q_passage_repeats``) and the strip half that
+    removes covered tokens from non-representative docs
+    (``q_passage_strip``), folded into one driver-window slot (round-7
+    fold wave).  Branch plans unchanged — including the strip side's
+    single-materialization window relation."""
+    b = F.lit(None).cast("bigint")
+    s = F.lit(None).cast("string")
+    rep = q_passage_repeats(spark, sf_dir).select(
+        F.lit("repeats").alias("phase"),
+        "passage_hash", "n_docs", "n_occurrences", "rep_id",
+        b.alias("doc_id"), s.alias("text"), b.alias("n_stripped_tokens"),
+    )
+    strip = q_passage_strip(spark, sf_dir).select(
+        F.lit("strip").alias("phase"),
+        s.alias("passage_hash"), b.alias("n_docs"),
+        b.alias("n_occurrences"), b.alias("rep_id"),
+        "doc_id", "text", "n_stripped_tokens",
+    )
+    return rep.unionByName(strip)
+
+
+_SELECTION_FAMILY_SQL = f"""
+SELECT 'budget' AS policy, doc_id, source, {_NULL_VARCHAR} AS lang,
+       n_tokens, quality, cum_tokens, budget, kept,
+       {_NULL_BIGINT} AS shard_id, {_NULL_BIGINT} AS shard_pos,
+       {_NULL_VARCHAR} AS bin_id, {_NULL_BIGINT} AS repeat_idx,
+       {_NULL_DOUBLE} AS rate
+FROM ({_budget_oracle()})
+UNION ALL
+SELECT 'shard', doc_id, {_NULL_VARCHAR}, {_NULL_VARCHAR}, {_NULL_BIGINT},
+       {_NULL_DOUBLE}, {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_BOOLEAN},
+       shard_id, shard_pos, {_NULL_VARCHAR}, {_NULL_BIGINT}, {_NULL_DOUBLE}
+FROM ({_SHUF_SQL})
+UNION ALL
+SELECT 'pack', doc_id, {_NULL_VARCHAR}, lang, n_tokens, {_NULL_DOUBLE},
+       {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_BOOLEAN}, {_NULL_BIGINT},
+       {_NULL_BIGINT}, bin_id, {_NULL_BIGINT}, {_NULL_DOUBLE}
+FROM ({_PACK_SQL})
+UNION ALL
+SELECT 'mixture', doc_id, source, {_NULL_VARCHAR}, {_NULL_BIGINT},
+       {_NULL_DOUBLE}, {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_BOOLEAN},
+       {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_VARCHAR}, repeat_idx,
+       {_NULL_DOUBLE}
+FROM ({_MIXTURE_SQL})
+UNION ALL
+SELECT 'temperature', doc_id, {_NULL_VARCHAR}, lang, {_NULL_BIGINT},
+       {_NULL_DOUBLE}, {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_BOOLEAN},
+       {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_VARCHAR}, {_NULL_BIGINT},
+       rate
+FROM ({_TEMP_SQL})"""
+
+
+@query("q_selection_family", oracle=_SELECTION_FAMILY_SQL)
+def q_selection_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection family (tagged union): budget-capped greedy
+    selection (``q_budget_select``), deterministic shuffle-sharding
+    (``q_shuffle_shard``), sequence packing (``q_pack_documents``),
+    mixture reweighting (``q_mixture_sample``), and temperature
+    (UniMax-style) sampling rates (``q_temperature_sample``) — the five
+    RNG-free corpus-composition policies folded into one driver-window
+    slot (round-7 fold wave).  Every branch is md5-membership or
+    window-cumsum based, so the union stays value-checkable bit-exactly."""
+    b = F.lit(None).cast("bigint")
+    d = F.lit(None).cast("double")
+    s = F.lit(None).cast("string")
+    bo = F.lit(None).cast("boolean")
+    budget = q_budget_select(spark, sf_dir).select(
+        F.lit("budget").alias("policy"), "doc_id", "source",
+        s.alias("lang"), "n_tokens", "quality", "cum_tokens", "budget",
+        "kept", b.alias("shard_id"), b.alias("shard_pos"),
+        s.alias("bin_id"), b.alias("repeat_idx"), d.alias("rate"),
+    )
+    shard = q_shuffle_shard(spark, sf_dir).select(
+        F.lit("shard").alias("policy"), "doc_id", s.alias("source"),
+        s.alias("lang"), b.alias("n_tokens"), d.alias("quality"),
+        b.alias("cum_tokens"), b.alias("budget"), bo.alias("kept"),
+        "shard_id", "shard_pos", s.alias("bin_id"), b.alias("repeat_idx"),
+        d.alias("rate"),
+    )
+    pack = q_pack_documents(spark, sf_dir).select(
+        F.lit("pack").alias("policy"), "doc_id", s.alias("source"),
+        "lang", "n_tokens", d.alias("quality"), b.alias("cum_tokens"),
+        b.alias("budget"), bo.alias("kept"), b.alias("shard_id"),
+        b.alias("shard_pos"), "bin_id", b.alias("repeat_idx"),
+        d.alias("rate"),
+    )
+    mix = q_mixture_sample(spark, sf_dir).select(
+        F.lit("mixture").alias("policy"), "doc_id", "source",
+        s.alias("lang"), b.alias("n_tokens"), d.alias("quality"),
+        b.alias("cum_tokens"), b.alias("budget"), bo.alias("kept"),
+        b.alias("shard_id"), b.alias("shard_pos"), s.alias("bin_id"),
+        "repeat_idx", d.alias("rate"),
+    )
+    temp = q_temperature_sample(spark, sf_dir).select(
+        F.lit("temperature").alias("policy"), "doc_id", s.alias("source"),
+        "lang", b.alias("n_tokens"), d.alias("quality"),
+        b.alias("cum_tokens"), b.alias("budget"), bo.alias("kept"),
+        b.alias("shard_id"), b.alias("shard_pos"), s.alias("bin_id"),
+        b.alias("repeat_idx"), "rate",
+    )
+    return (
+        budget.unionByName(shard).unionByName(pack)
+        .unionByName(mix).unionByName(temp)
+    )
+
+
+_WEB_HYGIENE_SQL = f"""
+SELECT 'url' AS gate, doc_id, url, domain, reg_domain, domain_rank, capped,
+       {_NULL_BIGINT} AS n_lines, {_NULL_BIGINT} AS n_kept,
+       {_NULL_VARCHAR} AS text_dedup, {_NULL_BIGINT} AS n_words,
+       {_NULL_DOUBLE} AS mean_word_len, {_NULL_BOOLEAN} AS len_ok,
+       {_NULL_BOOLEAN} AS mean_len_ok, {_NULL_BOOLEAN} AS no_brace,
+       {_NULL_BOOLEAN} AS no_lorem, {_NULL_BOOLEAN} AS no_badword,
+       {_NULL_BOOLEAN} AS keep
+FROM ({_url_oracle()})
+UNION ALL
+SELECT 'lines', doc_id, {_NULL_VARCHAR}, {_NULL_VARCHAR}, {_NULL_VARCHAR},
+       {_NULL_BIGINT}, {_NULL_BOOLEAN}, n_lines, n_kept, text_dedup,
+       {_NULL_BIGINT}, {_NULL_DOUBLE}, {_NULL_BOOLEAN}, {_NULL_BOOLEAN},
+       {_NULL_BOOLEAN}, {_NULL_BOOLEAN}, {_NULL_BOOLEAN}, {_NULL_BOOLEAN}
+FROM ({_LINE_DEDUP_SQL})
+UNION ALL
+SELECT 'c4', doc_id, {_NULL_VARCHAR}, {_NULL_VARCHAR}, {_NULL_VARCHAR},
+       {_NULL_BIGINT}, {_NULL_BOOLEAN}, {_NULL_BIGINT}, {_NULL_BIGINT},
+       {_NULL_VARCHAR}, n_words, mean_word_len, len_ok, mean_len_ok,
+       no_brace, no_lorem, no_badword, keep
+FROM ({_c4_oracle()})"""
+
+
+@query("q_web_hygiene", oracle=_WEB_HYGIENE_SQL)
+def q_web_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-hygiene family (tagged union): URL canonicalization + domain
+    caps + blocklist (``q_url_ops``), CCNet line-level dedup
+    (``q_line_dedup``), and the C4 heuristic gates (``q_c4_gates``),
+    folded into one driver-window slot (round-7 fold wave).  The url and
+    c4 branches are zero-or-one-exchange column designs; the line branch
+    keeps its single window exchange."""
+    b = F.lit(None).cast("bigint")
+    d = F.lit(None).cast("double")
+    s = F.lit(None).cast("string")
+    bo = F.lit(None).cast("boolean")
+    url = q_url_ops(spark, sf_dir).select(
+        F.lit("url").alias("gate"), "doc_id", "url", "domain",
+        "reg_domain", "domain_rank", "capped",
+        b.alias("n_lines"), b.alias("n_kept"), s.alias("text_dedup"),
+        b.alias("n_words"), d.alias("mean_word_len"), bo.alias("len_ok"),
+        bo.alias("mean_len_ok"), bo.alias("no_brace"),
+        bo.alias("no_lorem"), bo.alias("no_badword"), bo.alias("keep"),
+    )
+    lines = q_line_dedup(spark, sf_dir).select(
+        F.lit("lines").alias("gate"), "doc_id", s.alias("url"),
+        s.alias("domain"), s.alias("reg_domain"), b.alias("domain_rank"),
+        bo.alias("capped"), "n_lines", "n_kept", "text_dedup",
+        b.alias("n_words"), d.alias("mean_word_len"), bo.alias("len_ok"),
+        bo.alias("mean_len_ok"), bo.alias("no_brace"),
+        bo.alias("no_lorem"), bo.alias("no_badword"), bo.alias("keep"),
+    )
+    c4 = q_c4_gates(spark, sf_dir).select(
+        F.lit("c4").alias("gate"), "doc_id", s.alias("url"),
+        s.alias("domain"), s.alias("reg_domain"), b.alias("domain_rank"),
+        bo.alias("capped"), b.alias("n_lines"), b.alias("n_kept"),
+        s.alias("text_dedup"), "n_words", "mean_word_len", "len_ok",
+        "mean_len_ok", "no_brace", "no_lorem", "no_badword", "keep",
+    )
+    return url.unionByName(lines).unionByName(c4)
+
+
+_EVENT_ANALYTICS_SQL = f"""
+SELECT 'funnel' AS report, user_id, stages_reached, converted,
+       {_NULL_BIGINT} AS cohort_week, {_NULL_BIGINT} AS weeks_since,
+       {_NULL_BIGINT} AS n_users
+FROM ({_FUNNEL_SQL})
+UNION ALL
+SELECT 'cohort', {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_BOOLEAN},
+       cohort_week, weeks_since, n_users
+FROM ({_COHORT_SQL})"""
+
+
+@query("q_event_analytics", oracle=_EVENT_ANALYTICS_SQL)
+def q_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-analytics family (tagged union): the ordered
+    view→click→purchase funnel (``q_funnel``) and the weekly
+    cohort-retention triangle (``q_cohort_retention``), folded into one
+    driver-window slot (round-7 fold wave).  Both branches are one
+    user-keyed exchange each."""
+    b = F.lit(None).cast("bigint")
+    bo = F.lit(None).cast("boolean")
+    fun = q_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("report"), "user_id", "stages_reached",
+        "converted", b.alias("cohort_week"), b.alias("weeks_since"),
+        b.alias("n_users"),
+    )
+    coh = q_cohort_retention(spark, sf_dir).select(
+        F.lit("cohort").alias("report"), b.alias("user_id"),
+        b.alias("stages_reached"), bo.alias("converted"),
+        "cohort_week", "weeks_since", "n_users",
+    )
+    return fun.unionByName(coh)
+
+
+_SUMMARY_FAMILY_SQL = f"""
+SELECT 'rebuild' AS path, * FROM ({_SUMMARY_ROLLUP_SQL})
+UNION ALL
+SELECT 'merged', * FROM ({_SUMMARY_ROLLUP_SQL})"""
+
+
+@query("q_summary_family", oracle=_SUMMARY_FAMILY_SQL)
+def q_summary_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary-maintenance family (tagged union): the full rollup
+    rebuild (``q_summary_rollup``) and the split-at-cutoff partial-
+    aggregate MERGE (``q_summary_incremental``), folded into one
+    driver-window slot (round-7 fold wave).  BOTH branches oracle
+    against the same full-rebuild SQL — so the single driver row keeps
+    proving merge(Σ(old), Σ(delta)) ≡ Σ(old ∪ delta) bit-exactly."""
+    rebuild = q_summary_rollup(spark, sf_dir).select(
+        F.lit("rebuild").alias("path"), "*"
+    )
+    merged = q_summary_incremental(spark, sf_dir).select(
+        F.lit("merged").alias("path"), "*"
+    )
+    return rebuild.unionByName(merged)

@@ -90,16 +90,15 @@ GROUP BY doc_id, seed
 
 
 # ------------------------------------------------------------------- dedup
-@query(
-    "q_dedup_exact",
-    oracle=f"""
+_DEDUP_EXACT_SQL = f"""
 WITH corpus AS ({_DOCS_EXACT_SQL})
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
        min(doc_id) AS rep_id,
        count(*)    AS n_docs
 FROM corpus
-GROUP BY 1""",
-)
+GROUP BY 1"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-content hash: every fixture doc + its
     injected copy collapse to one cluster (rep = min id, n_docs = 2)."""
@@ -138,9 +137,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(bands, "doc_id")
 
 
-@query(
-    "q_simhash",
-    oracle="""
+_SIMHASH_Q_SQL = """
 WITH wordrows AS (
   SELECT DISTINCT doc_id, word FROM (
     SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents
@@ -159,8 +156,9 @@ votes AS (
 SELECT doc_id,
        string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY pos)
          AS simhash
-FROM votes GROUP BY doc_id""",
-)
+FROM votes GROUP BY doc_id"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: 64-bit locality-sensitive fingerprint per document (distinct
     words vote md5 bits), emitted as a bitstring."""
@@ -168,9 +166,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs, "doc_id", "text")
 
 
-@query(
-    "q_ngram_jaccard",
-    oracle=f"""
+_NGRAM_JACCARD_Q_SQL = f"""
 WITH corpus AS ({_DOCS_DUPS_SQL}),
 sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
@@ -188,8 +184,9 @@ FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 ORDER BY jaccard DESC, id_a, id_b
-LIMIT 100""",
-)
+LIMIT 100"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs, blocked by ``doc_id % 20`` (the
     blocking key that bounds the quadratic join — the injected copy shares
@@ -199,6 +196,60 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", "block", 3)
     return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(100)
+
+
+_NULL_BIGINT = "CAST(NULL AS BIGINT)"
+_NULL_DOUBLE = "CAST(NULL AS DOUBLE)"
+_NULL_VARCHAR = "CAST(NULL AS VARCHAR)"
+
+_CONTENT_DEDUP_SQL = f"""
+SELECT 'exact' AS method, content_hash, rep_id, n_docs,
+       {_NULL_BIGINT} AS doc_id, {_NULL_VARCHAR} AS simhash,
+       {_NULL_BIGINT} AS id_a, {_NULL_BIGINT} AS id_b,
+       {_NULL_BIGINT} AS n_common, {_NULL_DOUBLE} AS jaccard
+FROM ({_DEDUP_EXACT_SQL})
+UNION ALL
+SELECT 'simhash', {_NULL_VARCHAR}, {_NULL_BIGINT}, {_NULL_BIGINT},
+       doc_id, simhash, {_NULL_BIGINT}, {_NULL_BIGINT},
+       {_NULL_BIGINT}, {_NULL_DOUBLE}
+FROM ({_SIMHASH_Q_SQL})
+UNION ALL
+SELECT 'jaccard', {_NULL_VARCHAR}, {_NULL_BIGINT}, {_NULL_BIGINT},
+       {_NULL_BIGINT}, {_NULL_VARCHAR}, id_a, id_b, n_common, jaccard
+FROM ({_NGRAM_JACCARD_Q_SQL})"""
+
+
+@query("q_content_dedup", oracle=_CONTENT_DEDUP_SQL)
+def q_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-dedup family (tagged union): exact normalized-hash
+    clusters, 64-bit SimHash fingerprints, and blocked n-gram-Jaccard
+    near-dup pairs — each branch the unchanged builder above
+    (``q_dedup_exact`` / ``q_simhash`` / ``q_ngram_jaccard``), three of
+    r1-r6's separate declared queries folded into one driver-window slot
+    (round-7 fold wave; per-branch plans identical, the union adds no
+    shuffle).  Typed NULL pads fill the off-branch columns."""
+    b = F.lit(None).cast("bigint")
+    d = F.lit(None).cast("double")
+    s = F.lit(None).cast("string")
+    exact = q_dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("method"), "content_hash", "rep_id", "n_docs",
+        b.alias("doc_id"), s.alias("simhash"),
+        b.alias("id_a"), b.alias("id_b"),
+        b.alias("n_common"), d.alias("jaccard"),
+    )
+    sim = q_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("method"),
+        s.alias("content_hash"), b.alias("rep_id"), b.alias("n_docs"),
+        "doc_id", "simhash", b.alias("id_a"), b.alias("id_b"),
+        b.alias("n_common"), d.alias("jaccard"),
+    )
+    jac = q_ngram_jaccard(spark, sf_dir).select(
+        F.lit("jaccard").alias("method"),
+        s.alias("content_hash"), b.alias("rep_id"), b.alias("n_docs"),
+        b.alias("doc_id"), s.alias("simhash"),
+        "id_a", "id_b", "n_common", "jaccard",
+    )
+    return exact.unionByName(sim).unionByName(jac)
 
 
 # ------------------------------------------------------------- similarity
@@ -479,9 +530,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------- text analysis
-@query(
-    "q_text_metrics",
-    oracle=f"""
+_TEXT_METRICS_SQL = f"""
 SELECT doc_id, lang, ws_tokens, bpe_ish_tokens, approx_tokens, punct_ratio,
        stop_ratio,
        0.4 * least(ws_tokens / 100.0, 1.0)
@@ -503,8 +552,9 @@ FROM (
            / len(string_split(trim(text), ' ')) AS stop_ratio,
          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
   FROM documents
-)""",
-)
+)"""
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-analysis metrics in one single-pass projection —
     token counting (whitespace, BPE-ish pre-tokenizer regex, chars/4
@@ -533,9 +583,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_doc_chunks",
-    oracle="""
+_DOC_CHUNKS_SQL = """
 SELECT doc_id,
        CAST((s - 1) // 48 AS BIGINT)                 AS chunk_id,
        array_to_string(w[CAST(s AS INT):CAST(s + 63 AS INT)], ' ') AS chunk_text,
@@ -543,8 +591,9 @@ SELECT doc_id,
 FROM (
   SELECT doc_id, w, unnest(range(1, greatest(len(w) - 16, 1) + 1, 48)) AS s
   FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
-)""",
-)
+)"""
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking: 64-token windows with 16-token overlap (stride
     48) — the context-length-bounded pre-tokenization step; array-side
@@ -553,9 +602,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_text(docs, "doc_id", "text", chunk_size=64, overlap=16)
 
 
-@query(
-    "q_tfidf_top_terms",
-    oracle="""
+_TFIDF_Q_SQL = """
 WITH words AS (
   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents
 ),
@@ -573,8 +620,9 @@ SELECT doc_id, word, tfidf FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id
                                ORDER BY tfidf DESC, word) AS rn
   FROM scored
-) WHERE rn <= 3""",
-)
+) WHERE rn <= 3"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction: smoothed idf (sklearn-style
     ln((N+1)/(df+1))+1), top-3 terms per document.  Rounded to 6 decimals
@@ -609,16 +657,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", rn).filter(F.col("rn") <= 3).drop("rn")
 
 
-@query(
-    "q_train_test_split",
-    oracle="""
+_SPLIT_Q_SQL = """
 SELECT source, split, count(*) AS n_docs FROM (
   SELECT source,
          CASE WHEN ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8))::BIGINT % 100 < 90
               THEN 'train' ELSE 'eval' END AS split
   FROM documents
-) GROUP BY source, split""",
-)
+) GROUP BY source, split"""
+
+
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/10 train/eval split by content-hash bucket — no
     RNG, so assignment is stable across runs, engines and cluster sizes
@@ -629,6 +676,55 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+_TEXT_PREP_SQL = f"""
+SELECT 'chunks' AS stage, doc_id, chunk_id, chunk_text, n_tokens,
+       {_NULL_VARCHAR} AS word, {_NULL_DOUBLE} AS tfidf,
+       {_NULL_VARCHAR} AS source, {_NULL_VARCHAR} AS split,
+       {_NULL_BIGINT} AS n_docs
+FROM ({_DOC_CHUNKS_SQL})
+UNION ALL
+SELECT 'tfidf', doc_id, {_NULL_BIGINT}, {_NULL_VARCHAR}, {_NULL_BIGINT},
+       word, tfidf, {_NULL_VARCHAR}, {_NULL_VARCHAR}, {_NULL_BIGINT}
+FROM ({_TFIDF_Q_SQL})
+UNION ALL
+SELECT 'split', {_NULL_BIGINT}, {_NULL_BIGINT}, {_NULL_VARCHAR},
+       {_NULL_BIGINT}, {_NULL_VARCHAR}, {_NULL_DOUBLE},
+       source, split, n_docs
+FROM ({_SPLIT_Q_SQL})"""
+
+
+@query("q_text_prep", oracle=_TEXT_PREP_SQL)
+def q_text_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-prep family (tagged union): overlapping 64-token chunking,
+    TF-IDF top-3 keyword extraction, and the deterministic content-hash
+    train/eval split — each branch the unchanged builder above
+    (``q_doc_chunks`` / ``q_tfidf_top_terms`` / ``q_train_test_split``),
+    folded into one driver-window slot (round-7 fold wave).  Typed NULL
+    pads fill the off-branch columns; per-branch plans are identical."""
+    b = F.lit(None).cast("bigint")
+    d = F.lit(None).cast("double")
+    s = F.lit(None).cast("string")
+    chunks = q_doc_chunks(spark, sf_dir).select(
+        F.lit("chunks").alias("stage"),
+        "doc_id", "chunk_id", "chunk_text", "n_tokens",
+        s.alias("word"), d.alias("tfidf"),
+        s.alias("source"), s.alias("split"), b.alias("n_docs"),
+    )
+    tfidf = q_tfidf_top_terms(spark, sf_dir).select(
+        F.lit("tfidf").alias("stage"),
+        "doc_id", b.alias("chunk_id"), s.alias("chunk_text"),
+        b.alias("n_tokens"), "word", "tfidf",
+        s.alias("source"), s.alias("split"), b.alias("n_docs"),
+    )
+    split = q_train_test_split(spark, sf_dir).select(
+        F.lit("split").alias("stage"),
+        b.alias("doc_id"), b.alias("chunk_id"), s.alias("chunk_text"),
+        b.alias("n_tokens"), s.alias("word"), d.alias("tfidf"),
+        "source", "split", "n_docs",
+    )
+    return chunks.unionByName(tfidf).unionByName(split)
 
 
 # ------------------------------------------------------------- multimodal

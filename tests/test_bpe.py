@@ -123,3 +123,40 @@ def test_bpe_encode_pandas_matches_column_encoder(spark, sf_dir):
     pd_enc = {r.doc_id: r.tokens for r in
               bpe_encode_pandas(docs, merges, "doc_id", "text").collect()}
     assert col_enc == pd_enc
+
+
+def test_bpe_encode_dispatches_at_threshold(spark):
+    """r7: bpe_encode auto-dispatches to the Arrow-batched pandas encoder
+    above ENCODE_PANDAS_THRESHOLD merges.  At the boundary the two paths
+    must agree bit-exactly: run a threshold+1-long merge list through the
+    default (dispatched → pandas) and through a forced column encode, and
+    through bpe_encode_pandas directly — all three identical."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.bpe import (
+        ENCODE_PANDAS_THRESHOLD,
+        bpe_encode_pandas,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "newest newest lowest low new wider"),
+         (2, "the newest of the new lows"),
+         (3, None)],
+        "doc_id long, text string",
+    )
+    real, _ = bpe_train(word_histogram(docs, "text"), 8)
+    # pad with inert pairs (symbols never adjacent in this corpus) up to
+    # one past the threshold — each still costs a fold on the column path
+    pad = [(f"q{i}", f"z{i}") for i in range(ENCODE_PANDAS_THRESHOLD + 1 - len(real))]
+    merges = real + pad
+    assert len(merges) == ENCODE_PANDAS_THRESHOLD + 1
+
+    dispatched = bpe_encode(docs, merges, "doc_id", "text")
+    # the dispatched plan must BE the pandas plan (no stacked folds)
+    assert "mapInPandas" in dispatched._jdf.queryExecution().analyzed().toString() \
+        or "MapInPandas" in dispatched._jdf.queryExecution().executedPlan().toString()
+    got = {r.doc_id: r.tokens for r in dispatched.collect()}
+    forced_col = {r.doc_id: r.tokens for r in
+                  bpe_encode(docs, merges, "doc_id", "text",
+                             pandas_threshold=10**9).collect()}
+    direct_pd = {r.doc_id: r.tokens for r in
+                 bpe_encode_pandas(docs, merges, "doc_id", "text").collect()}
+    assert got == forced_col == direct_pd

@@ -77,3 +77,19 @@ def test_cohort_retention_triangle(spark):
         (1, 0): 1,  # u3 cohort B
         (1, 1): 1,  # u3 returned
     }
+
+
+def test_funnel_is_timestamp_type_generic(spark):
+    """r7 fix: the fold accumulator's null last_ts derives its type from
+    the input column, so a tz-aware TIMESTAMP events relation works the
+    same as the fixture's timestamp_ntz (previously the hard-coded ntz
+    literal mixed TIMESTAMP and TIMESTAMP_NTZ inside the fold struct)."""
+    rows = [
+        (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        (2, _ts(2), "view"), (2, _ts(2), "click"),  # equal ts: no advance
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["user_id"]: (r["stages_reached"], r["converted"])
+           for r in funnel(df, "user_id", "ts", "event_type", STAGES).collect()}
+    assert got[1] == (3, True)
+    assert got[2] == (1, False)

@@ -201,25 +201,30 @@ def test_extension_query_plan_shapes(spark, sf_dir):
     the zero-shuffle claims are load-bearing (they are what makes these
     operators linear at 100 TB), and the rollup must broadcast every dim
     with exactly the one aggregate exchange."""
-    from datawarehouse_etl_using_hyperjoin_spark.queries import load_registry
-
-    reg = load_registry()
+    # the builders stay importable after the round-7 fold wave moved
+    # their registrations into tagged unions — plan shapes are asserted
+    # on the standalone branches (the union adds no shuffle)
+    from datawarehouse_etl_using_hyperjoin_spark.queries.extensions import (
+        q_mixture_sample,
+        q_repetition_metrics,
+        q_summary_rollup,
+    )
 
     # repetition metrics: projection-only — no exchange, no join, no Python
-    plan = plan_string(reg["q_repetition_metrics"].fn(spark, sf_dir))
+    plan = plan_string(q_repetition_metrics(spark, sf_dir))
     for marker in ("Exchange", "Join", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, f"{marker} in q_repetition_metrics plan"
 
     # mixture sampling: filter + generate only — membership/copy decisions
     # are per-row hash arithmetic, nothing moves between partitions
-    plan = plan_string(reg["q_mixture_sample"].fn(spark, sf_dir))
+    plan = plan_string(q_mixture_sample(spark, sf_dir))
     for marker in ("Exchange", "Join"):
         assert marker not in plan, f"{marker} in q_mixture_sample plan"
 
     # summary rollup: five broadcast joins (star dims), exactly one
     # shuffle (the final aggregate), no sort-merge fallback ("simple"
     # mode: the formatted dump prints every node twice — tree + detail)
-    plan = plan_string(reg["q_summary_rollup"].fn(spark, sf_dir), "simple")
+    plan = plan_string(q_summary_rollup(spark, sf_dir), "simple")
     assert plan.count("BroadcastHashJoin") == 5, plan
     assert "SortMergeJoin" not in plan
     # AQE re-plans exchanges at runtime; statically there must be exactly

@@ -33,34 +33,37 @@ def duck(registry):
     return con
 
 
-# Extension queries left OUTSIDE the driver's 50-entry window after the
-# round-6 promotions (three fold waves freed eleven slots; PROMOTED in
-# queries/__init__.py names the fourteen that moved inside).
-UNPROMOTED_EXTENSIONS = {
-    "q_summary_rollup", "q_repetition_metrics", "q_passage_strip",
-    "q_pack_documents", "q_shuffle_shard", "q_url_ops", "q_line_dedup",
-    "q_c4_gates", "q_bm25", "q_summary_incremental", "q_budget_select", "q_corpus_diff", "q_funnel", "q_cohort_retention",
-}
-
-PROMOTED_EXTENSIONS = (
-    "q_scd2_asof", "q_lm_perplexity", "q_passage_repeats",
-    "q_mixture_sample", "q_dup_clusters", "q_global_sort",
+# The FULL registry after the round-7 fold wave: exactly 50 queries, so
+# the driver's 50-entry correctness window covers every registered
+# operator family.  Pinned as an ordered tuple — any registration change
+# that grows the roster past 50 (pushing a family out of the window) or
+# reorders the core-first layout fails here, not in a driver round.
+EXPECTED_ROSTER = (
+    "q_scan_transactions", "q_cleanse", "q_enrich", "q_hyperjoin",
+    "q_join_first_match", "q_fact_assembly", "q_join_semi_anti",
+    "q_dim_bulk_load", "q_upsert_scd", "q_collect_set",
+    "q_stream_hyperjoin", "q_stream_stream_join", "q_stream_tumbling",
+    "q_minhash_pairs", "q_content_dedup", "q_ann_family",
+    "q_embed_near_dup", "q_text_prep", "q_multimodal_meta",
+    "q_agg_core", "q_rollup_cube", "q_stats", "q_window_funcs",
+    "q_set_ops", "q_scalar_date_funcs", "q_semistructured",
+    "q_pivot_unpivot", "q_event_windows", "q_interval_joins",
+    "q_sql_api", "q_pandas_udf",
+    "q_scd2_asof", "q_lm_perplexity", "q_dup_clusters", "q_global_sort",
     "q_winnow_matches", "q_contamination", "q_pii_scrub",
-    "q_semantic_dedup", "q_temperature_sample", "q_dsir_select",
-    "q_quality_score", "q_bpe_pair_counts",
+    "q_semantic_dedup", "q_dsir_select", "q_quality_score",
+    "q_bpe_pair_counts", "q_bm25", "q_corpus_diff",
+    "q_text_quality", "q_passage_family", "q_selection_family",
+    "q_web_hygiene", "q_event_analytics", "q_summary_family",
 )
 
 
-def test_driver_window_holds_exactly_fifty(registry):
-    # the driver verifies the first ~50 entries front-to-back; every query
-    # that carries SURVEY §2 evidence AND the fourteen promoted
-    # LLM-pipeline extension queries must all sit inside that window
-    names = list(registry)
-    assert len(names) == 64
-    assert set(names[:50]) == set(registry) - UNPROMOTED_EXTENSIONS
-    assert set(names[50:]) == UNPROMOTED_EXTENSIONS
-    # the promoted extensions occupy the window's tail, in PROMOTED order
-    assert tuple(names[36:50]) == PROMOTED_EXTENSIONS
+def test_driver_window_covers_entire_roster(registry):
+    # the driver verifies the first ~50 entries front-to-back; after the
+    # round-7 fold wave the roster IS exactly 50, so every operator
+    # family has a driver-produced correctness row
+    assert tuple(registry) == EXPECTED_ROSTER
+    assert len(EXPECTED_ROSTER) == 50
 
 
 def test_core_etl_registers_first(registry):
@@ -75,8 +78,8 @@ def test_core_etl_registers_first(registry):
     }
     assert core <= set(names[: len(core)])
     # the weakest §2 row (rows-only UDF demo) is deliberately the LAST
-    # core query, directly before the promoted extension block
-    assert names[35] == "q_pandas_udf"
+    # core query, directly before the extension block
+    assert names[30] == "q_pandas_udf"
 
 
 def test_ensure_engine_conf_merges_excluded_rules(registry):

@@ -42,6 +42,13 @@ CASES = [
     ("http://a.com/", "http://a.com"),
     # ref is a tracking param; fbclid in the middle
     ("http://a.com/p?ref=home&x=1&fbclid=z&y=2", "http://a.com/p?x=1&y=2"),
+    # host steps must NOT rewrite look-alike PATH text (r7 fix: the steps
+    # are anchored to the decomposed host, not applied globally): a
+    # '//www.' run or ':80/' inside the path survives, so distinct URLs
+    # keep distinct dedup keys
+    ("HTTP://WWW.a.com/jump//www.target.com/", "http://a.com/jump//www.target.com"),
+    ("http://a.com/t:80/x", "http://a.com/t:80/x"),
+    ("http://a.com/v:443", "http://a.com/v:443"),
 ]
 
 

@@ -397,6 +397,32 @@ def synth_vectors(spark, n: int, dim: int, path: str) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
+def synth_clustered_vectors(
+    spark, n: int, dim: int, path: str, *, n_blobs: int = 32,
+    spread: float = 0.15,
+) -> None:
+    """Deterministic CLUSTERED embeddings: ``n_blobs`` hash-derived blob
+    centers in [-1, 1)^dim, each vector = its blob's center plus a small
+    hash-derived offset (±spread).  Real embedding spaces are strongly
+    clustered (that is WHY IVF works — and also why a probed cell can
+    miss true neighbors that sit just across a cell boundary), so this is
+    the honest regime for the recall-vs-nprobe curve; the uniform
+    ``synth_vectors`` generator is IVF's easy case.  No RNG anywhere —
+    bit-stable across runs and partitionings."""
+    blob = F.pmod(F.xxhash64("id"), n_blobs)
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (
+            F.pmod(F.xxhash64(blob * 131 + i), 1000) / 500.0 - 1.0
+            + (F.pmod(F.xxhash64(F.col("id") * 97 + i), 1000) / 500.0 - 1.0)
+            * spread
+        ).cast("float"),
+    )
+    spark.range(n).select(
+        F.col("id").alias("vec_id"), emb.alias("embedding")
+    ).write.mode("overwrite").parquet(path)
+
+
 def measure_ivf_index(
     spark, vecs, n_cells: int = 64, n_queries: int = 16, nprobe: int = 4
 ) -> dict[str, object]:
@@ -1152,16 +1178,84 @@ def main() -> None:
             }
         }, indent=2))
         return
-    if len(sys.argv) > 1 and sys.argv[1] == "ivf_recall":
+    if len(sys.argv) > 1 and sys.argv[1] == "bpe_encode":
+        # wall-time crossover of the two BPE encoders vs merge-list size:
+        # the column-expression fold stacks one `aggregate` per merge
+        # (plan depth = len(merges)), the Arrow-batched pandas encoder is
+        # flat.  The merge list is the top-N adjacent pairs from one
+        # pair_counts pass — contents don't matter for the structural
+        # cost, only the count does.
+        from datawarehouse_etl_using_hyperjoin_spark.operators.bpe import (
+            bpe_encode,
+            bpe_encode_pandas,
+            pair_counts,
+            symbolize,
+            word_histogram,
+        )
+
+        spark = get_spark(
+            "scale-probe-bpe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
+        top_pairs = [
+            (r["a"], r["b"])
+            for r in pair_counts(symbolize(word_histogram(docs, "text")))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(int(os.environ.get("SCALE_PROBE_MERGES_MAX", 512)))
+            .collect()
+        ]
+        out = {}
+        for n_merges in (16, 32, 64, 128, 256, 512):
+            if n_merges > len(top_pairs):
+                break
+            m = top_pairs[:n_merges]
+            row = {}
+            for label, enc in (("column", bpe_encode),
+                               ("pandas", bpe_encode_pandas)):
+                if label == "column" and n_merges > int(
+                    os.environ.get("SCALE_PROBE_COLUMN_MAX", 256)
+                ):
+                    continue  # plan construction alone becomes minutes
+                t0 = time.time()
+                enc(docs, m, "doc_id", "text").agg(
+                    F.sum(F.size("tokens"))
+                ).collect()
+                row[label] = round(time.time() - t0, 2)
+            out[f"merges_{n_merges}"] = row
+        print(json.dumps({"bpe_encode": out}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] in ("ivf_recall", "ivf_recall_clustered"):
+        clustered = sys.argv[1] == "ivf_recall_clustered"
         spark = get_spark(
             "scale-probe-ivf", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
         )
         spark.sparkContext.setLogLevel("ERROR")
         vec_path = tempfile.mkdtemp(prefix="scale_probe_") + "/vectors"
         n_vecs = int(os.environ.get("SCALE_PROBE_VECS", 200_000))
-        synth_vectors(spark, n_vecs, 32, vec_path)
+        if clustered:
+            synth_clustered_vectors(
+                spark, n_vecs, 32, vec_path,
+                n_blobs=int(os.environ.get("SCALE_PROBE_BLOBS", 32)),
+                spread=float(os.environ.get("SCALE_PROBE_SPREAD", 0.15)),
+            )
+        else:
+            synth_vectors(spark, n_vecs, 32, vec_path)
         vecs = spark.read.parquet(vec_path).localCheckpoint(eager=True)
-        print(json.dumps({"ivf_recall": measure_ivf_recall(spark, vecs)}, indent=2))
+        key = "ivf_recall_clustered" if clustered else "ivf_recall"
+        cells = tuple(
+            int(c)
+            for c in os.environ.get("SCALE_PROBE_CELLS", "64,256").split(",")
+        )
+        iters = int(os.environ.get("SCALE_PROBE_LLOYD_ITERS", 1))
+        print(json.dumps({key: measure_ivf_recall(
+            spark, vecs, n_cells_list=cells, lloyd_iters=iters
+        )}, indent=2))
         return
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     spark = get_spark("scale-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
