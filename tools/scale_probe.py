@@ -1178,6 +1178,92 @@ def main() -> None:
             }
         }, indent=2))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "stream_ingest":
+        # END-TO-END streaming corpus ingest at bench scale: a real
+        # Structured Streaming query (file source, one batch per
+        # trigger) driving foreachBatch(make_corpus_ingest_sink) — each
+        # micro-batch is gated, near-dup'd against the PERSISTED at-rest
+        # LSH band index, survivors + their bands appended.  This is the
+        # wiring the batch-side amortization table (SCALE.md r5/r6)
+        # prescribes; here the whole loop runs under the streaming
+        # engine with checkpointing, and the per-batch progress comes
+        # from the query's own recentProgress.
+        from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+            make_corpus_ingest_sink,
+        )
+
+        spark = get_spark(
+            "scale-probe-ingest",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        n_docs = docs.count()
+        n_batches = int(os.environ.get("SCALE_PROBE_BATCHES", 5))
+        root = tempfile.mkdtemp(prefix="scale_probe_ingest_")
+        src = f"{root}/src"
+        # deterministic batch split; later batches REPLAY ~10% of the
+        # previous batch's docs under new ids (the re-crawl case the
+        # at-rest index must catch)
+        for b in range(n_batches):
+            part = docs.filter(F.col("doc_id") % n_batches == b)
+            if b > 0:
+                replay = (
+                    docs.filter(F.col("doc_id") % n_batches == b - 1)
+                    .filter(F.col("doc_id") % 10 == 0)
+                    .select(
+                        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                        "text",
+                    )
+                )
+                part = part.unionByName(replay)
+            part.coalesce(1).write.parquet(f"{src}/b{b}")
+        out_dir, table = f"{root}/corpus", "probe_ingest_idx"
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+        )
+        t0 = time.time()
+        q = (
+            stream.writeStream.foreachBatch(
+                make_corpus_ingest_sink(
+                    out_dir, table, min_quality=0.0, min_tokens=1
+                )
+            )
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(1200)
+        wall = time.time() - t0
+        batches = [
+            {
+                "batch": p["batchId"],
+                "rows_in": p["numInputRows"],
+                "batch_sec": round(p["batchDuration"] / 1000.0, 2),
+            }
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        kept = spark.read.parquet(out_dir)
+        idx_rows = spark.table(table).count()
+        print(json.dumps({"stream_ingest": {
+            "sf_dir": sf_dir,
+            "input_docs": n_docs,
+            "n_batches": len(batches),
+            "batches": batches,
+            "total_wall_sec": round(wall, 2),
+            "kept_docs": kept.count(),
+            "replayed_dropped": kept.filter(
+                F.col("doc_id") >= 10_000_000
+            ).count(),
+            "index_band_rows": idx_rows,
+        }}, indent=2))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "bpe_encode":
         # wall-time crossover of the two BPE encoders vs merge-list size:
         # the column-expression fold stacks one `aggregate` per merge
