@@ -1258,7 +1258,9 @@ def main() -> None:
             "batches": batches,
             "total_wall_sec": round(wall, 2),
             "kept_docs": kept.count(),
-            "replayed_dropped": kept.filter(
+            # replays that SURVIVED into the corpus — must be 0: every
+            # re-crawled doc should hit the persisted band index
+            "replayed_survivors": kept.filter(
                 F.col("doc_id") >= 10_000_000
             ).count(),
             "index_band_rows": idx_rows,
