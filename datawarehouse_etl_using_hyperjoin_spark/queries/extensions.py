@@ -1740,16 +1740,28 @@ def q_passage_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     15-token windows (``q_passage_repeats``) and the strip half that
     removes covered tokens from non-representative docs
     (``q_passage_strip``), folded into one driver-window slot (round-7
-    fold wave).  Branch plans unchanged — including the strip side's
-    single-materialization window relation."""
+    fold wave).  The branches share their dominant subtree (the stride-1
+    window hashing of the corpus), so the union materializes the window
+    relation ONCE — the strip branch already did this for its own two
+    consumers; here the repeats branch reads the same checkpoint instead
+    of re-hashing.  Per-branch semantics unchanged; standalone builders
+    keep their self-contained shape."""
     b = F.lit(None).cast("bigint")
     s = F.lit(None).cast("string")
-    rep = q_passage_repeats(spark, sf_dir).select(
+    corpus = _docs_with_dups(spark, sf_dir)
+    win = passage_windows(
+        corpus, "doc_id", "text", window=15, stride=1
+    ).localCheckpoint(eager=True)
+    flagged = repeated_passages(win, "doc_id", min_docs=2)
+    rep = flagged.select(
         F.lit("repeats").alias("phase"),
         "passage_hash", "n_docs", "n_occurrences", "rep_id",
         b.alias("doc_id"), s.alias("text"), b.alias("n_stripped_tokens"),
     )
-    strip = q_passage_strip(spark, sf_dir).select(
+    strip = strip_repeated_passages(
+        corpus, flagged, "doc_id", "text", window=15, stride=1,
+        keep_first=True, windows=win,
+    ).select(
         F.lit("strip").alias("phase"),
         s.alias("passage_hash"), b.alias("n_docs"),
         b.alias("n_occurrences"), b.alias("rep_id"),
@@ -1950,11 +1962,33 @@ def q_summary_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate MERGE (``q_summary_incremental``), folded into one
     driver-window slot (round-7 fold wave).  BOTH branches oracle
     against the same full-rebuild SQL — so the single driver row keeps
-    proving merge(Σ(old), Σ(delta)) ≡ Σ(old ∪ delta) bit-exactly."""
-    rebuild = q_summary_rollup(spark, sf_dir).select(
-        F.lit("rebuild").alias("path"), "*"
+    proving merge(Σ(old), Σ(delta)) ≡ Σ(old ∪ delta) bit-exactly.
+
+    Unlike the other folds, the branches here share their dominant
+    subtree (the five-way fact assembly), so the union materializes the
+    fact ONCE and feeds both paths from it — same per-branch semantics
+    (build_summary / split-partials-merge are unchanged), one fact
+    assembly instead of two.  The standalone builders above keep their
+    self-contained shape."""
+    from ..etl import build_summary, merge_summaries
+
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "customer", "part", "supplier", "nation")}
+    fact = (
+        assemble_fact(
+            t["lineitem"], t["orders"], t["customer"], t["part"],
+            t["supplier"], t["nation"],
+        )
+        .withColumn("order_month", F.date_format("order_date", "yyyy-MM"))
+        .localCheckpoint(eager=True)
     )
-    merged = q_summary_incremental(spark, sf_dir).select(
-        F.lit("merged").alias("path"), "*"
+    rebuild = build_summary(fact).select(F.lit("rebuild").alias("path"), "*")
+    partials = build_summary(
+        fact.withColumn("__late", F.col("order_date") >= "1996-01-15"),
+        extra_keys=("__late",),
     )
+    merged = merge_summaries(
+        partials.where(~F.col("__late")).drop("__late"),
+        partials.where("__late").drop("__late"),
+    ).select(F.lit("merged").alias("path"), "*")
     return rebuild.unionByName(merged)
