@@ -311,3 +311,24 @@ def test_shuffle_shard_window_is_per_shard(spark, sf_dir):
     assert "Window" in plan
     assert "hashpartitioning(shard_id" in plan
     assert "SinglePartition" not in plan
+
+
+def test_family_unions_share_dominant_subtree(spark, sf_dir):
+    """r7: q_summary_family materializes the five-way fact ONCE and
+    q_passage_family the stride-1 window relation ONCE — both branches
+    read the same checkpointed RDD, so the union's final plan contains
+    NO star joins / no second hashing pass, just two consumers of
+    ExistingRDD scans (the assembly ran during the eager checkpoint)."""
+    from datawarehouse_etl_using_hyperjoin_spark.queries.extensions import (
+        q_passage_family,
+        q_summary_family,
+    )
+
+    plan = plan_string(q_summary_family(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2  # both branches, one source
+
+    plan = plan_string(q_passage_family(spark, sf_dir), "simple")
+    # repeats branch reads the checkpointed windows — no per-branch
+    # re-hash of the corpus (no second md5/slice projection chain)
+    assert plan.count("Scan ExistingRDD") >= 2
