@@ -131,6 +131,33 @@ def with_bloom_flag(
     return probed.withColumn(flag, hit).drop("__bloom")
 
 
+def bloom_hit_expr(
+    value: Column, bits: list[int], *, num_bits: int, num_hashes: int
+) -> Column:
+    """Pure column expression testing ``value`` against the filter, with
+    the bit array embedded as a LITERAL array instead of the one-row
+    broadcast relation :func:`with_bloom_flag` uses.  The literal form is
+    the one that composes inside higher-order lambdas (a lambda that
+    captures a join-side attribute trips Spark's reference binding — see
+    the note in with_bloom_flag) and inside STREAMING queries (no join,
+    no state: the probe rides the row).  Plan size grows with the filter
+    (num_bits/64 literals) — right for definition-time-built filters up
+    to a few hundred KB; beyond that use the broadcast-relation form."""
+    arr = F.array(*[F.lit(b) for b in bits])
+    h1 = F.pmod(F.xxhash64(value, F.lit(0)), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(value, F.lit(1)), F.lit(num_bits - 1)) + 1
+    hit = F.lit(True)
+    for i in range(num_hashes):
+        p = F.pmod(h1 + F.lit(i).cast("long") * h2, F.lit(num_bits))
+        hit = hit & (
+            F.element_at(arr, (p / 64).cast("int") + 1).bitwiseAND(
+                _mask(p % 64)
+            )
+            != 0
+        )
+    return hit
+
+
 def bloom_fpr(bits: list[int], num_hashes: int) -> float:
     """Realized false-positive rate estimate from the filter's fill
     factor ((set_bits/m)^k)."""

@@ -253,6 +253,76 @@ def prepare_corpus_stream(
     )
 
 
+def decontaminate_stream(
+    stream_docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    fpp: float = 0.01,
+    max_hit_frac: float = 0.5,
+    bench_count: int | None = None,
+    flag_only: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination as a STATELESS streaming gate: drop (or
+    flag) documents whose k-shingle BLOOM-hit fraction against the
+    STATIC benchmark exceeds ``max_hit_frac``.
+
+    The filter is built ONCE at query-definition time (the benchmark is
+    at-rest; ``bloom_build``'s collect is bounded by the filter size) and
+    rides every micro-batch row as a pure column expression
+    (``bloom_hit_expr`` — no join, no watermark, no state), so the gate
+    composes with :func:`prepare_corpus_stream`'s other per-row stages
+    at any ingest rate.  Semantics are the CONSERVATIVE side of
+    ``contamination_check_bloom``: no false negatives (a truly
+    contaminated shingle always hits, so true hit-fraction ≥ exact
+    contamination fraction), while clean shingles false-positive at
+    ≈``fpp`` — a clean doc is wrongly dropped only when ≥``max_hit_frac``
+    of its shingles ALL false-positive (Binomial tail ≈ negligible for
+    any doc beyond a few shingles; a per-COUNT budget like "drop on any
+    hit" does NOT work at doc grain: with ~40 shingles/doc and fpp=0.01,
+    one-in-three clean docs has some FP shingle — measured).  Run the
+    exact confirm join (``contamination_check``) over the at-rest corpus
+    when an audit needs the precise list.
+
+    ``flag_only=True`` keeps every row and adds ``n_bloom_hits`` /
+    ``n_shingles`` columns instead of filtering."""
+    from .bloom import bloom_build, bloom_hit_expr, optimal_bloom_params
+    from .dedup import with_shingle_array
+
+    bench_sh = (
+        with_shingle_array(benchmark.select(text_col), text_col, k, out="__sh")
+        .select(F.explode(F.array_distinct("__sh")).alias("shingle"))
+        .distinct()
+    )
+    if bench_count is None:
+        bench_count = bench_sh.count()
+    num_bits, num_hashes = optimal_bloom_params(bench_count, fpp)
+    bits = bloom_build(
+        bench_sh, "shingle", num_bits=num_bits, num_hashes=num_hashes
+    )
+
+    shingled = with_shingle_array(stream_docs, text_col, k, out="__shd")
+    hits = F.size(
+        F.filter(
+            F.array_distinct("__shd"),
+            lambda s: bloom_hit_expr(
+                s, bits, num_bits=num_bits, num_hashes=num_hashes
+            ),
+        )
+    ).cast("long")
+    out = shingled.withColumn("n_bloom_hits", hits).withColumn(
+        "n_shingles", F.size(F.array_distinct("__shd")).cast("long")
+    ).drop("__shd")
+    if flag_only:
+        return out
+    return out.where(
+        (F.col("n_shingles") == 0)
+        | (F.col("n_bloom_hits") < F.col("n_shingles") * max_hit_frac)
+    ).drop("n_bloom_hits", "n_shingles")
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

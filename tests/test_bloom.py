@@ -76,3 +76,56 @@ def test_bloom_contamination_matches_exact(spark, sf_dir):
     }
     assert exact == via_bloom
     assert len(exact) > 0  # the plant actually fired
+
+
+def test_decontaminate_stream_gate_batch_and_streaming(spark, sf_dir, tmp_path):
+    """r7 streaming decontamination gate (corpus.decontaminate_stream):
+    a stateless per-row Bloom probe built once from the static benchmark.
+    (1) No false negatives: every doc the EXACT check flags above the
+    hit budget is dropped.  (2) The gate is a pure column expression, so
+    running it under Structured Streaming produces exactly the batch
+    result."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        contamination_check,
+        decontaminate_stream,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        run_to_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat_ws(" ", F.slice(w, 2, F.size(w) - 1)).alias("text")
+    )
+
+    kept_batch = decontaminate_stream(docs, bench, k=8)
+    kept_ids = {r.doc_id for r in kept_batch.select("doc_id").collect()}
+    # exact-contaminated docs must ALL be dropped: the fixture's true
+    # contamination fractions are >= 0.667 (near-copies), bloom hits
+    # only add, and the gate's default budget is 0.5
+    exact_bad = {
+        r.doc_id
+        for r in contamination_check(docs, bench, k=8)
+        .filter("n_contaminated > 0")
+        .select("doc_id")
+        .collect()
+    }
+    assert not (exact_bad & kept_ids)
+    # ...and >= 99% of clean docs survive (a clean doc dies only when
+    # half its shingles ALL false-positive — Binomial tail)
+    n_docs = docs.count()
+    assert len(kept_ids) >= (n_docs - len(exact_bad)) * 0.99
+
+    # same gate under the streaming engine == the batch result
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    gated = decontaminate_stream(stream, bench, k=8)
+    assert gated.isStreaming
+    q = run_to_memory(gated, "decon_gate")
+    try:
+        got = {r.doc_id for r in spark.table("decon_gate").select("doc_id").collect()}
+    finally:
+        q.stop()
+    assert got == kept_ids
