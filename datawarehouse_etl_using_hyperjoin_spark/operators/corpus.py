@@ -209,6 +209,8 @@ def prepare_corpus_stream(
     scrub: bool = False,
     c4: bool = False,
     c4_opts: dict | None = None,
+    decontaminate: DataFrame | None = None,
+    decon_opts: dict | None = None,
 ) -> DataFrame:
     """Streaming corpus ingest: the stateless gates of
     :func:`prepare_corpus` applied to a document STREAM, plus exact
@@ -229,9 +231,12 @@ def prepare_corpus_stream(
     historical exact dedup, which need the corpus-wide at-rest indexes
     (``operators.dedup.write_lsh_index`` / ``incremental_*``) — run
     those per micro-batch in ``foreachBatch``, the same amortized-batch
-    shape `dedup_new_batches` measures in SCALE.md.  ``ts_col`` must be
-    a timestamp column on the stream (ingest time or source event
-    time)."""
+    shape `dedup_new_batches` measures in SCALE.md.  Benchmark
+    DECONTAMINATION does stream: pass ``decontaminate=<benchmark df>``
+    (+ ``decon_opts``) to insert the stateless per-row Bloom gate
+    (:func:`decontaminate_stream`) ahead of the quality gates.
+    ``ts_col`` must be a timestamp column on the stream (ingest time or
+    source event time)."""
     if scrub:
         stream_docs = stream_docs.withColumn(
             text_col, tx.scrub_pii(F.col(text_col))
@@ -243,6 +248,13 @@ def prepare_corpus_stream(
             tx.c4_gates(stream_docs, id_col, text_col, **(c4_opts or {}))
             .where("keep")
             .drop(*flags)
+        )
+    if decontaminate is not None:
+        # stateless per-row Bloom probe against the static benchmark —
+        # built once at definition time, streams with no join/state
+        stream_docs = decontaminate_stream(
+            stream_docs, decontaminate, id_col=id_col, text_col=text_col,
+            **(decon_opts or {}),
         )
     scored = corpus_metrics(stream_docs, id_col, text_col)
     gated = _quality_gate(
