@@ -79,10 +79,9 @@ def compare(name, spark_df, oracle_sql, con):
     cur = con.execute(oracle_sql)
     ocols = [d[0] for d in cur.description]
     otbl = cur.fetch_arrow_table()
-    orows_raw = [
-        tuple(col[i].as_py() for col in otbl.columns)
-        for i in range(otbl.num_rows)
-    ]
+    orows_raw = list(zip(*(col.to_pylist() for col in otbl.columns)))
+    if not otbl.num_columns:
+        orows_raw = [() for _ in range(otbl.num_rows)]
     t_duck = time.time() - t0
 
     # the driver's value hash is TYPE-sensitive (Arrow-level); a value-EXACT
