@@ -74,6 +74,17 @@ def main() -> None:
     leaks = contamination_check(clean, benchmark=benchmark)
     print(f"benchmark contamination hits: {leaks.count()} (expected >0: fixture docs ARE the benchmark)")
 
+    # the same decontamination as a STATELESS stream gate (r7): one Bloom
+    # filter of the benchmark's shingles built at definition time, probed
+    # per row — no join, no state, so it runs at any ingest rate
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        decontaminate_stream,
+    )
+
+    gated = decontaminate_stream(clean, benchmark)
+    print(f"streaming bloom gate keeps {gated.count()} of {clean.count()} "
+          "(every exact-contaminated doc dropped, no state)")
+
     packed = pack_documents(
         clean.withColumn("n_tokens", F.col("ws_tokens")),
         "n_tokens", budget=512, partition_col="split",
