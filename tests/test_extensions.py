@@ -157,3 +157,46 @@ def test_scd2_asof_null_before_first_version(spark, sf_dir):
     )
 
     assert out.count() == load_table(spark, sf_dir, "orders").count()
+
+
+def test_reworked_unions_match_standalone_branches(spark, sf_dir):
+    """r7: q_summary_family / q_passage_family no longer CALL their
+    standalone builders (they share the dominant subtree internally), so
+    pin branch-for-branch value equality against the builders — any
+    future drift in the shared-subtree rework fails here, bisected to
+    the exact branch, instead of as an opaque driver hash-red."""
+    from datawarehouse_etl_using_hyperjoin_spark.queries.extensions import (
+        q_passage_family,
+        q_passage_repeats,
+        q_passage_strip,
+        q_summary_family,
+        q_summary_incremental,
+        q_summary_rollup,
+    )
+
+    def rows(df, cols):
+        return sorted(
+            (tuple(r[c] for c in cols) for r in df.collect()),
+            key=lambda t: tuple((x is None, str(x)) for x in t),
+        )
+
+    fam = q_summary_family(spark, sf_dir).cache()
+    cols = [c for c in fam.columns if c != "path"]
+    assert rows(fam.where("path = 'rebuild'"), cols) == rows(
+        q_summary_rollup(spark, sf_dir), cols
+    )
+    assert rows(fam.where("path = 'merged'"), cols) == rows(
+        q_summary_incremental(spark, sf_dir), cols
+    )
+    fam.unpersist()
+
+    fam = q_passage_family(spark, sf_dir).cache()
+    rep_cols = ["passage_hash", "n_docs", "n_occurrences", "rep_id"]
+    assert rows(fam.where("phase = 'repeats'"), rep_cols) == rows(
+        q_passage_repeats(spark, sf_dir), rep_cols
+    )
+    strip_cols = ["doc_id", "text", "n_stripped_tokens"]
+    assert rows(fam.where("phase = 'strip'"), strip_cols) == rows(
+        q_passage_strip(spark, sf_dir), strip_cols
+    )
+    fam.unpersist()
