@@ -274,8 +274,15 @@ def write_shards(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    # RANGE-partition on the shard key, not hash: with exactly n_shards
+    # distinct key values, hashing n_shards keys into n_shards partitions
+    # collides (birthday bound — some tasks carry 2-3 shards, others sit
+    # idle; measured 3.95 s vs 2.2 s at 10M×64, scale_probe shard_write),
+    # while the range exchange lands ≈one shard per task.  pos_col stays
+    # OUT of the range keys — each shard still sorts internally in
+    # parallel; there is no global sort of positions anywhere.
     (
-        df.repartition(int(n_shards), F.col(shard_col))
+        df.repartitionByRange(int(n_shards), F.col(shard_col))
         .sortWithinPartitions(shard_col, pos_col)
         .write.mode(mode)
         .partitionBy(shard_col)

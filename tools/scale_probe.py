@@ -1178,6 +1178,73 @@ def main() -> None:
             }
         }, indent=2))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "shard_write":
+        # The ordered-shard write path at probe scale: write_shards
+        # (repartition ON shard + sortWithinPartitions + partitioned
+        # write: per-shard parallel sorts, corpus/N each) vs the naive
+        # global orderBy(shard, pos) write (one range-partitioned total
+        # sort feeding the same layout).  Claim under test: identical
+        # layout, no global sort anywhere in the fast path.
+        from datawarehouse_etl_using_hyperjoin_spark.operators.sampling import (
+            shuffle_shard,
+            write_shards,
+        )
+
+        spark = get_spark(
+            "scale-probe-shards",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        n_rows = int(os.environ.get("SCALE_PROBE_ROWS", 10_000_000))
+        n_shards = int(os.environ.get("SCALE_PROBE_SHARDS", 64))
+        docs = spark.range(n_rows).select(
+            F.col("id").alias("doc_id"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        sharded = shuffle_shard(
+            docs, "doc_id", n_shards
+        ).localCheckpoint(eager=True)
+        root = tempfile.mkdtemp(prefix="scale_probe_shards_")
+
+        t0 = time.time()
+        write_shards(sharded, f"{root}/fast", n_shards)
+        fast = time.time() - t0
+
+        t0 = time.time()
+        (
+            sharded.orderBy("shard_id", "shard_pos")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(f"{root}/naive")
+        )
+        naive = time.time() - t0
+
+        shard_dirs = [
+            d for d in os.listdir(f"{root}/fast") if d.startswith("shard_id=")
+        ]
+        files_per_shard = {
+            len([f for f in os.listdir(f"{root}/fast/{d}")
+                 if f.endswith(".parquet")])
+            for d in shard_dirs
+        }
+        # order inside one shard file must be the epoch order
+        probe = spark.read.parquet(
+            f"{root}/fast/{shard_dirs[0]}"
+        ).select("shard_pos").limit(10000).collect()
+        ordered = all(
+            probe[i]["shard_pos"] <= probe[i + 1]["shard_pos"]
+            for i in range(len(probe) - 1)
+        )
+        print(json.dumps({"shard_write": {
+            "n_rows": n_rows,
+            "n_shards": n_shards,
+            "write_shards_sec": round(fast, 2),
+            "naive_global_sort_sec": round(naive, 2),
+            "shard_dirs": len(shard_dirs),
+            "files_per_shard": sorted(files_per_shard),
+            "first_shard_ordered": ordered,
+        }}, indent=2))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "stream_ingest":
         # END-TO-END streaming corpus ingest at bench scale: a real
         # Structured Streaming query (file source, one batch per
