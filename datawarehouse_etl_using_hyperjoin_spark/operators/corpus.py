@@ -450,10 +450,15 @@ def make_corpus_ingest_sink(
     re-ingests are caught by the same join (identical text → identical
     signature → every band shared).  Survivors are appended to
     ``out_dir`` and ONLY their bands to ``index_table``, so the index
-    stays duplicate-free.  Exactly-once: foreachBatch may replay a batch
-    on recovery; parquet appends make that at-least-once — for strict
-    exactly-once route the append through ``upsert_parquet_sink`` or a
-    transactional table format.
+    stays duplicate-free.  EXACTLY-ONCE (r7): each batch's survivors
+    land in their own ``ingest_batch=N`` partition dir (replay
+    overwrites it) and the index append is a dynamic partition overwrite
+    keyed by batch id (``upsert_lsh_index_batch`` — the index table is
+    partitioned by ``ingest_batch`` and bucketed by ``band_hash``, so
+    the incremental probe stays exchange-free); the probe side excludes
+    the current batch's own partition so replays don't self-match.  A
+    recovered replay therefore CONVERGES to the identical corpus + index
+    instead of appending duplicates.
 
     Use::
 
@@ -467,7 +472,7 @@ def make_corpus_ingest_sink(
         lsh_incremental_pairs,
         minhash_array,
         read_lsh_index,
-        write_lsh_index,
+        upsert_lsh_index_batch,
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -493,19 +498,31 @@ def make_corpus_ingest_sink(
         ).localCheckpoint(eager=True)
         have_index = spark.catalog.tableExists(index_table)
         if have_index:
-            pairs = lsh_incremental_pairs(
-                bands, read_lsh_index(spark, index_table), id_col, max_bucket
+            # EXACTLY-ONCE replay: a recovered foreachBatch may re-run a
+            # batch whose bands already landed — exclude this batch's own
+            # index partition from the probe side, or every replayed doc
+            # would match itself and be dropped as its own duplicate
+            index = read_lsh_index(spark, index_table).where(
+                F.col("ingest_batch") != int(batch_id)
             )
+            pairs = lsh_incremental_pairs(bands, index, id_col, max_bucket)
         else:
             pairs = lsh_candidate_pairs(bands, id_col, max_bucket)
         # id_b is always the new-side / larger-id doc — the one to drop
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         kept = exact.join(losers, id_col, "left_anti").localCheckpoint(eager=True)
-        kept.write.mode("append").parquet(out_dir)
-        write_lsh_index(
+        # both writes are idempotent per batch: the corpus lands in this
+        # batch's own partition dir (replay overwrites it) and the index
+        # append is a dynamic partition overwrite keyed by batch id —
+        # so a replayed batch converges to the same state instead of
+        # duplicating rows (the r6 at-least-once caveat, closed)
+        kept.write.mode("overwrite").parquet(
+            f"{out_dir}/ingest_batch={int(batch_id)}"
+        )
+        upsert_lsh_index_batch(
             bands.join(kept.select(id_col), id_col, "semi"),
             index_table,
-            mode="append" if have_index else "overwrite",
+            batch_id,
         )
 
     return sink

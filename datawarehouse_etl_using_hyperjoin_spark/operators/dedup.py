@@ -473,6 +473,40 @@ def write_lsh_index(
     )
 
 
+def upsert_lsh_index_batch(
+    bands: DataFrame, table: str, batch_id: int, *, n_buckets: int = 32
+) -> None:
+    """EXACTLY-ONCE batch append to the at-rest LSH index: the index
+    table is additionally PARTITIONED BY ``ingest_batch`` (bucketing by
+    ``band_hash`` is table-level, so the exchange-free incremental scan
+    is unchanged — spike-verified), and each batch lands via dynamic
+    partition overwrite: a foreachBatch replay REPLACES its own
+    partition instead of appending duplicate bands.  First batch creates
+    the table."""
+    tagged = bands.withColumn("ingest_batch", F.lit(int(batch_id)))
+    spark = bands.sparkSession
+    if not spark.catalog.tableExists(table):
+        from ..sources.files import write_bucketed
+
+        write_bucketed(
+            tagged, table, "band_hash", n_buckets=n_buckets, sort=True,
+            mode="overwrite", partition_by=["ingest_batch"],
+        )
+        return
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "dynamic")
+        # insertInto is position-based: align to the table's column order
+        cols = spark.table(table).columns
+        tagged.select(*cols).write.mode("overwrite").insertInto(table)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def read_lsh_index(spark, table: str) -> DataFrame:
     """Read the persisted LSH index written by :func:`write_lsh_index` —
     the ``index_bands`` side of :func:`lsh_incremental_pairs`."""

@@ -51,6 +51,7 @@ def write_bucketed(
     n_buckets: int = 8,
     sort: bool = True,
     mode: str = "overwrite",
+    partition_by: list[str] | None = None,
 ) -> None:
     """Save as a bucketed (+ sorted) catalog table.
 
@@ -63,7 +64,15 @@ def write_bucketed(
     buckets, upgrading the join to sort-merge without a sort step.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
+    writer = df.write.mode(mode).format("parquet")
+    if partition_by:
+        # partitioning composes with bucketing: files inside each
+        # partition carry the table-level bucket spec, so bucketed scans
+        # (and their exchange-free joins/aggs) keep working across
+        # partitions while a partition can be atomically replaced
+        # (dynamic overwrite) — the exactly-once unit for batch appends
+        writer = writer.partitionBy(*partition_by)
+    writer = writer.bucketBy(n_buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)
     writer.saveAsTable(table)
