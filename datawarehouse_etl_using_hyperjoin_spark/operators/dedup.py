@@ -493,12 +493,19 @@ def upsert_lsh_index_batch(
             mode="overwrite", partition_by=["ingest_batch"],
         )
         return
+    cols = spark.table(table).columns
+    if "ingest_batch" not in cols:
+        raise ValueError(
+            f"LSH index table {table!r} predates the exactly-once layout "
+            "(no ingest_batch partition column) — rebuild it via "
+            "write_lsh_index(..., partition_by=['ingest_batch']) or start "
+            "a fresh table"
+        )
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(key, None)
     try:
         spark.conf.set(key, "dynamic")
         # insertInto is position-based: align to the table's column order
-        cols = spark.table(table).columns
         tagged.select(*cols).write.mode("overwrite").insertInto(table)
     finally:
         if prev is None:

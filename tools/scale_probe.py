@@ -1288,7 +1288,11 @@ def main() -> None:
                 )
                 part = part.unionByName(replay)
             part.coalesce(1).write.parquet(f"{src}/b{b}")
-        out_dir, table = f"{root}/corpus", "probe_ingest_idx"
+        # unique table name per run: DROP TABLE alone can leave the
+        # managed location behind after a failed run, and saveAsTable
+        # then refuses the name (LOCATION_ALREADY_EXISTS)
+        out_dir = f"{root}/corpus"
+        table = f"probe_ingest_idx_{os.path.basename(root).rsplit('_', 1)[-1]}"
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
