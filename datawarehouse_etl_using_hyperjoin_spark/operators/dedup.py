@@ -453,7 +453,12 @@ def lsh_ingest_pairs(
 
 
 def write_lsh_index(
-    bands: DataFrame, table: str, *, n_buckets: int = 32, mode: str = "overwrite"
+    bands: DataFrame,
+    table: str,
+    *,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
 ) -> None:
     """Persist a band table (id, band, band_hash) as the at-rest LSH dedup
     index: a catalog table BUCKETED BY ``band_hash``.
@@ -469,7 +474,8 @@ def write_lsh_index(
     from ..sources.files import write_bucketed
 
     write_bucketed(
-        bands, table, "band_hash", n_buckets=n_buckets, sort=True, mode=mode
+        bands, table, "band_hash", n_buckets=n_buckets, sort=True, mode=mode,
+        partition_by=partition_by,
     )
 
 
