@@ -323,3 +323,166 @@ def c4_gates(
         & F.col("no_lorem")
         & F.col("no_badword"),
     )
+
+
+# --------------------------------------------- n-gram language ID (trained)
+def char_ngrams(
+    text: Column, n: int = 3, max_chars: int | None = None
+) -> Column:
+    """Array of character ``n``-grams over whitespace-normalized
+    lowercase text (single spaces kept inside grams — they carry
+    word-boundary signal, per Cavnar & Trenkle 1994).  ``max_chars``
+    truncates first: language signal saturates within a few hundred
+    characters, and every downstream stage scales with gram count, so
+    classifying on a prefix is the standard cost control.
+    Shorter-than-n texts contribute themselves as one gram; empty →
+    empty array.  Pure column expression."""
+    src = F.substring(text, 1, max_chars) if max_chars else text
+    t = F.regexp_replace(F.lower(F.trim(src)), r"\s+", " ")
+    length = F.length(t)
+    win = F.transform(
+        F.sequence(F.lit(1), length - (n - 1)),
+        lambda i: F.substring(t, i, n),
+    )
+    return (
+        F.when(length >= n, win)
+        .when(length > 0, F.array(t))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def exploded_ngrams(df, key_cols, text_col: str, n: int, max_chars):
+    """(key..., gram) rows — the normalized text is staged as a NAMED
+    column before the gram transform, because an inline expression
+    referenced from a higher-order lambda re-evaluates PER ELEMENT (the
+    repetition_metrics CollapseProject note; here that re-ran the
+    whitespace regex once per gram — measured ~6× slower at sf0.1).
+    Public so a caller training AND serving over the same corpus can
+    compute the explode once and feed it to both
+    :func:`char_ngram_profile` and :func:`langid_rank_order` via their
+    ``grams=`` parameter."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    src = (
+        F.substring(F.col(text_col), 1, max_chars)
+        if max_chars
+        else F.col(text_col)
+    )
+    staged = df.select(
+        *[F.col(k) for k in keys],
+        F.regexp_replace(F.lower(F.trim(src)), r"\s+", " ").alias("__t"),
+    )
+    t = F.col("__t")
+    length = F.length(t)
+    win = F.transform(
+        F.sequence(F.lit(1), length - (n - 1)),
+        lambda i: F.substring(t, i, n),
+    )
+    grams = (
+        F.when(length >= n, win)
+        .when(length > 0, F.array(t))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return staged.select(
+        *[F.col(k) for k in keys], F.explode(grams).alias("gram")
+    )
+
+
+def char_ngram_profile(
+    docs,
+    lang_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    top_k: int = 50,
+    max_chars: int | None = 600,
+    grams=None,
+):
+    """TRAIN the Cavnar–Trenkle language profiles: per language, the
+    ``top_k`` most frequent character n-grams ranked by (count DESC,
+    gram) — deterministic, no RNG, no floats.  One explode + one
+    (lang, gram) aggregate + one per-language window over a vocab-sized
+    relation: the labeled corpus is touched once, the profile output is
+    ``n_langs × top_k`` rows (KBs — broadcast it at serve time).
+    Grams come from each doc's first ``max_chars`` characters (the same
+    truncation the serve side uses — see :func:`char_ngrams`)."""
+    from pyspark.sql import Window
+
+    if grams is None:
+        grams = exploded_ngrams(
+            docs.select(F.col(lang_col).alias("lang"), text_col),
+            "lang", text_col, n, max_chars,
+        )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "gram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("lang", "gram", "rank")
+    )
+
+
+def langid_rank_order(
+    docs,
+    profiles,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    top_k: int = 50,
+    max_chars: int | None = 600,
+    grams=None,
+):
+    """SERVE trained language ID by rank-order ("out-of-place")
+    distance (Cavnar & Trenkle 1994, "N-Gram-Based Text
+    Categorization"): rank each document's own top-``top_k`` n-grams,
+    sum |doc rank − profile rank| against every candidate language
+    (missing gram costs ``top_k``), predict the argmin.
+
+    Returns (id, lang_pred, oop_distance).  Integer arithmetic end to
+    end — bit-stable across engines and partitionings.  Scale shape:
+    one (id, gram) aggregate + one per-doc window over the first
+    ``max_chars`` characters only (language signal saturates there, and
+    an in-row higher-order-lambda formulation measured SLOWER than this
+    shuffle at every size — interpreted lambdas lose to Tungsten
+    exchanges), then the ≤top_k doc grams cross the BROADCAST language
+    list and left-join the BROADCAST profiles — the corpus is never
+    joined to itself and nothing grows beyond top_k rows per document.
+    Documents with no grams (empty text) predict 'und' with NULL
+    distance."""
+    from pyspark.sql import Window
+
+    if grams is None:
+        grams = exploded_ngrams(docs, id_col, text_col, n, max_chars)
+    counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), "gram")
+    doc_rank = (
+        counts.withColumn("drank", F.row_number().over(w).cast("long"))
+        .filter(F.col("drank") <= top_k)
+        .select(id_col, "gram", "drank")
+    )
+    langs = profiles.select("lang").distinct()
+    oop = (
+        doc_rank.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(profiles), ["lang", "gram"], "left")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("rank")), F.lit(top_k)
+                )
+            )
+            .cast("long")
+            .alias("oop_distance")
+        )
+    )
+    pick = Window.partitionBy(id_col).orderBy("oop_distance", "lang")
+    best = (
+        oop.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("lang").alias("lang_pred"), "oop_distance")
+    )
+    return docs.select(id_col).join(best, id_col, "left").select(
+        id_col,
+        F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+        "oop_distance",
+    )

@@ -1676,29 +1676,100 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shipped.  Fold rules: queries/__init__.py parity conventions.
 # =================================================================
 
+# Cavnar & Trenkle 1994 rank-order language ID, self-trained on the
+# fixture's lang labels (n=3 grams, top-50 profiles, out-of-place
+# penalty 50).  Pure integer arithmetic — engine-portable by
+# construction; mirrors operators/text.char_ngram_profile +
+# langid_rank_order exactly.
+_LANGID_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(trim(substr(text, 1, 600))), '\\s+', ' ', 'g')
+           AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lang,
+         unnest(CASE WHEN len(t) >= 3
+                     THEN list_transform(range(1, len(t) - 1),
+                                         i -> substr(t, CAST(i AS INT), 3))
+                     WHEN len(t) > 0 THEN [t]
+                     ELSE [] END) AS gram
+  FROM t
+),
+pc AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY lang, gram),
+prof AS (
+  SELECT lang, gram, rank FROM (
+    SELECT lang, gram,
+           row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram)
+             AS rank
+    FROM pc
+  ) WHERE rank <= 50
+),
+dc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+dr AS (
+  SELECT doc_id, gram, drank FROM (
+    SELECT doc_id, gram,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram)
+             AS drank
+    FROM dc
+  ) WHERE drank <= 50
+),
+langs AS (SELECT DISTINCT lang FROM prof),
+oop AS (
+  SELECT d.doc_id, l.lang,
+         CAST(SUM(coalesce(abs(d.drank - p.rank), 50)) AS BIGINT) AS oop
+  FROM dr d CROSS JOIN langs l
+  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+  GROUP BY d.doc_id, l.lang
+)
+SELECT doc_id, lang AS lang_pred, oop AS oop_distance FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY oop, lang) AS rn
+  FROM oop
+) WHERE rn = 1"""
+
 _TEXT_QUALITY_SQL = f"""
 SELECT 'metrics' AS metric, doc_id, lang, ws_tokens, bpe_ish_tokens,
        approx_tokens, punct_ratio, stop_ratio, quality_score, lang_pred,
        fingerprint, fp_prefix,
        {_NULL_BIGINT} AS n_words, {_NULL_DOUBLE} AS frac_unique_words,
-       {_NULL_DOUBLE} AS top_bigram_frac, {_NULL_DOUBLE} AS top_trigram_frac
+       {_NULL_DOUBLE} AS top_bigram_frac, {_NULL_DOUBLE} AS top_trigram_frac,
+       {_NULL_BIGINT} AS oop_distance
 FROM ({_TEXT_METRICS_SQL})
 UNION ALL
 SELECT 'repetition', doc_id, {_NULL_VARCHAR}, {_NULL_BIGINT}, {_NULL_BIGINT},
        {_NULL_BIGINT}, {_NULL_DOUBLE}, {_NULL_DOUBLE}, {_NULL_DOUBLE},
        {_NULL_VARCHAR}, {_NULL_VARCHAR}, {_NULL_VARCHAR},
-       n_words, frac_unique_words, top_bigram_frac, top_trigram_frac
-FROM ({_REPETITION_SQL})"""
+       n_words, frac_unique_words, top_bigram_frac, top_trigram_frac,
+       {_NULL_BIGINT}
+FROM ({_REPETITION_SQL})
+UNION ALL
+SELECT 'langid', doc_id, {_NULL_VARCHAR}, {_NULL_BIGINT}, {_NULL_BIGINT},
+       {_NULL_BIGINT}, {_NULL_DOUBLE}, {_NULL_DOUBLE}, {_NULL_DOUBLE},
+       lang_pred, {_NULL_VARCHAR}, {_NULL_VARCHAR},
+       {_NULL_BIGINT}, {_NULL_DOUBLE}, {_NULL_DOUBLE}, {_NULL_DOUBLE},
+       oop_distance
+FROM ({_LANGID_SQL})"""
 
 
 @query("q_text_quality", oracle=_TEXT_QUALITY_SQL)
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-quality family (tagged union): the single-pass metric
-    projection (token counts, quality score, language ID, fingerprint —
-    ``q_text_metrics``) plus the Gopher repetition signals
-    (``q_repetition_metrics``), folded into one driver-window slot
-    (round-7 fold wave).  Both branches are zero-shuffle column
-    expressions over one documents scan each."""
+    projection (token counts, quality score, stopword language gate,
+    fingerprint — ``q_text_metrics``), the Gopher repetition signals
+    (``q_repetition_metrics``), and TRAINED rank-order language ID
+    (Cavnar & Trenkle 1994 — profiles learned from the corpus's own
+    lang labels, out-of-place argmin prediction, integer arithmetic
+    end to end), folded into one driver-window slot (round-7 fold
+    wave).  The first two branches are zero-shuffle column expressions;
+    the langid branch is two keyed aggregates + broadcast profiles."""
+    from ..operators.text import (
+        char_ngram_profile,
+        exploded_ngrams,
+        langid_rank_order,
+    )
+
     b = F.lit(None).cast("bigint")
     d = F.lit(None).cast("double")
     s = F.lit(None).cast("string")
@@ -1709,6 +1780,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fingerprint", "fp_prefix",
         b.alias("n_words"), d.alias("frac_unique_words"),
         d.alias("top_bigram_frac"), d.alias("top_trigram_frac"),
+        b.alias("oop_distance"),
     )
     rep = q_repetition_metrics(spark, sf_dir).select(
         F.lit("repetition").alias("metric"),
@@ -1718,9 +1790,35 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.alias("quality_score"), s.alias("lang_pred"),
         s.alias("fingerprint"), s.alias("fp_prefix"),
         "n_words", "frac_unique_words", "top_bigram_frac",
-        "top_trigram_frac",
+        "top_trigram_frac", b.alias("oop_distance"),
     )
-    return metrics.unionByName(rep)
+    docs = load_table(spark, sf_dir, "documents")
+    # train AND serve over the same corpus: explode the grams ONCE
+    # (doc_id + lang both carried), checkpoint, feed both sides — the
+    # shared-dominant-subtree rule the summary/passage unions follow
+    grams = exploded_ngrams(
+        docs.select("doc_id", "lang", "text"),
+        ["doc_id", "lang"], "text", 3, 600,
+    ).localCheckpoint(eager=True)
+    profiles = char_ngram_profile(
+        docs, "lang", "text", n=3, top_k=50,
+        grams=grams.select("lang", "gram"),
+    )
+    langid = langid_rank_order(
+        docs, profiles, "doc_id", "text", n=3, top_k=50,
+        grams=grams.select("doc_id", "gram"),
+    ).select(
+        F.lit("langid").alias("metric"),
+        "doc_id", s.alias("lang"), b.alias("ws_tokens"),
+        b.alias("bpe_ish_tokens"), b.alias("approx_tokens"),
+        d.alias("punct_ratio"), d.alias("stop_ratio"),
+        d.alias("quality_score"), "lang_pred",
+        s.alias("fingerprint"), s.alias("fp_prefix"),
+        b.alias("n_words"), d.alias("frac_unique_words"),
+        d.alias("top_bigram_frac"), d.alias("top_trigram_frac"),
+        "oop_distance",
+    )
+    return metrics.unionByName(rep).unionByName(langid)
 
 
 _PASSAGE_FAMILY_SQL = f"""

@@ -357,3 +357,40 @@ def test_feature_one_audio_prefers_soundfile(monkeypatch):
     assert codec == "soundfile" and len(vec) == 8
     assert all(abs(v - 0.5) < 1e-9 for v in vec)  # RMS of constant 0.5
     assert mm._feature_one(b"junk", "wav", 8)[1] == "stub"
+
+
+def test_langid_rank_order_discriminates_and_is_deterministic(spark):
+    """Cavnar-Trenkle n-gram language ID (r7): train profiles on two
+    synthetic 'languages' with disjoint character distributions, then
+    classify held-out docs of each — every prediction correct, distances
+    integer and identical across repeated runs; empty text → 'und'."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.text import (
+        char_ngram_profile,
+        langid_rank_order,
+    )
+
+    alpha = [(i, "alpha", "abba abab baab babb aabb " * 3) for i in range(6)]
+    zeta = [(i + 10, "zeta", "zyyz zzyy yzzy yzyz zzzy " * 3) for i in range(6)]
+    train = spark.createDataFrame(
+        alpha + zeta, "doc_id long, lang string, text string"
+    )
+    profiles = char_ngram_profile(train, "lang", "text", top_k=20)
+    assert profiles.count() <= 40
+    held = spark.createDataFrame(
+        [(100, "abab baba abba"), (101, "zyzy yzyz zzyy"), (102, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.lang_pred, r.oop_distance)
+        for r in langid_rank_order(held, profiles, "doc_id", "text", top_k=20)
+        .collect()
+    }
+    assert got[100][0] == "alpha" and got[101][0] == "zeta"
+    assert got[102] == ("und", None)
+    assert isinstance(got[100][1], int)
+    again = {
+        r.doc_id: (r.lang_pred, r.oop_distance)
+        for r in langid_rank_order(held, profiles, "doc_id", "text", top_k=20)
+        .collect()
+    }
+    assert got == again
