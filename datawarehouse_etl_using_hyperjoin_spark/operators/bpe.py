@@ -155,8 +155,10 @@ def bpe_vocab(symbolized: DataFrame) -> DataFrame:
     )
 
 
-# Above this merge-list size, bpe_encode delegates to the Arrow-batched
-# pandas encoder: the column form stacks one `aggregate` fold per merge,
+# At or above this merge-list size, bpe_encode delegates to the
+# Arrow-batched pandas encoder (dispatch is ``>=`` — 16 merges, the
+# smallest measured-winning size, already takes the pandas path): the
+# column form stacks one `aggregate` fold per merge,
 # so plan construction + codegen cost grows with the vocab while the
 # pandas path is flat.  Measured (tools/scale_probe.py bpe_encode, sf0.01
 # docs, r7 BENCH_NOTES table): pandas wins at EVERY size ≥16 merges
@@ -183,7 +185,7 @@ def bpe_encode(
     semantics, equality-pinned by test at the boundary) — a production
     50k-merge vocab would otherwise stack a 50k-deep fold plan whose
     analysis alone takes minutes."""
-    if len(merges) > pandas_threshold:
+    if len(merges) >= pandas_threshold:
         return bpe_encode_pandas(docs, merges, id_col, text_col)
     toks = docs.select(
         F.col(id_col),

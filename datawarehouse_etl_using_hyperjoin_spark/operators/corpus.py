@@ -279,7 +279,9 @@ def decontaminate_stream(
 ) -> DataFrame:
     """Benchmark decontamination as a STATELESS streaming gate: drop (or
     flag) documents whose k-shingle BLOOM-hit fraction against the
-    STATIC benchmark exceeds ``max_hit_frac``.
+    STATIC benchmark meets or exceeds ``max_hit_frac`` (the keep
+    predicate is strict ``hits < n_shingles * max_hit_frac``, so a doc
+    exactly at the budget is dropped — conservative side).
 
     The filter is built ONCE at query-definition time (the benchmark is
     at-rest; ``bloom_build``'s collect is bounded by the filter size) and
@@ -475,8 +477,39 @@ def make_corpus_ingest_sink(
         upsert_lsh_index_batch,
     )
 
+    layout_checked = []
+
+    def _guard_corpus_layout(spark) -> None:
+        # mirror of upsert_lsh_index_batch's ingest_batch guard, for the
+        # corpus dir: an out_dir populated by the pre-r7 sink holds FLAT
+        # appended parquet files; mixing those with ingest_batch=N
+        # partition dirs makes spark.read.parquet reject or misread the
+        # corpus, so fail loudly on first write instead
+        if layout_checked:
+            return
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(out_dir)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            for st in fs.listStatus(path):
+                name = st.getPath().getName()
+                if name.startswith(("_", ".")):
+                    continue
+                if st.isDirectory() and name.startswith("ingest_batch="):
+                    continue
+                raise ValueError(
+                    f"corpus dir {out_dir!r} contains non-partitioned "
+                    f"entry {name!r} — it predates the exactly-once "
+                    "ingest_batch=N layout; migrate it (rewrite the old "
+                    "files under an ingest_batch=<id> dir and register "
+                    "their bands via upsert_lsh_index_batch) or point "
+                    "the sink at a fresh directory"
+                )
+        layout_checked.append(True)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _guard_corpus_layout(spark)
         scored = corpus_metrics(batch_df, id_col, text_col)
         gated = _quality_gate(
             scored, min_quality=min_quality, min_tokens=min_tokens, langs=langs

@@ -1722,12 +1722,17 @@ oop AS (
   FROM dr d CROSS JOIN langs l
   LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
   GROUP BY d.doc_id, l.lang
+),
+best AS (
+  SELECT doc_id, lang AS lang_pred, oop AS oop_distance FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY oop, lang) AS rn
+    FROM oop
+  ) WHERE rn = 1
 )
-SELECT doc_id, lang AS lang_pred, oop AS oop_distance FROM (
-  SELECT *, row_number() OVER (PARTITION BY doc_id
-                               ORDER BY oop, lang) AS rn
-  FROM oop
-) WHERE rn = 1"""
+SELECT d.doc_id, coalesce(b.lang_pred, 'und') AS lang_pred,
+       b.oop_distance
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id"""
 
 _TEXT_QUALITY_SQL = f"""
 SELECT 'metrics' AS metric, doc_id, lang, ws_tokens, bpe_ish_tokens,

@@ -1,0 +1,71 @@
+"""bench.py artifact contract — truncation-proof key order.
+
+The driver captures the TAIL of bench.py's single JSON line into
+BENCH_r{N}.json; r6 and r7 both lost their per-query medians to
+front-truncation because ``queries`` was an early key.  These tests pin
+the serializer: ``queries`` is the LAST key, so a simulated tail capture
+(last 4 KB) of a full-size 50-query payload still contains every median.
+No SparkSession needed — pure serializer tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import render_result  # noqa: E402
+
+
+def _full_size_payload():
+    """A payload shaped like a real 50-query sf0.1 run."""
+    names = [f"q_some_fairly_long_query_name_{i:02d}" for i in range(50)]
+    return {
+        "metric": "full_roster_suite_wall",
+        "value": 66.6,
+        "unit": "sec",
+        "queries": {n: round(0.5 + i * 0.137, 3) for i, n in enumerate(names)},
+        "sf": 0.1,
+        "protocol": "interleaved median-of-3 (warm pass excluded); "
+        "full 50-query roster; streaming via noop sink "
+        "(stream-stream state partitions auto-sized)",
+        "spread": {n: round(0.01 * (i % 7), 3) for i, n in enumerate(names)},
+        "stream_attribution": {
+            "wall_1x_sec": 0.9,
+            "wall_2x_sec": 1.6,
+            "per_input_marginal_sec": 0.7,
+            "fixed_machinery_sec": 0.2,
+        },
+        "host_load": [[1.0, 2.0, 3.0]] * 5,
+    }
+
+
+def test_queries_is_the_last_key():
+    line = render_result(_full_size_payload())
+    parsed = json.loads(line)
+    assert list(parsed)[-1] == "queries"
+    assert list(parsed)[-2] == "spread"
+    # round-trip loses nothing
+    assert parsed == _full_size_payload()
+
+
+def test_tail_capture_keeps_medians():
+    """Simulate the driver's tail capture: the LAST 4 KB of the line must
+    contain every per-query median verbatim (the field r6/r7 lost)."""
+    payload = _full_size_payload()
+    line = render_result(payload)
+    tail = line[-4096:]
+    for name, median in payload["queries"].items():
+        assert f'"{name}": {json.dumps(median)}' in tail, name
+
+
+def test_unknown_keys_survive_and_stay_in_front():
+    """Future fields added to the payload must not silently vanish, and
+    must not displace ``queries`` from the tail."""
+    payload = _full_size_payload()
+    payload["new_diagnostic"] = {"anything": 1}
+    parsed = json.loads(render_result(payload))
+    assert parsed["new_diagnostic"] == {"anything": 1}
+    assert list(parsed)[-1] == "queries"

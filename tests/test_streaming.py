@@ -903,3 +903,43 @@ def test_corpus_ingest_sink_replay_is_exactly_once(
     assert len(s_after_1[0]) > len(s_after_0[0])  # fresh docs landed once
     sink(b1, 1)  # replay batch 1
     assert state() == s_after_1
+
+
+def test_corpus_ingest_sink_rejects_flat_legacy_layout(
+    spark, sf_dir, tmp_path_factory
+):
+    """r8 (ADVICE): an out_dir populated by the pre-r7 sink holds FLAT
+    appended parquet; mixing it with ingest_batch=N partition dirs would
+    make spark.read.parquet reject or misread the corpus.  The sink must
+    fail loudly with a migration message on first write — mirroring
+    upsert_lsh_index_batch's guard on the index table — and accept a
+    fresh (or already-partitioned) directory."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        make_corpus_ingest_sink,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 20)
+    )
+    legacy = str(tmp_path_factory.mktemp("legacy_out")) + "/corpus"
+    docs.coalesce(1).write.parquet(legacy)  # r6 flat layout
+    sink = make_corpus_ingest_sink(
+        legacy, f"legacy_idx_{uuid.uuid4().hex[:8]}",
+        min_quality=0.0, min_tokens=1,
+    )
+    with pytest.raises(ValueError, match="ingest_batch"):
+        sink(docs, 0)
+
+    # fresh dir: first batch writes, and a SECOND sink instance pointed at
+    # the now ingest_batch=N-partitioned dir still passes the guard
+    ok = str(tmp_path_factory.mktemp("ok_out")) + "/corpus"
+    make_corpus_ingest_sink(
+        ok, f"ok_idx_{uuid.uuid4().hex[:8]}", min_quality=0.0, min_tokens=1
+    )(docs, 0)
+    make_corpus_ingest_sink(
+        ok, f"ok_idx2_{uuid.uuid4().hex[:8]}", min_quality=0.0, min_tokens=1
+    )(docs.filter(F.col("doc_id") < 5), 1)
+    got = spark.read.parquet(ok)
+    assert {"ingest_batch"} <= set(got.columns)

@@ -394,3 +394,54 @@ def test_langid_rank_order_discriminates_and_is_deterministic(spark):
         .collect()
     }
     assert got == again
+
+
+def test_langid_oracle_matches_spark_on_gramless_docs(spark):
+    """r8 (ADVICE medium): the _LANGID_SQL oracle must emit ('und', NULL)
+    for docs that produce no n-grams — empty, whitespace-only, or NULL
+    text — exactly like langid_rank_order's left-join-back-to-all-docs.
+    Full value parity on a fixture that exercises all three gram-less
+    shapes, so the driver gate can never diverge on row count again."""
+    import duckdb
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.text import (
+        char_ngram_profile,
+        langid_rank_order,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.queries.extensions import (
+        _LANGID_SQL,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha", "abba abab baab babb aabb " * 3),
+            (2, "zeta", "zyyz zzyy yzzy yzyz zzzy " * 3),
+            (3, "alpha", "abab baba abba aabb"),
+            (4, "zeta", "yzyz zzzy zyyz"),
+            (5, "alpha", ""),        # empty -> no grams
+            # whitespace-only is NOT gram-less: trim strips spaces but
+            # the tab survives, \s+ collapses it to a single-space text,
+            # which contributes itself as one gram — on BOTH engines
+            (6, "zeta", "   \t  "),
+            (7, "alpha", None),      # NULL text -> no grams
+        ],
+        "doc_id long, lang string, text string",
+    )
+    profiles = char_ngram_profile(docs, "lang", "text", n=3, top_k=50,
+                                  max_chars=600)
+    got = {
+        r.doc_id: (r.lang_pred, r.oop_distance)
+        for r in langid_rank_order(
+            docs, profiles, "doc_id", "text", n=3, top_k=50, max_chars=600
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    exp = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(_LANGID_SQL).fetchall()
+    }
+    assert got == exp
+    assert got[5] == ("und", None)
+    assert got[6][1] is not None  # single-space gram -> a real distance
+    assert got[7] == ("und", None)
