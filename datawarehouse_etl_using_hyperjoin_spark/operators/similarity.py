@@ -617,6 +617,37 @@ def ivf_append(
     )
 
 
+def _ivf_probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+):
+    """(probe relation, sorted probed cell-id list) for at-rest IVF
+    serving: each query's ``nprobe`` closest centroids, plus the distinct
+    cell ids collected driver-side — bounded by ``min(Q·nprobe, C)``
+    (design parameters, never data volume) so they can prune the index
+    scan as a LITERAL partition filter at planning time."""
+    qs = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__qc", cosine(F.col("__qvec"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__qc").desc(), F.col("centroid_id")
+    )
+    probe_df = (
+        qs.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qvec", "centroid_id")
+    )
+    probed_cells = sorted(
+        r[0] for r in probe_df.select("centroid_id").distinct().collect()
+    )
+    return probe_df, probed_cells
+
+
 def ann_ivf_index_topk(
     queries: DataFrame,
     index: DataFrame,
@@ -641,21 +672,8 @@ def ann_ivf_index_topk(
     runtime DPP would leave correctness of the pruning to an optimizer
     heuristic.
     """
-    qs = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("__qc", cosine(F.col("__qvec"), F.col("centroid")))
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("__qc").desc(), F.col("centroid_id")
-    )
-    probe_df = (
-        qs.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qvec", "centroid_id")
-    )
-    probed_cells = sorted(
-        r[0] for r in probe_df.select("centroid_id").distinct().collect()
+    probe_df, probed_cells = _ivf_probe_cells(
+        queries, centroids, id_col, vec_col, nprobe
     )
     cells = index.filter(F.col("centroid_id").isin(probed_cells)).select(
         F.col(id_col).alias("neighbor_id"),
@@ -673,6 +691,97 @@ def ann_ivf_index_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_ivf_index_topk_quantized(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_col: str = "qembedding",
+    scale_col: str = "qscale",
+    k: int = 3,
+    nprobe: int = 4,
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF search against an at-rest index whose cells hold int8-QUANTIZED
+    payloads (:func:`quantize_embeddings` applied before
+    :func:`write_ivf_index`): the partition-pruned probe of
+    :func:`ann_ivf_index_topk` composed with the code-space scoring of
+    :func:`cosine_topk_quantized`.
+
+    Why this is the 100 TB serving shape: the embedding column IS the
+    index's bytes, and parquet is columnar — the candidate-scoring scan
+    selects ONLY (id, codes, scale), so the float ``vec_col`` column's
+    pages are never read even when the index keeps it for reranking.
+    Probed-cell partition pruning cuts files to ~nprobe/C and the int8
+    codes cut the remaining pages a further ~4×, multiplicatively.
+
+    ``rerank > 0``: take the top ``max(k, rerank)`` candidates per query
+    by quantized cosine, then re-score ONLY those against the float
+    vectors fetched from the probed cells (a broadcast join of a
+    ``Q·rerank``-row relation against the pruned float scan — the float
+    column is read for probed cells only, and candidate cost is
+    query-bound, not corpus-bound).  Output schema matches
+    :func:`ann_ivf_index_topk`."""
+    probe_df, probed_cells = _ivf_probe_cells(
+        queries, centroids, id_col, vec_col, nprobe
+    )
+    probed = index.filter(F.col("centroid_id").isin(probed_cells))
+    cells = probed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(q_col).alias("__cq"),
+        F.col(scale_col).alias("__cs"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+    )
+    pq = quantize_embeddings(probe_df, vec_col="__qvec", q_col="__qq", scale_col="__qs")
+    scored = (
+        F.broadcast(pq)
+        .join(cells, on="centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "qcos",
+            cosine_quantized(
+                F.col("__qq"), F.col("__qs"), F.col("__cq"), F.col("__cs")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id")
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "centroid_id", "query_id", "neighbor_id",
+                F.col("qcos").alias("cos"), "rank",
+            )
+        )
+    cand = (
+        scored.withColumn("__crn", F.row_number().over(w))
+        .filter(F.col("__crn") <= max(k, rerank))
+        .select("centroid_id", "query_id", "neighbor_id", "__qvec")
+    )
+    floats = probed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    exact = (
+        F.broadcast(cand)
+        .join(floats, on="neighbor_id")
+        .withColumn("cos", cosine(F.col("__qvec"), F.col("__cvec")))
+        .drop("__qvec", "__cvec")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("centroid_id", "query_id", "neighbor_id", "cos", "rank")
+    )
 
 
 def near_dup_pairs(

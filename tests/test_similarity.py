@@ -376,3 +376,78 @@ def test_semantic_dedup_survivors_and_cell_guard(spark):
     # cap: with max_cell below the cell size, nothing is joined or dropped
     capped = semantic_dedup(vecs, cents, threshold=0.9, max_cell=1)
     assert {r.vec_id for r in capped.collect()} == {0, 1, 2, 3, 4}
+
+
+def test_quantized_ivf_index_serving_prunes_floats_and_reranks_exactly(
+    spark, sf_dir, tmp_path
+):
+    """r8: the int8 at-rest IVF serving path (ann_ivf_index_topk_quantized).
+    (a) Column pruning: the candidate-scoring scan over the quantized
+    index selects ONLY (id, codes, scale) — the float embedding column's
+    pages are never read even though the index stores it for reranking.
+    (b) Reranking over the ENTIRE probed candidate pool reproduces the
+    float at-rest path bit-exactly (same cells, same floats, same exact
+    cosine), so the cheap first stage loses nothing that the rerank
+    budget covers."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_index_topk,
+        ann_ivf_index_topk_quantized,
+        ivf_assign,
+        ivf_seed_centroids,
+        quantize_embeddings,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import plan_string
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_seed_centroids(em, 16).localCheckpoint(eager=True)
+    assigned = ivf_assign(em, cent)
+    qpath = str(tmp_path / "ivf_quant")
+    write_ivf_index(quantize_embeddings(assigned), qpath)
+    idx_q = read_ivf_index(spark, qpath)
+    q = em.filter(F.col("vec_id") < 8)
+
+    # (a) codes-only serving never reads the float column of the index
+    codes = ann_ivf_index_topk_quantized(q, idx_q, cent, k=5, nprobe=4)
+    plan = plan_string(codes)
+    idx_reads = [
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "qembedding" in l
+    ]
+    assert idx_reads, f"no quantized index scan in plan:\n{plan}"
+    assert all("embedding:array<float>" not in l for l in idx_reads), idx_reads
+    # probed-cell partition pruning still reaches the scan
+    assert any(
+        "PartitionFilters" in l and "centroid_id" in l
+        for l in plan.splitlines()
+    ), plan
+    assert codes.count() == 8 * 5
+
+    # (b) full-pool rerank == float at-rest serving, bit-exact
+    fpath = str(tmp_path / "ivf_float")
+    write_ivf_index(assigned, fpath)
+    idx_f = read_ivf_index(spark, fpath)
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.centroid_id, r.cos)
+        for r in ann_ivf_index_topk(q, idx_f, cent, k=5, nprobe=4).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.centroid_id, r.cos)
+        for r in ann_ivf_index_topk_quantized(
+            q, idx_q, cent, k=5, nprobe=4, rerank=10**6
+        ).collect()
+    }
+    assert got == want and len(got) == 8 * 5
+
+    # sanity: a realistic rerank budget (4k) stays close to the float path
+    small = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann_ivf_index_topk_quantized(
+            q, idx_q, cent, k=5, nprobe=4, rerank=20
+        ).collect()
+    }
+    overlap = sum(
+        1 for key, nb in small.items() if want.get(key, (None,))[0] == nb
+    )
+    assert overlap / len(want) >= 0.8, overlap

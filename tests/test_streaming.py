@@ -943,3 +943,83 @@ def test_corpus_ingest_sink_rejects_flat_legacy_layout(
     )(docs.filter(F.col("doc_id") < 5), 1)
     got = spark.read.parquet(ok)
     assert {"ingest_batch"} <= set(got.columns)
+
+
+def test_quarantine_late_split_and_sink_convergence(spark, tmp_path_factory):
+    """r8: explicit late-data policy (VERDICT item).  Spark's watermark
+    does not drop too-late aggregation input (pinned by
+    test_watermark_bounds_state_and_advances) — quarantine_late makes the
+    policy explicit.  (a) the split: rows older than high_watermark −
+    lateness go to the late relation, NULL event times stay on-time;
+    (b) make_quarantine_sink: a straggler lands in the quarantine dir and
+    never reaches the downstream summary, and a REPLAYED batch re-splits
+    against the same cutoff (own _hwm partition excluded) so the
+    quarantine, the clean relation, and the sum-merged summary all
+    converge instead of double-counting."""
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        make_quarantine_sink,
+        quarantine_late,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts string, amount long"
+        ).select("user_id", F.to_timestamp("ts").alias("ts"), "amount")
+
+    # (a) pure split
+    df = batch(
+        [
+            (1, "2026-01-01 10:20:00", 5),
+            (2, "2026-01-01 09:00:00", 7),   # late vs cutoff 10:00
+            (3, None, 9),                     # unjudgeable -> on-time
+        ]
+    )
+    on_time, late = quarantine_late(
+        df, "ts", "30 minutes",
+        high_watermark="2026-01-01 10:30:00",
+    )
+    assert {r.user_id for r in on_time.collect()} == {1, 3}
+    assert {r.user_id for r in late.collect()} == {2}
+    # no history yet -> nothing late
+    ot0, l0 = quarantine_late(df, "ts", "30 minutes", high_watermark=None)
+    assert l0.count() == 0 and ot0.count() == 3
+
+    # (b) the persisted sink
+    out = str(tmp_path_factory.mktemp("quarantine")) + "/stream"
+
+    def inner(clean: DataFrame, batch_id: int) -> None:
+        clean.write.mode("overwrite").parquet(
+            f"{out}/clean/ingest_batch={int(batch_id)}"
+        )
+
+    sink = make_quarantine_sink(inner, out, watermark_col="ts",
+                                lateness="30 minutes")
+    b0 = batch([(1, "2026-01-01 10:00:00", 10),
+                (2, "2026-01-01 10:30:00", 20)])
+    b1 = batch([(3, "2026-01-01 11:00:00", 30),
+                (4, "2026-01-01 09:00:00", 40)])  # straggler
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def summary():
+        clean = spark.read.parquet(f"{out}/clean")
+        return {
+            r.user_id: r.total
+            for r in clean.groupBy("user_id")
+            .agg(F.sum("amount").alias("total"))
+            .collect()
+        }
+
+    late_ids = {
+        r.user_id for r in spark.read.parquet(f"{out}/late").collect()
+    }
+    assert late_ids == {4}
+    want = {1: 10, 2: 20, 3: 30}
+    assert summary() == want
+
+    # replay batch 1 (recovered foreachBatch): identical split, no growth
+    sink(b1, 1)
+    assert {
+        r.user_id for r in spark.read.parquet(f"{out}/late").collect()
+    } == {4}
+    assert summary() == want

@@ -59,6 +59,101 @@ def synth_documents(spark, n_docs: int, path: str, n_words: int = 80) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
+def synth_lang_documents(
+    spark, n_docs: int, path: str, n_langs: int = 6, n_words: int = 140
+) -> None:
+    """Deterministic lang-labeled corpus for the language-ID probe:
+    ``n_langs`` synthetic languages with DISJOINT 4-letter alphabets
+    (lang 0 writes over a-d, lang 1 over e-h, ...), each doc = n_words
+    5-char words hash-drawn from its language's alphabet.  Disjoint
+    alphabets make accuracy a trivially checkable invariant (any
+    misclassification = a probe bug), while gram counts / exchange sizes
+    match a real corpus of the same shape.  No RNG — reproducible."""
+    letters = F.array(*[F.lit(c) for c in "abcdefghijklmnopqrstuvwx"])
+    lang_idx = F.pmod(F.col("id"), n_langs)
+    word = lambda i: F.concat_ws(  # noqa: E731
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(5)),
+            lambda j: F.element_at(
+                letters,
+                (
+                    lang_idx * 4
+                    + F.pmod(F.xxhash64(F.col("id") * 131 + i * 7 + j), 4)
+                    + 1
+                ).cast("int"),
+            ),
+        ),
+    )
+    words = F.transform(F.sequence(F.lit(1), F.lit(n_words)), word)
+    spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("lang"), lang_idx.cast("string")).alias("lang"),
+        F.concat_ws(" ", words).alias("text"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def measure_langid(spark, docs) -> dict[str, float]:
+    """Wall + accuracy for the FULL trained-langid branch shape as
+    q_text_quality runs it: one shared gram explode (checkpointed —
+    rebuilt inside the timed run; it is part of the work), profile
+    training, rank-order serving.  Linear claim under test: two keyed
+    exchanges over (id|lang, gram) rows, per-doc work capped by
+    max_chars=600, broadcast profiles — wall should track doc count."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.text import (
+        char_ngram_profile,
+        exploded_ngrams,
+        langid_rank_order,
+    )
+
+    def pipeline():
+        grams = exploded_ngrams(
+            docs.select("doc_id", "lang", "text"),
+            ["doc_id", "lang"], "text", 3, 600,
+        ).localCheckpoint(eager=True)
+        profiles = char_ngram_profile(
+            docs, "lang", "text", n=3, top_k=50,
+            grams=grams.select("lang", "gram"),
+        )
+        return langid_rank_order(
+            docs, profiles, "doc_id", "text", n=3, top_k=50,
+            grams=grams.select("doc_id", "gram"),
+        )
+
+    def drop_checkpoints():
+        # every pipeline() run eagerly localCheckpoints its gram relation
+        # (60 M rows at 100 k docs); dropping it after each materialization
+        # keeps run N identical to run 1 instead of measuring run 1 plus
+        # N−1 stale checkpoints' worth of heap pressure (observed: 29 s
+        # spread at 20× before this)
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
+    pipeline().write.mode("overwrite").format("noop").save()  # warm
+    drop_checkpoints()
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        pipeline().write.mode("overwrite").format("noop").save()
+        walls.append(time.time() - t0)
+        drop_checkpoints()
+    wall = sorted(walls)[1]  # median-of-3: one GC pause can't poison a size
+    hits = (
+        pipeline()
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            F.sum((F.col("lang_pred") == F.col("lang")).cast("long")).alias("ok"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    return {
+        "wall_sec": round(wall, 3),
+        "spread_sec": round(max(walls) - min(walls), 3),
+        "accuracy": round(hits.ok / hits.n, 4),
+    }
+
+
 def shuffle_write_bytes(spark) -> int:
     """Cumulative shuffle-write bytes across all completed stages, from the
     driver's AppStatusStore (works with spark.ui.enabled=false — the store
@@ -528,6 +623,80 @@ def measure_ivf_recall(
                 "wall_sec": round(wall, 2),
                 "recall_at_k": round(len(got & ground) / len(ground), 3),
             }
+    return out
+
+
+def measure_ivf_quantized(
+    spark, vecs, *, n_cells: int = 64, n_queries: int = 64, k: int = 10,
+    nprobe: int = 4, lloyd_iters: int = 1,
+) -> dict[str, object]:
+    """int8-quantized at-rest IVF SERVING vs float serving, measured at
+    the SCALE.md-recommended operating point (clustered corpus, nprobe≥4):
+    wall, scan bytes (input_mb — the read-amplification signal that rules
+    at 100 TB), and recall@k vs exact brute force, for (a) the float
+    index, (b) codes-only quantized serving, (c) quantized + float rerank
+    of 4k candidates.  The quantized index stores BOTH codes and floats;
+    parquet column pruning keeps the float pages unread in stage 1, so
+    variant (c) buys back float-exact ordering for a query-bound extra
+    read."""
+    import tempfile as _tf
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_index_topk,
+        ann_ivf_index_topk_quantized,
+        cosine_topk,
+        ivf_assign,
+        ivf_seed_centroids,
+        kmeans_refine,
+        quantize_embeddings,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    q = vecs.filter(F.col("vec_id") < n_queries).localCheckpoint(eager=True)
+    ground = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(q, vecs, k=k).select("query_id", "neighbor_id").collect()
+    }
+    cent = kmeans_refine(
+        vecs, ivf_seed_centroids(vecs, n_cells), iters=lloyd_iters
+    ).localCheckpoint(eager=True)
+    assigned = ivf_assign(vecs, cent)
+    root = _tf.mkdtemp(prefix="scale_probe_ivfq_")
+    write_ivf_index(assigned, root + "/float")
+    write_ivf_index(quantize_embeddings(assigned), root + "/quant")
+    idx_f = read_ivf_index(spark, root + "/float")
+    idx_q = read_ivf_index(spark, root + "/quant")
+
+    def recall(df) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in df.select("query_id", "neighbor_id").collect()
+        }
+        return round(len(got & ground) / len(ground), 3)
+
+    variants = {
+        "float_index": lambda: ann_ivf_index_topk(
+            q, idx_f, cent, k=k, nprobe=nprobe
+        ),
+        "quantized_codes_only": lambda: ann_ivf_index_topk_quantized(
+            q, idx_q, cent, k=k, nprobe=nprobe
+        ),
+        "quantized_rerank_4k": lambda: ann_ivf_index_topk_quantized(
+            q, idx_q, cent, k=k, nprobe=nprobe, rerank=4 * k
+        ),
+    }
+    out: dict[str, object] = {
+        "n_vectors": vecs.count(),
+        "n_cells": n_cells,
+        "n_queries": n_queries,
+        "k": k,
+        "nprobe": nprobe,
+    }
+    for name, make in variants.items():
+        m = run_metered(spark, make())
+        m["recall_at_k"] = recall(make())
+        out[name] = m
     return out
 
 
@@ -1131,6 +1300,34 @@ def main() -> None:
             },
         }, indent=2))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "langid":
+        # r8: the trained-langid branch is the suite's most expensive
+        # entry (4.99 s at sf0.1) — prove the two-exchange shape is
+        # LINEAR in document count and record the constant.  Sizes are
+        # multiples of the sf0.1 documents count (5 000).
+        spark = get_spark(
+            "scale-probe-langid",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        base = int(os.environ.get("SCALE_PROBE_DOCS", 5_000))
+        out: dict[str, dict] = {}
+        for mult in (1, 5, 10, 20):
+            path = tempfile.mkdtemp(prefix="scale_probe_") + "/lang_docs"
+            synth_lang_documents(spark, base * mult, path)
+            m = measure_langid(spark, spark.read.parquet(path))
+            # each pipeline() run localCheckpoints its gram relation;
+            # drop them between sizes or the stale RDDs of every prior
+            # size pressure the heap during the next measurement
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+            m["n_docs"] = base * mult
+            m["sec_per_100k_docs"] = round(
+                m["wall_sec"] * 100_000 / (base * mult), 3
+            )
+            out[f"{mult}x"] = m
+        print(json.dumps({"langid": out}, indent=2))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "cc_depth":
         spark = get_spark(
             "scale-probe-cc", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
@@ -1388,6 +1585,26 @@ def main() -> None:
                 row[label] = round(time.time() - t0, 2)
             out[f"merges_{n_merges}"] = row
         print(json.dumps({"bpe_encode": out}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ivf_quantized":
+        spark = get_spark(
+            "scale-probe-ivfq", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        vec_path = tempfile.mkdtemp(prefix="scale_probe_") + "/vectors"
+        n_vecs = int(os.environ.get("SCALE_PROBE_VECS", 200_000))
+        synth_clustered_vectors(
+            spark, n_vecs, 32, vec_path,
+            n_blobs=int(os.environ.get("SCALE_PROBE_BLOBS", 32)),
+            spread=float(os.environ.get("SCALE_PROBE_SPREAD", 0.15)),
+        )
+        vecs = spark.read.parquet(vec_path).localCheckpoint(eager=True)
+        print(json.dumps({"ivf_quantized": measure_ivf_quantized(
+            spark, vecs,
+            n_cells=int(os.environ.get("SCALE_PROBE_CELLS", 64)),
+            nprobe=int(os.environ.get("SCALE_PROBE_NPROBE", 4)),
+            lloyd_iters=int(os.environ.get("SCALE_PROBE_LLOYD_ITERS", 1)),
+        )}, indent=2))
         return
     if len(sys.argv) > 1 and sys.argv[1] in ("ivf_recall", "ivf_recall_clustered"):
         clustered = sys.argv[1] == "ivf_recall_clustered"
