@@ -764,8 +764,18 @@ def ann_ivf_index_topk_quantized(
         scored.withColumn("__crn", F.row_number().over(w))
         .filter(F.col("__crn") <= max(k, rerank))
         .select("centroid_id", "query_id", "neighbor_id", "__qvec")
+        .localCheckpoint(eager=True)
     )
-    floats = probed.select(
+    # candidate ids are bounded by Q·rerank (design parameters, never
+    # data volume — the same bounded-literal-collect pattern as the
+    # probe cells); pushing them into the float fetch lets parquet skip
+    # row groups whose id range holds no candidate, instead of re-reading
+    # every probed cell's float column.  The checkpoint above means
+    # stage-1 scoring runs ONCE, not once more per downstream consumer.
+    cand_ids = sorted(
+        r[0] for r in cand.select("neighbor_id").distinct().collect()
+    )
+    floats = probed.filter(F.col(id_col).isin(cand_ids)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     exact = (

@@ -67,6 +67,7 @@ def get_spark(
     app_name: str = "hyperjoin-spark",
     cpus: int | None = None,
     driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession for local runs.
 
@@ -74,6 +75,10 @@ def get_spark(
     single local JVM that is both driver and executor here — the 1g Spark
     default OOMs on exact percentiles / large collects at sf0.1.  Only
     effective at JVM launch; a pre-existing session keeps its heap.
+    ``extra_conf`` sets additional launch-time confs (probe harnesses use
+    it to raise ``spark.ui.retainedStages`` so cumulative stage-metric
+    accounting never loses evicted stages); like the heap, only effective
+    at JVM launch.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -84,6 +89,8 @@ def get_spark(
         .appName(app_name)
         .config("spark.driver.memory", driver_memory)
     )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
     spark = tuned_conf(builder, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

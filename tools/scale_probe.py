@@ -172,8 +172,28 @@ def shuffle_write_bytes(spark) -> int:
     return sum(stages.apply(i).shuffleWriteBytes() for i in range(stages.size()))
 
 
+# Launch-time conf for any probe session that reads _stage_totals:
+# the status store EVICTS stages past spark.ui.retainedStages (default
+# 1000), which silently corrupts cumulative-sum deltas in BOTH
+# directions once a probe has run enough jobs (observed: a 24.5 MB
+# column scan "reading" 2.0 MB).  Metered probes must create their
+# session with get_spark(..., extra_conf=METERED_SESSION_CONF).
+METERED_SESSION_CONF = {
+    "spark.ui.retainedStages": "100000",
+    "spark.ui.retainedJobs": "100000",
+}
+
+
 def _stage_totals(spark) -> tuple[int, int]:
-    """(shuffle-write bytes, input bytes) summed over completed stages."""
+    """(shuffle-write bytes, input bytes) summed over completed stages.
+
+    Callers must drain the listener bus first (the status store is fed
+    asynchronously) and run under METERED_SESSION_CONF (see above) —
+    run_metered does both."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    except Exception:
+        time.sleep(0.5)  # best effort on builds without the accessor
     jvm = spark._jvm
     gw = spark.sparkContext._gateway
     store = spark.sparkContext._jsc.sc().statusStore()
@@ -189,23 +209,47 @@ def _stage_totals(spark) -> tuple[int, int]:
     return sw, ib
 
 
+def _jvm_rchar(spark) -> int | None:
+    """Logical bytes the local JVM has requested via read syscalls
+    (/proc/<pid>/io rchar) — the trustworthy file-read meter in local
+    mode, where driver and every executor thread are ONE process.  The
+    status store's per-stage inputBytes proved unusable here: parquet
+    FileScan bytes underreport on local fs AND reads of localCheckpoint
+    blocks count as 'input' (r8 diagnosis: a 24.5 MB column scan
+    'reading' 2.0 MB while a checkpoint-fed join 'read' 45 MB)."""
+    try:
+        pid = spark._jvm.java.lang.ProcessHandle.current().pid()
+        with open(f"/proc/{pid}/io") as f:
+            for line in f:
+                if line.startswith("rchar:"):
+                    return int(line.split()[1])
+    except Exception:  # pragma: no cover - non-Linux / Spark Connect
+        return None
+    return None
+
+
 def run_metered(spark, df) -> dict[str, float]:
     """Warm once, then time a materialization and attribute its shuffle
-    volume and scan input: {wall_sec, shuffle_mb, input_mb}.  On local
+    volume and file reads: {wall_sec, shuffle_mb, read_mb}.  On local
     NVMe the wall barely moves with scan size (the 100 TB regime is
-    IO/network-bound); input_mb is the scale-relevant read-amplification
-    signal."""
+    IO/network-bound); read_mb — OS-level logical read bytes of the one
+    local JVM (see :func:`_jvm_rchar`) — is the scale-relevant
+    read-amplification signal."""
     df.write.mode("overwrite").format("noop").save()
-    sw0, ib0 = _stage_totals(spark)
+    sw0, _ = _stage_totals(spark)
+    rc0 = _jvm_rchar(spark)
     t0 = time.time()
     df.write.mode("overwrite").format("noop").save()
     wall = time.time() - t0
-    sw1, ib1 = _stage_totals(spark)
-    return {
+    rc1 = _jvm_rchar(spark)
+    sw1, _ = _stage_totals(spark)
+    out = {
         "wall_sec": round(wall, 2),
         "shuffle_mb": round((sw1 - sw0) / (1 << 20), 1),
-        "input_mb": round((ib1 - ib0) / (1 << 20), 1),
     }
+    if rc0 is not None and rc1 is not None:
+        out["read_mb"] = round((rc1 - rc0) / (1 << 20), 1)
+    return out
 
 
 def synth_intervals(spark, n_intervals: int, lo_max: float = 1e6, width_max: float = 500.0):
@@ -686,12 +730,31 @@ def measure_ivf_quantized(
             q, idx_q, cent, k=k, nprobe=nprobe, rerank=4 * k
         ),
     }
+    def column_mb(path: str) -> dict[str, float]:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        tot: dict[str, int] = {}
+        for f in _glob.glob(path + "/centroid_id=*/*.parquet"):
+            md = _pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    key = c.path_in_schema.split(".")[0]
+                    tot[key] = tot.get(key, 0) + c.total_compressed_size
+        return {k_: round(v / (1 << 20), 2) for k_, v in sorted(tot.items())}
+
     out: dict[str, object] = {
         "n_vectors": vecs.count(),
         "n_cells": n_cells,
         "n_queries": n_queries,
         "k": k,
         "nprobe": nprobe,
+        # at-rest column footprint: the byte ratio that rules once cell
+        # files are GB-sized and per-file overhead amortizes away
+        "index_column_mb": column_mb(root + "/quant"),
     }
     for name, make in variants.items():
         m = run_metered(spark, make())
@@ -1266,7 +1329,8 @@ def measure_corpus_diff(spark, docs) -> dict[str, float]:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "events":
         spark = get_spark(
-            "scale-probe-ev", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+            "scale-probe-ev", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import (
@@ -1308,6 +1372,7 @@ def main() -> None:
         spark = get_spark(
             "scale-probe-langid",
             cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         base = int(os.environ.get("SCALE_PROBE_DOCS", 5_000))
@@ -1330,14 +1395,16 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "cc_depth":
         spark = get_spark(
-            "scale-probe-cc", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+            "scale-probe-cc", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         print(json.dumps({"cc_depth": measure_cc_depth(spark)}, indent=2))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "hygiene":
         spark = get_spark(
-            "scale-probe-hyg", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+            "scale-probe-hyg", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         docs_small = spark.read.parquet(
@@ -1357,7 +1424,8 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "selection":
         spark = get_spark(
-            "scale-probe-sel", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+            "scale-probe-sel", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         docs_small = spark.read.parquet(
@@ -1390,6 +1458,7 @@ def main() -> None:
         spark = get_spark(
             "scale-probe-shards",
             cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         n_rows = int(os.environ.get("SCALE_PROBE_ROWS", 10_000_000))
@@ -1459,6 +1528,7 @@ def main() -> None:
         spark = get_spark(
             "scale-probe-ingest",
             cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1550,7 +1620,8 @@ def main() -> None:
         )
 
         spark = get_spark(
-            "scale-probe-bpe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+            "scale-probe-bpe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -1588,7 +1659,8 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf_quantized":
         spark = get_spark(
-            "scale-probe-ivfq", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+            "scale-probe-ivfq", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         vec_path = tempfile.mkdtemp(prefix="scale_probe_") + "/vectors"
@@ -1602,6 +1674,7 @@ def main() -> None:
         print(json.dumps({"ivf_quantized": measure_ivf_quantized(
             spark, vecs,
             n_cells=int(os.environ.get("SCALE_PROBE_CELLS", 64)),
+            n_queries=int(os.environ.get("SCALE_PROBE_QUERIES", 64)),
             nprobe=int(os.environ.get("SCALE_PROBE_NPROBE", 4)),
             lloyd_iters=int(os.environ.get("SCALE_PROBE_LLOYD_ITERS", 1)),
         )}, indent=2))
@@ -1609,7 +1682,8 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] in ("ivf_recall", "ivf_recall_clustered"):
         clustered = sys.argv[1] == "ivf_recall_clustered"
         spark = get_spark(
-            "scale-probe-ivf", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+            "scale-probe-ivf", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         vec_path = tempfile.mkdtemp(prefix="scale_probe_") + "/vectors"
@@ -1634,7 +1708,10 @@ def main() -> None:
         )}, indent=2))
         return
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    spark = get_spark("scale-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    spark = get_spark(
+        "scale-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        extra_conf=METERED_SESSION_CONF,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     parts = F.broadcast(
