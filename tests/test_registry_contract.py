@@ -109,6 +109,32 @@ def test_ensure_engine_conf_merges_excluded_rules(registry):
             spark.conf.set(key, prev)
 
 
+def test_ensure_engine_conf_sets_wide_exchange_posture(registry):
+    """r8: initialPartitionNum = 8×parallelism is what keeps big keyed
+    aggregates LINEAR (SCALE.md r8: the langid branch went superlinear at
+    20× docs under a fixed 32-partition shuffle, 52 s → 11.5 s with this).
+    It must reach a foreign session via ensure_engine_conf, or the
+    grading driver's plain session silently loses the posture."""
+    from datawarehouse_etl_using_hyperjoin_spark.session import (
+        ensure_engine_conf,
+        get_spark,
+    )
+
+    spark = get_spark()
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.unset(key)
+        ensure_engine_conf(spark)
+        assert (
+            int(spark.conf.get(key))
+            == 8 * spark.sparkContext.defaultParallelism
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+
+
 def test_every_oracle_is_valid_duckdb_sql(registry, duck):
     bad = {}
     for name, qd in registry.items():
