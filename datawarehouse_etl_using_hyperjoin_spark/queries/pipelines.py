@@ -27,10 +27,12 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import attach_payload, decode
 from ..operators.similarity import (
+    ann_ivf_index_topk_quantized,
     ann_ivf_topk,
     ann_multiprobe_topk,
     cosine_quantized,
     cosine_topk,
+    ivf_assign,
     ivf_seed_centroids,
     kmeans_refine,
     near_dup_pairs,
@@ -450,6 +452,89 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_IVF_QUANT_SQL = f"""
+WITH {_IVF_TRAINED_CENT_SQL},
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS_SQL.format(a="e.embedding", b="cent.centroid")} DESC,
+                        cent.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS_SQL.format(a="e.embedding", b="cent.centroid")} DESC,
+                        cent.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cent
+    WHERE e.vec_id < 8
+  ) WHERE rn <= 4
+),
+aq AS (
+  SELECT vec_id, embedding, centroid_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+           AS sb
+  FROM assign
+),
+aqc AS (SELECT *, {_QCODES_SQL.format(v="embedding", s="sb")} AS qb FROM aq),
+pq AS (
+  SELECT query_id, qv, centroid_id,
+         list_max(list_transform(qv, x -> abs(CAST(x AS DOUBLE)))) / 127 AS sa
+  FROM probes
+),
+pqc AS (SELECT *, {_QCODES_SQL.format(v="qv", s="sa")} AS qa FROM pq),
+qscored AS (
+  SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.embedding AS cv,
+         {_QCOS_SQL.format(a="p.qa", b="a.qb", sa="p.sa", sb="a.sb")} AS qcos
+  FROM pqc p JOIN aqc a USING (centroid_id)
+  WHERE p.query_id != a.vec_id
+),
+cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY qcos DESC, neighbor_id) AS crn
+    FROM qscored
+  ) WHERE crn <= 12
+),
+rescored AS (
+  SELECT query_id, neighbor_id,
+         {_COS_SQL.format(a="qv", b="cv")} AS cos_sim
+  FROM cand
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM rescored
+) WHERE rank <= 3"""
+
+
+def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 int8-quantized AT-REST IVF serving path, end to end: the
+    trained-quantizer cell index holds int8 codes, stage 1 picks 12
+    candidates per query by QUANTIZED cosine over the probed cells, and
+    the rerank stage re-scores only those candidates with exact float
+    cosine (the pushed-down candidate-id fetch) — both stages through the
+    REAL serving operator (``ann_ivf_index_topk_quantized``; the index
+    relation stands in for the cell-partitioned parquet, whose partition
+    pruning is plan-asserted in test_similarity.py).  Value-oracled: the
+    integer code arithmetic is exact in doubles (see ``q_ann_topk``), so
+    candidate sets and the reranked top-3 are bit-identical across
+    engines."""
+    em = load_table(spark, sf_dir, "embeddings")
+    trained = kmeans_refine(em, ivf_seed_centroids(em, 16), iters=1)
+    index = quantize_embeddings(ivf_assign(em, trained))
+    queries = em.filter(F.col("vec_id") < 8)
+    out = ann_ivf_index_topk_quantized(
+        queries, index, trained, k=3, nprobe=4, rerank=12
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
+    )
+
+
 _ANN_FAMILY_SQL = f"""
 SELECT 'brute' AS mode, query_id, neighbor_id, cos_sim, qcos_sim, rank
 FROM ({_ANN_TOPK_SQL})
@@ -458,7 +543,10 @@ SELECT 'multiprobe', query_id, neighbor_id, cos_sim, CAST(NULL AS DOUBLE), rank
 FROM ({_ANN_MULTIPROBE_SQL})
 UNION ALL
 SELECT 'ivf_trained', query_id, neighbor_id, cos_sim, CAST(NULL AS DOUBLE), rank
-FROM ({_ANN_IVF_TRAINED_SQL})"""
+FROM ({_ANN_IVF_TRAINED_SQL})
+UNION ALL
+SELECT 'ivf_quant', query_id, neighbor_id, cos_sim, CAST(NULL AS DOUBLE), rank
+FROM ({_ANN_IVF_QUANT_SQL})"""
 
 
 @query("q_ann_family", oracle=_ANN_FAMILY_SQL)
@@ -485,7 +573,12 @@ def q_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "cos_sim",
         F.lit(None).cast("double").alias("qcos_sim"), "rank",
     )
-    return brute.unionByName(multi).unionByName(ivf)
+    ivfq = q_ann_ivf_quantized(spark, sf_dir).select(
+        F.lit("ivf_quant").alias("mode"),
+        "query_id", "neighbor_id", "cos_sim",
+        F.lit(None).cast("double").alias("qcos_sim"), "rank",
+    )
+    return brute.unionByName(multi).unionByName(ivf).unionByName(ivfq)
 
 
 @query(
