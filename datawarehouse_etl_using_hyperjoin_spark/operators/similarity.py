@@ -573,7 +573,11 @@ def cosine_topk_quantized(
 
 
 def write_ivf_index(
-    assigned: DataFrame, path: str, *, mode: str = "overwrite"
+    assigned: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    sort_by: str | None = None,
 ) -> None:
     """Persist a cell assignment (from :func:`ivf_assign`) as the at-rest
     IVF index: parquet PARTITIONED BY ``centroid_id``.
@@ -588,7 +592,18 @@ def write_ivf_index(
     ``mode='append'`` after assigning them against the SAME published
     centroids (:func:`ivf_append`) — rows land inside their cell's
     directory, so the index never needs re-clustering.
+
+    ``sort_by`` (typically the vector id) additionally sorts rows WITHIN
+    each written file — a shuffle-free ``sortWithinPartitions(cell, id)``
+    — so every parquet row group carries a narrow id min/max and the
+    rerank stage's pushed-down candidate-id fetch
+    (:func:`ann_ivf_index_topk_quantized`) can SKIP row groups holding
+    no candidate instead of decoding the probed cells' float column
+    end-to-end.  Free at write time; only pays off once cells span
+    multiple row groups, i.e. exactly at scale.
     """
+    if sort_by is not None:
+        assigned = assigned.sortWithinPartitions("centroid_id", sort_by)
     assigned.write.mode(mode).partitionBy("centroid_id").parquet(path)
 
 

@@ -451,3 +451,42 @@ def test_quantized_ivf_index_serving_prunes_floats_and_reranks_exactly(
         1 for key, nb in small.items() if want.get(key, (None,))[0] == nb
     )
     assert overlap / len(want) >= 0.8, overlap
+
+
+def test_write_ivf_index_sort_by_orders_rows_within_files(spark, sf_dir, tmp_path):
+    """r8: write_ivf_index(sort_by=id) must leave every written file
+    internally id-sorted (narrow row-group min/max -> the rerank
+    candidate fetch can skip row groups at scale), without changing
+    search results."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_index_topk,
+        ivf_assign,
+        ivf_seed_centroids,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_seed_centroids(em, 8).localCheckpoint(eager=True)
+    assigned = ivf_assign(em, cent)
+    sorted_path = str(tmp_path / "ivf_sorted")
+    write_ivf_index(assigned, sorted_path, sort_by="vec_id")
+    files = glob.glob(sorted_path + "/centroid_id=*/*.parquet")
+    assert files
+    for f in files:
+        ids = pq.read_table(f, columns=["vec_id"])["vec_id"].to_pylist()
+        assert ids == sorted(ids), f
+    # identical search results to the unsorted layout
+    plain_path = str(tmp_path / "ivf_plain")
+    write_ivf_index(assigned, plain_path)
+    q = em.filter(F.col("vec_id") < 8)
+    key = lambda r: (r.query_id, r.rank)
+    a = {key(r): r.neighbor_id for r in ann_ivf_index_topk(
+        q, read_ivf_index(spark, sorted_path), cent, k=3, nprobe=4).collect()}
+    b = {key(r): r.neighbor_id for r in ann_ivf_index_topk(
+        q, read_ivf_index(spark, plain_path), cent, k=3, nprobe=4).collect()}
+    assert a == b
