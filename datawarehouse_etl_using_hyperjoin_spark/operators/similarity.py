@@ -725,7 +725,11 @@ def ann_ivf_index_topk_quantized(
     payloads (:func:`quantize_embeddings` applied before
     :func:`write_ivf_index`): the partition-pruned probe of
     :func:`ann_ivf_index_topk` composed with the code-space scoring of
-    :func:`cosine_topk_quantized`.
+    :func:`cosine_topk_quantized` — the IVF-with-compressed-residuals
+    serving architecture of Jégou, Douze & Schmid 2011 ("Product
+    Quantization for Nearest Neighbor Search", IVFADC) with faiss-style
+    scalar (SQ8) codes in place of product codes, re-expressed as
+    DataFrame plans.
 
     Why this is the 100 TB serving shape: the embedding column IS the
     index's bytes, and parquet is columnar — the candidate-scoring scan

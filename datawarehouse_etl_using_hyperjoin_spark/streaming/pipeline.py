@@ -443,7 +443,11 @@ def quarantine_late(
 
     Spark's watermark bounds streaming STATE; it does NOT drop too-late
     rows from the input a ``foreachBatch`` sink sees (measured —
-    ``test_watermark_bounds_state_and_advances`` + SCALE.md).  The
+    ``test_watermark_bounds_state_and_advances`` + SCALE.md).  In
+    Dataflow-model terms (Akidau et al. 2015, VLDB): Spark gives the
+    watermark-as-state-bound, and what a pipeline does with data behind
+    the watermark is an explicit POLICY choice — drop, reprocess, or
+    divert.  This operator is the divert arm.  The
     engine's keyed upserts absorb such stragglers idempotently, but any
     SUM-merging summary (``merge_summaries``) would double-count a
     straggler landing in an already-merged bucket.  This operator makes

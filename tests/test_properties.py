@@ -314,3 +314,48 @@ def test_line_dedup_conservation(spark, docs):
         sum(r["n_kept"] for r in out)
         == lines.select("line").distinct().count()
     )
+
+
+ts_minutes = st.integers(min_value=0, max_value=600)  # minutes past epoch hour
+late_rows = st.lists(
+    st.tuples(st.integers(0, 20), st.one_of(st.none(), ts_minutes)),
+    min_size=0, max_size=14,
+)
+
+
+@given(batch=late_rows, hwm_min=ts_minutes, lateness_min=st.integers(1, 120))
+@_settings
+def test_quarantine_late_partition_algebra(spark, batch, hwm_min, lateness_min):
+    """quarantine_late is a PARTITION of the batch: on_time ∪ late == input
+    (multiset), on_time ∩ late == ∅; a row is late IFF its event time is
+    non-NULL and strictly below high_watermark − lateness (NULL event
+    times stay on-time by contract)."""
+    from datetime import datetime, timedelta
+
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        quarantine_late,
+    )
+
+    base = datetime(2026, 1, 1)
+    rows = [
+        (i, uid, None if m is None else base + timedelta(minutes=m))
+        for i, (uid, m) in enumerate(batch)
+    ]
+    df = spark.createDataFrame(
+        rows or [(99, 0, base)], "row_id long, user_id long, ts timestamp"
+    )
+    hwm = base + timedelta(minutes=hwm_min)
+    on_time, late = quarantine_late(
+        df, "ts", f"{lateness_min} minutes", high_watermark=hwm
+    )
+    got_on = {r.row_id for r in on_time.collect()}
+    got_late = {r.row_id for r in late.collect()}
+    all_ids = {r[0] for r in (rows or [(99, 0, base)])}
+    assert got_on | got_late == all_ids
+    assert got_on & got_late == set()
+    cutoff = hwm - timedelta(minutes=lateness_min)
+    want_late = {
+        rid for rid, _, t in (rows or [(99, 0, base)])
+        if t is not None and t < cutoff
+    }
+    assert got_late == want_late
