@@ -1330,7 +1330,7 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "events":
         spark = get_spark(
             "scale-probe-ev", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
-        extra_conf=METERED_SESSION_CONF,
+            extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import (
@@ -1372,7 +1372,7 @@ def main() -> None:
         spark = get_spark(
             "scale-probe-langid",
             cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
-        extra_conf=METERED_SESSION_CONF,
+            extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         base = int(os.environ.get("SCALE_PROBE_DOCS", 5_000))
@@ -1396,7 +1396,7 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "cc_depth":
         spark = get_spark(
             "scale-probe-cc", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
-        extra_conf=METERED_SESSION_CONF,
+            extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         print(json.dumps({"cc_depth": measure_cc_depth(spark)}, indent=2))
@@ -1404,7 +1404,7 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "hygiene":
         spark = get_spark(
             "scale-probe-hyg", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
-        extra_conf=METERED_SESSION_CONF,
+            extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         docs_small = spark.read.parquet(
@@ -1425,7 +1425,7 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "selection":
         spark = get_spark(
             "scale-probe-sel", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
-        extra_conf=METERED_SESSION_CONF,
+            extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         docs_small = spark.read.parquet(
@@ -1458,7 +1458,7 @@ def main() -> None:
         spark = get_spark(
             "scale-probe-shards",
             cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
-        extra_conf=METERED_SESSION_CONF,
+            extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         n_rows = int(os.environ.get("SCALE_PROBE_ROWS", 10_000_000))
@@ -1528,7 +1528,7 @@ def main() -> None:
         spark = get_spark(
             "scale-probe-ingest",
             cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
-        extra_conf=METERED_SESSION_CONF,
+            extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1621,7 +1621,7 @@ def main() -> None:
 
         spark = get_spark(
             "scale-probe-bpe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
-        extra_conf=METERED_SESSION_CONF,
+            extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -1660,7 +1660,7 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ivf_quantized":
         spark = get_spark(
             "scale-probe-ivfq", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
-        extra_conf=METERED_SESSION_CONF,
+            extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         vec_path = tempfile.mkdtemp(prefix="scale_probe_") + "/vectors"
@@ -1683,7 +1683,7 @@ def main() -> None:
         clustered = sys.argv[1] == "ivf_recall_clustered"
         spark = get_spark(
             "scale-probe-ivf", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
-        extra_conf=METERED_SESSION_CONF,
+            extra_conf=METERED_SESSION_CONF,
         )
         spark.sparkContext.setLogLevel("ERROR")
         vec_path = tempfile.mkdtemp(prefix="scale_probe_") + "/vectors"
