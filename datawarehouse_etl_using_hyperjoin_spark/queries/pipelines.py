@@ -437,14 +437,18 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 ) WHERE rank <= 3"""
 
 
-def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str, trained=None) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: one distributed Lloyd
     iteration (kmeans_refine) over the 16 deterministic seeds, then the
     same nprobe=4 cell search as q_ann_ivf.  The per-dimension means use
     exact DECIMAL sums, so the trained centroids — and hence the whole
-    search — are bit-identical across engines and partitionings."""
+    search — are bit-identical across engines and partitionings.
+    ``trained`` lets a family union train the quantizer ONCE and feed
+    every IVF branch (the shared-dominant-subtree rule; same pattern as
+    langid's ``grams=``)."""
     em = load_table(spark, sf_dir, "embeddings")
-    trained = kmeans_refine(em, ivf_seed_centroids(em, 16), iters=1)
+    if trained is None:
+        trained = kmeans_refine(em, ivf_seed_centroids(em, 16), iters=1)
     queries = em.filter(F.col("vec_id") < 8)
     out = ann_ivf_topk(queries, em, trained, k=3, nprobe=4)
     return out.select(
@@ -511,7 +515,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 ) WHERE rank <= 3"""
 
 
-def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str, trained=None) -> DataFrame:
     """The r8 int8-quantized AT-REST IVF serving path, end to end: the
     trained-quantizer cell index holds int8 codes, stage 1 picks 12
     candidates per query by QUANTIZED cosine over the probed cells, and
@@ -522,9 +526,10 @@ def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning is plan-asserted in test_similarity.py).  Value-oracled: the
     integer code arithmetic is exact in doubles (see ``q_ann_topk``), so
     candidate sets and the reranked top-3 are bit-identical across
-    engines."""
+    engines.  ``trained`` as in :func:`q_ann_ivf_trained`."""
     em = load_table(spark, sf_dir, "embeddings")
-    trained = kmeans_refine(em, ivf_seed_centroids(em, 16), iters=1)
+    if trained is None:
+        trained = kmeans_refine(em, ivf_seed_centroids(em, 16), iters=1)
     index = quantize_embeddings(ivf_assign(em, trained))
     queries = em.filter(F.col("vec_id") < 8)
     out = ann_ivf_index_topk_quantized(
@@ -568,12 +573,18 @@ def q_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "cos_sim",
         F.lit(None).cast("double").alias("qcos_sim"), "rank",
     )
-    ivf = q_ann_ivf_trained(spark, sf_dir).select(
+    # the two IVF branches share the trained quantizer: one Lloyd pass,
+    # checkpointed, feeds both (the family shared-dominant-subtree rule)
+    em = load_table(spark, sf_dir, "embeddings")
+    trained = kmeans_refine(
+        em, ivf_seed_centroids(em, 16), iters=1
+    ).localCheckpoint(eager=True)
+    ivf = q_ann_ivf_trained(spark, sf_dir, trained=trained).select(
         F.lit("ivf_trained").alias("mode"),
         "query_id", "neighbor_id", "cos_sim",
         F.lit(None).cast("double").alias("qcos_sim"), "rank",
     )
-    ivfq = q_ann_ivf_quantized(spark, sf_dir).select(
+    ivfq = q_ann_ivf_quantized(spark, sf_dir, trained=trained).select(
         F.lit("ivf_quant").alias("mode"),
         "query_id", "neighbor_id", "cos_sim",
         F.lit(None).cast("double").alias("qcos_sim"), "rank",
