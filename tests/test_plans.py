@@ -354,3 +354,23 @@ def test_text_quality_langid_shares_gram_explode(spark, sf_dir):
     # the FINAL plan means a branch re-derived grams from the raw corpus
     # instead of reading the checkpoint
     assert "__t#" not in plan
+
+
+def test_ann_family_shares_trained_quantizer(spark, sf_dir):
+    """r8: q_ann_family's two IVF branches must read ONE checkpointed
+    Lloyd train — a second kmeans_refine subtree in the union means the
+    sharing regressed (it is worth ~2 s of the family's sf0.1 cost)."""
+    from datawarehouse_etl_using_hyperjoin_spark.queries.pipelines import (
+        q_ann_family,
+    )
+
+    plan = plan_string(q_ann_family(spark, sf_dir), "simple")
+    # the trained-centroid relation surfaces as ExistingRDD consumers;
+    # the decimal-mean aggregation chain of kmeans_refine must appear
+    # NOWHERE in the final plan (it ran during the eager checkpoint)
+    assert plan.count("Scan ExistingRDD") >= 2
+    # kmeans_refine's signature expression is the exact-decimal(27,9)
+    # per-dimension SUM — unique to training; any decimal(27,9) in the
+    # FINAL plan means a branch re-trained from scratch instead of
+    # reading the checkpoint
+    assert "decimal(27,9)" not in plan
