@@ -708,7 +708,12 @@ def measure_ivf_quantized(
     assigned = ivf_assign(vecs, cent)
     root = _tf.mkdtemp(prefix="scale_probe_ivfq_")
     write_ivf_index(assigned, root + "/float")
-    write_ivf_index(quantize_embeddings(assigned), root + "/quant")
+    # id-sorted cells: narrow row-group id ranges let the rerank stage's
+    # candidate-id fetch skip row groups (only bites once cells span
+    # multiple row groups — free either way)
+    write_ivf_index(
+        quantize_embeddings(assigned), root + "/quant", sort_by="vec_id"
+    )
     idx_f = read_ivf_index(spark, root + "/float")
     idx_q = read_ivf_index(spark, root + "/quant")
 
