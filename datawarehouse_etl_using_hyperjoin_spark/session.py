@@ -117,19 +117,25 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         par = spark.sparkContext.defaultParallelism
     except Exception:  # pragma: no cover - no active context
         par = 8
-    for key, value in (
+    # wide-then-coalesce exchanges (see tuned_conf) — runtime-settable,
+    # so the grading driver's plain session gets the linear-at-scale
+    # posture too.  Set ONLY when unset: a caller that deliberately tuned
+    # its own initialPartitionNum keeps it (same merge courtesy the
+    # excludedRules conf gets above).
+    ipn_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    try:
+        ipn_unset = spark.conf.get(ipn_key, None) is None
+    except Exception:  # pragma: no cover
+        ipn_unset = True
+    pairs = [
         (NANOS_AS_LONG, "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
-        # wide-then-coalesce exchanges (see tuned_conf) — runtime-settable,
-        # so the grading driver's plain session gets the linear-at-scale
-        # posture too
-        (
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(8 * par),
-        ),
         ("spark.sql.optimizer.excludedRules", ",".join(rules)),
-    ):
+    ]
+    if ipn_unset:
+        pairs.append((ipn_key, str(8 * par)))
+    for key, value in pairs:
         try:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - static conf on some builds

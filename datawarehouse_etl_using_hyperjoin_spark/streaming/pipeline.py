@@ -431,6 +431,31 @@ def run_to_noop(
     }
 
 
+_INTERVAL_UNITS = (
+    "microsecond", "millisecond", "second", "minute", "hour", "day", "week"
+)
+
+
+def _validate_lateness(lateness: str) -> str:
+    """Fail fast on a malformed lateness string — it is interpolated into
+    ``F.expr(f"INTERVAL {lateness}")``, where a bad value would otherwise
+    surface as an opaque SQL parse error at FIRST BATCH execution instead
+    of a clear argument error at construction time.  Accepts one or more
+    ``<n> <unit>`` pairs (``"10 minutes"``, ``"1 hour 30 minutes"``)."""
+    import re
+
+    unit = "|".join(_INTERVAL_UNITS)
+    if not isinstance(lateness, str) or not re.fullmatch(
+        rf"\s*(\d+\s+({unit})s?)(\s+\d+\s+({unit})s?)*\s*", lateness,
+        flags=re.IGNORECASE,
+    ):
+        raise ValueError(
+            f"lateness must be '<n> <unit>' pairs with unit in "
+            f"{_INTERVAL_UNITS}, got {lateness!r}"
+        )
+    return lateness
+
+
 def quarantine_late(
     df: DataFrame,
     watermark_col: str = "ts",
@@ -462,6 +487,7 @@ def quarantine_late(
     quarantining them is a schema-validation concern, not a lateness
     one.  Pure column-expression split: two filters over the same batch,
     no shuffle, no state."""
+    _validate_lateness(lateness)
     if high_watermark is None:
         return df, df.limit(0)
     cutoff = F.lit(high_watermark).cast("timestamp") - F.expr(
@@ -492,20 +518,40 @@ def make_quarantine_sink(
     cutoff and converges to the identical quarantine + downstream state
     instead of shifting the boundary or duplicating rows.  The _hwm
     relation is batch-count-sized (one max per batch), never data-sized.
+
+    The "no history yet" case is detected by an explicit Hadoop-FS
+    existence check on ``_hwm`` (like the corpus sink's layout guard),
+    NOT by swallowing the read exception: a transient read failure
+    (corrupt parquet, IO blip) must FAIL the batch — silently resetting
+    the high watermark to None would let every late row in that batch
+    bypass quarantine and double-count in SUM-merging summaries, and
+    would shift the replay cutoff this docstring promises is stable.
     """
+    _validate_lateness(lateness)
     hwm_dir = f"{out_dir}/_hwm"
+
+    def _prior_hwm(spark: SparkSession, batch_id: int):
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(hwm_dir)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        # "no history yet" = dir absent OR holding no visible partition
+        # (a crash between mkdir and commit leaves only _temporary; a
+        # replay must see that as no-history, not fail forever)
+        if not fs.exists(path) or not any(
+            st.getPath().getName().startswith("ingest_batch=")
+            for st in fs.listStatus(path)
+        ):
+            return None
+        prior = spark.read.parquet(hwm_dir).where(
+            F.col("ingest_batch") != int(batch_id)
+        )
+        return prior.agg(F.max("max_ts")).first()[0]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df.persist()
         try:
-            try:
-                prior = spark.read.parquet(hwm_dir).where(
-                    F.col("ingest_batch") != int(batch_id)
-                )
-                hwm = prior.agg(F.max("max_ts")).first()[0]
-            except Exception:  # first batch: no _hwm dir yet
-                hwm = None
+            hwm = _prior_hwm(spark, batch_id)
             on_time, late = quarantine_late(
                 batch_df, watermark_col, lateness, high_watermark=hwm
             )
@@ -564,6 +610,8 @@ def run_pipeline_streaming(
     out_dir: str,
     *,
     checkpoint_dir: str | None = None,
+    quarantine_lateness: str | None = None,
+    quarantine_watermark_col: str = "order_date",
 ) -> dict[str, int]:
     """The reference's ``main()`` in its native streaming form, end-to-end
     (StreamGeneratorThread.java:373-406): transaction stream → HyperJoin
@@ -581,20 +629,52 @@ def run_pipeline_streaming(
     idempotent writes are what upgrade it to effectively-once).  Readers
     see one ``fact_enriched`` relation with ``batch_id`` as a partition
     column.  Drains synchronously; returns row counts.
+
+    ``quarantine_lateness`` (opt-in) makes the engine path's late-data
+    policy EXPLICIT instead of implicit in the sink's idempotency: the
+    star sink is wrapped in :func:`make_quarantine_sink`, so rows whose
+    ``quarantine_watermark_col`` falls more than ``quarantine_lateness``
+    behind the high-water event time of all prior micro-batches are
+    diverted to ``{out_dir}/late/ingest_batch=N`` (audit relation) and
+    never reach the dim/fact writes.  The default policy (``None``)
+    keeps the idempotent-upsert absorption unchanged.  The returned
+    counts gain a ``"late"`` entry when quarantine is on.
     """
     enriched = stream_static_hyperjoin(txn_stream, master)
-    writer = enriched.writeStream.outputMode("append").foreachBatch(
-        make_star_sink(out_dir)
-    )
+    sink = make_star_sink(out_dir)
+    if quarantine_lateness is not None:
+        sink = make_quarantine_sink(
+            sink,
+            out_dir,
+            watermark_col=quarantine_watermark_col,
+            lateness=quarantine_lateness,
+        )
+    writer = enriched.writeStream.outputMode("append").foreachBatch(sink)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
     q.processAllAvailable()
     q.stop()
-    return {
+    counts = {
         "dim_product": spark.read.parquet(f"{out_dir}/dim_product").count(),
         "fact_enriched": spark.read.parquet(f"{out_dir}/fact_enriched").count(),
     }
+    if quarantine_lateness is not None:
+        from pyspark.errors import AnalysisException
+
+        late_dir = f"{out_dir}/late"
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(late_dir)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        try:
+            counts["late"] = (
+                spark.read.parquet(late_dir).count() if fs.exists(path) else 0
+            )
+        except AnalysisException:
+            # dir exists but holds no parquet footers: every batch's late
+            # split was empty (empty-DF overwrites write only _SUCCESS)
+            counts["late"] = 0
+    return counts
 
 
 def consume_once_stateful(stream: DataFrame, key_col: str, ttl_ms: int = 60_000) -> DataFrame:

@@ -16,12 +16,19 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import render_result  # noqa: E402
+from bench import FINAL_LINE_BUDGET, render_final, render_result  # noqa: E402
 
 
 def _full_size_payload():
-    """A payload shaped like a real 50-query sf0.1 run."""
-    names = [f"q_some_fairly_long_query_name_{i:02d}" for i in range(50)]
+    """A payload shaped like a real 50-query sf0.1 run.  Name lengths
+    mirror the real roster (avg ~13 chars, max 20 — e.g.
+    q_stream_stream_join): the final-line budget is calibrated against
+    the REAL name-length profile (real roster ≈1.1 KB compact), so the
+    simulation must not be twice as verbose."""
+    names = [
+        f"q_{'medium_name' if i % 3 else 'somewhat_longer'}_{i:02d}"
+        for i in range(50)
+    ]
     return {
         "metric": "full_roster_suite_wall",
         "value": 66.6,
@@ -59,6 +66,60 @@ def test_tail_capture_keeps_medians():
     tail = line[-4096:]
     for name, median in payload["queries"].items():
         assert f'"{name}": {json.dumps(median)}' in tail, name
+
+
+def test_final_line_survives_2000_byte_tail_capture():
+    """r9 contract: bench.py prints the diagnostics line then the compact
+    final line; the driver keeps the LAST 2000 bytes of stdout.  The
+    final line alone must (a) fit its 1.5 KB budget with headroom inside
+    that capture, (b) parse as standalone JSON from the simulated tail,
+    and (c) carry metric, value, sf, and every per-query median."""
+    payload = _full_size_payload()
+    out = render_result(payload) + "\n" + render_final(payload)
+    tail = out[-2000:]
+    last = tail.rsplit("\n", 1)[-1]
+    parsed = json.loads(last)
+    assert len(last) <= FINAL_LINE_BUDGET
+    assert parsed["metric"] == payload["metric"]
+    assert parsed["value"] == payload["value"]
+    assert parsed["sf"] == payload["sf"]
+    assert parsed["queries"] == {
+        k: round(float(v), 2) for k, v in payload["queries"].items()
+    }
+
+
+def test_final_line_budget_guard_trips_on_oversize_roster():
+    """Growing the roster past the tail budget must fail LOUDLY at bench
+    time, not silently truncate the artifact again."""
+    import pytest
+
+    payload = _full_size_payload()
+    payload["queries"] = {
+        f"q_an_exceedingly_verbose_query_name_{i:03d}": 1.0 for i in range(80)
+    }
+    with pytest.raises(AssertionError, match="tail-capture budget"):
+        render_final(payload)
+
+
+def test_final_line_fits_budget_for_the_real_roster():
+    """The calibration that matters: the ACTUAL registry's 50 names, each
+    with a worst-case-width median, must render inside the budget — this
+    is the test that trips when a new query's name pushes the real
+    artifact past the driver's capture."""
+    from datawarehouse_etl_using_hyperjoin_spark.queries import load_registry
+
+    names = sorted(load_registry())
+    line = render_final(
+        {
+            "metric": "full_roster_suite_wall",
+            "value": 9999.99,
+            "unit": "sec",
+            "sf": 0.1,
+            "queries": {n: 99.99 for n in names},
+        }
+    )
+    assert len(line) <= FINAL_LINE_BUDGET
+    assert json.loads(line)["queries"].keys() == set(names)
 
 
 def test_unknown_keys_survive_and_stay_in_front():

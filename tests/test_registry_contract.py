@@ -135,6 +135,29 @@ def test_ensure_engine_conf_sets_wide_exchange_posture(registry):
             spark.conf.set(key, prev)
 
 
+def test_ensure_engine_conf_keeps_caller_tuned_initial_partition_num(registry):
+    """r9 (ADVICE): set-only-when-unset — a caller that deliberately tuned
+    its own initialPartitionNum keeps it (the same merge courtesy the
+    excludedRules conf gets)."""
+    from datawarehouse_etl_using_hyperjoin_spark.session import (
+        ensure_engine_conf,
+        get_spark,
+    )
+
+    spark = get_spark()
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")  # a value we would never pick
+        ensure_engine_conf(spark)
+        assert spark.conf.get(key) == "7"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_every_oracle_is_valid_duckdb_sql(registry, duck):
     bad = {}
     for name, qd in registry.items():

@@ -249,6 +249,11 @@ def run_metered(spark, df) -> dict[str, float]:
     }
     if rc0 is not None and rc1 is not None:
         out["read_mb"] = round((rc1 - rc0) / (1 << 20), 1)
+    else:
+        # explicit absent-marker: rchar metering unavailable here
+        # (non-Linux / Spark Connect) — consumers see null, not a
+        # silently missing key
+        out["read_mb"] = None
     return out
 
 
@@ -676,8 +681,10 @@ def measure_ivf_quantized(
 ) -> dict[str, object]:
     """int8-quantized at-rest IVF SERVING vs float serving, measured at
     the SCALE.md-recommended operating point (clustered corpus, nprobe≥4):
-    wall, scan bytes (input_mb — the read-amplification signal that rules
-    at 100 TB), and recall@k vs exact brute force, for (a) the float
+    wall, read bytes (read_mb from /proc/<jvm>/io rchar — the
+    read-amplification signal that rules at 100 TB; null when rchar
+    metering is unavailable, i.e. non-Linux / Spark Connect), and
+    recall@k vs exact brute force, for (a) the float
     index, (b) codes-only quantized serving, (c) quantized + float rerank
     of 4k candidates.  The quantized index stores BOTH codes and floats;
     parquet column pruning keeps the float pages unread in stage 1, so
