@@ -578,6 +578,7 @@ def write_ivf_index(
     *,
     mode: str = "overwrite",
     sort_by: str | None = None,
+    writer_options: dict[str, str] | None = None,
 ) -> None:
     """Persist a cell assignment (from :func:`ivf_assign`) as the at-rest
     IVF index: parquet PARTITIONED BY ``centroid_id``.
@@ -601,10 +602,42 @@ def write_ivf_index(
     no candidate instead of decoding the probed cells' float column
     end-to-end.  Free at write time; only pays off once cells span
     multiple row groups, i.e. exactly at scale.
+
+    Two conditions are REQUIRED for that skipping to actually fire
+    (measured r9, SCALE.md ``ivf_rowgroup`` mode — the r8 id-sorting
+    claim alone is FALSE for uniformly-distributed ids):
+
+    1. The candidate list must reach parquet as a real ``In`` predicate:
+       past ``spark.sql.parquet.pushdown.inFilterThreshold`` (default
+       10) Spark degrades it to a ``[min,max]`` range, which skips
+       nothing when candidates span the id space.  The engine session
+       raises the threshold (:mod:`..session`).
+    2. The predicate must be PER-CELL (``cell_id = c AND id IN
+       ids_in_c``): cell membership is a similarity property, so one
+       cell's ids are a uniform sample of the global id space — a
+       sorted row group covering ~rows·C consecutive global ids almost
+       surely CONTAINS some id from a global candidate list even though
+       none of its rows match, and min/max-stats skipping never fires.
+       Against the per-cell list the density drops by ~C and row groups
+       do get skipped (−40% fetch bytes at probe geometry, → the ~66%
+       geometric limit as footer overhead amortizes).  This is why the
+       index duplicates the partition value into the data column
+       ``cell_id``: partition columns do not exist inside the files, so
+       a per-cell predicate could not otherwise be pushed (the copy is
+       constant per file — RLE/dictionary encodes to ~nothing at rest).
+
+    ``writer_options`` passes parquet writer options through (e.g.
+    ``{"parquet.block.size": str(128 << 20)}`` to size row groups so a
+    GB-scale cell holds many skippable groups instead of one).
     """
+    if "cell_id" not in assigned.columns:
+        assigned = assigned.withColumn("cell_id", F.col("centroid_id"))
     if sort_by is not None:
         assigned = assigned.sortWithinPartitions("centroid_id", sort_by)
-    assigned.write.mode(mode).partitionBy("centroid_id").parquet(path)
+    writer = assigned.write.mode(mode)
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
+    writer.partitionBy("centroid_id").parquet(path)
 
 
 def read_ivf_index(spark, path: str) -> DataFrame:
@@ -720,6 +753,7 @@ def ann_ivf_index_topk_quantized(
     k: int = 3,
     nprobe: int = 4,
     rerank: int = 0,
+    fetch: str = "global",
 ) -> DataFrame:
     """IVF search against an at-rest index whose cells hold int8-QUANTIZED
     payloads (:func:`quantize_embeddings` applied before
@@ -744,7 +778,31 @@ def ann_ivf_index_topk_quantized(
     ``Q·rerank``-row relation against the pruned float scan — the float
     column is read for probed cells only, and candidate cost is
     query-bound, not corpus-bound).  Output schema matches
-    :func:`ann_ivf_index_topk`."""
+    :func:`ann_ivf_index_topk`.
+
+    ``fetch`` picks the candidate-fetch predicate shape:
+
+    - ``"global"`` (default): one ``id IN (all candidates)`` filter.
+      Right for in-memory index relations and un-sorted at-rest cells.
+    - ``"cell_local"``: per-cell ``(cell_id = c AND id IN ids_in_c)``
+      disjunction — the shape whose row-group stats skipping actually
+      fires on an at-rest index written with
+      ``write_ivf_index(sort_by=id)`` (see its docstring: a GLOBAL list
+      over id-sorted cells skips nothing, because every row group's id
+      range contains some candidate from ANOTHER cell).  Requires the
+      index to carry the ``cell_id`` data column (any index written by
+      write_ivf_index since r9); measured −40% fetch bytes at probe
+      geometry, SCALE.md r9.  On an UNSORTED at-rest layout this shape
+      is a pessimization (column-index two-pass reads with zero skips —
+      also measured), so it is opt-in, not autodetected."""
+    if fetch not in ("global", "cell_local"):
+        raise ValueError(f"fetch must be 'global' or 'cell_local', got {fetch!r}")
+    if fetch == "cell_local" and "cell_id" not in index.columns:
+        raise ValueError(
+            "fetch='cell_local' needs the index's cell_id data column "
+            "(re-write the index with write_ivf_index; partition-only "
+            "cell ids cannot anchor an in-file per-cell predicate)"
+        )
     probe_df, probed_cells = _ivf_probe_cells(
         queries, centroids, id_col, vec_col, nprobe
     )
@@ -785,16 +843,28 @@ def ann_ivf_index_topk_quantized(
         .select("centroid_id", "query_id", "neighbor_id", "__qvec")
         .localCheckpoint(eager=True)
     )
-    # candidate ids are bounded by Q·rerank (design parameters, never
-    # data volume — the same bounded-literal-collect pattern as the
-    # probe cells); pushing them into the float fetch lets parquet skip
-    # row groups whose id range holds no candidate, instead of re-reading
-    # every probed cell's float column.  The checkpoint above means
-    # stage-1 scoring runs ONCE, not once more per downstream consumer.
-    cand_ids = sorted(
-        r[0] for r in cand.select("neighbor_id").distinct().collect()
-    )
-    floats = probed.filter(F.col(id_col).isin(cand_ids)).select(
+    # candidate (cell, id) pairs are bounded by Q·rerank (design
+    # parameters, never data volume — the same bounded-literal-collect
+    # pattern as the probe cells); pushing them into the float fetch
+    # lets parquet skip row groups holding no candidate, instead of
+    # re-reading every probed cell's float column.  The checkpoint above
+    # means stage-1 scoring runs ONCE, not once more per downstream
+    # consumer.
+    pairs = cand.select("centroid_id", "neighbor_id").distinct().collect()
+    if fetch == "cell_local":
+        by_cell: dict = {}
+        for r in pairs:
+            by_cell.setdefault(r.centroid_id, []).append(r.neighbor_id)
+        cand_filter = F.lit(False)  # no candidates → empty fetch
+        for c, ids in sorted(by_cell.items()):
+            cand_filter = cand_filter | (
+                (F.col("cell_id") == c) & F.col(id_col).isin(sorted(ids))
+            )
+    else:
+        cand_filter = F.col(id_col).isin(
+            sorted({r.neighbor_id for r in pairs})
+        )
+    floats = probed.filter(cand_filter).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     exact = (

@@ -453,6 +453,62 @@ def test_quantized_ivf_index_serving_prunes_floats_and_reranks_exactly(
     assert overlap / len(want) >= 0.8, overlap
 
 
+def test_quantized_rerank_cell_local_fetch(spark, sf_dir, tmp_path):
+    """r9: the per-cell candidate-fetch predicate (fetch='cell_local') —
+    the shape whose row-group skipping actually fires on an id-sorted
+    at-rest index (a GLOBAL candidate list cannot skip sorted row groups
+    at all: every ~rows·C-wide id range contains some other cell's
+    candidate; measured 2.5x fetch-byte reduction, SCALE.md r9).
+    (a) results are bit-identical to the global fetch; (b) the fetch
+    filter anchors on the cell_id DATA column write_ivf_index now
+    duplicates from the partition value; (c) cell_local without that
+    column (in-memory index relation) and unknown fetch values fail
+    loudly at construction."""
+    import pytest
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_index_topk_quantized,
+        ivf_assign,
+        ivf_seed_centroids,
+        quantize_embeddings,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import plan_string
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_seed_centroids(em, 16).localCheckpoint(eager=True)
+    quant = quantize_embeddings(ivf_assign(em, cent))
+    qpath = str(tmp_path / "ivf_quant_cl")
+    write_ivf_index(quant, qpath, sort_by="vec_id")
+    idx = read_ivf_index(spark, qpath)
+    assert "cell_id" in idx.columns  # the r9 data-column duplicate
+    q = em.filter(F.col("vec_id") < 8)
+
+    key = lambda r: (r.query_id, r.rank)
+    want = {key(r): (r.neighbor_id, round(r.cos, 9)) for r in
+            ann_ivf_index_topk_quantized(
+                q, idx, cent, k=5, nprobe=4, rerank=20).collect()}
+    cl = ann_ivf_index_topk_quantized(
+        q, idx, cent, k=5, nprobe=4, rerank=20, fetch="cell_local"
+    )
+    got = {key(r): (r.neighbor_id, round(r.cos, 9)) for r in cl.collect()}
+    assert got == want and len(got) == 8 * 5
+    # the per-cell predicate reached the float-fetch scan
+    plan = plan_string(cl)
+    assert any(
+        "cell_id" in l and "PushedFilters" in l for l in plan.splitlines()
+    ), plan
+
+    # in-memory index (no cell_id column) must refuse cell_local
+    with pytest.raises(ValueError, match="cell_id"):
+        ann_ivf_index_topk_quantized(
+            q, quant, cent, k=5, nprobe=4, rerank=20, fetch="cell_local"
+        )
+    with pytest.raises(ValueError, match="fetch"):
+        ann_ivf_index_topk_quantized(q, idx, cent, k=5, fetch="bogus")
+
+
 def test_write_ivf_index_sort_by_orders_rows_within_files(spark, sf_dir, tmp_path):
     """r8: write_ivf_index(sort_by=id) must leave every written file
     internally id-sorted (narrow row-group min/max -> the rerank

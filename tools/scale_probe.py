@@ -775,6 +775,143 @@ def measure_ivf_quantized(
     return out
 
 
+def measure_ivf_rowgroup_skip(
+    spark, vecs, *, n_cells: int = 16, n_queries: int = 4, k: int = 10,
+    nprobe: int = 4, rerank_mult: int = 4, lloyd_iters: int = 1,
+    block_bytes: int = 128 << 10, page_bytes: int = 32 << 10,
+) -> dict[str, object]:
+    """VERDICT r9 item 3: prove the id-sorted-cell row-group-skipping
+    claim with cells that actually SPAN multiple row groups (the r8
+    probe's 256-cell point was footer-dominated — single row group per
+    cell, 'identical numbers at probe scale as expected').
+
+    Simulates the GB-cell regime by shrinking ``parquet.block.size``
+    instead of inflating rows (same row-groups-per-cell geometry, probe
+    cost): each cell holds tens of row groups, candidates per cell ≪ row
+    groups per cell — the regime where skipping can bite.  Measures the
+    REAL operator's rerank candidate fetch (stage 1 runs eagerly at
+    construction via the operator's bounded collect, so ``run_metered``
+    on the returned frame meters the fetch) across the matrix
+    {insertion-order, id-sorted} × {global In at Spark's default
+    threshold 10 (degraded to a [min,max] range), global In at the
+    engine threshold (real In predicate), per-cell cell_local
+    predicate}.  What r9 established (and this probe pins): a GLOBAL
+    candidate list cannot skip id-sorted row groups at all — cell
+    membership is a similarity property, so every ~rows·C-wide sorted
+    id range contains some other cell's candidate — and only
+    sorted+cell_local drops read bytes; cell_local on the unsorted
+    layout is a measured PESSIMIZATION (column-index two-pass, zero
+    skips).  Results must be identical across all variants.  read_mb is
+    null on non-Linux (see :func:`run_metered`)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_index_topk_quantized,
+        ivf_assign,
+        ivf_seed_centroids,
+        kmeans_refine,
+        quantize_embeddings,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    q = vecs.filter(F.col("vec_id") < n_queries).localCheckpoint(eager=True)
+    cent = kmeans_refine(
+        vecs, ivf_seed_centroids(vecs, n_cells), iters=lloyd_iters
+    ).localCheckpoint(eager=True)
+    # one writer task per cell → ONE file per cell directory holding many
+    # row groups (without this, every input partition writes its own
+    # sliver per cell and both layouts degenerate to wide-id-range
+    # two-row-group files — the r8 footer-dominated geometry again)
+    quant = (
+        quantize_embeddings(ivf_assign(vecs, cent))
+        .repartition(n_cells, F.col("centroid_id"))
+        .localCheckpoint(eager=True)
+    )
+    root = tempfile.mkdtemp(prefix="scale_probe_ivfrg_")
+    opts = {
+        "parquet.block.size": str(block_bytes),
+        "parquet.page.size": str(page_bytes),
+    }
+    write_ivf_index(quant, root + "/unsorted", writer_options=opts)
+    write_ivf_index(
+        quant, root + "/sorted", sort_by="vec_id", writer_options=opts
+    )
+
+    def cell_geometry(path: str) -> dict[str, float]:
+        """row groups per cell file + mean id-range width per row group
+        (the narrow-min/max evidence sorting is supposed to buy)."""
+        n_files, n_groups, widths = 0, 0, []
+        for f in _glob.glob(path + "/centroid_id=*/*.parquet"):
+            md = _pq.ParquetFile(f).metadata
+            n_files += 1
+            n_groups += md.num_row_groups
+            idx = next(
+                i for i in range(len(md.schema))
+                if md.schema.column(i).name == "vec_id"
+            )
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    widths.append(st.max - st.min)
+        return {
+            "cell_files": n_files,
+            "row_groups": n_groups,
+            "row_groups_per_cell": round(n_groups / max(n_files, 1), 1),
+            "mean_rowgroup_id_range": round(
+                sum(widths) / max(len(widths), 1)
+            ),
+        }
+
+    thr_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    engine_thr = spark.conf.get(thr_key)
+    out: dict[str, object] = {
+        "n_vectors": vecs.count(),
+        "n_cells": n_cells,
+        "n_queries": n_queries,
+        "k": k,
+        "nprobe": nprobe,
+        "rerank": rerank_mult * k,
+        "parquet_block_bytes": block_bytes,
+        "geometry": {
+            "unsorted": cell_geometry(root + "/unsorted"),
+            "sorted": cell_geometry(root + "/sorted"),
+        },
+    }
+    results: dict[str, set] = {}
+    variants = (
+        ("global_thr10", "global", "10"),
+        ("global_in", "global", engine_thr),
+        ("cell_local", "cell_local", engine_thr),
+    )
+    for layout in ("unsorted", "sorted"):
+        idx = read_ivf_index(spark, f"{root}/{layout}")
+        for name, fetch, thr in variants:
+            spark.conf.set(thr_key, thr)
+            try:
+                df = ann_ivf_index_topk_quantized(
+                    q, idx, cent, k=k, nprobe=nprobe,
+                    rerank=rerank_mult * k, fetch=fetch,
+                )
+                m = run_metered(spark, df)
+                results[f"{layout}.{name}"] = {
+                    (r.query_id, r.neighbor_id, r.rank)
+                    for r in df.select(
+                        "query_id", "neighbor_id", "rank"
+                    ).collect()
+                }
+                out[f"{layout}_{name}"] = m
+            finally:
+                spark.conf.set(thr_key, engine_thr)
+    first = next(iter(results.values()))
+    out["results_invariant_across_variants"] = all(
+        v == first for v in results.values()
+    )
+    return out
+
+
 def measure_zorder_pruning(spark, n_rows: int = 10_000_000) -> dict[str, object]:
     """The multi-column clustering claim at probe scale: a selective
     filter on the SECOND z-ordered column should touch a small fraction
@@ -1689,6 +1826,29 @@ def main() -> None:
             n_queries=int(os.environ.get("SCALE_PROBE_QUERIES", 64)),
             nprobe=int(os.environ.get("SCALE_PROBE_NPROBE", 4)),
             lloyd_iters=int(os.environ.get("SCALE_PROBE_LLOYD_ITERS", 1)),
+        )}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ivf_rowgroup":
+        spark = get_spark(
+            "scale-probe-ivfrg",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+            extra_conf=METERED_SESSION_CONF,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        vec_path = tempfile.mkdtemp(prefix="scale_probe_") + "/vectors"
+        n_vecs = int(os.environ.get("SCALE_PROBE_VECS", 400_000))
+        synth_clustered_vectors(
+            spark, n_vecs, 32, vec_path,
+            n_blobs=int(os.environ.get("SCALE_PROBE_BLOBS", 16)),
+            spread=float(os.environ.get("SCALE_PROBE_SPREAD", 0.15)),
+        )
+        vecs = spark.read.parquet(vec_path).localCheckpoint(eager=True)
+        print(json.dumps({"ivf_rowgroup": measure_ivf_rowgroup_skip(
+            spark, vecs,
+            n_cells=int(os.environ.get("SCALE_PROBE_CELLS", 16)),
+            n_queries=int(os.environ.get("SCALE_PROBE_QUERIES", 4)),
+            nprobe=int(os.environ.get("SCALE_PROBE_NPROBE", 4)),
+            block_bytes=int(os.environ.get("SCALE_PROBE_BLOCK", 128 << 10)),
         )}, indent=2))
         return
     if len(sys.argv) > 1 and sys.argv[1] in ("ivf_recall", "ivf_recall_clustered"):
