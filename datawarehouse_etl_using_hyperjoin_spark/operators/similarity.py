@@ -632,6 +632,28 @@ def write_ivf_index(
     """
     if "cell_id" not in assigned.columns:
         assigned = assigned.withColumn("cell_id", F.col("centroid_id"))
+    if mode == "append":
+        # layout guard (same rationale as the corpus sink's): appending
+        # cell_id-bearing files into a pre-r9 index whose files LACK the
+        # column would make parquet fill the old files' cell_id with
+        # NULL — fetch="cell_local" would then silently drop every
+        # candidate living in an old file (wrong top-k, no error).
+        # Fail loudly at write time instead.
+        spark = assigned.sparkSession
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath) and "cell_id" not in spark.read.parquet(
+            path
+        ).columns:
+            raise ValueError(
+                f"index at {path!r} predates the cell_id data column — "
+                "appending would mix NULL-cell_id files into it and "
+                "silently break fetch='cell_local'; rewrite the index "
+                "once with write_ivf_index(mode='overwrite') (reads the "
+                "full index, linear) or keep appending with the pre-r9 "
+                "code path"
+            )
     if sort_by is not None:
         assigned = assigned.sortWithinPartitions("centroid_id", sort_by)
     writer = assigned.write.mode(mode)

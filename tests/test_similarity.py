@@ -508,6 +508,23 @@ def test_quantized_rerank_cell_local_fetch(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="fetch"):
         ann_ivf_index_topk_quantized(q, idx, cent, k=5, fetch="bogus")
 
+    # append-time layout guard: a pre-r9 index (files without cell_id)
+    # must refuse a cell_id-bearing append — parquet would fill the old
+    # files' cell_id with NULL and cell_local would silently drop their
+    # candidates
+    legacy = str(tmp_path / "ivf_legacy")
+    (quant.write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(legacy))  # simulated pre-r9 layout: no cell_id column
+    assert "cell_id" not in read_ivf_index(spark, legacy).columns
+    with pytest.raises(ValueError, match="predates the cell_id"):
+        write_ivf_index(
+            quantize_embeddings(
+                ivf_assign(em.filter(F.col("vec_id") < 32), cent)
+            ),
+            legacy,
+            mode="append",
+        )
+
 
 def test_write_ivf_index_sort_by_orders_rows_within_files(spark, sf_dir, tmp_path):
     """r8: write_ivf_index(sort_by=id) must leave every written file
