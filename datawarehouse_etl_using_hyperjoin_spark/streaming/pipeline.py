@@ -516,8 +516,20 @@ def make_quarantine_sink(
     and the high-watermark read EXCLUDES the current batch's own
     partition — a recovered replay therefore re-splits against the same
     cutoff and converges to the identical quarantine + downstream state
-    instead of shifting the boundary or duplicating rows.  The _hwm
-    relation is batch-count-sized (one max per batch), never data-sized.
+    instead of shifting the boundary or duplicating rows.
+
+    Each ``_hwm`` partition stores ``(max_ts, cum_max_ts)``: the batch's
+    own max event time AND the RUNNING max over all batches so far.
+    Batch N's cutoff read is therefore a direct-path read of partition
+    ``N-1`` — O(1) regardless of stream age — where the r8 form listed
+    and read EVERY prior batch's file per batch: O(total batches) each,
+    quadratic over a stream's lifetime (a real cost past ~10⁴
+    micro-batches).  ``max_ts`` is kept in every row, so the full-scan
+    fallback (first batch, batch-id gap, or a legacy pre-cum layout —
+    where old files simply lack the cum column) computes the identical
+    cutoff from max(max_ts); correctness never depends on the fast
+    path.  Replay-safe: partition N-1 is immutable once batch N runs,
+    and a replayed batch N overwrites only its own partition.
 
     The "no history yet" case is detected by an explicit Hadoop-FS
     existence check on ``_hwm`` (like the corpus sink's layout guard),
@@ -532,19 +544,31 @@ def make_quarantine_sink(
 
     def _prior_hwm(spark: SparkSession, batch_id: int):
         jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(hwm_dir)
-        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        conf = spark._jsc.hadoopConfiguration()
+        # O(1) fast path: the previous batch's partition carries the
+        # running max
+        prev_dir = f"{hwm_dir}/ingest_batch={int(batch_id) - 1}"
+        prev_path = jvm.org.apache.hadoop.fs.Path(prev_dir)
+        fs = prev_path.getFileSystem(conf)
+        if int(batch_id) > 0 and fs.exists(prev_path):
+            prev = spark.read.parquet(prev_dir)
+            if "cum_max_ts" in prev.columns:
+                return prev.agg(F.max("cum_max_ts")).first()[0]
+        # fallback: first batch, id gap, or legacy per-batch layout.
         # "no history yet" = dir absent OR holding no visible partition
         # (a crash between mkdir and commit leaves only _temporary; a
         # replay must see that as no-history, not fail forever)
-        if not fs.exists(path) or not any(
+        root = jvm.org.apache.hadoop.fs.Path(hwm_dir)
+        if not fs.exists(root) or not any(
             st.getPath().getName().startswith("ingest_batch=")
-            for st in fs.listStatus(path)
+            for st in fs.listStatus(root)
         ):
             return None
         prior = spark.read.parquet(hwm_dir).where(
             F.col("ingest_batch") != int(batch_id)
         )
+        # max over every batch's own max_ts == the running max, whatever
+        # mix of legacy/cum files the dir holds
         return prior.agg(F.max("max_ts")).first()[0]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -559,8 +583,12 @@ def make_quarantine_sink(
                 f"{out_dir}/late/ingest_batch={int(batch_id)}"
             )
             inner_sink(on_time, batch_id)
-            batch_df.select(
-                F.max(F.col(watermark_col).cast("timestamp")).alias("max_ts")
+            own = batch_df.agg(
+                F.max(F.col(watermark_col).cast("timestamp"))
+            ).first()[0]
+            cum = max((v for v in (own, hwm) if v is not None), default=None)
+            spark.createDataFrame(
+                [(own, cum)], "max_ts timestamp, cum_max_ts timestamp"
             ).write.mode("overwrite").parquet(
                 f"{hwm_dir}/ingest_batch={int(batch_id)}"
             )

@@ -1025,6 +1025,85 @@ def test_quarantine_late_split_and_sink_convergence(spark, tmp_path_factory):
     assert summary() == want
 
 
+def test_quarantine_hwm_running_max_and_legacy_fallback(
+    spark, tmp_path_factory
+):
+    """r9: the _hwm relation stores (max_ts, cum_max_ts) so batch N's
+    cutoff read is a DIRECT-PATH read of partition N-1 — O(1) however
+    old the stream — instead of listing+reading every prior batch's file
+    (quadratic over a stream's lifetime).  (a) cum_max_ts is the running
+    max across batches, carried through an all-NULL-ts batch; (b) the
+    cutoff tracks the running max, not the previous batch's own max;
+    (c) a legacy _hwm layout (max_ts only) still yields the identical
+    cutoff via the full-scan fallback, and the sink upgrades the dir
+    incrementally (new partitions carry cum)."""
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        make_quarantine_sink,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts string, amount long"
+        ).select("user_id", F.to_timestamp("ts").alias("ts"), "amount")
+
+    out = str(tmp_path_factory.mktemp("q_runmax")) + "/stream"
+
+    def inner(clean, batch_id):
+        clean.write.mode("overwrite").parquet(
+            f"{out}/clean/ingest_batch={int(batch_id)}"
+        )
+
+    sink = make_quarantine_sink(inner, out, watermark_col="ts",
+                                lateness="30 minutes")
+    sink(batch([(1, "2026-01-01 12:00:00", 1)]), 0)
+    sink(batch([(2, "2026-01-01 09:00:00", 1)]), 1)   # all-late batch
+    sink(batch([(3, None, 1)]), 2)                     # all-NULL ts batch
+    # batch 3: 11:00 is late vs the RUNNING max 12:00 (batches 1/2 must
+    # not lower or lose the watermark), 11:45 is on-time
+    sink(batch([(4, "2026-01-01 11:00:00", 1),
+                (5, "2026-01-01 11:45:00", 1)]), 3)
+    hwm = spark.read.parquet(f"{out}/_hwm")
+    rows = {r.ingest_batch: (r.max_ts, r.cum_max_ts) for r in hwm.collect()}
+    noon = rows[0][0]
+    assert rows[0] == (noon, noon)
+    assert rows[1][1] == noon            # late batch never lowers cum
+    assert rows[2] == (None, noon)       # NULL-ts batch carries cum
+    assert rows[3][1] == noon
+    late_ids = {
+        r.user_id for r in spark.read.parquet(f"{out}/late").collect()
+    }
+    assert late_ids == {2, 4}
+
+    # (c) legacy layout: max_ts-only partitions, no cum column
+    out2 = str(tmp_path_factory.mktemp("q_legacy")) + "/stream"
+
+    def inner2(clean, batch_id):
+        clean.write.mode("overwrite").parquet(
+            f"{out2}/clean/ingest_batch={int(batch_id)}"
+        )
+
+    spark.createDataFrame(
+        [("2026-01-01 12:00:00",)], "max_ts string"
+    ).select(F.to_timestamp("max_ts").alias("max_ts")).write.parquet(
+        f"{out2}/_hwm/ingest_batch=0"
+    )
+    sink2 = make_quarantine_sink(inner2, out2, watermark_col="ts",
+                                 lateness="30 minutes")
+    sink2(batch([(6, "2026-01-01 09:00:00", 1),
+                 (7, "2026-01-01 12:30:00", 1)]), 1)
+    assert {
+        r.user_id for r in spark.read.parquet(f"{out2}/late").collect()
+    } == {6}
+    # the dir upgraded: batch 1's partition carries the running max, so
+    # batch 2 takes the O(1) path and still quarantines correctly
+    up = spark.read.parquet(f"{out2}/_hwm/ingest_batch=1")
+    assert "cum_max_ts" in up.columns
+    sink2(batch([(8, "2026-01-01 10:00:00", 1)]), 2)
+    assert {
+        r.user_id for r in spark.read.parquet(f"{out2}/late").collect()
+    } == {6, 8}
+
+
 def test_quarantine_lateness_validated_at_construction(spark):
     """r9 (ADVICE): a malformed lateness string fails as a clear
     ValueError at construction, not an opaque SQL parse error at first
