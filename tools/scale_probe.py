@@ -912,6 +912,81 @@ def measure_ivf_rowgroup_skip(
     return out
 
 
+def measure_quarantine_hwm(
+    spark, *, n_batches: int = 400, probe_points=(10, 50, 150, 400),
+) -> dict[str, object]:
+    """r9: the quarantine sink's cutoff read is O(1) in stream age (each
+    _hwm partition carries the running max, so batch N reads partition
+    N-1 by direct path).  This probe measures exactly what changed: at
+    growing _hwm partition counts, the wall of (a) the r8 full-relation
+    read (list + read every prior batch's file, then max) vs (b) the r9
+    direct-path read of the previous partition — plus end-to-end sink
+    flatness (mean per-batch sink wall over the first vs last 10
+    batches of a real run through make_quarantine_sink)."""
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        make_quarantine_sink,
+    )
+
+    root = tempfile.mkdtemp(prefix="scale_probe_qhwm_") + "/stream"
+    hwm_dir = f"{root}/_hwm"
+
+    def inner(clean, batch_id):
+        clean.write.mode("overwrite").format("noop").save()
+
+    sink = make_quarantine_sink(inner, root, watermark_col="ts",
+                                lateness="30 minutes")
+
+    def batch(i: int):
+        # event times advance one minute per batch (epoch 2026-01-01)
+        return spark.createDataFrame(
+            [(j, i * 60, 1) for j in range(10)],
+            "user_id long, off long, amount long",
+        ).select(
+            "user_id",
+            F.timestamp_seconds(F.lit(1767225600) + F.col("off")).alias("ts"),
+            "amount",
+        )
+
+    walls: list[float] = []
+    reads: dict[str, dict[str, float]] = {}
+    points = sorted(set(probe_points))
+    for i in range(n_batches):
+        t0 = time.time()
+        sink(batch(i), i)
+        walls.append(time.time() - t0)
+        if (i + 1) in points:
+            # (a) the r8 full-relation read at this partition count
+            t0 = time.time()
+            full = (
+                spark.read.parquet(hwm_dir)
+                .where(F.col("ingest_batch") != i + 1)
+                .agg(F.max("max_ts"))
+                .first()[0]
+            )
+            full_w = time.time() - t0
+            # (b) the r9 direct-path read of the previous partition
+            t0 = time.time()
+            fast = (
+                spark.read.parquet(f"{hwm_dir}/ingest_batch={i}")
+                .agg(F.max("cum_max_ts"))
+                .first()[0]
+            )
+            fast_w = time.time() - t0
+            assert full == fast, (full, fast)  # same cutoff, by design
+            reads[f"partitions_{i + 1}"] = {
+                "full_relation_read_sec": round(full_w, 3),
+                "direct_path_read_sec": round(fast_w, 3),
+            }
+    k = 10
+    return {
+        "n_batches": n_batches,
+        "rows_per_batch": 10,
+        "reads_at_partition_count": reads,
+        "sink_wall_first10_mean_sec": round(sum(walls[1:1 + k]) / k, 3),
+        "sink_wall_last10_mean_sec": round(sum(walls[-k:]) / k, 3),
+    }
+
+
 def measure_zorder_pruning(spark, n_rows: int = 10_000_000) -> dict[str, object]:
     """The multi-column clustering claim at probe scale: a selective
     filter on the SECOND z-ordered column should touch a small fraction
@@ -1826,6 +1901,18 @@ def main() -> None:
             n_queries=int(os.environ.get("SCALE_PROBE_QUERIES", 64)),
             nprobe=int(os.environ.get("SCALE_PROBE_NPROBE", 4)),
             lloyd_iters=int(os.environ.get("SCALE_PROBE_LLOYD_ITERS", 1)),
+        )}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "quarantine_hwm":
+        spark = get_spark(
+            "scale-probe-qhwm",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+            extra_conf=METERED_SESSION_CONF,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({"quarantine_hwm": measure_quarantine_hwm(
+            spark,
+            n_batches=int(os.environ.get("SCALE_PROBE_BATCHES", 400)),
         )}, indent=2))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf_rowgroup":
