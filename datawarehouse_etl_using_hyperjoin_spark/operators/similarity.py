@@ -687,6 +687,42 @@ def ivf_append(
     )
 
 
+def compact_ivf_index(
+    spark, path: str, *, target_file_mb: int = 128
+) -> dict[str, int]:
+    """Maintenance pass closing the IVF index lifecycle (train →
+    :func:`write_ivf_index` → :func:`ivf_append` per batch → THIS →
+    serve): every append lands one file per cell per batch, so after
+    weeks of ingest a cell is hundreds of small files and each probe
+    pays open/footer costs per file instead of per-128 MB split.
+    Rewrites the index to ~``target_file_mb`` files, preserving the
+    cell partitioning and restoring the id-sorted in-file order that
+    ``fetch="cell_local"`` row-group skipping needs (appends land
+    sorted per batch, but the CELL's id order interleaves across
+    files).  Delegates to :func:`...sources.files.compact_table`
+    (near-atomic two-rename swap — the published path is never absent,
+    crash-recoverable from the hidden side dirs).
+
+    Doubles as the one-call migration the :func:`write_ivf_index`
+    append guard points at: a pre-cell_id index gets the ``cell_id``
+    data column backfilled during the rewrite it was going to pay for
+    anyway, after which appends and ``cell_local`` serving both work.
+    """
+    from ..sources.files import compact_table
+
+    return compact_table(
+        spark,
+        path,
+        target_file_mb=target_file_mb,
+        partition_by=["centroid_id"],
+        sort_by=["centroid_id", "vec_id"],
+        transform=lambda df: (
+            df if "cell_id" in df.columns
+            else df.withColumn("cell_id", F.col("centroid_id"))
+        ),
+    )
+
+
 def _ivf_probe_cells(
     queries: DataFrame,
     centroids: DataFrame,

@@ -146,6 +146,7 @@ def compact_table(
     partition_by: list[str] | None = None,
     sort_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    transform=None,
 ) -> dict[str, int]:
     """Rewrite a parquet table directory into ~``target_file_mb`` files —
     the small-files maintenance pass every streaming/incremental sink
@@ -180,12 +181,21 @@ def compact_table(
     the compaction actually compacted.  Partitioned layouts pass
     ``partition_by`` to preserve the partition scheme (each partition is
     packed independently by the writer).
+
+    ``transform`` (optional, DataFrame → DataFrame) is applied to the
+    read relation before packing — the hook schema-migration passes use
+    to piggyback a column backfill on the rewrite they were going to pay
+    for anyway (e.g. :func:`...operators.similarity.compact_ivf_index`
+    adding ``cell_id`` to a pre-r9 index).  It must be row-preserving;
+    the returned ``rows`` count is taken AFTER the transform.
     """
     import math
     import os
     import shutil
 
     df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
     files = df.inputFiles()
     n_before = len(files)
     total_bytes = 0

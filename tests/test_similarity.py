@@ -526,6 +526,82 @@ def test_quantized_rerank_cell_local_fetch(spark, sf_dir, tmp_path):
         )
 
 
+def test_compact_ivf_index_packs_sorts_and_migrates(spark, sf_dir, tmp_path):
+    """r9: the IVF maintenance pass — after N appends a cell is N small
+    files with interleaved id ranges; compaction (a) shrinks file count,
+    (b) restores id-sorted in-file order (what cell_local row-group
+    skipping needs), (c) changes NO search result, and (d) doubles as
+    the pre-r9 migration: a cell_id-less index gets the column
+    backfilled, after which the append guard passes and cell_local
+    serving works."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_index_topk_quantized,
+        compact_ivf_index,
+        ivf_append,
+        ivf_assign,
+        ivf_seed_centroids,
+        quantize_embeddings,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_seed_centroids(em, 8).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivf_appended")
+    # initial write + 3 appended batches -> >=4 files per touched cell
+    write_ivf_index(ivf_assign(em.filter(F.col("vec_id") % 4 == 0), cent), path)
+    for b in range(1, 4):
+        ivf_append(em.filter(F.col("vec_id") % 4 == b), cent, path)
+    q = em.filter(F.col("vec_id") < 8)
+
+    def results(fetch="global"):
+        idx = read_ivf_index(spark, path)
+        # quantize on the fly for the quantized operator's columns
+        return {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in ann_ivf_index_topk_quantized(
+                q,
+                quantize_embeddings(idx) if "qembedding" not in idx.columns else idx,
+                cent, k=3, nprobe=4, rerank=12, fetch=fetch,
+            ).collect()
+        }
+
+    before_files = len(read_ivf_index(spark, path).inputFiles())
+    want = results()
+    stats = compact_ivf_index(spark, path, target_file_mb=128)
+    assert stats["files_before"] == before_files
+    assert stats["files_after"] < before_files
+    # in-file id order restored per cell file
+    for f in glob.glob(path + "/centroid_id=*/*.parquet"):
+        ids = pq.read_table(f, columns=["vec_id"])["vec_id"].to_pylist()
+        assert ids == sorted(ids), f
+    assert results() == want
+    assert results(fetch="cell_local") == want
+
+    # (d) migration: simulate a pre-r9 index (no cell_id), compact, then
+    # append + cell_local both work
+    legacy = str(tmp_path / "ivf_legacy_mig")
+    assigned = ivf_assign(em.filter(F.col("vec_id") % 2 == 0), cent)
+    (assigned.write.mode("overwrite").partitionBy("centroid_id")
+             .parquet(legacy))
+    assert "cell_id" not in read_ivf_index(spark, legacy).columns
+    compact_ivf_index(spark, legacy)
+    assert "cell_id" in read_ivf_index(spark, legacy).columns
+    ivf_append(em.filter(F.col("vec_id") % 2 == 1), cent, legacy)  # guard passes
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann_ivf_index_topk_quantized(
+            q, quantize_embeddings(read_ivf_index(spark, legacy)), cent,
+            k=3, nprobe=4, rerank=12, fetch="cell_local",
+        ).collect()
+    }
+    assert len(got) == 8 * 3
+
+
 def test_write_ivf_index_sort_by_orders_rows_within_files(spark, sf_dir, tmp_path):
     """r8: write_ivf_index(sort_by=id) must leave every written file
     internally id-sorted (narrow row-group min/max -> the rerank
