@@ -687,6 +687,115 @@ def ivf_append(
     )
 
 
+def ivf_split_oversized(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    *,
+    max_rows: int,
+    k: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hot-cell mitigation for the at-rest IVF index — the vector-index
+    analogue of the engine's salted-join skew handling: ingest drift
+    (:func:`ivf_append` assigns against FROZEN published centroids)
+    concentrates new data in whichever cells sit nearest the new
+    distribution, and one runaway cell eventually dominates every probe
+    that touches it (a cell is the scan unit — probe cost is the sum of
+    probed CELL sizes, so one 100×-sized cell makes nprobe irrelevant).
+
+    Splits every cell holding more than ``max_rows`` rows into ``k``
+    subcells: Lloyd-train ``k`` centroids INSIDE the cell (deterministic
+    — :func:`kmeans_refine`'s exact-decimal means), reassign only that
+    cell's rows, land them as new cell partitions, retire the parent.
+    Linear in the oversized cells only; the rest of the index is
+    untouched.  Returns the UPDATED centroid relation (parents removed,
+    subcell centroids appended under fresh non-colliding ids, array
+    element type matched to the input relation) — the caller republishes
+    it exactly as after training; serving needs no other change.
+
+    One pass splits each oversized cell once (``k``-way); a cell more
+    than ``k``×max_rows oversized needs repeated passes — call in a loop
+    until the returned relation stops changing.  Layout discipline: new
+    partitions carry ``cell_id`` only when the index already does (a
+    legacy index stays PURE legacy rather than becoming the mixed
+    layout the :func:`write_ivf_index` append guard exists to prevent;
+    migrate via :func:`compact_ivf_index` first to get cell_local
+    serving).  Swap discipline per cell: stage subcell dirs → rename the
+    parent aside (hidden) → promote → delete; a crash mid-swap leaves
+    the parent recoverable in the hidden dir (same local-fs caveat as
+    :func:`...sources.files.compact_table`).
+    """
+    import os
+    import shutil
+
+    index = spark.read.parquet(path)
+    has_cell_col = "cell_id" in index.columns
+    sizes = index.groupBy("centroid_id").count().collect()  # C rows
+    oversized = sorted(
+        int(r["centroid_id"]) for r in sizes if r["count"] > max_rows
+    )
+    if not oversized:
+        return centroids
+    cent_type = centroids.schema["centroid"].dataType
+    next_id = (
+        max(int(r["centroid_id"]) for r in centroids.select("centroid_id").collect())
+        + 1
+    )
+    live_root = path.rstrip("/").removeprefix("file:")
+    new_cent_frames = []
+    for c in oversized:
+        cell = spark.read.parquet(f"{path}/centroid_id={c}")
+        sub = kmeans_refine(
+            cell,
+            ivf_seed_centroids(cell, k, id_col=id_col, vec_col=vec_col),
+            iters=iters, id_col=id_col, vec_col=vec_col,
+        )
+        # renumber the surviving subcells (k, unless Lloyd dropped an
+        # empty one) onto fresh ids that collide with nothing
+        w = Window.orderBy("centroid_id")
+        sub = (
+            sub.withColumn(
+                "centroid_id",
+                (F.lit(next_id) + F.row_number().over(w) - F.lit(1)).cast("long"),
+            )
+            .withColumn("centroid", F.col("centroid").cast(cent_type))
+            .localCheckpoint(eager=True)
+        )
+        next_id += sub.count()
+        newly = ivf_assign(cell, sub, id_col=id_col, vec_col=vec_col).select(
+            id_col, "centroid_id"
+        )
+        re = cell.drop("centroid_id", "cell_id").join(newly, on=id_col)
+        if has_cell_col:
+            re = re.withColumn("cell_id", F.col("centroid_id"))
+        staging = os.path.join(live_root, f".centroid_id={c}.splitting")
+        (
+            re.repartition(k, F.col("centroid_id"))
+            .sortWithinPartitions("centroid_id", id_col)
+            .write.mode("overwrite").partitionBy("centroid_id")
+            .parquet(staging)
+        )
+        retired = os.path.join(live_root, f".centroid_id={c}.retired")
+        os.rename(os.path.join(live_root, f"centroid_id={c}"), retired)
+        for d in os.listdir(staging):
+            if d.startswith("centroid_id="):
+                os.rename(
+                    os.path.join(staging, d), os.path.join(live_root, d)
+                )
+        shutil.rmtree(staging)
+        shutil.rmtree(retired)
+        new_cent_frames.append(sub)
+    out = centroids.filter(
+        ~F.col("centroid_id").isin([int(c) for c in oversized])
+    )
+    for frame in new_cent_frames:
+        out = out.unionByName(frame)
+    return out.localCheckpoint(eager=True)
+
+
 def compact_ivf_index(
     spark, path: str, *, target_file_mb: int = 128
 ) -> dict[str, int]:

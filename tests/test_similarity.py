@@ -526,6 +526,85 @@ def test_quantized_rerank_cell_local_fetch(spark, sf_dir, tmp_path):
         )
 
 
+def test_ivf_split_oversized_rebalances_hot_cell(spark, sf_dir, tmp_path):
+    """r9: hot-cell mitigation — the vector-index analogue of salted-join
+    skew handling.  A 2-centroid quantizer makes one cell hold most of
+    the corpus; splitting it (a) preserves the vector set exactly (no
+    loss, no dup), (b) yields subcells strictly smaller than the parent
+    that sum to it, (c) retires the parent centroid id and appends fresh
+    non-colliding subcell ids with the input relation's array type, and
+    (d) leaves full-pool search results IDENTICAL (probing all cells is
+    cell-structure-invariant), while small-nprobe probe cost now scales
+    with subcell sizes.  A no-op call (nothing oversized) returns the
+    relation unchanged."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_index_topk,
+        ivf_assign,
+        ivf_seed_centroids,
+        ivf_split_oversized,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_seed_centroids(em, 2).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivf_hot")
+    write_ivf_index(ivf_assign(em, cent), path, sort_by="vec_id")
+    sizes = {
+        int(r.centroid_id): r["count"]
+        for r in read_ivf_index(spark, path).groupBy("centroid_id").count().collect()
+    }
+    hot, n_hot = max(sizes.items(), key=lambda kv: kv[1])
+    n_total = em.count()
+    q = em.filter(F.col("vec_id") < 8)
+
+    def full_pool(c):
+        n_cells = c.count()
+        return {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in ann_ivf_index_topk(
+                q, read_ivf_index(spark, path), c, k=3, nprobe=n_cells
+            ).collect()
+        }
+
+    want = full_pool(cent)
+    max_rows = n_hot - 1  # only the hot cell is oversized
+    new_cent = ivf_split_oversized(
+        spark, path, cent, max_rows=max_rows, k=2
+    )
+    idx = read_ivf_index(spark, path)
+    # (a) the vector set is exactly preserved
+    assert idx.count() == n_total
+    assert idx.select("vec_id").distinct().count() == n_total
+    # (b)+(c) parent retired, subcells smaller and sum to the parent
+    new_sizes = {
+        int(r.centroid_id): r["count"]
+        for r in idx.groupBy("centroid_id").count().collect()
+    }
+    assert hot not in new_sizes
+    subcells = set(new_sizes) - set(sizes)
+    assert len(subcells) == 2
+    assert all(new_sizes[s] < n_hot for s in subcells)
+    assert sum(new_sizes[s] for s in subcells) == n_hot
+    cent_ids = {int(r.centroid_id) for r in new_cent.collect()}
+    assert cent_ids == (set(sizes) - {hot}) | subcells
+    assert (
+        new_cent.schema["centroid"].dataType
+        == cent.schema["centroid"].dataType
+    )
+    # cell_id data column kept consistent on the new partitions
+    assert idx.filter(
+        F.col("centroid_id").isin([int(s) for s in subcells])
+        & (F.col("cell_id") != F.col("centroid_id"))
+    ).count() == 0
+    # (d) full-pool search is cell-structure-invariant
+    assert full_pool(new_cent) == want
+    # no-op pass: nothing oversized anymore at this threshold -> the
+    # relation comes back unchanged
+    again = ivf_split_oversized(spark, path, new_cent, max_rows=n_hot, k=2)
+    assert {int(r.centroid_id) for r in again.collect()} == cent_ids
+
+
 def test_compact_ivf_index_packs_sorts_and_migrates(spark, sf_dir, tmp_path):
     """r9: the IVF maintenance pass — after N appends a cell is N small
     files with interleaved id ranges; compaction (a) shrinks file count,
