@@ -567,6 +567,157 @@ def synth_clustered_vectors(
     ).write.mode("overwrite").parquet(path)
 
 
+def synth_skewed_vectors(
+    spark, n: int, dim: int, path: str, *, n_blobs: int = 8,
+    hot_weight: int = 7, spread: float = 0.15,
+) -> None:
+    """Deterministic SKEWED clustered embeddings: blob 0 receives
+    ``hot_weight`` of every 10 + (n_blobs-1) hash slots, the remaining
+    blobs one each — the ingest-drift regime where one IVF cell ends up
+    holding most of the corpus.  Same hash-derived construction as
+    :func:`synth_clustered_vectors` (no RNG, bit-stable)."""
+    slot = F.pmod(F.xxhash64("id"), hot_weight + n_blobs - 1)
+    blob = F.when(slot < hot_weight, F.lit(0)).otherwise(
+        slot - hot_weight + 1
+    )
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (
+            F.pmod(F.xxhash64(blob * 131 + i), 1000) / 500.0 - 1.0
+            + (F.pmod(F.xxhash64(F.col("id") * 97 + i), 1000) / 500.0 - 1.0)
+            * spread
+        ).cast("float"),
+    )
+    spark.range(n).select(
+        F.col("id").alias("vec_id"), emb.alias("embedding")
+    ).write.mode("overwrite").parquet(path)
+
+
+def measure_ivf_hotcell(
+    spark, vecs, *, n_cells: int = 8, n_queries: int = 8, k: int = 10,
+    nprobe: int = 2, lloyd_iters: int = 1, split_k: int = 4,
+) -> dict[str, object]:
+    """r9: the hot-cell claim, measured — a cell is the probe's SCAN
+    UNIT, so when ingest drift concentrates the corpus into one cell,
+    every probe touching it pays that cell's full size and nprobe stops
+    mattering.  Builds the at-rest index over a skewed corpus, serves
+    queries that live INSIDE the hot blob (the worst case — they always
+    probe the hot cell), then applies :func:`ivf_split_oversized` and
+    serves the same queries against the SAME directory with the updated
+    centroids.  Split passes loop until no cell is oversized (one pass
+    splits each oversized cell k-ways; a 50%-of-corpus cell needs two).
+
+    Reports the cell-size histogram, recall vs exact brute force, wall,
+    read bytes, and — the number the split actually re-bounds —
+    ``scored_rows``: Σ over queries of their probed cells' sizes, i.e.
+    candidate-scoring work.  (Union scan bytes move much less for a
+    query BATCH: different queries probe different subcells, so the
+    union of probed partitions stays wide even though each query's own
+    scoring set collapsed; per-query latency and work follow
+    scored_rows/Q.)  Recall may move when boundaries move — the honest
+    number to watch alongside the cost drop."""
+    from pyspark.sql import Window
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_index_topk,
+        cosine,
+        cosine_topk,
+        ivf_assign,
+        ivf_seed_centroids,
+        ivf_split_oversized,
+        kmeans_refine,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    q = vecs.filter(F.col("vec_id") < n_queries).localCheckpoint(eager=True)
+    ground = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(q, vecs, k=k).select("query_id", "neighbor_id").collect()
+    }
+    cent = kmeans_refine(
+        vecs, ivf_seed_centroids(vecs, n_cells), iters=lloyd_iters
+    ).localCheckpoint(eager=True)
+    root = tempfile.mkdtemp(prefix="scale_probe_ivfhot_") + "/index"
+    write_ivf_index(ivf_assign(vecs, cent), root, sort_by="vec_id")
+
+    def sizes():
+        return sorted(
+            (
+                r["count"]
+                for r in spark.read.parquet(root)
+                .groupBy("centroid_id").count().collect()
+            ),
+            reverse=True,
+        )
+
+    def scored_rows(centroids) -> int:
+        """Σ over queries of their nprobe probed cells' row counts —
+        the candidate-scoring work the serve pays, computed from the
+        same top-nprobe-centroids ranking the operator uses."""
+        qs = (
+            q.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("__qv"),
+            )
+            .crossJoin(F.broadcast(centroids))
+            .withColumn("__qc", cosine(F.col("__qv"), F.col("centroid")))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("__qc").desc(), F.col("centroid_id")
+        )
+        probed = (
+            qs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= nprobe)
+            .select("query_id", "centroid_id")
+        )
+        sz = spark.read.parquet(root).groupBy("centroid_id").count()
+        return int(
+            probed.join(sz, on="centroid_id").agg(F.sum("count")).first()[0]
+        )
+
+    def serve(centroids):
+        df = ann_ivf_index_topk(
+            q, read_ivf_index(spark, root), centroids, k=k, nprobe=nprobe
+        )
+        m = run_metered(spark, df)
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in df.select("query_id", "neighbor_id").collect()
+        }
+        m["recall_at_k"] = round(len(got & ground) / len(ground), 3)
+        m["scored_rows"] = scored_rows(centroids)
+        return m
+
+    n_total = vecs.count()
+    max_rows = int(n_total / n_cells * 2)
+    before_sizes = sizes()
+    before = serve(cent)
+    new_cent, passes = cent, 0
+    while passes < 6:
+        nxt = ivf_split_oversized(
+            spark, root, new_cent, max_rows=max_rows, k=split_k
+        )
+        passes += 1
+        if nxt is new_cent:  # nothing oversized -> relation unchanged
+            break
+        new_cent = nxt
+    after_sizes = sizes()
+    after = serve(new_cent)
+    return {
+        "n_vectors": n_total,
+        "n_queries": n_queries,
+        "k": k,
+        "nprobe": nprobe,
+        "max_rows": max_rows,
+        "split_passes": passes,
+        "cell_sizes_before": before_sizes,
+        "cell_sizes_after": after_sizes,
+        "hot_cell_serve_before": before,
+        "hot_cell_serve_after": after,
+    }
+
+
 def measure_ivf_index(
     spark, vecs, n_cells: int = 64, n_queries: int = 16, nprobe: int = 4
 ) -> dict[str, object]:
@@ -1913,6 +2064,26 @@ def main() -> None:
         print(json.dumps({"quarantine_hwm": measure_quarantine_hwm(
             spark,
             n_batches=int(os.environ.get("SCALE_PROBE_BATCHES", 400)),
+        )}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ivf_hotcell":
+        spark = get_spark(
+            "scale-probe-ivfhot",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+            extra_conf=METERED_SESSION_CONF,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        vec_path = tempfile.mkdtemp(prefix="scale_probe_") + "/vectors"
+        n_vecs = int(os.environ.get("SCALE_PROBE_VECS", 400_000))
+        synth_skewed_vectors(
+            spark, n_vecs, 32, vec_path,
+            n_blobs=int(os.environ.get("SCALE_PROBE_BLOBS", 8)),
+        )
+        vecs = spark.read.parquet(vec_path).localCheckpoint(eager=True)
+        print(json.dumps({"ivf_hotcell": measure_ivf_hotcell(
+            spark, vecs,
+            n_cells=int(os.environ.get("SCALE_PROBE_CELLS", 8)),
+            nprobe=int(os.environ.get("SCALE_PROBE_NPROBE", 2)),
         )}, indent=2))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf_rowgroup":
