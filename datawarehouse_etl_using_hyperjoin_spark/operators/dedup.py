@@ -526,6 +526,98 @@ def read_lsh_index(spark, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def _bucket_spec(spark, table: str) -> tuple[int, list[str]]:
+    """(n_buckets, bucket columns) from the catalog, via DESCRIBE
+    FORMATTED — the spec a same-layout rewrite must reproduce."""
+    n, cols = 0, []
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r.col_name == "Num Buckets":
+            n = int(r.data_type)
+        elif r.col_name == "Bucket Columns":
+            cols = [
+                c.strip(" `") for c in r.data_type.strip("[]").split(",")
+            ]
+    if not n or not cols:
+        raise ValueError(f"table {table!r} is not bucketed")
+    return n, cols
+
+
+def compact_lsh_index(
+    spark, table: str, *, keep_last: int = 2
+) -> dict[str, int]:
+    """Maintenance pass for the at-rest LSH index — the bucketed-table
+    sibling of ``compact_ivf_index``: every
+    :func:`upsert_lsh_index_batch` lands ``n_buckets`` files in its own
+    ``ingest_batch`` partition, so after B batches the table is B×32
+    files and each per-batch incremental scan pays open/footer/listing
+    per file — O(stream age) per batch, the same quadratic-lifetime
+    shape the quarantine _hwm read had before r9.
+
+    Merges every batch partition EXCEPT the newest ``keep_last`` into
+    one partition (carrying the largest merged batch id), rewriting
+    with the table's own bucket spec read from the catalog — the
+    exchange-free incremental-join property survives.  ``keep_last``
+    exists for the replay contract: a recovered ``foreachBatch`` replay
+    overwrites its own partition, and only not-yet-committed batches
+    can replay, so merging COMMITTED history is safe while the newest
+    partitions stay replayable verbatim.  Swap is staging-table →
+    two catalog renames (same discipline as compact_table's dir swap):
+    a crash before the first rename leaves the live table untouched;
+    between renames the NAME is briefly absent (re-run the rename to
+    recover), and a crash after the renames but before the partition
+    re-discovery leaves the table reading EMPTY until ``MSCK REPAIR
+    TABLE`` is re-run (files intact) — run it from the maintenance
+    schedule, not the hot path.
+
+    Returns {"files_before", "files_after", "batches_before",
+    "batches_after"}; no-op (zeros changed) when fewer than two
+    partitions are old enough to merge."""
+    t = spark.table(table)
+    files_before = len(t.inputFiles())
+    batches = sorted(
+        int(r[0]) for r in t.select("ingest_batch").distinct().collect()
+    )
+    old = batches[: len(batches) - keep_last] if keep_last > 0 else batches
+    out = {
+        "files_before": files_before,
+        "batches_before": len(batches),
+    }
+    if len(old) < 2:
+        return {**out, "files_after": files_before,
+                "batches_after": len(batches)}
+    n_buckets, bucket_cols = _bucket_spec(spark, table)
+    epoch = max(old)
+    merged = t.where(F.col("ingest_batch").isin(old)).withColumn(
+        "ingest_batch", F.lit(int(epoch))
+    )
+    frame = merged.unionByName(
+        t.where(~F.col("ingest_batch").isin(old))
+    )
+    from ..sources.files import write_bucketed
+
+    staging = f"{table}__compacting"
+    backup = f"{table}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    write_bucketed(
+        frame, staging, bucket_cols, n_buckets=n_buckets, sort=True,
+        mode="overwrite", partition_by=["ingest_batch"],
+    )
+    spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    # managed-table RENAME moves the data dir but orphans the catalog's
+    # per-partition locations (they still point at the old path) —
+    # re-discover them or the renamed table reads as EMPTY
+    spark.sql(f"MSCK REPAIR TABLE {table}")
+    spark.sql(f"DROP TABLE {backup}")
+    after = spark.table(table)
+    return {
+        **out,
+        "files_after": len(after.inputFiles()),
+        "batches_after": after.select("ingest_batch").distinct().count(),
+    }
+
+
 _HEX = "0123456789abcdef"
 
 

@@ -517,3 +517,74 @@ def test_prepare_corpus_hygiene_stages(spark):
     assert boiler in kept[1]["text"]
     assert 2 in kept and boiler not in kept[2]["text"]
     assert "<EMAIL>" in kept[3]["text"] and "bob@" not in kept[3]["text"]
+
+
+def test_compact_lsh_index_merges_history_and_keeps_bucketing(spark, sf_dir):
+    """r9: the LSH-index maintenance pass — B upsert batches leave
+    B x n_buckets files and per-batch incremental scans pay listing
+    per file (O(stream age), the shape the quarantine _hwm fix killed).
+    compact_lsh_index merges all but the newest keep_last batch
+    partitions into one: (a) the band set is identical, (b) the bucket
+    spec survives (index-side groupBy still plans exchange-free off the
+    bucketed scan), (c) file count drops, (d) the kept partitions stay
+    replayable verbatim (a re-upsert of a kept batch overwrites its own
+    partition, no growth), and (e) a second pass is a no-op."""
+    import uuid as _uuid
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        compact_lsh_index,
+        read_lsh_index,
+        upsert_lsh_index_batch,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import plan_string
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    table = f"lsh_cmp_{_uuid.uuid4().hex[:8]}"
+
+    def bands_of(b):
+        return lsh_bands_from_array(
+            minhash_array(
+                docs.filter(F.col("doc_id") % 5 == b), "doc_id", "text"
+            ),
+            "doc_id",
+        )
+
+    try:
+        for b in range(5):
+            upsert_lsh_index_batch(bands_of(b), table, b, n_buckets=4)
+        idx = read_lsh_index(spark, table)
+        want = {
+            (r.doc_id, r.band, r.band_hash)
+            for r in idx.select("doc_id", "band", "band_hash").collect()
+        }
+        stats = compact_lsh_index(spark, table, keep_last=2)
+        assert stats["batches_before"] == 5
+        assert stats["batches_after"] == 3  # merged {0,1,2} -> 2; kept 3,4
+        assert stats["files_after"] < stats["files_before"]
+        after = read_lsh_index(spark, table)
+        got = {
+            (r.doc_id, r.band, r.band_hash)
+            for r in after.select("doc_id", "band", "band_hash").collect()
+        }
+        assert got == want
+        assert {
+            int(r[0]) for r in after.select("ingest_batch").distinct().collect()
+        } == {2, 3, 4}
+        # bucket spec survived: exchange-free index-side aggregation
+        plan = plan_string(
+            after.groupBy("band", "band_hash").agg(F.count("*").alias("n")),
+            "simple",
+        )
+        assert "Exchange" not in plan and "Bucketed: true" in plan, plan
+        # kept batches stay replayable verbatim: idempotent re-upsert
+        n = after.count()
+        upsert_lsh_index_batch(bands_of(4), table, 4, n_buckets=4)
+        assert read_lsh_index(spark, table).count() == n
+        # second pass: only one old-enough partition -> no-op
+        again = compact_lsh_index(spark, table, keep_last=2)
+        assert again["batches_after"] == again["batches_before"] == 3
+        assert again["files_after"] == again["files_before"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__old")
