@@ -561,6 +561,54 @@ def make_corpus_ingest_sink(
     return sink
 
 
+def compact_corpus(
+    spark,
+    out_dir: str,
+    *,
+    keep_last: int = 2,
+    target_file_mb: int = 128,
+) -> dict[str, int]:
+    """Maintenance pass for the streamed corpus directory — the parquet-dir
+    member of the engine's at-rest triad (corpus dir here, LSH band table
+    via ``dedup.compact_lsh_index``, IVF index via
+    ``similarity.compact_ivf_index``), all with the same contract: every
+    :func:`make_corpus_ingest_sink` batch lands its own ``ingest_batch=N``
+    partition dir, so a long-lived stream leaves O(stream age) partition
+    dirs and every corpus read pays the listing.
+
+    Merges every batch partition EXCEPT the newest ``keep_last`` into one
+    (carrying the largest merged id) and bin-packs the files — delegated
+    to :func:`...sources.files.compact_table` (rows preserved, two-rename
+    near-atomic dir swap).  ``keep_last`` preserves the replay contract:
+    only not-yet-committed batches can replay-overwrite their own
+    partition, and those stay verbatim.  Returns compact_table's stats.
+    """
+    t = spark.read.parquet(out_dir)
+    batches = sorted(
+        int(r[0]) for r in t.select("ingest_batch").distinct().collect()
+    )
+    old = batches[: len(batches) - keep_last] if keep_last > 0 else batches
+    if len(old) < 2:
+        n = len(t.inputFiles())
+        return {"files_before": n, "files_after": n, "rows": t.count()}
+    epoch = int(max(old))
+    from ..sources.files import compact_table
+
+    return compact_table(
+        spark,
+        out_dir,
+        target_file_mb=target_file_mb,
+        partition_by=["ingest_batch"],
+        transform=lambda df: df.withColumn(
+            "ingest_batch",
+            F.when(
+                F.col("ingest_batch").isin([int(b) for b in old]),
+                F.lit(epoch),
+            ).otherwise(F.col("ingest_batch")),
+        ),
+    )
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,
