@@ -567,6 +567,7 @@ def compact_corpus(
     *,
     keep_last: int = 2,
     target_file_mb: int = 128,
+    batch_col: str = "ingest_batch",
 ) -> dict[str, int]:
     """Maintenance pass for the streamed corpus directory — the parquet-dir
     member of the engine's at-rest triad (corpus dir here, LSH band table
@@ -582,10 +583,15 @@ def compact_corpus(
     near-atomic dir swap).  ``keep_last`` preserves the replay contract:
     only not-yet-committed batches can replay-overwrite their own
     partition, and those stay verbatim.  Returns compact_table's stats.
+
+    ``batch_col`` names the per-batch partition column — the default
+    fits the corpus ingest sink; the star pipeline's
+    ``fact_enriched/batch_id=N`` relation (``make_star_sink``) has the
+    identical aging shape and compacts with ``batch_col="batch_id"``.
     """
     t = spark.read.parquet(out_dir)
     batches = sorted(
-        int(r[0]) for r in t.select("ingest_batch").distinct().collect()
+        int(r[0]) for r in t.select(batch_col).distinct().collect()
     )
     old = batches[: len(batches) - keep_last] if keep_last > 0 else batches
     if len(old) < 2:
@@ -598,13 +604,13 @@ def compact_corpus(
         spark,
         out_dir,
         target_file_mb=target_file_mb,
-        partition_by=["ingest_batch"],
+        partition_by=[batch_col],
         transform=lambda df: df.withColumn(
-            "ingest_batch",
+            batch_col,
             F.when(
-                F.col("ingest_batch").isin([int(b) for b in old]),
+                F.col(batch_col).isin([int(b) for b in old]),
                 F.lit(epoch),
-            ).otherwise(F.col("ingest_batch")),
+            ).otherwise(F.col(batch_col)),
         ),
     )
 

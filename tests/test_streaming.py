@@ -1295,3 +1295,51 @@ def test_run_pipeline_streaming_quarantine_policy(
     )
     # dim upsert saw only on-time products
     assert counts["dim_product"] == recent.select("product_id").distinct().count()
+
+
+def test_compact_fact_enriched_batch_partitions(
+    spark, sf_dir, txn_stream_dir, tmp_path_factory
+):
+    """r9: the star pipeline's fact_enriched/batch_id=N relation ages
+    exactly like the corpus dir (one partition per micro-batch forever);
+    compact_corpus(batch_col='batch_id') merges the committed history —
+    values identical, partitions collapsed, the newest kept verbatim."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        compact_corpus,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        run_pipeline_streaming,
+    )
+
+    out = str(tmp_path_factory.mktemp("dw_compact"))
+    run_pipeline_streaming(
+        spark,
+        read_parquet_stream(spark, txn_stream_dir, max_files_per_trigger=1),
+        master_data(spark, sf_dir),
+        out,
+        checkpoint_dir=out + "/_ckpt",
+    )
+    fact_dir = f"{out}/fact_enriched"
+    before = spark.read.parquet(fact_dir)
+    batches = {
+        int(r[0]) for r in before.select("batch_id").distinct().collect()
+    }
+    assert len(batches) >= 3
+    n = before.count()
+    s = before.agg(
+        F.sum(F.col("total_sale").cast("decimal(18,2)"))
+    ).first()[0]
+    stats = compact_corpus(
+        spark, fact_dir, keep_last=1, batch_col="batch_id"
+    )
+    assert stats["rows"] == n
+    after = spark.read.parquet(fact_dir)
+    assert after.count() == n
+    assert after.agg(
+        F.sum(F.col("total_sale").cast("decimal(18,2)"))
+    ).first()[0] == s
+    kept = max(batches)
+    merged_epoch = max(b for b in batches if b != kept)
+    assert {
+        int(r[0]) for r in after.select("batch_id").distinct().collect()
+    } == {merged_epoch, kept}
