@@ -604,6 +604,29 @@ def test_ivf_split_oversized_rebalances_hot_cell(spark, sf_dir, tmp_path):
     again = ivf_split_oversized(spark, path, new_cent, max_rows=n_hot, k=2)
     assert {int(r.centroid_id) for r in again.collect()} == cent_ids
 
+    # the QUANTIZED at-rest index (the 100 TB serving shape) splits the
+    # same way: codes survive the per-cell rewrite and cell_local
+    # serving over the split index still bit-matches the global fetch
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_index_topk_quantized,
+        quantize_embeddings,
+    )
+
+    qpath = str(tmp_path / "ivf_hot_quant")
+    write_ivf_index(
+        quantize_embeddings(ivf_assign(em, cent)), qpath, sort_by="vec_id"
+    )
+    nc2 = ivf_split_oversized(spark, qpath, cent, max_rows=max_rows, k=2)
+    qidx = read_ivf_index(spark, qpath)
+    assert {"qembedding", "qscale", "cell_id"} <= set(qidx.columns)
+    assert qidx.count() == n_total
+    key = lambda r: (r.query_id, r.rank)
+    g = {key(r): r.neighbor_id for r in ann_ivf_index_topk_quantized(
+        q, qidx, nc2, k=3, nprobe=4, rerank=12, fetch="global").collect()}
+    c = {key(r): r.neighbor_id for r in ann_ivf_index_topk_quantized(
+        q, qidx, nc2, k=3, nprobe=4, rerank=12, fetch="cell_local").collect()}
+    assert g == c and len(g) == 8 * 3
+
 
 def test_compact_ivf_index_packs_sorts_and_migrates(spark, sf_dir, tmp_path):
     """r9: the IVF maintenance pass — after N appends a cell is N small
