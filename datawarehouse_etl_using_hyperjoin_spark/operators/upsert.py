@@ -150,14 +150,28 @@ def upsert_parquet_sink(path: str, key: str):
     UPDATE loop, but atomic per micro-batch and idempotent on replay (ST6:
     the reference's autocommit per-tuple writes are at-least-once at best,
     StreamGeneratorThread.java:159).
+
+    The "no table yet" case is an explicit Hadoop-FS existence check,
+    NOT a swallowed read exception (r9, same fix as the quarantine
+    sink's _hwm read): a transient read failure silently treated as
+    "empty dim" would make the overwrite DROP every existing dim row
+    not in the current batch — here it fails the batch and the replay
+    retries.
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(path)
-        except Exception:
-            existing = None
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        # "no table yet" = dir absent OR holding only hidden entries (a
+        # kill mid-overwrite leaves just _temporary; replay must rebuild
+        # rather than fail forever)
+        has_table = fs.exists(jpath) and any(
+            not st.getPath().getName().startswith(("_", "."))
+            for st in fs.listStatus(jpath)
+        )
+        existing = spark.read.parquet(path) if has_table else None
         batch = latest_per_key(batch_df, key, [F.col(c) for c in batch_df.columns if c != key])
         merged = batch if existing is None else scd1_upsert(existing, batch, key=key)
         # Materialize before overwrite: the plan reads the path it rewrites.
