@@ -630,8 +630,18 @@ def write_ivf_index(
     ``{"parquet.block.size": str(128 << 20)}`` to size row groups so a
     GB-scale cell holds many skippable groups instead of one).
     """
+    # cell_id is pinned LONG: when the source of the copy is an inferred
+    # PARTITION column (int32) instead of the long data column, a dir
+    # mixing both widths crashes the vectorized reader on whichever
+    # footer loses schema inference
     if "cell_id" not in assigned.columns:
-        assigned = assigned.withColumn("cell_id", F.col("centroid_id"))
+        assigned = assigned.withColumn(
+            "cell_id", F.col("centroid_id").cast("long")
+        )
+    else:
+        assigned = assigned.withColumn(
+            "cell_id", F.col("cell_id").cast("long")
+        )
     if mode == "append":
         # layout guard (same rationale as the corpus sink's): appending
         # cell_id-bearing files into a pre-r9 index whose files LACK the
@@ -770,7 +780,8 @@ def ivf_split_oversized(
         )
         re = cell.drop("centroid_id", "cell_id").join(newly, on=id_col)
         if has_cell_col:
-            re = re.withColumn("cell_id", F.col("centroid_id"))
+            # pinned LONG, matching write_ivf_index's cell_id type
+            re = re.withColumn("cell_id", F.col("centroid_id").cast("long"))
         staging = os.path.join(live_root, f".centroid_id={c}.splitting")
         (
             re.repartition(k, F.col("centroid_id"))
@@ -825,9 +836,14 @@ def compact_ivf_index(
         target_file_mb=target_file_mb,
         partition_by=["centroid_id"],
         sort_by=["centroid_id", "vec_id"],
-        transform=lambda df: (
-            df if "cell_id" in df.columns
-            else df.withColumn("cell_id", F.col("centroid_id"))
+        # cell_id pinned LONG (see write_ivf_index): centroid_id here is
+        # the INFERRED partition column (int32), and without the cast a
+        # later long-typed append makes a mixed-width dir that crashes
+        # the vectorized reader — the bug the r9 end-of-round suite caught
+        transform=lambda df: df.withColumn(
+            "cell_id",
+            (F.col("cell_id") if "cell_id" in df.columns
+             else F.col("centroid_id")).cast("long"),
         ),
     )
 

@@ -694,10 +694,20 @@ def test_compact_ivf_index_packs_sorts_and_migrates(spark, sf_dir, tmp_path):
     compact_ivf_index(spark, legacy)
     assert "cell_id" in read_ivf_index(spark, legacy).columns
     ivf_append(em.filter(F.col("vec_id") % 2 == 1), cent, legacy)  # guard passes
+    # force a full decode of cell_id across BOTH the migrated and the
+    # appended files: the migration's copy comes from the inferred
+    # (int32) partition column, and an unpinned type makes a mixed-width
+    # dir that crashes the vectorized reader depending on which footer
+    # wins schema inference (the r9 end-of-round suite flake)
+    mixed = read_ivf_index(spark, legacy)
+    assert dict(mixed.dtypes)["cell_id"] == "bigint"
+    assert (
+        mixed.filter(F.col("cell_id") != F.col("centroid_id")).count() == 0
+    )
     got = {
         (r.query_id, r.rank): r.neighbor_id
         for r in ann_ivf_index_topk_quantized(
-            q, quantize_embeddings(read_ivf_index(spark, legacy)), cent,
+            q, quantize_embeddings(mixed), cent,
             k=3, nprobe=4, rerank=12, fetch="cell_local",
         ).collect()
     }
