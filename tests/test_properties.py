@@ -359,3 +359,43 @@ def test_quarantine_late_partition_algebra(spark, batch, hwm_min, lateness_min):
         if t is not None and t < cutoff
     }
     assert got_late == want_late
+
+
+@given(
+    n=st.integers(min_value=0, max_value=999),
+    unit=st.sampled_from(
+        ["microsecond", "millisecond", "second", "minute", "hour", "day", "week"]
+    ),
+    plural=st.booleans(),
+    n2=st.integers(min_value=0, max_value=99),
+    compound=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_lateness_validator_accepts_valid_rejects_garbage(
+    n, unit, plural, n2, compound
+):
+    """r9: _validate_lateness accepts every '<n> <unit>[s]' form (incl.
+    compound pairs, any case, surrounding whitespace) and rejects
+    injection-shaped garbage — the construction-time gate in front of
+    F.expr(f"INTERVAL {lateness}")."""
+    import pytest as _pytest
+
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        _validate_lateness,
+    )
+
+    s = f"{n} {unit}{'s' if plural else ''}"
+    if compound:
+        s += f" {n2} {unit}{'s' if plural else ''}"
+    _validate_lateness(s)
+    _validate_lateness(f"  {s.upper()}  ")
+    for bad in (
+        f"{s}; DROP TABLE x",
+        f"{n} parsecs",
+        f"{unit} {n}",
+        f"-{s}",
+        "",
+        f"{n}",
+    ):
+        with _pytest.raises(ValueError, match="lateness"):
+            _validate_lateness(bad)
