@@ -139,16 +139,24 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         ipn_unset = spark.conf.get(ipn_key, None) is None
     except Exception:  # pragma: no cover
         ipn_unset = True
+    # Same set-only-when-unset courtesy for the In-pushdown threshold: the
+    # 10-value Spark default silently degrades bounded id-list fetches
+    # (ANN rerank pushes ≤ Q·rerank ids) to a skip-nothing [min,max]
+    # range, so 4096 is the engine default — but a caller that
+    # deliberately tuned its own threshold keeps it.
+    inf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    try:
+        inf_unset = spark.conf.get(inf_key, None) in (None, "10")
+    except Exception:  # pragma: no cover
+        inf_unset = True
     pairs = [
         (NANOS_AS_LONG, "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
-        # real In pushdown for the bounded-id-list fetches (see tuned_conf
-        # — the ANN rerank path pushes ≤ Q·rerank ids; the 10-value
-        # default degrades them to a skip-nothing [min,max] range)
-        ("spark.sql.parquet.pushdown.inFilterThreshold", "4096"),
         ("spark.sql.optimizer.excludedRules", ",".join(rules)),
     ]
+    if inf_unset:
+        pairs.append((inf_key, "4096"))
     if ipn_unset:
         pairs.append((ipn_key, str(8 * par)))
     for key, value in pairs:

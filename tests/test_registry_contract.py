@@ -158,6 +158,26 @@ def test_ensure_engine_conf_sets_real_in_pushdown(registry):
         spark.conf.set(key, prev)
 
 
+def test_ensure_engine_conf_keeps_caller_tuned_in_pushdown_threshold(registry):
+    """r10 (ADVICE): same set-only-when-unset courtesy for the In-pushdown
+    threshold — a caller that deliberately lowered it keeps their value;
+    only the unset/Spark-default ("10") case is upgraded to 4096."""
+    from datawarehouse_etl_using_hyperjoin_spark.session import (
+        ensure_engine_conf,
+        get_spark,
+    )
+
+    spark = get_spark()
+    key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")  # a deliberate non-default tuning
+        ensure_engine_conf(spark)
+        assert spark.conf.get(key) == "7"
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_ensure_engine_conf_keeps_caller_tuned_initial_partition_num(registry):
     """r9 (ADVICE): set-only-when-unset — a caller that deliberately tuned
     its own initialPartitionNum keeps it (the same merge courtesy the
