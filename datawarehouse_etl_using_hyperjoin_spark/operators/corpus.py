@@ -487,17 +487,15 @@ def make_corpus_ingest_sink(
         # corpus, so fail loudly on first write instead
         if layout_checked:
             return
-        jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(out_dir)
-        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(path):
-            for st in fs.listStatus(path):
-                name = st.getPath().getName()
-                if name.startswith(("_", ".")):
-                    continue
-                if st.isDirectory() and name.startswith("ingest_batch="):
-                    continue
-                raise ValueError(
+        from ..fsutil import list_visible
+
+        entries = list_visible(spark, out_dir)
+        # None = no JVM gateway (Spark Connect) — the guard is a layout
+        # SAFETY CHECK, not a correctness read; skip it rather than fail
+        for name, is_dir in entries or []:
+            if is_dir and name.startswith("ingest_batch="):
+                continue
+            raise ValueError(
                     f"corpus dir {out_dir!r} contains non-partitioned "
                     f"entry {name!r} — it predates the exactly-once "
                     "ingest_batch=N layout; migrate it (rewrite the old "

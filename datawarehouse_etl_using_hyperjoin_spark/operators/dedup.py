@@ -599,16 +599,44 @@ def compact_lsh_index(
     backup = f"{table}__old"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    # row count the rewrite must preserve (compaction only relabels
+    # ingest_batch — it never drops or dedups rows); parquet count()
+    # reads footers only
+    expected = t.count()
     write_bucketed(
         frame, staging, bucket_cols, n_buckets=n_buckets, sort=True,
         mode="overwrite", partition_by=["ingest_batch"],
     )
+    # validate the rewrite BEFORE touching the live table: a
+    # silently-short staging write (lost task output, partial commit)
+    # must abort while the live table is still untouched
+    got = spark.table(staging).count()
+    if got != expected:
+        spark.sql(f"DROP TABLE {staging}")
+        raise RuntimeError(
+            f"compact_lsh_index: staging rewrite of {table!r} holds {got} "
+            f"rows, expected {expected} — aborted before the swap, live "
+            "table untouched"
+        )
     spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     # managed-table RENAME moves the data dir but orphans the catalog's
     # per-partition locations (they still point at the old path) —
     # re-discover them or the renamed table reads as EMPTY
     spark.sql(f"MSCK REPAIR TABLE {table}")
+    # re-validate AFTER the swap and BEFORE dropping the backup — the
+    # backup is the only remaining handle to the old data, so a
+    # post-swap shortfall (bad MSCK, damaged move) rolls back instead
+    got = spark.table(table).count()
+    if got != expected:
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {backup} RENAME TO {table}")
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+        raise RuntimeError(
+            f"compact_lsh_index: post-swap table {table!r} reads {got} "
+            f"rows, expected {expected} — rolled back to the pre-compaction "
+            "table"
+        )
     spark.sql(f"DROP TABLE {backup}")
     after = spark.table(table)
     return {

@@ -650,10 +650,9 @@ def write_ivf_index(
         # candidate living in an old file (wrong top-k, no error).
         # Fail loudly at write time instead.
         spark = assigned.sparkSession
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath) and "cell_id" not in spark.read.parquet(
+        from ..fsutil import table_exists
+
+        if table_exists(spark, path) and "cell_id" not in spark.read.parquet(
             path
         ).columns:
             raise ValueError(
@@ -672,9 +671,100 @@ def write_ivf_index(
     writer.partitionBy("centroid_id").parquet(path)
 
 
+#: marker left in the index root while ivf_split_oversized swaps a cell's
+#: directories; its presence means a swap crashed mid-flight
+_SPLIT_SENTINEL = ".split_pending.centroid_id="
+
+
+def _local_index_root(path: str) -> str | None:
+    """Filesystem directory behind ``path`` if it is local, else None.
+    The directory-swap maintenance ops (:func:`ivf_split_oversized`,
+    recovery) move partition dirs with os.rename, which only a local
+    filesystem supports — on object stores use a table format's MERGE
+    or rewrite via :func:`compact_ivf_index` to a fresh path."""
+    p = path.rstrip("/")
+    if p.startswith("file://"):
+        return p[len("file://"):] or None
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    head = p.split("/", 1)[0]
+    if ":" in head:  # any other scheme (hdfs:, s3a:, abfss:, gs:, ...)
+        return None
+    return p
+
+
 def read_ivf_index(spark, path: str) -> DataFrame:
-    """Read the at-rest IVF index written by :func:`write_ivf_index`."""
+    """Read the at-rest IVF index written by :func:`write_ivf_index`.
+
+    Refuses to read an index with a crashed cell-split swap in flight
+    (a :func:`ivf_split_oversized` sentinel present): between retiring
+    the parent dir and promoting the subcell dirs, that cell's rows live
+    only in hidden directories and a plain read would silently MISS them
+    — wrong top-k, no error.  Run :func:`ivf_recover_splits` to roll the
+    swap forward, then read."""
+    import os
+
+    root = _local_index_root(path)
+    if root is not None and os.path.isdir(root):
+        pending = sorted(
+            n for n in os.listdir(root) if n.startswith(_SPLIT_SENTINEL)
+        )
+        if pending:
+            raise RuntimeError(
+                f"IVF index at {path!r} has {len(pending)} interrupted "
+                f"cell split(s) ({', '.join(pending)}): reading now would "
+                "silently miss those cells' rows. Run "
+                "ivf_recover_splits(spark, path) to complete the swaps, "
+                "then retry."
+            )
     return spark.read.parquet(path)
+
+
+def ivf_recover_splits(spark, path: str) -> list[int]:
+    """Roll forward cell-split swaps that :func:`ivf_split_oversized`
+    left interrupted (its sentinel present).  The sentinel is written
+    only AFTER the subcell staging write committed, so roll-forward is
+    always safe: retire the parent if it is still live, promote any
+    staged subcell dirs not yet promoted, then clean up.  Idempotent —
+    a crash during recovery is recovered by running it again.  Returns
+    the recovered parent centroid ids."""
+    import os
+    import shutil
+
+    root = _local_index_root(path)
+    if root is None:
+        raise ValueError(
+            f"ivf_recover_splits needs a local filesystem path, got {path!r}"
+        )
+    recovered = []
+    for name in sorted(os.listdir(root)):
+        if not name.startswith(_SPLIT_SENTINEL):
+            continue
+        c = int(name[len(_SPLIT_SENTINEL):])
+        live = os.path.join(root, f"centroid_id={c}")
+        retired = os.path.join(root, f".centroid_id={c}.retired")
+        staging = os.path.join(root, f".centroid_id={c}.splitting")
+        if os.path.isdir(live):  # crashed before the retire rename
+            os.rename(live, retired)
+        if os.path.isdir(staging):
+            for d in sorted(os.listdir(staging)):
+                if not d.startswith("centroid_id="):
+                    continue
+                target = os.path.join(root, d)
+                if os.path.exists(target):
+                    raise RuntimeError(
+                        f"recovery collision: {target!r} already exists "
+                        f"while {d!r} is still staged — the index was "
+                        "modified outside the split protocol; resolve "
+                        "manually"
+                    )
+                os.rename(os.path.join(staging, d), target)
+            shutil.rmtree(staging)
+        if os.path.isdir(retired):
+            shutil.rmtree(retired)
+        os.remove(os.path.join(root, name))
+        recovered.append(c)
+    return recovered
 
 
 def ivf_append(
@@ -733,14 +823,37 @@ def ivf_split_oversized(
     legacy index stays PURE legacy rather than becoming the mixed
     layout the :func:`write_ivf_index` append guard exists to prevent;
     migrate via :func:`compact_ivf_index` first to get cell_local
-    serving).  Swap discipline per cell: stage subcell dirs → rename the
-    parent aside (hidden) → promote → delete; a crash mid-swap leaves
-    the parent recoverable in the hidden dir (same local-fs caveat as
-    :func:`...sources.files.compact_table`).
+    serving).  Swap discipline per cell: stage subcell dirs → write a
+    sentinel → rename the parent aside (hidden) → promote → clean up →
+    remove the sentinel.  A crash mid-swap leaves the sentinel behind;
+    :func:`read_ivf_index` refuses to read past it (the cell's rows
+    would otherwise be silently invisible) and
+    :func:`ivf_recover_splits` rolls the swap forward.  Local
+    filesystem ONLY (directory renames) — non-local schemes raise up
+    front; at object-store scale do the equivalent rewrite through a
+    table format's MERGE or :func:`compact_ivf_index` to a fresh path.
+
+    Serving note (measured, SCALE.md r9): splitting moves cell
+    boundaries, so a query that used to resolve entirely inside the hot
+    cell may now have true neighbors straddling two subcells — at EQUAL
+    nprobe, recall dipped 1.000 → 0.975 on the 50%-skewed probe fixture
+    while scored rows dropped −49%.  If the split cells serve
+    recall-critical traffic, bump ``nprobe`` by ~1 per split generation
+    (recall recovers fully at nprobe+1 on that fixture, still scanning
+    far fewer rows than the unsplit hot cell; test-pinned in
+    tests/test_similarity.py).
     """
     import os
     import shutil
 
+    live_root = _local_index_root(path)
+    if live_root is None:
+        raise ValueError(
+            f"ivf_split_oversized swaps partition directories with "
+            f"os.rename and needs a local filesystem path, got {path!r} — "
+            "on object stores rewrite through a table format MERGE or "
+            "compact_ivf_index to a fresh path instead"
+        )
     index = spark.read.parquet(path)
     has_cell_col = "cell_id" in index.columns
     sizes = index.groupBy("centroid_id").count().collect()  # C rows
@@ -754,7 +867,6 @@ def ivf_split_oversized(
         max(int(r["centroid_id"]) for r in centroids.select("centroid_id").collect())
         + 1
     )
-    live_root = path.rstrip("/").removeprefix("file:")
     new_cent_frames = []
     for c in oversized:
         cell = spark.read.parquet(f"{path}/centroid_id={c}")
@@ -789,6 +901,12 @@ def ivf_split_oversized(
             .write.mode("overwrite").partitionBy("centroid_id")
             .parquet(staging)
         )
+        # sentinel AFTER the staging write committed: from here the swap
+        # is roll-forward-safe (ivf_recover_splits), and read_ivf_index
+        # refuses to read past it mid-flight
+        sentinel = os.path.join(live_root, f"{_SPLIT_SENTINEL}{c}")
+        with open(sentinel, "w") as fh:
+            fh.write("")
         retired = os.path.join(live_root, f".centroid_id={c}.retired")
         os.rename(os.path.join(live_root, f"centroid_id={c}"), retired)
         for d in os.listdir(staging):
@@ -798,6 +916,7 @@ def ivf_split_oversized(
                 )
         shutil.rmtree(staging)
         shutil.rmtree(retired)
+        os.remove(sentinel)
         new_cent_frames.append(sub)
     out = centroids.filter(
         ~F.col("centroid_id").isin([int(c) for c in oversized])
@@ -808,7 +927,7 @@ def ivf_split_oversized(
 
 
 def compact_ivf_index(
-    spark, path: str, *, target_file_mb: int = 128
+    spark, path: str, *, target_file_mb: int = 128, id_col: str = "vec_id"
 ) -> dict[str, int]:
     """Maintenance pass closing the IVF index lifecycle (train →
     :func:`write_ivf_index` → :func:`ivf_append` per batch → THIS →
@@ -827,15 +946,25 @@ def compact_ivf_index(
     append guard points at: a pre-cell_id index gets the ``cell_id``
     data column backfilled during the rewrite it was going to pay for
     anyway, after which appends and ``cell_local`` serving both work.
+
+    ``id_col`` must name the same id column the index was written with
+    (:func:`write_ivf_index`'s ``sort_by`` / :func:`ivf_append`'s
+    ``id_col``) — the in-file sort order ``cell_local`` row-group
+    skipping relies on is (cell, id).
     """
     from ..sources.files import compact_table
 
+    if id_col not in spark.read.parquet(path).columns:
+        raise ValueError(
+            f"compact_ivf_index: id column {id_col!r} not in the index at "
+            f"{path!r} — pass the id_col the index was written with"
+        )
     return compact_table(
         spark,
         path,
         target_file_mb=target_file_mb,
         partition_by=["centroid_id"],
-        sort_by=["centroid_id", "vec_id"],
+        sort_by=["centroid_id", id_col],
         # cell_id pinned LONG (see write_ivf_index): centroid_id here is
         # the INFERRED partition column (int32), and without the cast a
         # later long-typed append makes a mixed-width dir that crashes

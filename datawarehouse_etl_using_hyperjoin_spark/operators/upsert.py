@@ -136,7 +136,24 @@ def scd2_upsert(
     )
 
 
-def upsert_parquet_sink(path: str, key: str):
+#: internal bucket column for the partitioned dim layout — a pure
+#: function of the key, so the same key always lands in the same
+#: partition directory across batches.  Deliberately NOT underscore-
+#: prefixed: partition directories are named ``<col>=<val>`` and a
+#: leading underscore would make every one read as a hidden entry to
+#: Hadoop-FS visibility checks (``_temporary``-style), breaking the
+#: "does the table exist yet" probe.
+DIM_BUCKET_COL = "kp_bucket"
+
+
+def read_dim(spark, path: str) -> DataFrame:
+    """Read a dim maintained by :func:`upsert_parquet_sink`, hiding the
+    internal bucket column when the bucketed layout is in use."""
+    df = spark.read.parquet(path)
+    return df.drop(DIM_BUCKET_COL) if DIM_BUCKET_COL in df.columns else df
+
+
+def upsert_parquet_sink(path: str, key: str, *, buckets: int | None = None):
     """``foreachBatch`` sink factory: maintain a keyed parquet dim table.
 
     Usage::
@@ -151,31 +168,74 @@ def upsert_parquet_sink(path: str, key: str):
     the reference's autocommit per-tuple writes are at-least-once at best,
     StreamGeneratorThread.java:159).
 
-    The "no table yet" case is an explicit Hadoop-FS existence check,
-    NOT a swallowed read exception (r9, same fix as the quarantine
-    sink's _hwm read): a transient read failure silently treated as
-    "empty dim" would make the overwrite DROP every existing dim row
-    not in the current batch — here it fails the batch and the replay
-    retries.
+    The "no table yet" case is an explicit FS existence check
+    (:func:`~..fsutil.table_exists` — JVM ``FileSystem.exists`` with a
+    Spark Connect read-probe fallback), NOT a swallowed read exception
+    (r9, same fix as the quarantine sink's _hwm read): a transient read
+    failure silently treated as "empty dim" would make the overwrite DROP
+    every existing dim row not in the current batch — here it fails the
+    batch and the replay retries.
+
+    **Write amplification** (r10): with ``buckets=None`` every batch
+    rewrites the whole table — per-batch write bytes scale with |dim|,
+    fine for the reference's master data but the write-path analogue of a
+    quadratic read at 100× dim size under frequent micro-batches.  Pass
+    ``buckets=P`` to key-hash-partition the dim
+    (``pmod(xxhash64(key), P)`` → partition dir per bucket) and
+    dynamic-partition-overwrite ONLY the buckets the batch touches:
+    per-batch write bytes then track |batch| (× dim/P bucket width), not
+    |dim|, and untouched partition files are byte-identical after the
+    batch (tests/test_upsert_partitioned.py pins this).  Size P so a
+    bucket ≈ a comfortable task output (dim_bytes / P ~ 64–256 MB at
+    target scale); the bucket column is internal — read the dim back
+    through :func:`read_dim`.  The layout choice is per-table and sticky:
+    keep ``buckets`` constant across batches (the column is recomputed
+    from the key each batch, so changing P would strand rows in stale
+    directories that dynamic overwrite no longer targets).
     """
+    from ..fsutil import table_exists
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        # "no table yet" = dir absent OR holding only hidden entries (a
-        # kill mid-overwrite leaves just _temporary; replay must rebuild
-        # rather than fail forever)
-        has_table = fs.exists(jpath) and any(
-            not st.getPath().getName().startswith(("_", "."))
-            for st in fs.listStatus(jpath)
+        has_table = table_exists(spark, path)
+        batch = latest_per_key(
+            batch_df, key, [F.col(c) for c in batch_df.columns if c != key]
         )
-        existing = spark.read.parquet(path) if has_table else None
-        batch = latest_per_key(batch_df, key, [F.col(c) for c in batch_df.columns if c != key])
-        merged = batch if existing is None else scd1_upsert(existing, batch, key=key)
-        # Materialize before overwrite: the plan reads the path it rewrites.
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+        if buckets is None:
+            existing = spark.read.parquet(path) if has_table else None
+            merged = batch if existing is None else scd1_upsert(existing, batch, key=key)
+            # Materialize before overwrite: the plan reads the path it rewrites.
+            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+            return
+
+        batch = batch.withColumn(
+            DIM_BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)).cast("int"),
+        )
+        # Buckets this batch touches — bounded by the design parameter P,
+        # never by data size.
+        touched = [r[0] for r in batch.select(DIM_BUCKET_COL).distinct().collect()]
+        if not touched:
+            return
+        if has_table:
+            # Partition-pruned read: only the touched bucket directories
+            # are scanned (the In predicate hits the partition column).
+            existing = spark.read.parquet(path).where(
+                F.col(DIM_BUCKET_COL).isin(touched)
+            )
+            merged = scd1_upsert(existing, batch, key=key)
+        else:
+            merged = batch
+        (
+            merged.localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            # dynamic: replace only the partitions PRESENT in the output —
+            # i.e. the touched buckets; every other bucket's files are
+            # left physically untouched.
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(DIM_BUCKET_COL)
+            .parquet(path)
+        )
 
     return _sink
 

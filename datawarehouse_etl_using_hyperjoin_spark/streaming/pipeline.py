@@ -543,26 +543,23 @@ def make_quarantine_sink(
     hwm_dir = f"{out_dir}/_hwm"
 
     def _prior_hwm(spark: SparkSession, batch_id: int):
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
+        from ..fsutil import dir_exists, table_exists
+
         # O(1) fast path: the previous batch's partition carries the
-        # running max
+        # running max (fsutil probes: JVM FileSystem.exists with a Spark
+        # Connect read-probe fallback)
         prev_dir = f"{hwm_dir}/ingest_batch={int(batch_id) - 1}"
-        prev_path = jvm.org.apache.hadoop.fs.Path(prev_dir)
-        fs = prev_path.getFileSystem(conf)
-        if int(batch_id) > 0 and fs.exists(prev_path):
+        if int(batch_id) > 0 and dir_exists(spark, prev_dir):
             prev = spark.read.parquet(prev_dir)
             if "cum_max_ts" in prev.columns:
                 return prev.agg(F.max("cum_max_ts")).first()[0]
         # fallback: first batch, id gap, or legacy per-batch layout.
         # "no history yet" = dir absent OR holding no visible partition
         # (a crash between mkdir and commit leaves only _temporary; a
-        # replay must see that as no-history, not fail forever)
-        root = jvm.org.apache.hadoop.fs.Path(hwm_dir)
-        if not fs.exists(root) or not any(
-            st.getPath().getName().startswith("ingest_batch=")
-            for st in fs.listStatus(root)
-        ):
+        # replay must see that as no-history, not fail forever) — any
+        # OTHER read failure raises and fails the batch, it must never
+        # silently reset the cutoff (r9)
+        if not table_exists(spark, hwm_dir, visible_prefix="ingest_batch="):
             return None
         prior = spark.read.parquet(hwm_dir).where(
             F.col("ingest_batch") != int(batch_id)
@@ -690,13 +687,14 @@ def run_pipeline_streaming(
     if quarantine_lateness is not None:
         from pyspark.errors import AnalysisException
 
+        from ..fsutil import dir_exists
+
         late_dir = f"{out_dir}/late"
-        jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(late_dir)
-        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
         try:
             counts["late"] = (
-                spark.read.parquet(late_dir).count() if fs.exists(path) else 0
+                spark.read.parquet(late_dir).count()
+                if dir_exists(spark, late_dir)
+                else 0
             )
         except AnalysisException:
             # dir exists but holds no parquet footers: every batch's late

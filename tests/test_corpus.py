@@ -642,3 +642,67 @@ def test_compact_corpus_merges_old_batches(spark, sf_dir, tmp_path):
         assert again["files_after"] == again["files_before"]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {idx}")
+
+
+def test_compact_lsh_index_aborts_on_short_rewrite(spark, sf_dir, monkeypatch):
+    """r10 (ADVICE): a silently-short staging rewrite must ABORT BEFORE
+    the catalog swap — the backup drop used to be the only thing between
+    a lost-task shortfall and destroying the sole handle to the old
+    data.  Simulate the shortfall by patching write_bucketed to drop a
+    row; the live table must come through untouched."""
+    import uuid as _uuid
+
+    import pytest
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        compact_lsh_index,
+        read_lsh_index,
+        upsert_lsh_index_batch,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.sources import files as files_mod
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    table = f"lsh_short_{_uuid.uuid4().hex[:8]}"
+
+    try:
+        for b in range(4):
+            upsert_lsh_index_batch(
+                lsh_bands_from_array(
+                    minhash_array(
+                        docs.filter(F.col("doc_id") % 4 == b), "doc_id", "text"
+                    ),
+                    "doc_id",
+                ),
+                table,
+                b,
+                n_buckets=4,
+            )
+        before = {
+            (r.doc_id, r.band, r.band_hash, r.ingest_batch)
+            for r in read_lsh_index(spark, table).collect()
+        }
+
+        real = files_mod.write_bucketed
+
+        def short_write(frame, *args, **kwargs):
+            return real(frame.limit(frame.count() - 1), *args, **kwargs)
+
+        monkeypatch.setattr(files_mod, "write_bucketed", short_write)
+        with pytest.raises(RuntimeError, match="live table untouched"):
+            compact_lsh_index(spark, table, keep_last=2)
+        monkeypatch.undo()
+
+        after = {
+            (r.doc_id, r.band, r.band_hash, r.ingest_batch)
+            for r in read_lsh_index(spark, table).collect()
+        }
+        assert after == before  # live table byte-for-byte semantics intact
+        # and the aborted staging table is gone
+        assert not spark.catalog.tableExists(f"{table}__compacting")
+        # a clean retry then succeeds
+        stats = compact_lsh_index(spark, table, keep_last=2)
+        assert stats["batches_after"] < stats["batches_before"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__old")

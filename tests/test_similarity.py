@@ -751,3 +751,162 @@ def test_write_ivf_index_sort_by_orders_rows_within_files(spark, sf_dir, tmp_pat
     b = {key(r): r.neighbor_id for r in ann_ivf_index_topk(
         q, read_ivf_index(spark, plain_path), cent, k=3, nprobe=4).collect()}
     assert a == b
+
+
+def test_ivf_split_crash_recovery_and_scheme_guard(spark, sf_dir, tmp_path):
+    """r10 (ADVICE): a crash between retiring the parent cell dir and
+    promoting the subcell dirs must NOT leave that cell's rows silently
+    invisible.  The split protocol leaves a sentinel while the swap is
+    in flight; read_ivf_index refuses to read past it and
+    ivf_recover_splits rolls the swap forward (idempotently, from any
+    crash point after staging committed).  Non-local schemes are
+    rejected up front."""
+    import os
+    import shutil
+
+    import pytest
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        _SPLIT_SENTINEL,
+        ivf_assign,
+        ivf_recover_splits,
+        ivf_seed_centroids,
+        ivf_split_oversized,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_seed_centroids(em, 2).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivf_crash")
+    write_ivf_index(ivf_assign(em, cent), path, sort_by="vec_id")
+    n_total = em.count()
+    sizes = {
+        int(r.centroid_id): r["count"]
+        for r in spark.read.parquet(path).groupBy("centroid_id").count().collect()
+    }
+    hot, n_hot = max(sizes.items(), key=lambda kv: kv[1])
+
+    # non-local schemes raise before touching anything
+    for bad in ("s3a://bucket/ivf", "hdfs://nn/ivf", "abfss://c@a/ivf"):
+        with pytest.raises(ValueError, match="local filesystem"):
+            ivf_split_oversized(spark, bad, cent, max_rows=1, k=2)
+
+    # simulate the worst crash point: staging committed + sentinel
+    # written + parent retired, NOTHING promoted.  Reuse a real split's
+    # staging output by running the split, then reconstructing that
+    # state from its results.
+    new_cent = ivf_split_oversized(spark, path, cent, max_rows=n_hot - 1, k=2)
+    subcells = sorted(
+        {int(r.centroid_id) for r in new_cent.collect()} - set(sizes)
+    )
+    assert len(subcells) == 2
+    staging = os.path.join(path, f".centroid_id={hot}.splitting")
+    retired = os.path.join(path, f".centroid_id={hot}.retired")
+    os.makedirs(staging)
+    for s in subcells:
+        shutil.move(os.path.join(path, f"centroid_id={s}"),
+                    os.path.join(staging, f"centroid_id={s}"))
+    os.makedirs(retired)  # parent already moved aside (contents gone is fine)
+    sentinel = os.path.join(path, f"{_SPLIT_SENTINEL}{hot}")
+    open(sentinel, "w").close()
+
+    # mid-flight: a plain read would miss the hot cell's rows — refuse
+    with pytest.raises(RuntimeError, match="ivf_recover_splits"):
+        read_ivf_index(spark, path)
+
+    # roll forward; everything converges and recovery is idempotent
+    assert ivf_recover_splits(spark, path) == [hot]
+    assert ivf_recover_splits(spark, path) == []
+    idx = read_ivf_index(spark, path)
+    assert idx.count() == n_total
+    assert idx.select("vec_id").distinct().count() == n_total
+    assert not os.path.exists(sentinel)
+    assert not os.path.exists(staging) and not os.path.exists(retired)
+
+
+def test_ivf_split_recall_recovers_at_nprobe_plus_one(spark, sf_dir, tmp_path):
+    """r10 (verdict #7): splitting a hot cell moves cell boundaries, so
+    recall at EQUAL nprobe may dip (measured 1.000 -> 0.975, SCALE.md
+    r9).  The actionable guidance — bump nprobe by one per split
+    generation — is pinned here: recall@k at nprobe+1 over the split
+    index is >= recall@k at nprobe over the unsplit index, while still
+    scanning fewer rows than the unsplit hot cell forced."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_index_topk,
+        cosine_topk,
+        ivf_assign,
+        ivf_seed_centroids,
+        ivf_split_oversized,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_seed_centroids(em, 4).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivf_recall")
+    write_ivf_index(ivf_assign(em, cent), path, sort_by="vec_id")
+    sizes = {
+        int(r.centroid_id): r["count"]
+        for r in spark.read.parquet(path).groupBy("centroid_id").count().collect()
+    }
+    n_hot = max(sizes.values())
+    q = em.filter(F.col("vec_id") < 16)
+    k = 5
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(q, em, k=k).collect()
+    }
+
+    def recall(c, nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_ivf_index_topk(
+                q, read_ivf_index(spark, path), c, k=k, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    base = recall(cent, 2)
+    new_cent = ivf_split_oversized(spark, path, cent, max_rows=n_hot - 1, k=2)
+    assert new_cent.count() > cent.count()  # something actually split
+    assert recall(new_cent, 3) >= base
+
+
+def test_compact_ivf_index_custom_id_col(spark, sf_dir, tmp_path):
+    """r10 (ADVICE): an index built with a non-default id column must
+    survive the maintenance pass — id_col flows through to the sort —
+    and a WRONG id_col fails with a clear ValueError, not an opaque
+    AnalysisException."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_assign,
+        ivf_seed_centroids,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    cent = ivf_seed_centroids(em, 4, id_col="doc_id").localCheckpoint(eager=True)
+    path = str(tmp_path / "ivf_docid")
+    write_ivf_index(
+        ivf_assign(em, cent, id_col="doc_id"), path, sort_by="doc_id"
+    )
+    n = em.count()
+
+    with pytest.raises(ValueError, match="id column 'vec_id' not in"):
+        compact_ivf_index(spark, path)  # default id_col is wrong here
+
+    compact_ivf_index(spark, path, id_col="doc_id")
+    idx = read_ivf_index(spark, path)
+    assert idx.count() == n and "cell_id" in idx.columns
+    for f in glob.glob(path + "/centroid_id=*/*.parquet"):
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids), f
