@@ -1343,3 +1343,145 @@ def test_compact_fact_enriched_batch_partitions(
     assert {
         int(r[0]) for r in after.select("batch_id").distinct().collect()
     } == {merged_epoch, kept}
+
+
+def test_quarantine_composed_with_corpus_sink_replay_convergence(
+    spark, tmp_path_factory
+):
+    """r10 (verdict item 6): BOTH foreachBatch wrappers in one batch scope
+    — make_quarantine_sink(make_corpus_ingest_sink(...)) composes two
+    _hwm-style side artifacts (the quarantine's _hwm/late partitions and
+    the corpus sink's ingest_batch dirs + LSH index partitions).  Each is
+    individually replay-convergent; this pins the COMPOSITION: a crash
+    after a batch's writes (all four artifacts on disk, checkpoint commit
+    pending) followed by a restart converges every artifact row-for-row
+    with an uninterrupted run."""
+    import time
+    import uuid as _uuid
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        make_corpus_ingest_sink,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        read_lsh_index,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        make_quarantine_sink,
+    )
+
+    def docs(ids, ts):
+        # genuinely novel text per id (hash words) so nothing near-dup-
+        # strips; one straggler timestamp makes the quarantine bite
+        base = spark.createDataFrame(
+            [(i, t) for i, t in zip(ids, ts)], "doc_id long, ts_s string"
+        )
+        return base.select(
+            "doc_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"_{i}")))
+                    for i in range(8)
+                ],
+            ).alias("text"),
+        )
+
+    root = str(tmp_path_factory.mktemp("qc_stream"))
+    _append_stream_file(
+        docs([1, 2, 3], ["2026-01-01 10:00:00"] * 2 + ["2026-01-01 10:30:00"]),
+        root, "b0",
+    )
+    time.sleep(1.1)
+    _append_stream_file(
+        docs([4, 5], ["2026-01-01 11:00:00", "2026-01-01 09:00:00"]),
+        root, "b1",  # doc 5 is the straggler vs hwm 10:30 − 30 min
+    )
+
+    def drain(sink_fn, ckpt):
+        q = (
+            read_parquet_stream(spark, root, max_files_per_trigger=1)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink_fn)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def composed(out, idx):
+        inner = make_corpus_ingest_sink(
+            f"{out}/corpus", idx, min_quality=0.0, min_tokens=1
+        )
+        return make_quarantine_sink(
+            inner, out, watermark_col="ts", lateness="30 minutes"
+        )
+
+    ref_out = str(tmp_path_factory.mktemp("qc_ref")) + "/stream"
+    ref_idx = f"qc_ref_{_uuid.uuid4().hex[:8]}"
+    out = str(tmp_path_factory.mktemp("qc_crash")) + "/stream"
+    idx = f"qc_crash_{_uuid.uuid4().hex[:8]}"
+    try:
+        drain(composed(ref_out, ref_idx), ref_out + "_ckpt")
+
+        sink = composed(out, idx)
+        crashed = {"done": False}
+
+        def crashing_sink(batch_df, batch_id):
+            sink(batch_df, batch_id)
+            if batch_id == 1 and not crashed["done"]:
+                crashed["done"] = True
+                raise RuntimeError("injected crash: writes done, commit pending")
+
+        ckpt = out + "_ckpt"
+        q = (
+            read_parquet_stream(spark, root, max_files_per_trigger=1)
+            .writeStream.outputMode("append")
+            .foreachBatch(crashing_sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException, match="injected crash"):
+            q.processAllAvailable()
+        q.stop()
+        assert crashed["done"]
+        # the replay hazard is real for BOTH wrappers: batch 1's late
+        # split, its _hwm row, its corpus partition, and its index
+        # partition are all on disk, uncommitted
+        assert spark.read.parquet(f"{out}/late").count() == 1
+        assert spark.read.parquet(f"{out}/_hwm").count() == 2
+        assert spark.read.parquet(f"{out}/corpus").filter(
+            F.col("ingest_batch") == 1
+        ).count() > 0
+
+        # restart from the same checkpoint: batch 1 replays through the
+        # normal sink — a FRESH composition (new layout-guard memo), as
+        # a real restarted driver would build
+        drain(composed(out, idx), ckpt)
+
+        # every artifact converges with the uninterrupted run
+        for rel in ("late", "_hwm", "corpus"):
+            got = spark.read.parquet(f"{out}/{rel}")
+            want = spark.read.parquet(f"{ref_out}/{rel}")
+            assert got.count() == want.count(), rel
+            assert got.exceptAll(want).count() == 0, rel
+            assert want.exceptAll(got).count() == 0, rel
+        g = read_lsh_index(spark, idx).select(
+            "doc_id", "band", "band_hash", "ingest_batch"
+        )
+        w = read_lsh_index(spark, ref_idx).select(
+            "doc_id", "band", "band_hash", "ingest_batch"
+        )
+        assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0
+        # the straggler was quarantined BEFORE the corpus sink saw it:
+        # not in the corpus, not in the index
+        corpus_ids = {
+            r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()
+        }
+        assert 5 not in corpus_ids and corpus_ids == {1, 2, 3, 4}
+        assert g.filter(F.col("doc_id") == 5).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ref_idx}")
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")
