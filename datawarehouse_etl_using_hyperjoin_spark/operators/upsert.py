@@ -183,11 +183,16 @@ def upsert_parquet_sink(path: str, key: str, *, buckets: int | None = None):
     ``buckets=P`` to key-hash-partition the dim
     (``pmod(xxhash64(key), P)`` → partition dir per bucket) and
     dynamic-partition-overwrite ONLY the buckets the batch touches:
-    per-batch write bytes then track |batch| (× dim/P bucket width), not
-    |dim|, and untouched partition files are byte-identical after the
-    batch (tests/test_upsert_partitioned.py pins this).  Size P so a
+    per-batch write bytes drop from |dim| to ``min(|batch keys|, P) ×
+    (dim_bytes / P)`` — ∝ |batch| in the regime that matters for dims
+    (update micro-batches far smaller than P; a batch with ≥P distinct
+    keys still rewrites everything, hash bucketing has no key
+    locality), and untouched partition files are byte-identical after
+    the batch (tests/test_upsert_partitioned.py pins this;
+    tools/scale_probe.py dim_write_amp measures it).  Size P so a
     bucket ≈ a comfortable task output (dim_bytes / P ~ 64–256 MB at
-    target scale); the bucket column is internal — read the dim back
+    target scale) and stays well above the expected per-batch distinct
+    key count; the bucket column is internal — read the dim back
     through :func:`read_dim`.  The layout choice is per-table and sticky:
     keep ``buckets`` constant across batches (the column is recomputed
     from the key each batch, so changing P would strand rows in stale
@@ -226,6 +231,11 @@ def upsert_parquet_sink(path: str, key: str, *, buckets: int | None = None):
             merged = scd1_upsert(existing, batch, key=key)
         else:
             merged = batch
+        # One write task per touched bucket: without this, EVERY shuffle
+        # task writes a sliver into every touched partition dir —
+        # touched × parallelism files per batch, the small-files
+        # explosion that makes later scans pay per-file open costs.
+        merged = merged.repartition(len(touched), F.col(DIM_BUCKET_COL))
         (
             merged.localCheckpoint(eager=True)
             .write.mode("overwrite")

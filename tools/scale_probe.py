@@ -1360,8 +1360,16 @@ def measure_selection(spark, docs) -> dict[str, float]:
     }
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def measure_stream_join_state(
-    spark, sf_dir: str = "/root/testdata/sf0.1", delays=("5 days", "30 days", "150 days")
+    spark,
+    sf_dir: str = "/root/testdata/sf0.1",
+    delays=("5 days", "30 days", "150 days"),
+    provider: str | None = None,
 ) -> dict[str, dict]:
     """State-store size of the orders⋈lineitem stream–stream join as a
     function of watermark delay — measuring the claim (streaming/pipeline
@@ -1373,6 +1381,12 @@ def measure_stream_join_state(
     actually advances between micro-batches and expired state is evicted;
     the reported numbers come from the engine's own stateOperators
     progress metrics after a full drain.
+
+    ``provider`` optionally pins the state-store provider class for the
+    run (e.g. :data:`ROCKSDB_PROVIDER`, the 100 TB posture's
+    past-memory-threshold provider) — r10: the growth curve itself, not
+    just compatibility, measured under RocksDB; RocksDB's own memory/SST
+    metrics are reported when present.
     """
     import shutil
 
@@ -1396,6 +1410,10 @@ def measure_stream_join_state(
     lpath = time_ordered_stream_dir(
         load_table(spark, sf_dir, "lineitem"), "l_shipdate", "sjs_li_"
     )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    if provider is not None:
+        spark.conf.set(provider_key, provider)
     out: dict[str, dict] = {}
     for delay in delays:
         # the join bound is fixed (150 days, the shape the engine ships);
@@ -1427,12 +1445,18 @@ def measure_stream_join_state(
         # aggregate across ALL micro-batches (lastProgress is per-batch):
         # the peak is the number that must fit in executor memory at scale
         totals, removed, mem = [], 0, []
+        rocks_mem, rocks_sst = [], []
+        n_batches = 0
         for prog in q.recentProgress:
+            n_batches += 1
             ops = prog.get("stateOperators") or []
             if ops:
                 totals.append(ops[0].get("numRowsTotal") or 0)
                 removed += ops[0].get("numRowsRemoved") or 0
                 mem.append(ops[0].get("memoryUsedBytes") or 0)
+                cm = ops[0].get("customMetrics") or {}
+                rocks_mem.append(cm.get("rocksdbTotalMemoryUsage") or 0)
+                rocks_sst.append(cm.get("rocksdbSstFileSize") or 0)
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
         out[delay] = {
@@ -1441,7 +1465,17 @@ def measure_stream_join_state(
             "state_rows_evicted_total": removed,
             "state_memory_peak_bytes": max(mem) if mem else None,
             "drain_wall_sec": round(drain_wall, 2),
+            "n_batches": n_batches,
+            "sec_per_batch": round(drain_wall / max(n_batches, 1), 3),
         }
+        if any(rocks_mem) or any(rocks_sst):
+            out[delay]["rocksdb_memory_peak_bytes"] = max(rocks_mem)
+            out[delay]["rocksdb_sst_peak_bytes"] = max(rocks_sst)
+    if provider is not None:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     return out
 
 
@@ -1699,6 +1733,198 @@ def measure_corpus_diff(spark, docs) -> dict[str, float]:
     t0 = _t.time()
     corpus_diff(docs, new).write.format("noop").mode("overwrite").save()
     return {"corpus_diff": round(_t.time() - t0, 2)}
+
+
+def measure_dim_write_amp(
+    spark, dim_rows: int, batch_rows: int, bucket_rows: int = 6_250
+) -> dict[str, dict[str, float]]:
+    """r10 (verdict #1): per-micro-batch WRITE bytes of the dim upsert
+    sink.  The flat layout rewrites the whole table every batch (bytes ∝
+    |dim|); the bucketed layout (key-hash partitions + dynamic partition
+    overwrite) rewrites only touched buckets — ``min(|batch keys|, P) ×
+    bucket_bytes``.  Production sizing keeps bucket width FIXED
+    (64–256 MB) so P grows with the dim; this probe mirrors that
+    (``P = dim_rows / bucket_rows``) with a fixed small update batch —
+    the dim regime (master-data changes are sparse; the reference's
+    stream updates a handful of dim rows per batch) — so flat bytes grow
+    linearly with the dim while bucketed bytes stay ~flat at
+    |batch keys| × bucket_bytes."""
+    import os as _os
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.upsert import (
+        upsert_parquet_sink,
+    )
+
+    def dim_batch(ids):
+        return ids.select(
+            F.col("id").alias("product_id"),
+            F.concat(F.lit("product_"), F.col("id")).alias("product_name"),
+            F.md5(F.col("id").cast("string")).alias("category"),
+            (F.pmod(F.col("id") * 131, 100_000) / 100.0).alias("price"),
+        )
+
+    def files_of(root):
+        out = {}
+        for dirpath, _dirs, files in _os.walk(root):
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue
+                p = _os.path.join(dirpath, fn)
+                out[_os.path.relpath(p, root)] = _os.path.getsize(p)
+        return out
+
+    buckets = max(8, dim_rows // bucket_rows)
+    result: dict[str, dict[str, float]] = {}
+    for label, bkt in (("flat", None), ("bucketed", buckets)):
+        path = tempfile.mkdtemp(prefix="dim_amp_") + "/dim"
+        sink = upsert_parquet_sink(path, "product_id", buckets=bkt)
+        sink(dim_batch(spark.range(dim_rows)), 0)
+        before = files_of(path)
+        # fixed-size update batch: half updates, half inserts
+        batch = dim_batch(
+            spark.range(dim_rows - batch_rows // 2, dim_rows + batch_rows // 2)
+        )
+        t0 = time.time()
+        sink(batch, 1)
+        wall = time.time() - t0
+        after = files_of(path)
+        written = sum(
+            size for p, size in after.items() if before.get(p) != size
+        )
+        result[label] = {
+            "dim_rows": dim_rows,
+            "batch_rows": batch_rows,
+            "buckets": buckets if bkt else 1,
+            "table_bytes": sum(after.values()),
+            "batch_write_bytes": written,
+            "batch_write_mb": round(written / 1e6, 2),
+            "batch_wall_sec": round(wall, 2),
+        }
+    return result
+
+
+def measure_composed_pipeline(spark, docs) -> dict[str, float]:
+    """r10 (verdict #4): the five demo stages (trained langid gate →
+    quality classifier → Bloom decontamination → batched LSH ingest
+    dedup → selection/pack/shard) composed as ONE job, so cross-stage
+    interactions (cache pressure, AQE coalescing across stage
+    boundaries, shuffle-file accumulation) are inside the measurement.
+    Mirrors examples/llm_pipeline_demo.py stage-for-stage on a
+    lang-labeled synthetic corpus; stage 4 runs the foreachBatch body
+    over 4 deterministic slices (the streaming machinery's fixed
+    trigger overhead would otherwise swamp the 1× point).
+    Returns wall + shuffle-write volume for the whole composition."""
+    import uuid as _uuid
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.classifier import (
+        export_weights,
+        quality_gate,
+        score_quality,
+        train_quality_classifier,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        corpus_metrics,
+        decontaminate_stream,
+        make_corpus_ingest_sink,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.importance import (
+        hashed_ngram_features,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.sampling import (
+        pack_documents,
+        shuffle_shard,
+        temperature_sample,
+        write_shards,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.text import (
+        char_ngram_profile,
+        exploded_ngrams,
+        langid_rank_order,
+    )
+
+    root = tempfile.mkdtemp(prefix="composed_pipe_")
+    index = f"pipe_lsh_{_uuid.uuid4().hex[:8]}"
+    n_raw = docs.count()
+    # inject drop-one-word near-dups so the ingest dedup has real work
+    w = F.split(F.trim("text"), r"\s+")
+    dups = docs.select(
+        (F.col("doc_id") + 100_000_000).alias("doc_id"), "lang",
+        F.concat_ws(" ", F.slice(w, 2, F.size(w) - 1)).alias("text"),
+    )
+    corpus = docs.unionByName(dups).localCheckpoint(eager=True)
+
+    sw0, _ = _stage_totals(spark)
+    t0 = time.time()
+    try:
+        # 1. trained language-ID gate (one shared gram explode)
+        grams = exploded_ngrams(
+            corpus.select("doc_id", "lang", "text"),
+            ["doc_id", "lang"], "text", 3, 600,
+        ).localCheckpoint(eager=True)
+        profiles = char_ngram_profile(
+            corpus, "lang", "text", n=3, top_k=50,
+            grams=grams.select("lang", "gram"),
+        ).localCheckpoint(eager=True)
+        pred = langid_rank_order(
+            corpus, profiles, "doc_id", "text", n=3, top_k=50,
+            grams=grams.select("doc_id", "gram"),
+        )
+        keep_langs = [
+            r.lang for r in profiles.select("lang").distinct().collect()
+        ]
+        lang_ok = corpus.join(
+            pred.filter(F.col("lang_pred").isin(keep_langs)).select("doc_id"),
+            "doc_id",
+        ).localCheckpoint(eager=True)
+        # 2. quality classifier (weak labels → weights → gate)
+        feats = hashed_ngram_features(lang_ok, "doc_id", "text")
+        weak = corpus_metrics(lang_ok, "doc_id", "text").select(
+            "doc_id",
+            (F.col("quality_score") >= 0.45).cast("double").alias("label"),
+        )
+        model = train_quality_classifier(feats, weak, "doc_id", "label")
+        weights, intercept = export_weights(model, spark)
+        scored = score_quality(feats, weights, intercept, "doc_id")
+        gated = quality_gate(
+            lang_ok, scored, "doc_id", min_score=0.5
+        ).localCheckpoint(eager=True)
+        # 3. Bloom decontamination vs a benchmark slice
+        benchmark = docs.filter(F.pmod("doc_id", 97) == 0).select("text")
+        clean = decontaminate_stream(
+            gated, benchmark, id_col="doc_id", text_col="text", k=8
+        ).localCheckpoint(eager=True)
+        # 4. exactly-once LSH ingest dedup, 4 micro-batch slices
+        out_dir = f"{root}/corpus"
+        sink = make_corpus_ingest_sink(
+            out_dir, index, min_quality=0.0, min_tokens=1
+        )
+        for b in range(4):
+            sink(clean.filter(F.pmod("doc_id", 4) == b), b)
+        ingested = spark.read.parquet(out_dir)
+        # 5. selection, packing, ordered shard write
+        picked = temperature_sample(ingested, "lang_pred", "doc_id", alpha=0.7)
+        packed = pack_documents(picked, "ws_tokens", 1024)
+        sharded = shuffle_shard(
+            packed.select("doc_id", "lang_pred", "ws_tokens", "bin_id", "text"),
+            "doc_id", 8,
+        )
+        write_shards(sharded, f"{root}/shards", 8)
+        wall = time.time() - t0
+        sw1, _ = _stage_totals(spark)
+        survivors = ingested.count()
+        shard_rows = spark.read.parquet(f"{root}/shards").count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {index}")
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+    return {
+        "n_docs_in": 2 * n_raw,
+        "survivors": survivors,
+        "shard_rows": shard_rows,
+        "wall_sec": round(wall, 2),
+        "shuffle_write_mb": round((sw1 - sw0) / 1e6, 2),
+        "sec_per_100k_docs": round(wall * 100_000 / (2 * n_raw), 2),
+    }
 
 
 def main() -> None:
@@ -2065,6 +2291,57 @@ def main() -> None:
             spark,
             n_batches=int(os.environ.get("SCALE_PROBE_BATCHES", 400)),
         )}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "dim_write_amp":
+        spark = get_spark(
+            "scale-probe-dimamp",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+            extra_conf=METERED_SESSION_CONF,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        batch_rows = int(os.environ.get("SCALE_PROBE_BATCH_ROWS", 8))
+        out = {}
+        for dim_rows in (100_000, 400_000, 1_600_000):
+            out[f"dim_{dim_rows}"] = measure_dim_write_amp(
+                spark, dim_rows, batch_rows,
+                bucket_rows=int(os.environ.get("SCALE_PROBE_BUCKET_ROWS", 6_250)),
+            )
+        print(json.dumps({"dim_write_amp": out}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "pipeline":
+        spark = get_spark(
+            "scale-probe-pipeline",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+            extra_conf=METERED_SESSION_CONF,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        base = int(os.environ.get("SCALE_PROBE_DOCS", 5_000))
+        out = {}
+        for mult in (1, 20):
+            path = tempfile.mkdtemp(prefix="scale_probe_") + "/pipe_docs"
+            synth_lang_documents(spark, base * mult, path)
+            m = measure_composed_pipeline(spark, spark.read.parquet(path))
+            m["mult"] = mult
+            out[f"{mult}x"] = m
+        if out["1x"]["wall_sec"]:
+            out["wall_ratio_20x"] = round(
+                out["20x"]["wall_sec"] / out["1x"]["wall_sec"], 2
+            )
+        print(json.dumps({"composed_pipeline": out}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "rocksdb_state":
+        spark = get_spark(
+            "scale-probe-rocks",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+            extra_conf=METERED_SESSION_CONF,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({
+            "stream_join_state_rocksdb": measure_stream_join_state(
+                spark, provider=ROCKSDB_PROVIDER
+            ),
+            "stream_join_state_default_hdfs": measure_stream_join_state(spark),
+        }, indent=2))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf_hotcell":
         spark = get_spark(
