@@ -595,7 +595,7 @@ def make_quarantine_sink(
     return sink
 
 
-def make_star_sink(out_dir: str):
+def make_star_sink(out_dir: str, *, dim_buckets: int | None = None):
     """The ``foreachBatch`` body of :func:`run_pipeline_streaming` as a
     standalone factory: per micro-batch, keyed SCD1 upsert of the product
     dim + idempotent per-batch fact append under ``out_dir``.
@@ -604,10 +604,18 @@ def make_star_sink(out_dir: str):
     production sink with crash injection (a raise after the writes but
     before the checkpoint commit is precisely the replay window the
     idempotency claims cover) instead of testing a lookalike.
+
+    ``dim_buckets`` (opt-in, r10) switches the dim to the key-hash-
+    partitioned layout so per-batch dim write bytes track the batch, not
+    the dim (``upsert_parquet_sink(buckets=...)``; read it back through
+    ``operators.upsert.read_dim``).  Sticky per table — keep it constant
+    across restarts.
     """
     from ..operators.upsert import upsert_parquet_sink
 
-    dim_sink = upsert_parquet_sink(f"{out_dir}/dim_product", "product_id")
+    dim_sink = upsert_parquet_sink(
+        f"{out_dir}/dim_product", "product_id", buckets=dim_buckets
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -637,6 +645,7 @@ def run_pipeline_streaming(
     checkpoint_dir: str | None = None,
     quarantine_lateness: str | None = None,
     quarantine_watermark_col: str = "order_date",
+    dim_buckets: int | None = None,
 ) -> dict[str, int]:
     """The reference's ``main()`` in its native streaming form, end-to-end
     (StreamGeneratorThread.java:373-406): transaction stream → HyperJoin
@@ -664,9 +673,12 @@ def run_pipeline_streaming(
     never reach the dim/fact writes.  The default policy (``None``)
     keeps the idempotent-upsert absorption unchanged.  The returned
     counts gain a ``"late"`` entry when quarantine is on.
+
+    ``dim_buckets`` (opt-in) — see :func:`make_star_sink`: bounds per-
+    batch dim write bytes by the batch, not the dim.
     """
     enriched = stream_static_hyperjoin(txn_stream, master)
-    sink = make_star_sink(out_dir)
+    sink = make_star_sink(out_dir, dim_buckets=dim_buckets)
     if quarantine_lateness is not None:
         sink = make_quarantine_sink(
             sink,
