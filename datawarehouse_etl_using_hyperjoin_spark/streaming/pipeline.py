@@ -595,6 +595,82 @@ def make_quarantine_sink(
     return sink
 
 
+def compact_quarantine(
+    spark: SparkSession, out_dir: str, *, keep_last: int = 2
+) -> dict[str, dict[str, int]]:
+    """Maintenance pass for the quarantine sink's side artifacts — the
+    last members of the per-batch-partition family to get one
+    (``operators.corpus.compact_corpus`` docstring lists the triad): a
+    long-lived :func:`make_quarantine_sink` stream leaves one
+    ``late/ingest_batch=N`` and one ``_hwm/ingest_batch=N`` partition
+    dir PER MICRO-BATCH, so after 10⁵ batches both directories are 10⁵
+    tiny dirs and every full read (late-data audits; the hwm
+    full-scan fallback) pays O(stream age) listing.
+
+    Merges all but the newest ``keep_last`` batch partitions of each
+    (delegating to :func:`compact_corpus`).  Correctness is layout-
+    independent on both sides: the hwm O(1) fast path reads partition
+    ``N-1`` directly (kept verbatim — it is always among the newest
+    ``keep_last``), and the fallback computes ``max(max_ts)`` over all
+    prior rows, which partition relabeling preserves.  ``keep_last``
+    keeps replayable (not-yet-committed) batches verbatim, same replay
+    contract as the corpus sink.
+
+    The common case for ``late`` is an EMPTY split (most batches have no
+    stragglers): an empty-DF overwrite leaves a partition dir holding
+    only ``_SUCCESS`` — no rows for compact_corpus to merge, but still a
+    directory the listing pays for.  Old empty partitions are therefore
+    DELETED outright (safe: no rows, and only the newest ``keep_last``
+    can still replay-overwrite themselves); old data partitions merge
+    via compact_corpus.  A ``late`` dir with no parquet footers at all
+    is skipped after the reap."""
+    from pyspark.errors import AnalysisException
+
+    from ..fsutil import dir_exists, hadoop_fs, list_visible
+    from ..operators.corpus import compact_corpus
+
+    out: dict[str, dict[str, int]] = {}
+    for rel in ("late", "_hwm"):
+        path = f"{out_dir}/{rel}"
+        if not dir_exists(spark, path):
+            continue
+        if rel == "late":
+            entries = list_visible(spark, path)
+            if entries is not None:  # JVM gateway present
+                ids = sorted(
+                    int(n.split("=", 1)[1])
+                    for n, is_dir in entries
+                    if is_dir and n.startswith("ingest_batch=")
+                )
+                # zero-ROW partitions (an empty split still writes a
+                # schema-only parquet file) are invisible to the
+                # row-driven merge below; find them with ONE grouped
+                # read and delete the old ones outright
+                try:
+                    nonempty = {
+                        int(r[0])
+                        for r in spark.read.parquet(path)
+                        .select("ingest_batch").distinct().collect()
+                    }
+                except AnalysisException:
+                    nonempty = set()  # no footers at all
+                reap = ids[: len(ids) - keep_last] if keep_last > 0 else ids
+                for b in reap:
+                    if b in nonempty:
+                        continue
+                    fs, jpath = hadoop_fs(
+                        spark, f"{path}/ingest_batch={b}"
+                    )
+                    fs.delete(jpath, True)
+        try:
+            out[rel] = compact_corpus(spark, path, keep_last=keep_last)
+        except AnalysisException as exc:
+            if rel == "late" and "UNABLE_TO_INFER_SCHEMA" in str(exc):
+                continue  # every batch's late split was empty
+            raise
+    return out
+
+
 def make_star_sink(out_dir: str, *, dim_buckets: int | None = None):
     """The ``foreachBatch`` body of :func:`run_pipeline_streaming` as a
     standalone factory: per micro-batch, keyed SCD1 upsert of the product

@@ -1527,3 +1527,99 @@ def test_run_pipeline_streaming_dim_buckets_matches_default(
     want_fact = spark.read.parquet(f"{outs['default']}/fact_enriched").drop("batch_id")
     assert got_fact.exceptAll(want_fact).count() == 0
     assert want_fact.exceptAll(got_fact).count() == 0
+
+
+def test_compact_quarantine_bounds_partition_growth(spark, tmp_path_factory):
+    """r10: the quarantine sink's side artifacts age one partition dir
+    per micro-batch forever — the last members of the per-batch-
+    partition family to get a compaction pass.  After compacting: (a)
+    late rows and hwm semantics are identical (the next batch's O(1)
+    fast path reads its kept N-1 partition; a batch after an id GAP
+    exercises the full-scan fallback over the MERGED layout and gets
+    the same running max), (b) partition counts drop, (c) an
+    all-empty-late stream compacts without error."""
+    import os
+
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        compact_quarantine,
+        make_quarantine_sink,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts string, amount long"
+        ).select("user_id", F.to_timestamp("ts").alias("ts"), "amount")
+
+    out = str(tmp_path_factory.mktemp("q_compact")) + "/stream"
+
+    def inner(clean, batch_id):
+        clean.write.mode("overwrite").parquet(
+            f"{out}/clean/ingest_batch={int(batch_id)}"
+        )
+
+    sink = make_quarantine_sink(inner, out, watermark_col="ts",
+                                lateness="30 minutes")
+    # 6 batches: running max lands at 12:00 in batch 0; stragglers in
+    # batches 2 and 4
+    sink(batch([(1, "2026-01-01 12:00:00", 1)]), 0)
+    sink(batch([(2, "2026-01-01 11:40:00", 1)]), 1)
+    sink(batch([(3, "2026-01-01 09:00:00", 1)]), 2)   # late
+    sink(batch([(4, "2026-01-01 11:50:00", 1)]), 3)
+    sink(batch([(5, "2026-01-01 10:00:00", 1)]), 4)   # late
+    sink(batch([(6, "2026-01-01 11:35:00", 1)]), 5)
+
+    def parts(rel):
+        return {
+            d for d in os.listdir(f"{out}/{rel}")
+            if d.startswith("ingest_batch=")
+        }
+
+    late_before = {r.user_id for r in spark.read.parquet(f"{out}/late").collect()}
+    hwm_max_before = (
+        spark.read.parquet(f"{out}/_hwm").agg(F.max("max_ts")).first()[0]
+    )
+    assert len(parts("_hwm")) == 6 and len(parts("late")) == 6
+
+    stats = compact_quarantine(spark, out, keep_last=2)
+    assert set(stats) == {"late", "_hwm"}
+    assert len(parts("_hwm")) == 3 and len(parts("late")) == 3  # merged+2 kept
+
+    # rows and the running max survive the merge
+    assert {r.user_id for r in spark.read.parquet(f"{out}/late").collect()} == late_before
+    assert (
+        spark.read.parquet(f"{out}/_hwm").agg(F.max("max_ts")).first()[0]
+        == hwm_max_before
+    )
+
+    # next batch: O(1) fast path (partition 5 kept verbatim) — a
+    # straggler still quarantines against the ORIGINAL running max
+    sink(batch([(7, "2026-01-01 11:00:00", 1)]), 6)
+    # and after an id gap the full-scan fallback over the merged layout
+    # computes the same cutoff
+    sink(batch([(8, "2026-01-01 10:30:00", 1), (9, "2026-01-01 11:45:00", 1)]), 9)
+    assert {
+        r.user_id for r in spark.read.parquet(f"{out}/late").collect()
+    } == late_before | {7, 8}
+
+    # (c) a stream whose every late split was empty: each late partition
+    # is a schema-only zero-row parquet file; old ones are reaped, kept
+    # ones stay replayable, and the pass reports zero late rows
+    out2 = str(tmp_path_factory.mktemp("q_compact_clean")) + "/stream"
+
+    def inner2(clean, batch_id):
+        clean.write.mode("overwrite").parquet(
+            f"{out2}/clean/ingest_batch={int(batch_id)}"
+        )
+
+    sink2 = make_quarantine_sink(inner2, out2, watermark_col="ts",
+                                 lateness="30 minutes")
+    for b in range(4):
+        sink2(batch([(10 + b, f"2026-01-01 12:0{b}:00", 1)]), b)
+    assert len(os.listdir(f"{out2}/late")) >= 4
+    stats2 = compact_quarantine(spark, out2, keep_last=2)
+    assert "_hwm" in stats2
+    assert stats2.get("late", {}).get("rows", 0) == 0
+    late_dirs2 = {
+        d for d in os.listdir(f"{out2}/late") if d.startswith("ingest_batch=")
+    }
+    assert late_dirs2 == {"ingest_batch=2", "ingest_batch=3"}
