@@ -1853,14 +1853,22 @@ def measure_composed_pipeline(spark, docs) -> dict[str, float]:
     )
     corpus = docs.unionByName(dups).localCheckpoint(eager=True)
 
+    from pyspark.storagelevel import StorageLevel
+
     sw0, _ = _stage_totals(spark)
     t0 = time.time()
     try:
-        # 1. trained language-ID gate (one shared gram explode)
+        # 1. trained language-ID gate (one shared gram explode).  The
+        # gram relation is the composition's biggest intermediate
+        # (~700 grams/doc → 140M rows at 20×): a MEMORY_AND_DISK
+        # localCheckpoint of it OOMs the 8g local JVM, so the shared
+        # subtree is pinned DISK_ONLY — exactly what a 100 TB job would
+        # do with a reused explode this size.
         grams = exploded_ngrams(
             corpus.select("doc_id", "lang", "text"),
             ["doc_id", "lang"], "text", 3, 600,
-        ).localCheckpoint(eager=True)
+        ).persist(StorageLevel.DISK_ONLY)
+        grams.count()  # materialize the shared subtree once
         profiles = char_ngram_profile(
             corpus, "lang", "text", n=3, top_k=50,
             grams=grams.select("lang", "gram"),
