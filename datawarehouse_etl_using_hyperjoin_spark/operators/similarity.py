@@ -1298,3 +1298,211 @@ def semantic_dedup(
     return assigned.join(dropped, id_col, "left_anti").select(
         id_col, "centroid_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental semantic dedup against an AT-REST embedding index (r10).
+#
+# The text side of the ingest path has had this since r7 (the MinHash band
+# index + make_corpus_ingest_sink): each micro-batch computes only its own
+# signatures and probes persisted history — the corpus is never re-read.
+# The embedding side only had BATCH operators (near_dup_pairs,
+# semantic_dedup), so a stream could not semantic-dedup against history
+# without re-scoring the whole corpus.  These mirror the LSH machinery
+# one-for-one: sign-LSH bucket as the blocking key (the same key the
+# batch path uses, so incremental ≡ batch is provable), a bucketed
+# catalog table partitioned by ingest_batch as the index, dynamic
+# partition overwrite for exactly-once replay.
+
+
+def upsert_embedding_index_batch(
+    vectors: DataFrame,
+    table: str,
+    batch_id: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_buckets: int = 32,
+) -> None:
+    """EXACTLY-ONCE batch append to the at-rest embedding dedup index.
+
+    Stores (id, bucket, embedding) BUCKETED by the sign-LSH bucket (the
+    incremental probe join then plans exchange-free on the index side)
+    and PARTITIONED by ``ingest_batch``: a foreachBatch replay REPLACES
+    its own partition instead of appending duplicate rows — the same
+    layout contract as ``dedup.upsert_lsh_index_batch`` (the text-side
+    sibling).  First batch creates the table.
+
+    Scale note: rows carry the float embedding (needed for the cosine
+    verify).  At 100 TB keep the index to the SURVIVOR set (what
+    :func:`make_embedding_ingest_sink` does) and compact with
+    ``dedup.compact_lsh_index`` — the layout is identical, so the same
+    maintenance pass applies.
+    """
+    spark = vectors.sparkSession
+    tagged = vectors.select(
+        F.col(id_col),
+        sign_bucket(F.col(vec_col), m).alias("bucket"),
+        F.col(vec_col),
+    ).withColumn("ingest_batch", F.lit(int(batch_id)))
+    if not spark.catalog.tableExists(table):
+        from ..sources.files import write_bucketed
+
+        write_bucketed(
+            tagged, table, "bucket", n_buckets=n_buckets, sort=True,
+            mode="overwrite", partition_by=["ingest_batch"],
+        )
+        return
+    cols = spark.table(table).columns
+    if "ingest_batch" not in cols:
+        raise ValueError(
+            f"embedding index table {table!r} lacks the ingest_batch "
+            "partition column — rebuild it via upsert_embedding_index_batch "
+            "from scratch or start a fresh table"
+        )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "dynamic")
+        tagged.select(*cols).write.mode("overwrite").insertInto(table)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def read_embedding_index(spark, table: str) -> DataFrame:
+    """Read the at-rest embedding dedup index written by
+    :func:`upsert_embedding_index_batch`."""
+    return spark.table(table)
+
+
+def embedding_incremental_pairs(
+    new_vectors: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    m: int = 8,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Embedding near-dup pairs for an INCREMENTAL batch: new vectors vs
+    the at-rest index, plus pairs within the new batch — the semantic
+    sibling of ``dedup.lsh_incremental_pairs``.
+
+    Blocking key = the sign-LSH bucket (:func:`sign_bucket`, the key
+    :func:`near_dup_pairs` uses), so candidate scoring is bounded by
+    bucket co-membership on both legs; the index side joins off its
+    bucketed layout with no exchange, and only the batch is ever hashed.
+    Output: (id_a, id_b, cos, pair_type) with pair_type ∈
+    {'new_vs_index', 'new_vs_new'}; for new_vs_index, id_a is the index
+    vector.  A doc present in both (re-ingest) never emits a self-pair.
+
+    ``max_bucket`` guards the probe the way ``semantic_dedup.max_cell``
+    guards cells: an index bucket larger than the cap (a mode/dead-
+    embedding bucket — the thing that would make one task quadratic at
+    100 TB) is EXCLUDED from candidate generation (its members pass
+    through undeduped) rather than joined; re-bucket with larger ``m``
+    if real buckets approach the cap.
+    """
+    new = new_vectors.select(
+        F.col(id_col), F.col(vec_col),
+        sign_bucket(F.col(vec_col), m).alias("bucket"),
+    )
+    ok_buckets = (
+        index.groupBy("bucket").count()
+        .filter(F.col("count") <= max_bucket)
+        .select("bucket")
+    )
+    idx = index.join(ok_buckets, "bucket").select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        "bucket",
+    )
+    cross = (
+        new.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+            "bucket",
+        )
+        .join(idx, "bucket")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+        .withColumn("pair_type", F.lit("new_vs_index"))
+    )
+    within = near_dup_pairs(
+        new, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        block=F.col("bucket"),
+    ).withColumn("pair_type", F.lit("new_vs_new"))
+    return cross.unionByName(within)
+
+
+def make_embedding_ingest_sink(
+    out_dir: str,
+    index_table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    m: int = 8,
+    n_buckets: int = 32,
+    max_bucket: int = 10_000,
+):
+    """foreachBatch handler: semantic-dedup each micro-batch of
+    embedded records against the AT-REST embedding index, append
+    survivors + their index rows — the embedding sibling of
+    ``corpus.make_corpus_ingest_sink``.
+
+    Per batch: bucket the batch's vectors (linear in batch size), probe
+    the persisted index via :func:`embedding_incremental_pairs`
+    (EXCLUDING the batch's own partition, so replays don't self-match),
+    drop every new id that matches an indexed vector (history wins) or
+    a smaller-id vector within the batch (the dedup_survivors
+    convention), land survivors in ``{out_dir}/ingest_batch=N`` and
+    ONLY their rows in the index — both via per-batch partition
+    overwrite, so a recovered replay CONVERGES to the identical corpus
+    + index (same exactly-once discipline as the text sink; composes
+    under ``make_quarantine_sink`` the same way).
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            if spark.catalog.tableExists(index_table):
+                index = read_embedding_index(spark, index_table).where(
+                    F.col("ingest_batch") != int(batch_id)
+                )
+                pairs = embedding_incremental_pairs(
+                    batch_df, index, id_col=id_col, vec_col=vec_col,
+                    threshold=threshold, m=m, max_bucket=max_bucket,
+                )
+            else:
+                pairs = near_dup_pairs(
+                    batch_df.select(
+                        F.col(id_col), F.col(vec_col),
+                        sign_bucket(F.col(vec_col), m).alias("bucket"),
+                    ),
+                    id_col=id_col, vec_col=vec_col, threshold=threshold,
+                    block=F.col("bucket"),
+                )
+            dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+            survivors = batch_df.join(
+                dropped, on=id_col, how="left_anti"
+            ).localCheckpoint(eager=True)
+            survivors.write.mode("overwrite").parquet(
+                f"{out_dir}/ingest_batch={int(batch_id)}"
+            )
+            upsert_embedding_index_batch(
+                survivors.select(id_col, vec_col), index_table,
+                int(batch_id), id_col=id_col, vec_col=vec_col, m=m,
+                n_buckets=n_buckets,
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _sink

@@ -1,0 +1,197 @@
+"""r10: incremental semantic dedup against the at-rest embedding index —
+the embedding sibling of the r7 MinHash band-index ingest path.  Pins:
+
+* incremental pairs (new vs index + within-batch) == the batch operator's
+  pairs on the same relations,
+* the index-side probe plans exchange-free off the bucketed layout,
+* sequential multi-batch ingest through the sink == the batch dedup rule
+  on the union (star-shaped fixture, so greedy ≡ keep-smallest),
+* exactly-once replay: re-running a batch converges corpus + index,
+* the max_bucket skew guard passes oversized buckets through undeduped.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+    embedding_incremental_pairs,
+    make_embedding_ingest_sink,
+    near_dup_pairs,
+    read_embedding_index,
+    sign_bucket,
+    upsert_embedding_index_batch,
+)
+
+DIM = 8
+THRESHOLD = 0.9
+
+
+def _unit(rng, n, apart_from=None, max_cos=0.8):
+    """n unit vectors pairwise (and vs `apart_from`) below max_cos —
+    rejection-sampled so the fixture has NO accidental near-dups."""
+    acc = [] if apart_from is None else [np.asarray(v) for v in apart_from]
+    out = []
+    while len(out) < n:
+        v = rng.normal(size=DIM)
+        v = v / np.linalg.norm(v)
+        if all(abs(float(v @ u)) < max_cos for u in acc):
+            acc.append(v)
+            out.append(v)
+    return np.array(out)
+
+
+@pytest.fixture(scope="module")
+def corpus_batches(spark):
+    """Star-shaped dedup fixture: 40 base vectors (pairwise cos < 0.9 —
+    asserted), later batches carry positive-scaled copies (cos exactly
+    1.0, same sign bucket) of some bases plus genuinely novel vectors."""
+    rng = np.random.default_rng(7)
+    bases = _unit(rng, 40)
+    novels = _unit(rng, 10, apart_from=bases)
+    allv = np.vstack([bases, novels])
+    cos = allv @ allv.T
+    np.fill_diagonal(cos, 0.0)
+    assert cos.max() < THRESHOLD, "fixture precondition: no accidental dups"
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<double>",
+        )
+
+    b0 = df([(i, bases[i]) for i in range(40)])
+    b1 = df(
+        [(100 + i, bases[i] * 1.7) for i in range(10)]        # dups of bases
+        + [(110 + i, novels[i]) for i in range(5)]            # novel
+    )
+    b2 = df(
+        [(200 + i, bases[10 + i] * 0.3) for i in range(5)]    # dups of bases
+        + [(210 + i, novels[i] * 2.1) for i in range(3)]      # dups of b1 novels
+        + [(220 + i, novels[5 + i]) for i in range(5)]        # novel
+    )
+    return b0, b1, b2
+
+
+def test_incremental_pairs_match_batch_operator(spark, corpus_batches):
+    b0, b1, _ = corpus_batches
+    table = f"emb_idx_{_uuid.uuid4().hex[:8]}"
+    try:
+        upsert_embedding_index_batch(b0, table, 0, n_buckets=4)
+        idx = read_embedding_index(spark, table)
+
+        got = embedding_incremental_pairs(
+            b1, idx, threshold=THRESHOLD
+        )
+        g = sorted(
+            (r.id_a, r.id_b, round(r.cos, 9), r.pair_type)
+            for r in got.collect()
+        )
+        # the batch operator on the union, split into the same two legs
+        both = b0.unionByName(b1).select(
+            "vec_id", "embedding",
+            sign_bucket(F.col("embedding")).alias("bucket"),
+        )
+        allp = near_dup_pairs(
+            both, threshold=THRESHOLD, block=F.col("bucket")
+        )
+        want = sorted(
+            (
+                r.id_a, r.id_b, round(r.cos, 9),
+                "new_vs_index" if r.id_a < 100 else "new_vs_new",
+            )
+            for r in allp.collect()
+            if r.id_b >= 100  # pairs involving at least one new vector
+        )
+        assert g == want and len(g) == 10  # the ten planted base dups
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_index_probe_plans_exchange_free(spark, corpus_batches):
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import plan_string
+
+    b0, _, _ = corpus_batches
+    table = f"emb_idx_{_uuid.uuid4().hex[:8]}"
+    try:
+        upsert_embedding_index_batch(b0, table, 0, n_buckets=4)
+        idx = read_embedding_index(spark, table)
+        sizes = idx.groupBy("bucket").count()
+        plan = plan_string(sizes, "simple")
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_sink_sequential_equals_batch_rule_and_replays_exactly_once(
+    spark, corpus_batches, tmp_path
+):
+    b0, b1, b2 = corpus_batches
+    out = str(tmp_path / "emb_corpus")
+    table = f"emb_ing_{_uuid.uuid4().hex[:8]}"
+    sink = make_embedding_ingest_sink(out, table, n_buckets=4)
+    try:
+        for i, b in enumerate((b0, b1, b2)):
+            sink(b, i)
+
+        survivors = {
+            r.vec_id for r in spark.read.parquet(out).select("vec_id").collect()
+        }
+        # the batch rule on the union (star shape ⇒ greedy ≡ simple):
+        # every planted dup dropped, every base and novel survives
+        expect = set(range(40)) | set(range(110, 115)) | set(range(220, 225))
+        assert survivors == expect
+
+        # index holds exactly the survivors' rows
+        idx_ids = {
+            r.vec_id
+            for r in read_embedding_index(spark, table).select("vec_id").collect()
+        }
+        assert idx_ids == expect
+
+        # replay batch 1 (the at-least-once window): corpus and index
+        # converge to the identical state
+        before_corpus = sorted(
+            (r.vec_id, r.ingest_batch)
+            for r in spark.read.parquet(out).collect()
+        )
+        before_idx = sorted(
+            (r.vec_id, r.bucket, r.ingest_batch)
+            for r in read_embedding_index(spark, table)
+            .select("vec_id", "bucket", "ingest_batch").collect()
+        )
+        sink(b1, 1)
+        assert sorted(
+            (r.vec_id, r.ingest_batch)
+            for r in spark.read.parquet(out).collect()
+        ) == before_corpus
+        assert sorted(
+            (r.vec_id, r.bucket, r.ingest_batch)
+            for r in read_embedding_index(spark, table)
+            .select("vec_id", "bucket", "ingest_batch").collect()
+        ) == before_idx
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_max_bucket_guard_passes_oversized_through(spark, corpus_batches):
+    b0, b1, _ = corpus_batches
+    table = f"emb_idx_{_uuid.uuid4().hex[:8]}"
+    try:
+        upsert_embedding_index_batch(b0, table, 0, n_buckets=4)
+        idx = read_embedding_index(spark, table)
+        capped = embedding_incremental_pairs(
+            b1, idx, threshold=THRESHOLD, max_bucket=0
+        )
+        # every index bucket excluded -> no new_vs_index candidates, the
+        # within-batch leg unaffected
+        assert capped.filter(F.col("pair_type") == "new_vs_index").count() == 0
+        uncapped = embedding_incremental_pairs(b1, idx, threshold=THRESHOLD)
+        assert uncapped.filter(F.col("pair_type") == "new_vs_index").count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
