@@ -195,3 +195,40 @@ def test_max_bucket_guard_passes_oversized_through(spark, corpus_batches):
         assert uncapped.filter(F.col("pair_type") == "new_vs_index").count() == 10
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_embedding_index_compacts_with_lsh_maintenance_pass(spark, corpus_batches):
+    """r10: the embedding index deliberately shares the LSH band index's
+    layout (bucketed catalog table + ingest_batch partitions), so the
+    SAME maintenance pass applies: compact_lsh_index merges old batch
+    partitions, the row set survives, and the bucketed (exchange-free)
+    probe layout is reproduced."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.dedup import (
+        compact_lsh_index,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import plan_string
+
+    b0, b1, b2 = corpus_batches
+    table = f"emb_cmp_{_uuid.uuid4().hex[:8]}"
+    try:
+        for i, b in enumerate((b0, b1, b2)):
+            upsert_embedding_index_batch(b, table, i, n_buckets=4)
+        upsert_embedding_index_batch(b1.limit(3), table, 3, n_buckets=4)
+        before = {
+            (r.vec_id, r.bucket)
+            for r in read_embedding_index(spark, table)
+            .select("vec_id", "bucket").collect()
+        }
+        stats = compact_lsh_index(spark, table, keep_last=2)
+        assert stats["batches_before"] == 4 and stats["batches_after"] == 3
+        after = read_embedding_index(spark, table)
+        assert {
+            (r.vec_id, r.bucket)
+            for r in after.select("vec_id", "bucket").collect()
+        } == before
+        plan = plan_string(after.groupBy("bucket").count(), "simple")
+        assert "Exchange" not in plan and "Bucketed: true" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__old")
