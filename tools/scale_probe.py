@@ -2120,6 +2120,110 @@ def main() -> None:
             "first_shard_ordered": ordered,
         }}, indent=2))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "emb_ingest":
+        # r10: the embedding sibling of stream_ingest — a real streaming
+        # query driving foreachBatch(make_embedding_ingest_sink): each
+        # micro-batch is semantic-deduped against the PERSISTED
+        # sign-LSH-bucketed embedding index; re-embedded vectors
+        # (positive-scaled copies = cosine 1.0, same bucket) planted in
+        # later batches must all be caught by the at-rest index.  Also
+        # meters incremental-vs-full: the incremental probe's cost
+        # tracks the BATCH, the full near_dup_pairs recompute tracks the
+        # CORPUS.
+        from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+            embedding_incremental_pairs,
+            make_embedding_ingest_sink,
+            near_dup_pairs,
+            read_embedding_index,
+            sign_bucket,
+            upsert_embedding_index_batch,
+        )
+
+        spark = get_spark(
+            "scale-probe-embing",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+            extra_conf=METERED_SESSION_CONF,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        n = int(os.environ.get("SCALE_PROBE_VECS", 100_000))
+        dim = int(os.environ.get("SCALE_PROBE_DIM", 32))
+        n_batches = int(os.environ.get("SCALE_PROBE_BATCHES", 4))
+        root = tempfile.mkdtemp(prefix="scale_probe_embing_")
+        synth_vectors(spark, n, dim, f"{root}/vecs")
+        vecs = spark.read.parquet(f"{root}/vecs")
+        scaled = lambda df, s: df.select(  # noqa: E731 — cos-1.0 copy
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: (x * s).cast("float")).alias(
+                "embedding"
+            ),
+        )
+        src = f"{root}/src"
+        for b in range(n_batches):
+            part = vecs.filter(F.col("vec_id") % n_batches == b)
+            if b > 0:
+                part = part.unionByName(scaled(
+                    vecs.filter(F.col("vec_id") % n_batches == b - 1)
+                    .filter(F.col("vec_id") % 10 == 0),
+                    1.5,
+                ))
+            part.coalesce(1).write.parquet(f"{src}/b{b}")
+        out_dir = f"{root}/corpus"
+        table = f"probe_embing_{os.path.basename(root).rsplit('_', 1)[-1]}"
+        stream = (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+        )
+        t0 = time.time()
+        q = (
+            stream.writeStream.foreachBatch(
+                make_embedding_ingest_sink(out_dir, table, n_buckets=32)
+            )
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(1200)
+        wall = time.time() - t0
+        batches = [
+            {
+                "batch": p["batchId"],
+                "rows_in": p["numInputRows"],
+                "batch_sec": round(p["batchDuration"] / 1000.0, 2),
+            }
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        kept = spark.read.parquet(out_dir)
+        report = {
+            "n_vectors": n,
+            "dim": dim,
+            "batches": batches,
+            "total_wall_sec": round(wall, 2),
+            "kept": kept.count(),
+            # re-embedded copies that SURVIVED — must be 0: every one
+            # hits the persisted index at cosine 1.0 in its own bucket
+            "reembed_survivors": kept.filter(
+                F.col("vec_id") >= 10_000_000
+            ).count(),
+            "index_rows": spark.table(table).count(),
+        }
+        # incremental-vs-full metering on a fresh small batch
+        batch = scaled(vecs.filter(F.col("vec_id") % 40 == 0), 0.7)
+        idx = read_embedding_index(spark, table)
+        inc = embedding_incremental_pairs(batch, idx)
+        full = near_dup_pairs(
+            vecs.unionByName(batch).select(
+                "vec_id", "embedding",
+                sign_bucket(F.col("embedding")).alias("bucket"),
+            ),
+            block=F.col("bucket"),
+        )
+        report["incremental_batch_vs_index"] = run_metered(spark, inc)
+        report["full_recompute"] = run_metered(spark, full)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        print(json.dumps({"emb_ingest": report}, indent=2))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "stream_ingest":
         # END-TO-END streaming corpus ingest at bench scale: a real
         # Structured Streaming query (file source, one batch per
