@@ -374,3 +374,37 @@ def test_ann_family_shares_trained_quantizer(spark, sf_dir):
     # FINAL plan means a branch re-trained from scratch instead of
     # reading the checkpoint
     assert "decimal(27,9)" not in plan
+
+
+def test_bucketed_dim_upsert_read_is_partition_pruned(spark, tmp_path):
+    """r10: the bucketed dim sink's per-batch read must touch ONLY the
+    buckets the batch touches — the In predicate on the bucket column
+    has to land in the scan's PartitionFilters (static pruning), or the
+    'write bytes track the batch' claim would still pay a full-table
+    READ every micro-batch."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.upsert import (
+        DIM_BUCKET_COL,
+        upsert_parquet_sink,
+    )
+
+    path = str(tmp_path / "dim")
+    sink = upsert_parquet_sink(path, "product_id", buckets=16)
+    dim = spark.createDataFrame(
+        [(i, f"p{i}", float(i)) for i in range(2000)],
+        "product_id int, product_name string, price double",
+    )
+    sink(dim, 0)
+
+    touched = [3, 7]
+    pruned = spark.read.parquet(path).where(
+        F.col(DIM_BUCKET_COL).isin(touched)
+    )
+    plan = plan_string(pruned, "formatted")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any(DIM_BUCKET_COL in l and "IN" in l.upper() for l in pf), plan
+    # (inputFiles() lists the relation's files BEFORE partition filters,
+    # so the PartitionFilters line is the pruning witness — the same
+    # convention as the static asserts in test_pipeline.py)
+    assert {r[0] for r in pruned.select(DIM_BUCKET_COL).distinct().collect()} <= set(
+        touched
+    )
