@@ -75,6 +75,14 @@ PROMOTED = (
     "q_bpe_pair_counts",
 )
 
+# Queries sorted AFTER every module regardless of where they are defined:
+# new roster additions go here so the 50 historical positions the driver
+# has verified since round 7 stay byte-stable — a new query must never
+# shift an existing query's window slot.
+APPENDED = (
+    "q_emb_incremental",  # r10: incremental semantic dedup pair semantics
+)
+
 
 def query(name: str, oracle: str | None = None):
     """Register a declared query under ``name`` with an optional oracle."""
@@ -104,15 +112,17 @@ def load_registry() -> dict[str, QueryDef]:
     from . import relational, star, streamingq, pipelines, analytics  # noqa: F401
     from . import extensions  # noqa: F401
 
-    missing = set(PROMOTED) - set(REGISTRY)
+    missing = (set(PROMOTED) | set(APPENDED)) - set(REGISTRY)
     if missing:  # a stale PROMOTED name must fail loudly, not reorder silently
-        raise RuntimeError(f"PROMOTED names not registered: {sorted(missing)}")
+        raise RuntimeError(f"PROMOTED/APPENDED names not registered: {sorted(missing)}")
 
     rank = {m: i for i, m in enumerate(MODULE_ORDER)}
     ext_rank = rank["extensions"]
 
     def key(kv):
         name, qd = kv
+        if name in APPENDED:  # after every module, in APPENDED order
+            return (len(rank) + 1, APPENDED.index(name))
         if name in PROMOTED:  # between "analytics" and the other extensions
             return (ext_rank - 0.5, PROMOTED.index(name))
         return (rank.get(qd.module, len(rank)), qd.seq)

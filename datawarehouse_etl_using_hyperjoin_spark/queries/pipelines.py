@@ -32,11 +32,13 @@ from ..operators.similarity import (
     ann_multiprobe_topk,
     cosine_quantized,
     cosine_topk,
+    embedding_incremental_pairs,
     ivf_assign,
     ivf_seed_centroids,
     kmeans_refine,
     near_dup_pairs,
     quantize_embeddings,
+    sign_bucket,
 )
 from ..sources.fixtures import load_table
 from . import query
@@ -631,6 +633,74 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     allv = base.unionByName(pert)
     pairs = near_dup_pairs(allv, threshold=0.85)
     return pairs.select("id_a", "id_b", F.col("cos").alias("cos_sim"))
+
+
+@query(
+    "q_emb_incremental",
+    oracle=f"""
+WITH idx AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(embedding[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings WHERE vec_id % 3 != 0
+),
+newv AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(embedding[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           embedding[1:63] || [CAST(0.5 AS FLOAT)] AS embedding
+    FROM embeddings WHERE vec_id % 3 != 0 AND vec_id % 7 = 0
+  )
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cos_sim,
+       'new_vs_index' AS pair_type
+FROM idx a JOIN newv b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.85
+UNION ALL
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cos_sim,
+       'new_vs_new' AS pair_type
+FROM newv a JOIN newv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.85""",
+)
+def q_emb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup pairs vs an embedding index (r10):
+    ``embedding_incremental_pairs`` over a static split of the fixture —
+    the index is the mod-3 non-zero vectors (carrying the sign-LSH
+    bucket the at-rest table stores), the incoming batch is the mod-3
+    zeros plus perturbed copies (last dim replaced, bucket preserved) of
+    some indexed vectors.  Every planted copy pairs with its original as
+    ``new_vs_index`` at cos ≈ 0.92; unrelated fixture pairs stay below
+    the 0.85 threshold.  The stateful at-rest form of the same operator
+    (exactly-once index upsert per micro-batch) is pytest-locked in
+    tests/test_embedding_ingest.py — this query value-oracles the pair
+    semantics the sink applies per batch."""
+    em = load_table(spark, sf_dir, "embeddings")
+    index = em.filter(F.col("vec_id") % 3 != 0).select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding")).alias("bucket")
+    )
+    pert = (
+        em.filter((F.col("vec_id") % 3 != 0) & (F.col("vec_id") % 7 == 0))
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.concat(
+                F.slice("embedding", 1, 63),
+                F.array(F.lit(0.5).cast("float")),
+            ).alias("embedding"),
+        )
+    )
+    new = em.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", "embedding"
+    ).unionByName(pert)
+    pairs = embedding_incremental_pairs(new, index, threshold=0.85)
+    return pairs.select(
+        "id_a", "id_b", F.col("cos").alias("cos_sim"), "pair_type"
+    )
 
 
 # ----------------------------------------------------------- text analysis
