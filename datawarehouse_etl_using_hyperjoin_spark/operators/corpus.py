@@ -460,7 +460,11 @@ def make_corpus_ingest_sink(
     the incremental probe stays exchange-free); the probe side excludes
     the current batch's own partition so replays don't self-match.  A
     recovered replay therefore CONVERGES to the identical corpus + index
-    instead of appending duplicates.
+    instead of appending duplicates.  ID UNIQUENESS is part of the
+    contract (r10): duplicate id rows within a batch keep one
+    deterministic survivor, and an id re-sent in a LATER batch is
+    dropped against the index (first write wins — previously it slipped
+    past the near-dup probe as a filtered self-pair and landed twice).
 
     Use::
 
@@ -512,6 +516,36 @@ def make_corpus_ingest_sink(
         gated = _quality_gate(
             scored, min_quality=min_quality, min_tokens=min_tokens, langs=langs
         )
+        # id uniqueness WITHIN the batch (deterministic keep-first by
+        # fingerprint, so a replay picks the same row): duplicate id
+        # rows would otherwise both land — the fingerprint dedup below
+        # keeps every row of a tied min id
+        w_id = Window.partitionBy(id_col).orderBy("fingerprint")
+        gated = (
+            gated.withColumn("__rn", F.row_number().over(w_id))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # id uniqueness ACROSS batches (r10 fix): an id re-sent in a
+        # LATER batch previously slipped past the near-dup probe (its
+        # band match is a self-pair, which the survivor rule must
+        # filter) and landed twice.  The index is the id authority:
+        # drop batch ids it already holds.  Shape: broadcast the
+        # batch-sized id set into a semi-join against the index scan —
+        # the index is never exchanged; this rides the same
+        # linear-in-index scan class as the band probe itself.  Replay
+        # stays safe because the probe index already excludes the
+        # batch's own partition.
+        have_index = spark.catalog.tableExists(index_table)
+        index = None
+        if have_index:
+            index = read_lsh_index(spark, index_table).where(
+                F.col("ingest_batch") != int(batch_id)
+            )
+            already = index.join(
+                F.broadcast(gated.select(id_col)), id_col, "left_semi"
+            ).select(id_col).distinct()
+            gated = gated.join(already, id_col, "left_anti")
         # exact within-batch dedup: one survivor per fingerprint
         exact = (
             gated.withColumn(
@@ -527,15 +561,12 @@ def make_corpus_ingest_sink(
             ),
             id_col, n_hashes, n_bands,
         ).localCheckpoint(eager=True)
-        have_index = spark.catalog.tableExists(index_table)
         if have_index:
             # EXACTLY-ONCE replay: a recovered foreachBatch may re-run a
-            # batch whose bands already landed — exclude this batch's own
-            # index partition from the probe side, or every replayed doc
-            # would match itself and be dropped as its own duplicate
-            index = read_lsh_index(spark, index_table).where(
-                F.col("ingest_batch") != int(batch_id)
-            )
+            # batch whose bands already landed — the probe-side `index`
+            # above excludes this batch's own partition, or every
+            # replayed doc would match itself and be dropped as its own
+            # duplicate
             pairs = lsh_incremental_pairs(bands, index, id_col, max_bucket)
         else:
             pairs = lsh_candidate_pairs(bands, id_col, max_bucket)

@@ -1466,24 +1466,46 @@ def make_embedding_ingest_sink(
     ONLY their rows in the index — both via per-batch partition
     overwrite, so a recovered replay CONVERGES to the identical corpus
     + index (same exactly-once discipline as the text sink; composes
-    under ``make_quarantine_sink`` the same way).
+    under ``make_quarantine_sink`` the same way).  ID UNIQUENESS is
+    part of the contract (r10, same fix as the text sink): duplicate
+    id rows within a batch keep one deterministic survivor, and an id
+    re-sent in a later batch is dropped against the index (first
+    write wins).
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df.persist()
+        # id uniqueness WITHIN the batch: deterministic keep-first by
+        # vector hash, so a replay picks the same row
+        w_id = Window.partitionBy(id_col).orderBy(F.xxhash64(F.col(vec_col)))
+        uniq = (
+            batch_df.withColumn("__rn", F.row_number().over(w_id))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        uniq.persist()
         try:
             if spark.catalog.tableExists(index_table):
                 index = read_embedding_index(spark, index_table).where(
                     F.col("ingest_batch") != int(batch_id)
                 )
+                # id uniqueness ACROSS batches (first write wins — same
+                # r10 fix as the text sink: a same-id re-send is a
+                # filtered self-pair to the near-dup probe, so it must
+                # be dropped against the index's id authority; broadcast
+                # semi keeps the index un-exchanged)
+                already = index.join(
+                    F.broadcast(uniq.select(id_col)), id_col, "left_semi"
+                ).select(id_col).distinct()
+                cand = uniq.join(already, id_col, "left_anti")
                 pairs = embedding_incremental_pairs(
-                    batch_df, index, id_col=id_col, vec_col=vec_col,
+                    cand, index, id_col=id_col, vec_col=vec_col,
                     threshold=threshold, m=m, max_bucket=max_bucket,
                 )
             else:
+                cand = uniq
                 pairs = near_dup_pairs(
-                    batch_df.select(
+                    cand.select(
                         F.col(id_col), F.col(vec_col),
                         sign_bucket(F.col(vec_col), m).alias("bucket"),
                     ),
@@ -1491,7 +1513,7 @@ def make_embedding_ingest_sink(
                     block=F.col("bucket"),
                 )
             dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-            survivors = batch_df.join(
+            survivors = cand.join(
                 dropped, on=id_col, how="left_anti"
             ).localCheckpoint(eager=True)
             survivors.write.mode("overwrite").parquet(
@@ -1503,6 +1525,6 @@ def make_embedding_ingest_sink(
                 n_buckets=n_buckets,
             )
         finally:
-            batch_df.unpersist()
+            uniq.unpersist()
 
     return _sink

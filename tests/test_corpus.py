@@ -706,3 +706,60 @@ def test_compact_lsh_index_aborts_on_short_rewrite(spark, sf_dir, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
         spark.sql(f"DROP TABLE IF EXISTS {table}__old")
+
+
+def test_corpus_sink_id_uniqueness_within_and_across_batches(spark, tmp_path):
+    """r10 fix: the corpus's id-uniqueness invariant.  (a) An id re-sent
+    in a LATER batch previously slipped past the near-dup probe (its
+    band match is a self-pair, which the survivor rule filters) and
+    landed twice; it must be dropped against the index — first write
+    wins.  (b) Duplicate id rows WITHIN a batch keep exactly one
+    deterministic survivor.  (c) Replay of a batch still converges
+    (the id guard reads the index EXCLUDING the batch's own
+    partition)."""
+    import uuid as _uuid
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        make_corpus_ingest_sink,
+    )
+
+    out = str(tmp_path / "corpus")
+    idx = f"uniq_idx_{_uuid.uuid4().hex[:8]}"
+    sink = make_corpus_ingest_sink(out, idx, min_quality=0.0, min_tokens=1)
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    try:
+        sink(docs([(1, "alpha beta gamma delta epsilon zeta"),
+                   (2, "one two three four five six"),
+                   # (b) duplicate id within the batch
+                   (2, "one two three four five six")]), 0)
+        got = sorted(
+            (r.doc_id, r.ingest_batch)
+            for r in spark.read.parquet(out).select("doc_id", "ingest_batch").collect()
+        )
+        assert got == [(1, 0), (2, 0)]
+
+        # (a) same id re-sent in a later batch (same text AND changed
+        # text): both dropped — the index is the id authority
+        sink(docs([(1, "alpha beta gamma delta epsilon zeta"),
+                   (2, "totally different words now appear here"),
+                   (3, "seven eight nine ten eleven twelve")]), 1)
+        got = sorted(
+            (r.doc_id, r.ingest_batch)
+            for r in spark.read.parquet(out).select("doc_id", "ingest_batch").collect()
+        )
+        assert got == [(1, 0), (2, 0), (3, 1)]
+
+        # (c) replay batch 1: converges, id 3 not self-dropped
+        sink(docs([(1, "alpha beta gamma delta epsilon zeta"),
+                   (2, "totally different words now appear here"),
+                   (3, "seven eight nine ten eleven twelve")]), 1)
+        got2 = sorted(
+            (r.doc_id, r.ingest_batch)
+            for r in spark.read.parquet(out).select("doc_id", "ingest_batch").collect()
+        )
+        assert got2 == got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")

@@ -232,3 +232,47 @@ def test_embedding_index_compacts_with_lsh_maintenance_pass(spark, corpus_batche
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
         spark.sql(f"DROP TABLE IF EXISTS {table}__old")
+
+
+def test_embedding_sink_id_uniqueness_within_and_across_batches(
+    spark, corpus_batches, tmp_path
+):
+    """r10 fix, embedding side: duplicate id rows within a batch keep
+    one deterministic survivor; an id re-sent in a later batch (same or
+    different vector) is dropped against the index; replay still
+    converges."""
+    b0, _, _ = corpus_batches
+    out = str(tmp_path / "emb_uniq")
+    table = f"emb_uniq_{_uuid.uuid4().hex[:8]}"
+    sink = make_embedding_ingest_sink(out, table, n_buckets=4)
+    try:
+        dup_row = b0.filter(F.col("vec_id") == 0)
+        sink(b0.unionByName(dup_row), 0)  # id 0 appears twice in batch 0
+        assert spark.read.parquet(out).filter(F.col("vec_id") == 0).count() == 1
+
+        # re-send id 0 (same vector) and id 1 (different vector) later
+        resend = b0.filter(F.col("vec_id") == 0).unionByName(
+            b0.filter(F.col("vec_id") == 1).select(
+                "vec_id",
+                F.transform("embedding", lambda x: -x).alias("embedding"),
+            )
+        )
+        sink(resend, 1)
+        got = sorted(
+            (r.vec_id, r.ingest_batch)
+            for r in spark.read.parquet(out)
+            .filter(F.col("vec_id").isin([0, 1]))
+            .select("vec_id", "ingest_batch").collect()
+        )
+        assert got == [(0, 0), (1, 0)]  # first write won, nothing landed in 1
+
+        # replay batch 1: converges
+        sink(resend, 1)
+        assert sorted(
+            (r.vec_id, r.ingest_batch)
+            for r in spark.read.parquet(out)
+            .filter(F.col("vec_id").isin([0, 1]))
+            .select("vec_id", "ingest_batch").collect()
+        ) == got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
