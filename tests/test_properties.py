@@ -399,3 +399,61 @@ def test_lateness_validator_accepts_valid_rejects_garbage(
     ):
         with _pytest.raises(ValueError, match="lateness"):
             _validate_lateness(bad)
+
+
+# r10: incremental embedding dedup — general equivalence, not just the
+# star-shaped fixture in test_embedding_ingest.py
+_vec = st.lists(
+    st.one_of(
+        st.floats(min_value=0.0078125, max_value=1.0, allow_nan=False, width=32),
+        st.floats(min_value=-1.0, max_value=-0.0078125, allow_nan=False, width=32),
+    ),
+    min_size=4, max_size=4,
+)
+_vecsets = st.lists(_vec, min_size=1, max_size=10)
+
+
+@given(index_vecs=_vecsets, new_vecs=_vecsets)
+@_settings
+def test_embedding_incremental_equals_batch_pairs(spark, index_vecs, new_vecs):
+    """For ANY index/new split: embedding_incremental_pairs(new, index)
+    == the batch near_dup_pairs over the union, restricted to pairs
+    touching a new vector (ids disjoint by construction; m=4 buckets so
+    hypothesis actually lands collisions)."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        embedding_incremental_pairs,
+        near_dup_pairs,
+        sign_bucket,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    idx_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(index_vecs)], schema
+    ).select(
+        "vec_id", "embedding",
+        sign_bucket(F.col("embedding"), 4).alias("bucket"),
+    )
+    new_df = spark.createDataFrame(
+        [(1000 + i, v) for i, v in enumerate(new_vecs)], schema
+    )
+    got = sorted(
+        (r.id_a, r.id_b, round(r.cos, 9), r.pair_type)
+        for r in embedding_incremental_pairs(
+            new_df, idx_df, threshold=0.5, m=4
+        ).collect()
+    )
+    union = idx_df.drop("bucket").unionByName(new_df).select(
+        "vec_id", "embedding",
+        sign_bucket(F.col("embedding"), 4).alias("bucket"),
+    )
+    want = sorted(
+        (
+            r.id_a, r.id_b, round(r.cos, 9),
+            "new_vs_index" if r.id_a < 1000 else "new_vs_new",
+        )
+        for r in near_dup_pairs(
+            union, threshold=0.5, block=F.col("bucket")
+        ).collect()
+        if r.id_b >= 1000
+    )
+    assert got == want
