@@ -1477,54 +1477,60 @@ def make_embedding_ingest_sink(
         spark = batch_df.sparkSession
         # id uniqueness WITHIN the batch: deterministic keep-first by
         # vector hash, so a replay picks the same row
+        # id uniqueness WITHIN the batch (deterministic keep-first by
+        # vector hash, so a replay picks the same row); checkpointed —
+        # batch-bounded, and every downstream reference (the id guard,
+        # BOTH legs of the pair probe, the survivor anti-join) would
+        # otherwise re-execute the window AND, worse, feed the planner a
+        # size-unknown join plan whose bucket join then stops
+        # broadcasting the batch side (measured: per-batch wall grew
+        # with INDEX size instead of staying batch-bound)
         w_id = Window.partitionBy(id_col).orderBy(F.xxhash64(F.col(vec_col)))
         uniq = (
             batch_df.withColumn("__rn", F.row_number().over(w_id))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
-        )
-        uniq.persist()
-        try:
-            if spark.catalog.tableExists(index_table):
-                index = read_embedding_index(spark, index_table).where(
-                    F.col("ingest_batch") != int(batch_id)
-                )
-                # id uniqueness ACROSS batches (first write wins — same
-                # r10 fix as the text sink: a same-id re-send is a
-                # filtered self-pair to the near-dup probe, so it must
-                # be dropped against the index's id authority; broadcast
-                # semi keeps the index un-exchanged)
-                already = index.join(
-                    F.broadcast(uniq.select(id_col)), id_col, "left_semi"
-                ).select(id_col).distinct()
-                cand = uniq.join(already, id_col, "left_anti")
-                pairs = embedding_incremental_pairs(
-                    cand, index, id_col=id_col, vec_col=vec_col,
-                    threshold=threshold, m=m, max_bucket=max_bucket,
-                )
-            else:
-                cand = uniq
-                pairs = near_dup_pairs(
-                    cand.select(
-                        F.col(id_col), F.col(vec_col),
-                        sign_bucket(F.col(vec_col), m).alias("bucket"),
-                    ),
-                    id_col=id_col, vec_col=vec_col, threshold=threshold,
-                    block=F.col("bucket"),
-                )
-            dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-            survivors = cand.join(
-                dropped, on=id_col, how="left_anti"
+        ).localCheckpoint(eager=True)
+        if spark.catalog.tableExists(index_table):
+            index = read_embedding_index(spark, index_table).where(
+                F.col("ingest_batch") != int(batch_id)
+            )
+            # id uniqueness ACROSS batches (first write wins — same
+            # r10 fix as the text sink: a same-id re-send is a
+            # filtered self-pair to the near-dup probe, so it must
+            # be dropped against the index's id authority; broadcast
+            # semi keeps the index un-exchanged)
+            already = index.join(
+                F.broadcast(uniq.select(id_col)), id_col, "left_semi"
+            ).select(id_col).distinct()
+            cand = uniq.join(
+                already, id_col, "left_anti"
             ).localCheckpoint(eager=True)
-            survivors.write.mode("overwrite").parquet(
-                f"{out_dir}/ingest_batch={int(batch_id)}"
+            pairs = embedding_incremental_pairs(
+                cand, index, id_col=id_col, vec_col=vec_col,
+                threshold=threshold, m=m, max_bucket=max_bucket,
             )
-            upsert_embedding_index_batch(
-                survivors.select(id_col, vec_col), index_table,
-                int(batch_id), id_col=id_col, vec_col=vec_col, m=m,
-                n_buckets=n_buckets,
+        else:
+            cand = uniq
+            pairs = near_dup_pairs(
+                cand.select(
+                    F.col(id_col), F.col(vec_col),
+                    sign_bucket(F.col(vec_col), m).alias("bucket"),
+                ),
+                id_col=id_col, vec_col=vec_col, threshold=threshold,
+                block=F.col("bucket"),
             )
-        finally:
-            uniq.unpersist()
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = cand.join(
+            dropped, on=id_col, how="left_anti"
+        ).localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(
+            f"{out_dir}/ingest_batch={int(batch_id)}"
+        )
+        upsert_embedding_index_batch(
+            survivors.select(id_col, vec_col), index_table,
+            int(batch_id), id_col=id_col, vec_col=vec_col, m=m,
+            n_buckets=n_buckets,
+        )
 
     return _sink
