@@ -520,12 +520,18 @@ def make_corpus_ingest_sink(
         # fingerprint, so a replay picks the same row): duplicate id
         # rows would otherwise both land — the fingerprint dedup below
         # keeps every row of a tied min id
+        # checkpointed: referenced by the id-guard broadcast AND the
+        # anti-join below — the foreachBatch lesson (SCALE.md r10): a
+        # batch-bounded relation referenced more than once or joined
+        # against at-rest state must be materialized, or its plan
+        # (regex-heavy corpus_metrics here) re-executes per reference
+        # and downstream joins lose the batch's size estimate
         w_id = Window.partitionBy(id_col).orderBy("fingerprint")
         gated = (
             gated.withColumn("__rn", F.row_number().over(w_id))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
-        )
+        ).localCheckpoint(eager=True)
         # id uniqueness ACROSS batches (r10 fix): an id re-sent in a
         # LATER batch previously slipped past the near-dup probe (its
         # band match is a self-pair, which the survivor rule must
