@@ -276,3 +276,50 @@ def test_embedding_sink_id_uniqueness_within_and_across_batches(
         ) == got
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_embedding_sink_composes_under_quarantine(spark, corpus_batches, tmp_path):
+    """r10: the docstring's composition claim, pinned — a straggler
+    vector (event time older than the high watermark minus lateness) is
+    diverted to the quarantine dir and never reaches the embedding
+    corpus OR the index; on-time vectors ingest normally."""
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        make_quarantine_sink,
+    )
+
+    b0, b1, _ = corpus_batches
+    out = str(tmp_path / "emb_q")
+    table = f"emb_q_{_uuid.uuid4().hex[:8]}"
+
+    def with_ts(df, ts):
+        return df.withColumn("ts", F.to_timestamp(F.lit(ts)))
+
+    inner = make_embedding_ingest_sink(f"{out}/corpus", table, n_buckets=4)
+    sink = make_quarantine_sink(
+        inner, out, watermark_col="ts", lateness="30 minutes"
+    )
+    try:
+        sink(with_ts(b0, "2026-01-01 12:00:00"), 0)
+        # batch 1: one straggler (novel id 110 re-timed to 09:00) + the
+        # rest on time
+        straggler = with_ts(b1.filter(F.col("vec_id") == 110), "2026-01-01 09:00:00")
+        on_time = with_ts(b1.filter(F.col("vec_id") != 110), "2026-01-01 12:10:00")
+        sink(straggler.unionByName(on_time), 1)
+
+        late_ids = {r.vec_id for r in spark.read.parquet(f"{out}/late").collect()}
+        assert late_ids == {110}
+        corpus_ids = {
+            r.vec_id for r in spark.read.parquet(f"{out}/corpus").collect()
+        }
+        assert 110 not in corpus_ids
+        # on-time novel ids 111-114 ingested; the ten planted base dups
+        # (100-109) were dropped by the index probe, not the quarantine
+        assert {111, 112, 113, 114} <= corpus_ids
+        assert not ({100 + i for i in range(10)} & corpus_ids)
+        idx_ids = {
+            r.vec_id
+            for r in read_embedding_index(spark, table).select("vec_id").collect()
+        }
+        assert 110 not in idx_ids and {111, 112} <= idx_ids
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
