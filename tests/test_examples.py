@@ -39,6 +39,7 @@ def _run_example(module_name: str, monkeypatch, spark):
         "corpus_prep_demo",
         "web_hygiene_demo",
         "streaming_demo",
+        "embedding_pipeline_demo",
     ],
 )
 def test_demo_runs_end_to_end(module_name, monkeypatch, spark):
