@@ -78,10 +78,11 @@ PROMOTED = (
 # Queries sorted AFTER every module regardless of where they are defined:
 # new roster additions go here so the 50 historical positions the driver
 # has verified since round 7 stay byte-stable — a new query must never
-# shift an existing query's window slot.
-APPENDED = (
-    "q_emb_incremental",  # r10: incremental semantic dedup pair semantics
-)
+# shift an existing query's window slot.  (r10 appended
+# q_emb_incremental here; r11 folded it into q_embed_near_dup as a
+# pair_type-tagged branch so the family gets a driver-produced
+# CORRECTNESS row — the roster is back to exactly 50.)
+APPENDED: tuple[str, ...] = ()
 
 
 def query(name: str, oracle: str | None = None):

@@ -609,36 +609,8 @@ v AS (
          array_to_string(list_transform(embedding[1:8],
              x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
   FROM allv
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cos_sim
-FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.85""",
-)
-def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (≥ 0.85) within sign-LSH buckets.
-
-    Injected perturbed copies (last dim replaced) keep their bucket (first
-    8 dims untouched) and score ≈ 0.92 against their originals; unrelated
-    fixture pairs max out at 0.48, so the threshold separates cleanly."""
-    em = load_table(spark, sf_dir, "embeddings")
-    base = em.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
-    pert = base.select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.concat(
-            F.slice("embedding", 1, 63),
-            F.array(F.lit(0.5).cast("float")),
-        ).alias("embedding"),
-    )
-    allv = base.unionByName(pert)
-    pairs = near_dup_pairs(allv, threshold=0.85)
-    return pairs.select("id_a", "id_b", F.col("cos").alias("cos_sim"))
-
-
-@query(
-    "q_emb_incremental",
-    oracle=f"""
-WITH idx AS (
+),
+idx AS (
   SELECT vec_id, embedding,
          array_to_string(list_transform(embedding[1:8],
              x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
@@ -658,6 +630,12 @@ newv AS (
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cos_sim,
+       'batch' AS pair_type
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.85
+UNION ALL
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cos_sim,
        'new_vs_index' AS pair_type
 FROM idx a JOIN newv b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
 WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.85
@@ -668,23 +646,50 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM newv a JOIN newv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.85""",
 )
-def q_emb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental semantic dedup pairs vs an embedding index (r10):
-    ``embedding_incremental_pairs`` over a static split of the fixture —
-    the index is the mod-3 non-zero vectors (carrying the sign-LSH
-    bucket the at-rest table stores), the incoming batch is the mod-3
-    zeros plus perturbed copies (last dim replaced, bucket preserved) of
-    some indexed vectors.  Every planted copy pairs with its original as
-    ``new_vs_index`` at cos ≈ 0.92; unrelated fixture pairs stay below
-    the 0.85 threshold.  The stateful at-rest form of the same operator
-    (exactly-once index upsert per micro-batch) is pytest-locked in
-    tests/test_embedding_ingest.py — this query value-oracles the pair
-    semantics the sink applies per batch."""
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup family (tagged union, r11 fold): the batch-mode
+    cosine near-dup pairs within sign-LSH buckets (``pair_type='batch'``,
+    the unchanged r5 query) plus the r10 incremental-semantic-dedup split
+    (``new_vs_index`` / ``new_vs_new``) — one driver window slot covering
+    both forms, per the round-7 fold pattern, so the incremental family
+    carries a driver-produced CORRECTNESS row without moving any of the
+    50 verified roster positions.
+
+    Batch branch: injected perturbed copies (last dim replaced) keep
+    their bucket (first 8 dims untouched) and score ≈ 0.92 against their
+    originals; unrelated fixture pairs max out at 0.48, so the 0.85
+    threshold separates cleanly.
+
+    Incremental branches: ``embedding_incremental_pairs`` over a static
+    split of the fixture — the index is the mod-3 non-zero vectors
+    (carrying the sign-LSH bucket the at-rest table stores), the incoming
+    batch is the mod-3 zeros plus perturbed copies of some indexed
+    vectors.  Every planted copy pairs with its original as
+    ``new_vs_index`` at cos ≈ 0.92.  The stateful at-rest form of the
+    same operator (exactly-once index upsert per micro-batch) is
+    pytest-locked in tests/test_embedding_ingest.py — this query
+    value-oracles the pair semantics the sink applies per batch."""
     em = load_table(spark, sf_dir, "embeddings")
+
+    # --- batch branch (r5 semantics, unchanged)
+    base = em.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    bpert = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 63),
+            F.array(F.lit(0.5).cast("float")),
+        ).alias("embedding"),
+    )
+    batch_pairs = near_dup_pairs(base.unionByName(bpert), threshold=0.85).select(
+        "id_a", "id_b", F.col("cos").alias("cos_sim"),
+        F.lit("batch").alias("pair_type"),
+    )
+
+    # --- incremental branches (r10 semantics, unchanged)
     index = em.filter(F.col("vec_id") % 3 != 0).select(
         "vec_id", "embedding", sign_bucket(F.col("embedding")).alias("bucket")
     )
-    pert = (
+    ipert = (
         em.filter((F.col("vec_id") % 3 != 0) & (F.col("vec_id") % 7 == 0))
         .select(
             (F.col("vec_id") + 1_000_000).alias("vec_id"),
@@ -696,11 +701,12 @@ def q_emb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = em.filter(F.col("vec_id") % 3 == 0).select(
         "vec_id", "embedding"
-    ).unionByName(pert)
-    pairs = embedding_incremental_pairs(new, index, threshold=0.85)
-    return pairs.select(
+    ).unionByName(ipert)
+    inc_pairs = embedding_incremental_pairs(new, index, threshold=0.85).select(
         "id_a", "id_b", F.col("cos").alias("cos_sim"), "pair_type"
     )
+
+    return batch_pairs.unionByName(inc_pairs)
 
 
 # ----------------------------------------------------------- text analysis

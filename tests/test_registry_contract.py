@@ -55,19 +55,20 @@ EXPECTED_ROSTER = (
     "q_bpe_pair_counts", "q_bm25", "q_corpus_diff",
     "q_text_quality", "q_passage_family", "q_selection_family",
     "q_web_hygiene", "q_event_analytics", "q_summary_family",
-    # r10: new roster entries APPEND (queries.APPENDED) so the 50
-    # positions the driver has verified since round 7 stay byte-stable
-    "q_emb_incremental",
+    # r10 appended q_emb_incremental; r11 folded it into
+    # q_embed_near_dup as a pair_type-tagged branch (the round-7 fold
+    # pattern) so the roster is back to exactly 50 and the incremental
+    # family gets a driver-produced CORRECTNESS row.
 )
 
 
 def test_driver_window_covers_entire_roster(registry):
     # the driver verifies the first ~50 entries front-to-back; after the
-    # round-7 fold wave the roster was exactly 50 and new entries append
-    # (r10: +q_emb_incremental), so every operator family has a
-    # driver-produced correctness row and historical slots never shift
+    # round-7 fold wave (and the r11 q_emb_incremental fold) the roster
+    # is exactly 50, so every operator family has a driver-produced
+    # correctness row and historical slots never shift
     assert tuple(registry) == EXPECTED_ROSTER
-    assert len(EXPECTED_ROSTER) == 51
+    assert len(EXPECTED_ROSTER) == 50
 
 
 def test_core_etl_registers_first(registry):
