@@ -1379,6 +1379,12 @@ def read_embedding_index(spark, table: str) -> DataFrame:
     return spark.table(table)
 
 
+# Loud ceiling on how many degenerate blocking keys the skew guard will
+# carry as literal In-filters: more oversized keys than this is not skew,
+# it is a systemically wrong bucketing (re-bucket with a larger m).
+_MAX_DEGENERATE_KEYS = 10_000
+
+
 def embedding_incremental_pairs(
     new_vectors: DataFrame,
     index: DataFrame,
@@ -1388,6 +1394,8 @@ def embedding_incremental_pairs(
     threshold: float = 0.9,
     m: int = 8,
     max_bucket: int = 10_000,
+    sub_bits: int = 8,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs for an INCREMENTAL batch: new vectors vs
     the at-rest index, plus pairs within the new batch — the semantic
@@ -1401,33 +1409,103 @@ def embedding_incremental_pairs(
     {'new_vs_index', 'new_vs_new'}; for new_vs_index, id_a is the index
     vector.  A doc present in both (re-ingest) never emits a self-pair.
 
-    ``max_bucket`` guards the probe the way ``semantic_dedup.max_cell``
-    guards cells: an index bucket larger than the cap (a mode/dead-
-    embedding bucket — the thing that would make one task quadratic at
-    100 TB) is EXCLUDED from candidate generation (its members pass
-    through undeduped) rather than joined; re-bucket with larger ``m``
-    if real buckets approach the cap.
+    Skew guard (r11 — graceful degradation, not skipping): an index
+    bucket larger than ``max_bucket`` (a mode/dead-embedding bucket —
+    the thing that would make one task quadratic at 100 TB) is
+    SUB-BUCKETED with ``sub_bits`` more sign bits (a larger effective m
+    for that bucket only, mirroring ``ivf_split_oversized``), on BOTH
+    probe legs, so its near-dups are still caught — a near-dup pair
+    agrees on the extra sign bits with overwhelming probability, and a
+    planted copy by construction.  A sub-bucket that is STILL oversized
+    (≥ ``max_bucket`` identical sign patterns — e.g. an exact-duplicate
+    mode cluster, which exact dedup should have removed upstream) is
+    excluded so the quadratic bound holds no matter what; exclusion is
+    REPORTED, never silent: pass ``stats_out`` (a dict, filled in place
+    with oversized_buckets / oversized_rows / subbucketed_rows /
+    excluded_fine_keys / excluded_rows) — :func:`make_embedding_ingest_sink`
+    persists it per batch.  Sub-bucketing saturates at the vector length
+    (``sign_bucket`` pads nothing), so for dim ≤ m the guard degrades to
+    exclusion, reported the same way.
+
+    Oversized-key ids are metadata-sized by construction (≤ rows /
+    max_bucket; skew means they are FEW — a loud ValueError past
+    ``_MAX_DEGENERATE_KEYS`` catches systemic mis-bucketing), so they
+    are collected and baked into the plan as literal In-filters: the
+    no-skew fast path leaves the probe plan untouched.
     """
     new = new_vectors.select(
         F.col(id_col), F.col(vec_col),
         sign_bucket(F.col(vec_col), m).alias("bucket"),
     )
-    ok_buckets = (
-        index.groupBy("bucket").count()
-        .filter(F.col("count") <= max_bucket)
-        .select("bucket")
+    big_rows = (
+        index.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket)
+        .limit(_MAX_DEGENERATE_KEYS + 1)
+        .collect()
     )
-    idx = index.join(ok_buckets, "bucket").select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        "bucket",
-    )
-    cross = (
-        new.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
-            "bucket",
+    if len(big_rows) > _MAX_DEGENERATE_KEYS:
+        raise ValueError(
+            f"more than {_MAX_DEGENERATE_KEYS} index buckets exceed "
+            f"max_bucket={max_bucket}: this is not skew, the bucketing "
+            f"is systemically too coarse — re-bucket the index with a "
+            f"larger m (current m={m})"
         )
-        .join(idx, "bucket")
+    big = [r["bucket"] for r in big_rows]
+    idx = index.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket"
+    )
+    newp = new.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket"
+    )
+    excl_rows: list = []
+    if big:
+        m_fine = m + sub_bits
+
+        def pkey(df: DataFrame, vc: str) -> DataFrame:
+            # fine keys are m+sub_bits chars, coarse keys m chars — the
+            # two key spaces never collide
+            return df.withColumn(
+                "pkey",
+                F.when(
+                    F.col("bucket").isin(big),
+                    sign_bucket(F.col(vc), m_fine),
+                ).otherwise(F.col("bucket")),
+            ).drop("bucket")
+
+        excl_rows = (
+            idx.filter(F.col("bucket").isin(big))
+            .groupBy(sign_bucket(F.col("__va"), m_fine).alias("pkey"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .limit(_MAX_DEGENERATE_KEYS + 1)
+            .collect()
+        )
+        if len(excl_rows) > _MAX_DEGENERATE_KEYS:
+            raise ValueError(
+                f"more than {_MAX_DEGENERATE_KEYS} sub-buckets still "
+                f"exceed max_bucket={max_bucket} — run exact dedup "
+                f"upstream or re-bucket with a larger m"
+            )
+        excl = [r["pkey"] for r in excl_rows]
+        idx = pkey(idx, "__va")
+        newp = pkey(newp, "__vb")
+        if excl:
+            idx = idx.filter(~F.col("pkey").isin(excl))
+        join_key = "pkey"
+    else:
+        join_key = "bucket"
+    if stats_out is not None:
+        oversized_rows = int(sum(r["__n"] for r in big_rows))
+        excluded_rows = int(sum(r["__n"] for r in excl_rows))
+        stats_out.update(
+            oversized_buckets=len(big),
+            oversized_rows=oversized_rows,
+            subbucketed_rows=oversized_rows - excluded_rows,
+            excluded_fine_keys=len(excl_rows),
+            excluded_rows=excluded_rows,
+        )
+    cross = (
+        newp.join(idx, join_key)
         .filter(F.col("id_a") != F.col("id_b"))
         .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cos") >= threshold)
@@ -1471,6 +1549,13 @@ def make_embedding_ingest_sink(
     id rows within a batch keep one deterministic survivor, and an id
     re-sent in a later batch is dropped against the index (first
     write wins).
+
+    Skew-guard reporting (r11): the probe's sub-bucket/exclusion
+    counters (see :func:`embedding_incremental_pairs`) are persisted to
+    ``{out_dir}/_probe_stats/ingest_batch=N`` — one row per batch,
+    overwritten on replay, so an operator can SEE when a degenerate
+    bucket was sub-bucketed or (worst case) excluded-undeduped instead
+    of the quality regression being invisible.
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -1491,6 +1576,10 @@ def make_embedding_ingest_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         ).localCheckpoint(eager=True)
+        probe_stats: dict = dict(
+            oversized_buckets=0, oversized_rows=0, subbucketed_rows=0,
+            excluded_fine_keys=0, excluded_rows=0,
+        )
         if spark.catalog.tableExists(index_table):
             index = read_embedding_index(spark, index_table).where(
                 F.col("ingest_batch") != int(batch_id)
@@ -1509,6 +1598,7 @@ def make_embedding_ingest_sink(
             pairs = embedding_incremental_pairs(
                 cand, index, id_col=id_col, vec_col=vec_col,
                 threshold=threshold, m=m, max_bucket=max_bucket,
+                stats_out=probe_stats,
             )
         else:
             cand = uniq
@@ -1531,6 +1621,23 @@ def make_embedding_ingest_sink(
             survivors.select(id_col, vec_col), index_table,
             int(batch_id), id_col=id_col, vec_col=vec_col, m=m,
             n_buckets=n_buckets,
+        )
+        spark.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    probe_stats["oversized_buckets"],
+                    probe_stats["oversized_rows"],
+                    probe_stats["subbucketed_rows"],
+                    probe_stats["excluded_fine_keys"],
+                    probe_stats["excluded_rows"],
+                )
+            ],
+            "batch_id long, oversized_buckets long, oversized_rows long, "
+            "subbucketed_rows long, excluded_fine_keys long, "
+            "excluded_rows long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/_probe_stats/ingest_batch={int(batch_id)}"
         )
 
     return _sink

@@ -179,20 +179,155 @@ def test_sink_sequential_equals_batch_rule_and_replays_exactly_once(
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
-def test_max_bucket_guard_passes_oversized_through(spark, corpus_batches):
+def test_max_bucket_guard_saturated_subbucket_excludes(spark, corpus_batches):
+    """DIM == m here, so sub-bucketing saturates (fine key == coarse key)
+    and the r11 guard degrades to exclusion — reported, and the
+    within-batch leg unaffected."""
     b0, b1, _ = corpus_batches
     table = f"emb_idx_{_uuid.uuid4().hex[:8]}"
     try:
         upsert_embedding_index_batch(b0, table, 0, n_buckets=4)
         idx = read_embedding_index(spark, table)
+        stats: dict = {}
         capped = embedding_incremental_pairs(
-            b1, idx, threshold=THRESHOLD, max_bucket=0
+            b1, idx, threshold=THRESHOLD, max_bucket=0, stats_out=stats
         )
-        # every index bucket excluded -> no new_vs_index candidates, the
-        # within-batch leg unaffected
+        # every index bucket oversized, every (saturated) sub-bucket still
+        # oversized -> no new_vs_index candidates, exclusion REPORTED
         assert capped.filter(F.col("pair_type") == "new_vs_index").count() == 0
+        assert stats["oversized_rows"] == 40
+        assert stats["excluded_rows"] == 40 and stats["subbucketed_rows"] == 0
         uncapped = embedding_incremental_pairs(b1, idx, threshold=THRESHOLD)
         assert uncapped.filter(F.col("pair_type") == "new_vs_index").count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# --- r11 skew guard: sub-bucket oversized sign-LSH buckets -----------------
+
+WDIM = 32  # wide vectors so sub_bits=8 has real extra sign bits to use
+
+
+@pytest.fixture(scope="module")
+def degenerate_bucket(spark):
+    """A planted mode bucket: 30 index vectors all sharing the coarse
+    8-bit sign bucket (first 8 dims forced positive) but spread across
+    fine 16-bit sub-buckets by dims 9-16; pairwise non-dups (asserted).
+    The new batch carries positive-scaled copies (cos exactly 1.0, same
+    coarse AND fine key) of five of them."""
+    rng = np.random.default_rng(11)
+    vecs = []
+    while len(vecs) < 30:
+        v = rng.normal(size=WDIM)
+        v[:8] = np.abs(v[:8])  # one coarse bucket for everyone
+        v = v / np.linalg.norm(v)
+        if all(abs(float(v @ u)) < THRESHOLD for u in vecs):
+            vecs.append(v)
+    arr = np.array(vecs)
+    # fine keys actually split the bucket: >1 distinct sign pattern on 9-16
+    fine = {tuple(x >= 0 for x in v[8:16]) for v in arr}
+    assert len(fine) > 5
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<double>",
+        )
+
+    index_df = df([(i, arr[i]) for i in range(30)])
+    batch_df = df([(100 + i, arr[i] * 1.9) for i in range(5)])
+    return index_df, batch_df
+
+
+def test_oversized_bucket_is_subbucketed_not_skipped(spark, degenerate_bucket):
+    """r11 (VERDICT next #2): with max_bucket far below the planted mode
+    bucket's size, the r10 guard returned ZERO pairs (silent undeduped
+    pass-through); the sub-bucket guard still catches every planted
+    near-dup, because a copy shares its original's finer sign bits."""
+    index_df, batch_df = degenerate_bucket
+    table = f"emb_skew_{_uuid.uuid4().hex[:8]}"
+    try:
+        upsert_embedding_index_batch(index_df, table, 0, n_buckets=4)
+        idx = read_embedding_index(spark, table)
+        stats: dict = {}
+        pairs = embedding_incremental_pairs(
+            batch_df, idx, threshold=THRESHOLD, max_bucket=10,
+            stats_out=stats,
+        )
+        got = sorted(
+            (r.id_a, r.id_b)
+            for r in pairs.filter(F.col("pair_type") == "new_vs_index").collect()
+        )
+        assert got == [(i, 100 + i) for i in range(5)]
+        assert stats["oversized_buckets"] == 1
+        assert stats["oversized_rows"] == 30
+        assert stats["subbucketed_rows"] == 30 and stats["excluded_rows"] == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_still_oversized_subbucket_is_excluded_and_reported(spark):
+    """A sub-bucket that stays over the cap (identical sign pattern on
+    every dim — an exact-dup mode cluster) is excluded, keeping the
+    quadratic bound, and the exclusion is counted in stats_out."""
+    rng = np.random.default_rng(13)
+    signs = np.sign(rng.normal(size=WDIM))
+    rows = []
+    for i in range(15):  # same full sign pattern, different magnitudes
+        v = signs * (1.0 + rng.uniform(0.0, 0.5, size=WDIM))
+        rows.append((int(i), [float(x) for x in v]))
+    index_df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    probe = spark.createDataFrame(
+        [(100, rows[0][1])], "vec_id long, embedding array<double>"
+    )
+    table = f"emb_mode_{_uuid.uuid4().hex[:8]}"
+    try:
+        upsert_embedding_index_batch(index_df, table, 0, n_buckets=4)
+        idx = read_embedding_index(spark, table)
+        stats: dict = {}
+        pairs = embedding_incremental_pairs(
+            probe, idx, threshold=THRESHOLD, max_bucket=10, stats_out=stats
+        )
+        assert pairs.filter(F.col("pair_type") == "new_vs_index").count() == 0
+        assert stats["oversized_rows"] == 15
+        assert stats["excluded_rows"] == 15 and stats["excluded_fine_keys"] == 1
+        assert stats["subbucketed_rows"] == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_sink_persists_probe_stats_per_batch(spark, degenerate_bucket, tmp_path):
+    """The sink writes {out}/_probe_stats/ingest_batch=N (one row per
+    batch, replay-overwritten), the planted dups are dropped through the
+    sub-bucketed probe, and the underscore dir stays invisible to the
+    corpus read."""
+    index_df, batch_df = degenerate_bucket
+    out = str(tmp_path / "emb_skew_corpus")
+    table = f"emb_skst_{_uuid.uuid4().hex[:8]}"
+    sink = make_embedding_ingest_sink(out, table, n_buckets=4, max_bucket=10)
+    try:
+        sink(index_df, 0)
+        sink(batch_df, 1)
+        # planted copies dropped by the sub-bucketed probe (r10: survived)
+        corpus_ids = {
+            r.vec_id for r in spark.read.parquet(out).select("vec_id").collect()
+        }
+        assert corpus_ids == set(range(30))  # _probe_stats dir invisible
+        stats = {
+            r.batch_id: r
+            for r in spark.read.parquet(f"{out}/_probe_stats").collect()
+        }
+        assert stats[0].oversized_buckets == 0  # first batch: no index yet
+        assert stats[1].oversized_buckets == 1
+        assert stats[1].subbucketed_rows == 30 and stats[1].excluded_rows == 0
+        # replay converges the stats row too
+        sink(batch_df, 1)
+        again = spark.read.parquet(f"{out}/_probe_stats").filter(
+            F.col("batch_id") == 1
+        ).collect()
+        assert len(again) == 1 and again[0].subbucketed_rows == 30
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
