@@ -630,6 +630,11 @@ def write_ivf_index(
     ``{"parquet.block.size": str(128 << 20)}`` to size row groups so a
     GB-scale cell holds many skippable groups instead of one).
     """
+    # r11 (ADVICE): writing past a pending split sentinel would create a
+    # centroid_id dir that ivf_recover_splits later retires and deletes
+    # (append), or rebuild from a view missing the interrupted cell
+    # (overwrite) — refuse on the write side exactly like the read side
+    _raise_if_pending_splits(path, "writing")
     # cell_id is pinned LONG: when the source of the copy is an inferred
     # PARTITION column (int32) instead of the long data column, a dir
     # mixing both widths crashes the vectorized reader on whichever
@@ -693,6 +698,33 @@ def _local_index_root(path: str) -> str | None:
     return p
 
 
+def _raise_if_pending_splits(path: str, op: str) -> None:
+    """Refuse to touch an IVF index with a crashed cell-split swap in
+    flight (an :func:`ivf_split_oversized` sentinel present): between
+    retiring the parent dir and promoting the subcell dirs, that cell's
+    rows live only in hidden directories, so reading would silently MISS
+    them (wrong top-k, no error) and writing would either build on the
+    truncated view or create a ``centroid_id=c`` dir that recovery later
+    retires and deletes — destroying the write.  r11 (ADVICE): enforced
+    on the WRITE paths too, not just :func:`read_ivf_index`."""
+    import os
+
+    root = _local_index_root(path)
+    if root is None or not os.path.isdir(root):
+        return
+    pending = sorted(
+        n for n in os.listdir(root) if n.startswith(_SPLIT_SENTINEL)
+    )
+    if pending:
+        raise RuntimeError(
+            f"IVF index at {path!r} has {len(pending)} interrupted "
+            f"cell split(s) ({', '.join(pending)}): {op} now would "
+            "silently miss those cells' rows or destroy their staged "
+            "copies. Run ivf_recover_splits(spark, path) to complete "
+            "the swaps, then retry."
+        )
+
+
 def read_ivf_index(spark, path: str) -> DataFrame:
     """Read the at-rest IVF index written by :func:`write_ivf_index`.
 
@@ -702,21 +734,7 @@ def read_ivf_index(spark, path: str) -> DataFrame:
     only in hidden directories and a plain read would silently MISS them
     — wrong top-k, no error.  Run :func:`ivf_recover_splits` to roll the
     swap forward, then read."""
-    import os
-
-    root = _local_index_root(path)
-    if root is not None and os.path.isdir(root):
-        pending = sorted(
-            n for n in os.listdir(root) if n.startswith(_SPLIT_SENTINEL)
-        )
-        if pending:
-            raise RuntimeError(
-                f"IVF index at {path!r} has {len(pending)} interrupted "
-                f"cell split(s) ({', '.join(pending)}): reading now would "
-                "silently miss those cells' rows. Run "
-                "ivf_recover_splits(spark, path) to complete the swaps, "
-                "then retry."
-            )
+    _raise_if_pending_splits(path, "reading")
     return spark.read.parquet(path)
 
 
@@ -854,6 +872,9 @@ def ivf_split_oversized(
             "on object stores rewrite through a table format MERGE or "
             "compact_ivf_index to a fresh path instead"
         )
+    # r11 (ADVICE): a new split pass after a crashed swap would size and
+    # split an index silently missing the interrupted cell — recover first
+    _raise_if_pending_splits(path, "splitting")
     index = spark.read.parquet(path)
     has_cell_col = "cell_id" in index.columns
     sizes = index.groupBy("centroid_id").count().collect()  # C rows
@@ -954,6 +975,9 @@ def compact_ivf_index(
     """
     from ..sources.files import compact_table
 
+    # r11 (ADVICE): compacting past a pending split would rewrite the
+    # index from a view missing the interrupted cell — recover first
+    _raise_if_pending_splits(path, "compacting")
     if id_col not in spark.read.parquet(path).columns:
         raise ValueError(
             f"compact_ivf_index: id column {id_col!r} not in the index at "

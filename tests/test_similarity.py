@@ -815,6 +815,21 @@ def test_ivf_split_crash_recovery_and_scheme_guard(spark, sf_dir, tmp_path):
     with pytest.raises(RuntimeError, match="ivf_recover_splits"):
         read_ivf_index(spark, path)
 
+    # r11 (ADVICE): the WRITE paths refuse too — an append would create
+    # rows recovery later destroys, a new split pass would split a
+    # truncated view, a compaction would rewrite it
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        compact_ivf_index,
+    )
+
+    some = em.limit(3)
+    with pytest.raises(RuntimeError, match="ivf_recover_splits"):
+        write_ivf_index(ivf_assign(some, new_cent), path, mode="append")
+    with pytest.raises(RuntimeError, match="ivf_recover_splits"):
+        ivf_split_oversized(spark, path, new_cent, max_rows=1, k=2)
+    with pytest.raises(RuntimeError, match="ivf_recover_splits"):
+        compact_ivf_index(spark, path)
+
     # roll forward; everything converges and recovery is idempotent
     assert ivf_recover_splits(spark, path) == [hot]
     assert ivf_recover_splits(spark, path) == []
