@@ -25,12 +25,28 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-_NO_TABLE_MARKERS = (
+#: error CONDITIONS that definitively mean "no table here" — matched by
+#: equality against getCondition()/getErrorClass(), never by substring
+_NO_TABLE_CONDITIONS = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+#: message-text fallback markers for engines/paths that surface no
+#: condition; only trusted when the quoted path IS the probed path
+_NO_TABLE_TEXT_MARKERS = (
     "PATH_NOT_FOUND",
     "UNABLE_TO_INFER_SCHEMA",
     "Unable to infer schema",
     "Path does not exist",
 )
+
+
+def _strip_scheme(path: str) -> str:
+    """Filesystem part of a URI-ish path, for message-text comparison:
+    ``file:///a/b`` / ``file:/a/b`` / ``/a/b`` all → ``/a/b``."""
+    p = path
+    if ":" in p.split("/", 1)[0]:
+        p = p.split(":", 1)[1]
+    while p.startswith("//"):
+        p = p[1:]
+    return p.rstrip("/")
 
 
 def hadoop_fs(spark: SparkSession, path: str):
@@ -59,9 +75,33 @@ def _error_condition(exc: Exception) -> str:
     return ""
 
 
-def _is_no_table_error(exc: Exception) -> bool:
-    text = f"{_error_condition(exc)} {exc}"
-    return any(m in text for m in _NO_TABLE_MARKERS)
+def is_no_table_error(exc: Exception, path: str | None = None) -> bool:
+    """True iff ``exc`` definitively means "no table at ``path``".
+
+    r11 (ADVICE): the old substring match over the whole exception text
+    misclassified an AnalysisException caused by a DIFFERENT missing
+    nested path (or a message merely quoting one) as "no table" — the
+    silent-miss class this module exists to eliminate.  Now: the
+    structured error condition (getCondition/getErrorClass) is matched
+    by EQUALITY first; the message-text fallback only fires when the
+    condition is absent, and when ``path`` is given the quoted path in
+    the message must actually be the probed path (scheme-insensitive
+    substring of the normalized form)."""
+    cond = _error_condition(exc)
+    if cond:
+        if cond not in _NO_TABLE_CONDITIONS:
+            return False
+        if cond == "UNABLE_TO_INFER_SCHEMA":
+            # its message carries no path ("Unable to infer schema for
+            # Parquet...") — the condition itself is the whole signal
+            return True
+        return path is None or _strip_scheme(path) in str(exc)
+    text = str(exc)
+    if not any(m in text for m in _NO_TABLE_TEXT_MARKERS):
+        return False
+    if "Unable to infer schema" in text or "UNABLE_TO_INFER_SCHEMA" in text:
+        return True
+    return path is None or _strip_scheme(path) in text
 
 
 def _table_exists_by_read(spark: SparkSession, path: str) -> bool:
@@ -74,7 +114,7 @@ def _table_exists_by_read(spark: SparkSession, path: str) -> bool:
         spark.read.parquet(path).schema
         return True
     except AnalysisException as exc:
-        if _is_no_table_error(exc):
+        if is_no_table_error(exc, path):
             return False
         raise
 
@@ -118,11 +158,16 @@ def dir_exists(spark: SparkSession, path: str) -> bool:
             spark.read.parquet(path).schema
             return True
         except AnalysisException as exc:
-            text = f"{_error_condition(exc)} {exc}"
-            if "PATH_NOT_FOUND" in text or "Path does not exist" in text:
+            cond = _error_condition(exc)
+            text = str(exc)
+            if cond == "UNABLE_TO_INFER_SCHEMA" or (
+                not cond and "Unable to infer schema" in text
+            ):
+                return True  # dir exists, just unreadable as a table
+            if (cond == "PATH_NOT_FOUND" or (
+                not cond and "Path does not exist" in text
+            )) and (_strip_scheme(path) in text):
                 return False
-            if "UNABLE_TO_INFER" in text or "Unable to infer schema" in text:
-                return True
             raise
     fs, jpath = handle
     return bool(fs.exists(jpath))

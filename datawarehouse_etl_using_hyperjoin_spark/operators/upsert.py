@@ -153,6 +153,86 @@ def read_dim(spark, path: str) -> DataFrame:
     return df.drop(DIM_BUCKET_COL) if DIM_BUCKET_COL in df.columns else df
 
 
+def _read_dim_layout(spark, path: str) -> int | None:
+    """Bucket count recorded in the dim's ``_layout`` marker (written at
+    table creation by the bucketed sink), or None when absent (flat
+    table, or a pre-r11 bucketed table — backfilled on its next batch).
+    The marker lives in an underscore dir, invisible to the data read,
+    and is itself parquet so the probe works gateway-free (Connect)."""
+    from pyspark.errors import AnalysisException
+
+    from ..fsutil import is_no_table_error
+
+    marker = f"{path}/_layout"
+    try:
+        rows = spark.read.parquet(marker).collect()
+    except AnalysisException as exc:
+        if is_no_table_error(exc, marker):
+            return None
+        raise
+    return int(rows[0]["buckets"])
+
+
+def _write_dim_layout(spark, path: str, buckets: int) -> None:
+    spark.createDataFrame([(int(buckets),)], "buckets int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/_layout")
+
+
+def _check_dim_layout(spark, path: str, buckets: int | None) -> bool:
+    """Enforce the sticky-layout contract against an EXISTING dim (r11,
+    ADVICE): rerunning the sink with a different ``buckets`` value would
+    recompute ``kp_bucket`` with the new P, so a key's old row in its
+    former bucket dir is never overwritten while the new row lands in
+    another dir — silent duplicate keys.  Raise loudly instead, like the
+    LSH-index and corpus-dir layout guards.  Returns True when a legacy
+    bucketed table (pre-marker) passed the checks and should have the
+    marker backfilled."""
+    recorded = _read_dim_layout(spark, path)
+    cols = spark.read.parquet(path).columns
+    is_bucketed = DIM_BUCKET_COL in cols
+    if is_bucketed != (buckets is not None):
+        raise ValueError(
+            f"dim layout mismatch at {path!r}: the existing table is "
+            f"{'bucketed' if is_bucketed else 'flat'} but the sink was "
+            f"built with buckets={buckets!r} — the layout is per-table "
+            "and sticky (changing it strands rows in stale directories); "
+            "keep the original setting or rebuild the dim from scratch"
+        )
+    if buckets is None:
+        return False
+    if recorded is not None:
+        if recorded != int(buckets):
+            raise ValueError(
+                f"dim bucket-count mismatch at {path!r}: table was "
+                f"created with buckets={recorded} but the sink was built "
+                f"with buckets={buckets} — a key's old row would stay in "
+                "its former bucket dir while the new row lands in "
+                "another (silent duplicate keys); use buckets={recorded} "
+                "or rebuild the dim"
+            )
+        return False
+    # legacy bucketed table without a marker: the strongest gateway-free
+    # check — any observed bucket id >= P proves a mismatch
+    from ..fsutil import list_visible
+
+    vis = list_visible(spark, path)
+    if vis is not None:
+        seen = [
+            int(name.split("=", 1)[1])
+            for name, is_dir in vis
+            if is_dir and name.startswith(f"{DIM_BUCKET_COL}=")
+        ]
+        if seen and max(seen) >= int(buckets):
+            raise ValueError(
+                f"dim bucket-count mismatch at {path!r}: existing bucket "
+                f"dir {DIM_BUCKET_COL}={max(seen)} is outside "
+                f"buckets={buckets} — the table was created with a "
+                "larger bucket count; use the original value or rebuild"
+            )
+    return True
+
+
 def upsert_parquet_sink(path: str, key: str, *, buckets: int | None = None):
     """``foreachBatch`` sink factory: maintain a keyed parquet dim table.
 
@@ -193,16 +273,21 @@ def upsert_parquet_sink(path: str, key: str, *, buckets: int | None = None):
     bucket ≈ a comfortable task output (dim_bytes / P ~ 64–256 MB at
     target scale) and stays well above the expected per-batch distinct
     key count; the bucket column is internal — read the dim back
-    through :func:`read_dim`.  The layout choice is per-table and sticky:
-    keep ``buckets`` constant across batches (the column is recomputed
-    from the key each batch, so changing P would strand rows in stale
-    directories that dynamic overwrite no longer targets).
+    through :func:`read_dim`.  The layout choice is per-table and sticky,
+    and ENFORCED (r11): the bucketed sink records P in a ``_layout``
+    marker at creation and every batch checks the declared value against
+    the existing table (marker, schema, and bucket-dir probe), raising a
+    ValueError on any mismatch — changing P mid-table would strand a
+    key's old row in its former bucket dir while the new row lands in
+    another (silent duplicate keys, the failure the loud guard replaces).
     """
     from ..fsutil import table_exists
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         has_table = table_exists(spark, path)
+        # r11 (ADVICE): the layout is sticky — enforce, don't document
+        backfill_marker = has_table and _check_dim_layout(spark, path, buckets)
         batch = latest_per_key(
             batch_df, key, [F.col(c) for c in batch_df.columns if c != key]
         )
@@ -221,6 +306,8 @@ def upsert_parquet_sink(path: str, key: str, *, buckets: int | None = None):
         # never by data size.
         touched = [r[0] for r in batch.select(DIM_BUCKET_COL).distinct().collect()]
         if not touched:
+            if backfill_marker:
+                _write_dim_layout(spark, path, buckets)
             return
         if has_table:
             # Partition-pruned read: only the touched bucket directories
@@ -246,6 +333,12 @@ def upsert_parquet_sink(path: str, key: str, *, buckets: int | None = None):
             .partitionBy(DIM_BUCKET_COL)
             .parquet(path)
         )
+        if not has_table or backfill_marker:
+            # record the bucket count so every later batch (and a rerun
+            # with a different `buckets`) is checked against it; lands
+            # in an underscore dir the data read never sees, and the
+            # dynamic overwrite above never deletes it
+            _write_dim_layout(spark, path, buckets)
 
     return _sink
 

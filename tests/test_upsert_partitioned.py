@@ -42,9 +42,12 @@ def _dim_batch(spark, ids, version):
 
 
 def _snapshot_files(root):
-    """(relpath -> (size, md5)) for every data file under root."""
+    """(relpath -> (size, md5)) for every data file under root (hidden
+    files AND hidden dirs — e.g. the r11 _layout marker — excluded, the
+    same visibility rule Spark reads use)."""
     out = {}
-    for dirpath, _dirs, files in os.walk(root):
+    for dirpath, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for fn in files:
             if fn.startswith(("_", ".")):
                 continue
@@ -173,6 +176,69 @@ def test_write_bytes_track_batch_not_dim(spark, tmp_path):
     assert bucketed_bytes < flat_bytes / 4, (bucketed_bytes, flat_bytes)
 
 
+def test_layout_guard_rejects_bucket_count_and_shape_changes(spark, tmp_path):
+    """r11 (ADVICE): the sticky layout is enforced, not just documented —
+    a rerun with a different `buckets` (or a flat/bucketed flip) raises
+    instead of silently duplicating keys across stale bucket dirs."""
+    import pytest
+
+    path = str(tmp_path / "dim")
+    upsert_parquet_sink(path, "product_id", buckets=BUCKETS)(
+        _dim_batch(spark, range(50), 1), 0
+    )
+    # different P
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        upsert_parquet_sink(path, "product_id", buckets=BUCKETS * 2)(
+            _dim_batch(spark, [1], 2), 1
+        )
+    # bucketed -> flat
+    with pytest.raises(ValueError, match="layout mismatch"):
+        upsert_parquet_sink(path, "product_id")(_dim_batch(spark, [1], 2), 1)
+    # flat -> bucketed
+    flat = str(tmp_path / "flat")
+    upsert_parquet_sink(flat, "product_id")(_dim_batch(spark, range(5), 1), 0)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        upsert_parquet_sink(flat, "product_id", buckets=BUCKETS)(
+            _dim_batch(spark, [1], 2), 1
+        )
+    # the correct P still works, and the guard survived the failed runs
+    upsert_parquet_sink(path, "product_id", buckets=BUCKETS)(
+        _dim_batch(spark, [1], 2), 1
+    )
+    rows = _rows(spark, path)
+    assert (1, "name_1_v2", 2.0) in rows and len(rows) == 50
+
+
+def test_layout_guard_backfills_legacy_marker(spark, tmp_path):
+    """A pre-r11 bucketed dim (no _layout marker) passes its first
+    checked batch via the bucket-dir probe, gets the marker backfilled,
+    and is precisely guarded from then on — including the under-detected
+    case (declared P smaller than an OBSERVED bucket id fails even
+    before the marker exists)."""
+    import shutil
+
+    import pytest
+
+    path = str(tmp_path / "dim")
+    sink = upsert_parquet_sink(path, "product_id", buckets=BUCKETS)
+    sink(_dim_batch(spark, range(50), 1), 0)
+    shutil.rmtree(os.path.join(path, "_layout"))  # simulate pre-r11 table
+
+    # a smaller P is caught by the dir probe (some dir id >= P)
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        upsert_parquet_sink(path, "product_id", buckets=2)(
+            _dim_batch(spark, [1], 2), 1
+        )
+    # the original P passes and backfills the marker
+    sink(_dim_batch(spark, [1], 2), 1)
+    assert os.path.isdir(os.path.join(path, "_layout"))
+    # now even a LARGER P (the case the dir probe cannot see) is caught
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        upsert_parquet_sink(path, "product_id", buckets=BUCKETS * 4)(
+            _dim_batch(spark, [1], 3), 2
+        )
+
+
 def test_fsutil_no_table_vs_transient_error(spark, tmp_path):
     missing = str(tmp_path / "nope")
     assert _table_exists_by_read(spark, missing) is False
@@ -205,3 +271,43 @@ def test_fsutil_no_table_vs_transient_error(spark, tmp_path):
     except Exception:
         raised = True
     assert raised, "corrupt table silently read as no-table"
+
+
+def test_is_no_table_error_matches_condition_and_verifies_path():
+    """r11 (ADVICE): "no table" classification matches the structured
+    error condition by EQUALITY, and when falling back to message text
+    verifies the quoted path is the probed path — an exception caused by
+    a DIFFERENT missing nested path (or merely quoting one) must not be
+    silently read as "table absent"."""
+    from datawarehouse_etl_using_hyperjoin_spark.fsutil import is_no_table_error
+
+    class Fake(Exception):
+        def __init__(self, msg, cond=""):
+            super().__init__(msg)
+            self._c = cond
+
+        def getCondition(self):
+            return self._c
+
+    probed = "/data/dim"
+    hit = Fake("[PATH_NOT_FOUND] Path does not exist: file:/data/dim.",
+               "PATH_NOT_FOUND")
+    assert is_no_table_error(hit, probed) is True
+    # same condition, DIFFERENT missing path (e.g. a lookup the plan
+    # references) — not "no table at probed"
+    other = Fake("[PATH_NOT_FOUND] Path does not exist: file:/other/lut.",
+                 "PATH_NOT_FOUND")
+    assert is_no_table_error(other, probed) is False
+    # a non-no-table condition whose message merely QUOTES such a path
+    quoted = Fake("stage failed: Path does not exist: file:/data/dim",
+                  "INTERNAL_ERROR")
+    assert is_no_table_error(quoted, probed) is False
+    # UNABLE_TO_INFER_SCHEMA carries no path — the condition is the signal
+    empty = Fake("[UNABLE_TO_INFER_SCHEMA] Unable to infer schema for Parquet.",
+                 "UNABLE_TO_INFER_SCHEMA")
+    assert is_no_table_error(empty, probed) is True
+    # text-only fallback (no condition): path must still match
+    assert is_no_table_error(Fake("Path does not exist: /data/dim"), probed)
+    assert not is_no_table_error(Fake("Path does not exist: /elsewhere"), probed)
+    # scheme-insensitive: probed may carry file:// while the message has file:/
+    assert is_no_table_error(hit, "file:///data/dim") is True
