@@ -491,12 +491,30 @@ def make_corpus_ingest_sink(
         # corpus, so fail loudly on first write instead
         if layout_checked:
             return
-        from ..fsutil import list_visible
+        from ..fsutil import list_visible, table_exists
 
         entries = list_visible(spark, out_dir)
-        # None = no JVM gateway (Spark Connect) — the guard is a layout
-        # SAFETY CHECK, not a correctness read; skip it rather than fail
-        for name, is_dir in entries or []:
+        if entries is None:
+            # No JVM gateway (Spark Connect) — r11 (ADVICE): schema-probe
+            # instead of silently skipping the guard.  A pre-r7 flat
+            # corpus reads WITHOUT the ingest_batch partition column (and
+            # a flat/partitioned MIX fails the read loudly on its own),
+            # so the probe catches exactly the misread the guard exists
+            # to fail fast on.
+            if table_exists(spark, out_dir) and (
+                "ingest_batch" not in spark.read.parquet(out_dir).columns
+            ):
+                raise ValueError(
+                    f"corpus dir {out_dir!r} lacks the ingest_batch "
+                    "partition column — it predates the exactly-once "
+                    "ingest_batch=N layout; migrate it (rewrite the old "
+                    "files under an ingest_batch=<id> dir and register "
+                    "their bands via upsert_lsh_index_batch) or point "
+                    "the sink at a fresh directory"
+                )
+            layout_checked.append(True)
+            return
+        for name, is_dir in entries:
             if is_dir and name.startswith("ingest_batch="):
                 continue
             raise ValueError(

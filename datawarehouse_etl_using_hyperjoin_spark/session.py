@@ -143,10 +143,14 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     # 10-value Spark default silently degrades bounded id-list fetches
     # (ANN rerank pushes ≤ Q·rerank ids) to a skip-nothing [min,max]
     # range, so 4096 is the engine default — but a caller that
-    # deliberately tuned its own threshold keeps it.
+    # deliberately tuned its own threshold keeps it.  Only a true None
+    # means unset (r11, ADVICE): conf.get(key, None) returns None for a
+    # genuinely untouched session and the literal value — INCLUDING an
+    # explicitly pinned "10", e.g. from cluster spark-defaults — when
+    # the caller set one, so the courtesy now honors that too.
     inf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
     try:
-        inf_unset = spark.conf.get(inf_key, None) in (None, "10")
+        inf_unset = spark.conf.get(inf_key, None) is None
     except Exception:  # pragma: no cover
         inf_unset = True
     pairs = [

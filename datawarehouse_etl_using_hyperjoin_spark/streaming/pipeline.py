@@ -623,7 +623,13 @@ def compact_quarantine(
     DELETED outright (safe: no rows, and only the newest ``keep_last``
     can still replay-overwrite themselves); old data partitions merge
     via compact_corpus.  A ``late`` dir with no parquet footers at all
-    is skipped after the reap."""
+    is skipped after the reap.
+
+    Connect boundary (r11, documented not hidden): the empty-partition
+    reap needs filesystem deletes, which require the JVM gateway —
+    under Spark Connect it is skipped (data partitions still compact;
+    only zero-row directory shells accumulate until a gateway-backed
+    session runs the pass)."""
     from pyspark.errors import AnalysisException
 
     from ..fsutil import dir_exists, hadoop_fs, list_visible

@@ -763,3 +763,54 @@ def test_corpus_sink_id_uniqueness_within_and_across_batches(spark, tmp_path):
         assert got2 == got
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {idx}")
+
+
+def test_corpus_layout_guard_connect_fallback(spark, tmp_path, monkeypatch):
+    """r11 (ADVICE): under Spark Connect (list_visible -> None) the
+    corpus layout guard used to silently no-op, so a pre-r7 flat corpus
+    dir could be mixed with ingest_batch=N partitions — exactly the
+    misread the guard exists to fail loudly on.  The Connect fallback
+    schema-probes the dir instead: a flat layout (no ingest_batch
+    column) raises before the first write; a fresh dir and a proper
+    partitioned dir both pass."""
+    import uuid as _uuid
+
+    import pytest
+
+    from datawarehouse_etl_using_hyperjoin_spark import fsutil
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        make_corpus_ingest_sink,
+    )
+
+    monkeypatch.setattr(fsutil, "list_visible", lambda s, p: None)
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    batch = docs([(1, "alpha beta gamma delta epsilon zeta"),
+                  (2, "one two three four five six")])
+
+    # pre-r7 flat corpus dir: plain appended parquet, no partition column
+    flat = str(tmp_path / "flat_corpus")
+    batch.write.parquet(flat)
+    idx1 = f"cg_idx_{_uuid.uuid4().hex[:8]}"
+    try:
+        with pytest.raises(ValueError, match="ingest_batch"):
+            make_corpus_ingest_sink(flat, idx1, min_quality=0.0, min_tokens=1)(
+                batch, 0
+            )
+
+        # fresh dir passes and ingests; the SAME sink's partitioned
+        # output passes a fresh guard too
+        out = str(tmp_path / "fresh_corpus")
+        idx2 = f"cg_idx_{_uuid.uuid4().hex[:8]}"
+        try:
+            sink = make_corpus_ingest_sink(out, idx2, min_quality=0.0, min_tokens=1)
+            sink(batch, 0)
+            sink2 = make_corpus_ingest_sink(out, idx2, min_quality=0.0, min_tokens=1)
+            sink2(docs([(3, "seven eight nine ten eleven twelve")]), 1)
+            assert spark.read.parquet(out).count() == 3
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {idx2}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx1}")

@@ -156,7 +156,7 @@ def test_ensure_engine_conf_sets_real_in_pushdown(registry):
     key = "spark.sql.parquet.pushdown.inFilterThreshold"
     prev = spark.conf.get(key)
     try:
-        spark.conf.set(key, "10")  # simulate the plain-session default
+        spark.conf.unset(key)  # a genuinely plain session has it UNSET
         ensure_engine_conf(spark)
         assert spark.conf.get(key) == "4096"
     finally:
@@ -164,9 +164,10 @@ def test_ensure_engine_conf_sets_real_in_pushdown(registry):
 
 
 def test_ensure_engine_conf_keeps_caller_tuned_in_pushdown_threshold(registry):
-    """r10 (ADVICE): same set-only-when-unset courtesy for the In-pushdown
-    threshold — a caller that deliberately lowered it keeps their value;
-    only the unset/Spark-default ("10") case is upgraded to 4096."""
+    """r10/r11 (ADVICE): same set-only-when-unset courtesy for the
+    In-pushdown threshold — a caller that deliberately tuned it keeps
+    their value, INCLUDING an explicit "10" (e.g. pinned in cluster
+    spark-defaults); only a truly unset key is upgraded to 4096."""
     from datawarehouse_etl_using_hyperjoin_spark.session import (
         ensure_engine_conf,
         get_spark,
@@ -179,6 +180,9 @@ def test_ensure_engine_conf_keeps_caller_tuned_in_pushdown_threshold(registry):
         spark.conf.set(key, "7")  # a deliberate non-default tuning
         ensure_engine_conf(spark)
         assert spark.conf.get(key) == "7"
+        spark.conf.set(key, "10")  # deliberately pinned Spark default
+        ensure_engine_conf(spark)
+        assert spark.conf.get(key) == "10"
     finally:
         spark.conf.set(key, prev)
 
