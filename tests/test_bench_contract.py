@@ -46,6 +46,7 @@ def _full_size_payload():
             "fixed_machinery_sec": 0.2,
         },
         "host_load": [[1.0, 2.0, 3.0]] * 5,
+        "calibration": [0.251, 0.262],
     }
 
 
@@ -86,6 +87,9 @@ def test_final_line_survives_2000_byte_tail_capture():
     assert parsed["queries"] == {
         k: round(float(v), 2) for k, v in payload["queries"].items()
     }
+    # r11: the host-contention calibration probe rides the final line too,
+    # so a load-poisoned BENCH artifact self-reports (calibrate() docstring)
+    assert parsed["cal"] == payload["calibration"]
 
 
 def test_final_line_budget_guard_trips_on_oversize_roster():
