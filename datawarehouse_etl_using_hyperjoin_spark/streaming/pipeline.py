@@ -728,6 +728,8 @@ def run_pipeline_streaming(
     quarantine_lateness: str | None = None,
     quarantine_watermark_col: str = "order_date",
     dim_buckets: int | None = None,
+    maintenance_every: int | None = None,
+    maintenance_keep_last: int = 2,
 ) -> dict[str, int]:
     """The reference's ``main()`` in its native streaming form, end-to-end
     (StreamGeneratorThread.java:373-406): transaction stream → HyperJoin
@@ -758,6 +760,18 @@ def run_pipeline_streaming(
 
     ``dim_buckets`` (opt-in) — see :func:`make_star_sink`: bounds per-
     batch dim write bytes by the batch, not the dim.
+
+    ``maintenance_every`` (opt-in, r11) closes the operational loop the
+    per-artifact compaction passes left open (each existed but had to
+    be remembered separately): every N-th committed micro-batch runs
+    :func:`..maintenance.run_maintenance` over this pipeline's own aging
+    artifacts — the ``fact_enriched/batch_id=N`` relation and, when
+    quarantine is on, the ``late``/``_hwm`` per-batch dirs — so
+    partition-dir counts stay bounded in stream age without any manual
+    call.  ``maintenance_keep_last`` newest batches stay verbatim (the
+    replay window); see ``maintenance.make_maintenance_sink`` for the
+    mid-stream safety argument.  The dim does not age (keyed upsert
+    rewrites in place) and needs no pass.
     """
     enriched = stream_static_hyperjoin(txn_stream, master)
     sink = make_star_sink(out_dir, dim_buckets=dim_buckets)
@@ -767,6 +781,18 @@ def run_pipeline_streaming(
             out_dir,
             watermark_col=quarantine_watermark_col,
             lateness=quarantine_lateness,
+        )
+    if maintenance_every is not None:
+        from ..maintenance import make_maintenance_sink
+
+        sink = make_maintenance_sink(
+            sink,
+            maintenance_every,
+            keep_last=maintenance_keep_last,
+            fact_dirs=[f"{out_dir}/fact_enriched"],
+            quarantine_dirs=(
+                [out_dir] if quarantine_lateness is not None else []
+            ),
         )
     writer = enriched.writeStream.outputMode("append").foreachBatch(sink)
     if checkpoint_dir:
