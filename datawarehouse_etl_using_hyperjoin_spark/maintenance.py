@@ -15,6 +15,7 @@ streamed corpus       parquet dir, ``ingest_batch=N``         ``operators.corpus
 star fact table       parquet dir, ``batch_id=N``             same pass, ``batch_col="batch_id"``
 LSH / embedding index bucketed catalog table, ``ingest_batch``  ``operators.dedup.compact_lsh_index``
 IVF vector index      parquet dir, ``centroid_id=C``          ``operators.similarity.compact_ivf_index``
+IVF index (manifest)  generation dirs + ``_manifest`` log     ``operators.ivf_store.compact_ivf_index_manifest`` + ``ivf_vacuum``
 late-data quarantine  ``late/`` + ``_hwm/`` per-batch dirs    ``streaming.pipeline.compact_quarantine``
 ====================  ======================================  ===========================
 
@@ -55,6 +56,7 @@ def run_maintenance(
     fact_dirs: Sequence[str] = (),
     lsh_tables: Sequence[str] = (),
     ivf_indexes: Sequence[str] = (),
+    ivf_manifest_indexes: Sequence[str] = (),
     quarantine_dirs: Sequence[str] = (),
     keep_last: int = 2,
     target_file_mb: int = 128,
@@ -100,6 +102,19 @@ def run_maintenance(
         out[f"ivf:{p}"] = compact_ivf_index(
             spark, p, target_file_mb=target_file_mb, id_col=ivf_id_col
         )
+    for p in ivf_manifest_indexes:
+        from .operators.ivf_store import compact_ivf_index_manifest, ivf_vacuum
+
+        stats = compact_ivf_index_manifest(
+            spark, p, target_file_mb=target_file_mb, id_col=ivf_id_col
+        )
+        # manifest stores never delete at rewrite (publish supersedes);
+        # reclamation is this separate, equally idempotent step.  keep
+        # the manifest history as deep as the replay window by analogy
+        stats.update(
+            ivf_vacuum(spark, p, keep_manifests=max(1, keep_last))
+        )
+        out[f"ivf_manifest:{p}"] = stats
     return out
 
 
@@ -133,7 +148,7 @@ def make_maintenance_sink(
         raise ValueError(f"maintenance cadence must be >= 1, got {every}")
     unknown = set(layout) - {
         "corpus_dirs", "fact_dirs", "lsh_tables", "ivf_indexes",
-        "quarantine_dirs",
+        "ivf_manifest_indexes", "quarantine_dirs",
     }
     if unknown:
         raise TypeError(f"unknown maintenance layout keys: {sorted(unknown)}")

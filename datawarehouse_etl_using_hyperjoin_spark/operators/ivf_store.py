@@ -1,0 +1,512 @@
+"""Manifest-backed IVF index store: the object-store-safe lifecycle.
+
+The directory-layout IVF index (``similarity.write_ivf_index`` et al.)
+commits maintenance by MOVING partition directories — correct locally,
+impossible on object stores, which is why ``ivf_split_oversized`` raises
+up front on non-local schemes.  This module is the same index with the
+same serving plans, but every lifecycle operation commits by publishing
+a **generation manifest** (:mod:`..manifest`) instead of renaming:
+
+Layout::
+
+    {root}/_manifest/v{seq:08d}.json      # the commit log; newest = live
+    {root}/data/centroid_id={c}/g={gen}/  # immutable data generations
+    {root}/centroids/g={gen}/             # quantizer generations
+
+The manifest maps each cell to the generation dirs that hold its live
+rows (``{"cells": {"7": [1, 4]}}`` = cell 7 lives in ``g=1`` and
+``g=4``) and names the live quantizer (``"centroids_gen"``).  Writers
+only ever create NEW generation dirs — the target ``gen`` is always
+``live seq + 1``, written with dynamic partition overwrite so an
+idempotent retry replaces its own half-done dirs — then publish one
+manifest naming the new state.  Readers resolve the manifest and read
+exactly those paths, so:
+
+* a crash BEFORE publish leaves orphan dirs no reader sees (reclaimed
+  by :func:`ivf_vacuum`; a retry's dynamic overwrite replaces them);
+* a crash AFTER publish is a completed operation;
+* there is NO mid-flight window — the dir-layout sentinel/refuse/
+  recover machinery (``_raise_if_pending_splits`` /
+  ``ivf_recover_splits``) has no counterpart here because no reader can
+  ever observe a partial swap.
+
+**The index owns its quantizer** (unlike the dir layout, where the
+caller carries the centroid relation between calls): a split commits
+the updated centroids IN THE SAME manifest that re-cells the data, so
+an interrupted multi-cell split pass can simply be re-run — the live
+manifest is always a consistent (quantizer, cells) pair, and there is
+no caller-held copy to drift out of sync (the reconciliation hazard
+``ivf_recover_splits`` callers face).
+
+Scale shape is unchanged from the dir layout (cells = scan units,
+probed cells pruned from the file listing; splits linear in the
+oversized cells only; appends linear in the batch).  The extra cost is
+manifest resolution — one LIST + one GET of a KB-scale JSON per read,
+amortized over the query — and a prefix LIST per maintenance op.
+
+Same public-design lineage as the dir layout (Jégou, Douze & Schmid
+2011 for IVF serving); the manifest/generation commit protocol is the
+public Iceberg/Delta snapshot idea re-expressed minimally.  Reference
+parity: the reference engine has no vector index at all (its whole
+pipeline is HyperJoin + MySQL DDL) — this family is part of the
+LLM-pipeline surface built beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..manifest import (
+    _delete,
+    _ls_names,
+    manifest_publish,
+    manifest_read,
+    manifest_vacuum,
+)
+from .similarity import ivf_assign, ivf_seed_centroids, kmeans_refine
+
+_DATA = "data"
+_CENTROIDS = "centroids"
+
+
+def _data_root(root: str) -> str:
+    return f"{root.rstrip('/')}/{_DATA}"
+
+
+def _cent_dir(root: str, gen: int) -> str:
+    return f"{root.rstrip('/')}/{_CENTROIDS}/g={int(gen)}"
+
+
+def _live(spark: SparkSession, root: str) -> dict:
+    m = manifest_read(spark, root)
+    if m is None:
+        raise ValueError(
+            f"no IVF manifest at {root!r} — build the index with "
+            "write_ivf_index_manifest first (or use the directory-layout "
+            "API in operators.similarity for a plain index)"
+        )
+    return m
+
+
+def _cells_of(m: dict) -> dict[int, list[int]]:
+    return {int(c): [int(g) for g in gens] for c, gens in m["cells"].items()}
+
+
+def _cell_dirs(root: str, cells: dict[int, list[int]]) -> list[str]:
+    data = _data_root(root)
+    return [
+        f"{data}/centroid_id={c}/g={g}"
+        for c in sorted(cells)
+        for g in sorted(cells[c])
+    ]
+
+
+def _existing_dir_cell_ids(spark: SparkSession, root: str) -> set[int]:
+    """Cell ids with ANY data dir present — live, superseded, or crash
+    orphan.  Fresh-id allocation must clear ALL of them, or a new
+    subcell could adopt an orphan dir's rows on publish."""
+    out = set()
+    for name in _ls_names(spark, _data_root(root)):
+        if name.startswith("centroid_id="):
+            try:
+                out.add(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return out
+
+
+def _prepare(assigned: DataFrame, gen: int, sort_by: str | None) -> DataFrame:
+    """Pin cell_id LONG (same contract as write_ivf_index), tag the
+    target generation, and restore the in-file (cell, id) sort order
+    that cell_local row-group skipping relies on."""
+    src = (
+        F.col("cell_id") if "cell_id" in assigned.columns
+        else F.col("centroid_id")
+    )
+    out = assigned.withColumn("cell_id", src.cast("long")).withColumn(
+        "g", F.lit(int(gen))
+    )
+    if sort_by is not None:
+        out = out.sortWithinPartitions("centroid_id", sort_by)
+    return out
+
+
+def _write_gen(df: DataFrame, root: str) -> None:
+    """Land (cell, gen) dirs with DYNAMIC partition overwrite: only the
+    partitions in ``df`` are replaced, so an idempotent retry of a
+    crashed write replaces its own orphans and touches nothing else.
+    Job-level file atomicity is the output committer's, as everywhere."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id", "g")
+        .parquet(_data_root(root))
+    )
+
+
+def _write_centroids(centroids: DataFrame, root: str, gen: int) -> None:
+    """Quantizer generation: a small (C rows) relation at its own fresh
+    path; static overwrite = delete-then-write, both object-store-safe,
+    and idempotent on retry because the path is gen-specific."""
+    centroids.select(
+        F.col("centroid_id").cast("long"), "centroid"
+    ).coalesce(1).write.mode("overwrite").parquet(_cent_dir(root, gen))
+
+
+def _guard_layout(spark: SparkSession, root: str) -> None:
+    """Refuse to build a manifest index over a directory-layout one: the
+    two layouts resolve reads differently, and silently mixing them is
+    exactly the misread class the corpus/LSH layout guards fail loudly
+    on."""
+    for name in _ls_names(spark, root.rstrip("/")):
+        if name.startswith("centroid_id="):
+            raise ValueError(
+                f"{root!r} holds a directory-layout IVF index "
+                f"({name!r} at the root) — a manifest index cannot share "
+                "its root; compact/migrate to a fresh path first"
+            )
+
+
+def _publish(
+    spark: SparkSession,
+    root: str,
+    cells: dict[int, list[int]],
+    centroids_gen: int,
+    seq: int,
+) -> int:
+    return manifest_publish(
+        spark, root,
+        {
+            "table": "ivf-index",
+            "cells": {str(c): sorted(g) for c, g in cells.items()},
+            "centroids_gen": int(centroids_gen),
+        },
+        seq=seq,
+    )
+
+
+def write_ivf_index_manifest(
+    vectors: DataFrame,
+    root: str,
+    *,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sort_by: str | None = None,
+) -> int:
+    """Initial (or full-replace) build: assign ``vectors`` against
+    ``centroids`` (or seed ``n_centroids`` deterministically when not
+    given), write every cell and the quantizer at one fresh generation,
+    and publish a manifest naming ONLY those dirs — a previous index
+    state (if any) is superseded atomically at publish, never deleted
+    here (:func:`ivf_vacuum` reclaims it).  The quantizer is committed
+    WITH the data, so the index is self-contained from the first
+    manifest on.  Returns the published sequence number."""
+    spark = vectors.sparkSession
+    _guard_layout(spark, root)
+    live = manifest_read(spark, root)
+    seq = (live["seq"] + 1) if live else 1
+    if centroids is None:
+        centroids = ivf_seed_centroids(
+            vectors, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    centroids = centroids.localCheckpoint(eager=True)
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    _write_gen(_prepare(assigned, seq, sort_by or id_col), root)
+    _write_centroids(centroids, root, seq)
+    cell_ids = sorted(
+        int(r[0])
+        for r in assigned.select("centroid_id").distinct().collect()
+    )  # C rows — design parameter, never data volume
+    if not cell_ids:
+        raise ValueError("refusing to publish an empty IVF index")
+    return _publish(
+        spark, root, {c: [seq] for c in cell_ids}, centroids_gen=seq, seq=seq
+    )
+
+
+def read_ivf_index_manifest(spark: SparkSession, root: str) -> DataFrame:
+    """Read the LIVE index state: exactly the generation dirs the newest
+    valid manifest names.  Orphans and superseded generations are
+    invisible by construction — the manifest-side answer to the dir
+    layout's refuse-on-sentinel read guard.  Schema matches the
+    directory-layout read (data columns + inferred ``centroid_id``
+    partition column), so every serving plan
+    (``ann_ivf_index_topk[_quantized]``) works unchanged."""
+    cells = _cells_of(_live(spark, root))
+    dirs = _cell_dirs(root, cells)
+    return (
+        spark.read.option("basePath", _data_root(root))
+        .parquet(*dirs)
+        .drop("g")
+    )
+
+
+def read_ivf_centroids(spark: SparkSession, root: str) -> DataFrame:
+    """The LIVE quantizer — always the one the live cells were assigned
+    under, because splits commit both in one manifest.  Feed it to the
+    serving plans next to :func:`read_ivf_index_manifest`'s relation."""
+    m = _live(spark, root)
+    return spark.read.parquet(_cent_dir(root, m["centroids_gen"]))
+
+
+def ivf_append_manifest(
+    new_vectors: DataFrame,
+    root: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental ingest: assign the batch against the index's OWN
+    published quantizer (never retrained per batch), land it at one
+    fresh generation, publish a manifest adding that generation to each
+    touched cell.  Linear in the batch; the indexed corpus is not
+    re-read.  Exactly-once under replay WITHOUT per-batch partition
+    bookkeeping: a crashed attempt's dirs were never published, so they
+    are invisible; the retry either overwrites them (same target gen) or
+    lands at a later gen while the orphans await vacuum — committed rows
+    are exactly the manifest-referenced ones either way."""
+    spark = new_vectors.sparkSession
+    live = _live(spark, root)
+    seq = live["seq"] + 1
+    centroids = read_ivf_centroids(spark, root)
+    assigned = ivf_assign(
+        new_vectors, centroids, id_col=id_col, vec_col=vec_col
+    )
+    _write_gen(_prepare(assigned, seq, id_col), root)
+    touched = sorted(
+        int(r[0])
+        for r in assigned.select("centroid_id").distinct().collect()
+    )
+    cells = _cells_of(live)
+    for c in touched:
+        cells.setdefault(c, []).append(seq)
+    return _publish(
+        spark, root, cells, centroids_gen=live["centroids_gen"], seq=seq
+    )
+
+
+def ivf_split_oversized_manifest(
+    spark: SparkSession,
+    root: str,
+    *,
+    max_rows: int,
+    k: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Hot-cell split, manifest flavor: same semantics as
+    ``similarity.ivf_split_oversized`` (Lloyd-train ``k`` subcells inside
+    each cell over ``max_rows``, reassign only that cell's rows, fresh
+    non-colliding subcell ids; bump nprobe per split generation for
+    recall-critical traffic — see the dir-layout docstring) — but each
+    cell's swap commits by PUBLISHING a manifest that drops the parent,
+    adds the subcells, AND names the matching quantizer generation, so
+    there is no sentinel, no recovery op, no scheme restriction, and no
+    caller-held centroid relation to drift (the index owns its
+    quantizer; read it back with :func:`read_ivf_centroids`).
+
+    One publish per split cell: a crash mid-pass leaves every completed
+    cell committed and the interrupted cell fully live in its pre-split
+    state (its subcell dirs, if written, are unpublished orphans).
+    Re-run to continue — the pass re-derives oversized cells from the
+    LIVE manifest, so it is idempotent.  Returns the split parent ids
+    (empty = nothing oversized).  A cell more than ``k``×max_rows
+    oversized needs repeated passes, as in the dir layout."""
+    live = _live(spark, root)
+    cells = _cells_of(live)
+    index = read_ivf_index_manifest(spark, root)
+    sizes = index.groupBy("centroid_id").count().collect()  # C rows
+    oversized = sorted(
+        int(r["centroid_id"]) for r in sizes if r["count"] > max_rows
+    )
+    if not oversized:
+        return []
+    centroids = read_ivf_centroids(spark, root)
+    cent_type = centroids.schema["centroid"].dataType
+    next_id = 1 + max(
+        # clear the quantizer, the manifest, AND every data dir (orphans
+        # included) — a fresh id colliding with an orphan dir would
+        # adopt its rows at publish
+        max(
+            int(r["centroid_id"])
+            for r in centroids.select("centroid_id").collect()
+        ),
+        max(cells),
+        max(_existing_dir_cell_ids(spark, root), default=0),
+    )
+    data = _data_root(root)
+    for c in oversized:
+        live = _live(spark, root)  # re-read: prior iteration published
+        cells = _cells_of(live)
+        centroids = read_ivf_centroids(spark, root)
+        seq = live["seq"] + 1
+        cell = (
+            spark.read.option("basePath", data)
+            .parquet(*(f"{data}/centroid_id={c}/g={g}" for g in cells[c]))
+            .drop("g", "centroid_id")
+        )
+        sub = kmeans_refine(
+            cell,
+            ivf_seed_centroids(cell, k, id_col=id_col, vec_col=vec_col),
+            iters=iters, id_col=id_col, vec_col=vec_col,
+        )
+        w = Window.orderBy("centroid_id")
+        sub = (
+            sub.withColumn(
+                "centroid_id",
+                (F.lit(next_id) + F.row_number().over(w) - F.lit(1)).cast(
+                    "long"
+                ),
+            )
+            .withColumn("centroid", F.col("centroid").cast(cent_type))
+            .localCheckpoint(eager=True)
+        )
+        n_sub = sub.count()
+        newly = ivf_assign(cell, sub, id_col=id_col, vec_col=vec_col).select(
+            id_col, "centroid_id"
+        )
+        re = cell.drop("cell_id").join(newly, on=id_col)
+        _write_gen(
+            # repartition BEFORE _prepare so its sortWithinPartitions
+            # gives the in-file (cell, id) order, not get shuffled away
+            _prepare(re.repartition(k, F.col("centroid_id")), seq, id_col),
+            root,
+        )
+        new_cent = centroids.filter(
+            F.col("centroid_id") != int(c)
+        ).unionByName(sub)
+        _write_centroids(new_cent, root, seq)
+        new_ids = sorted(
+            int(r[0]) for r in sub.select("centroid_id").collect()
+        )
+        del cells[c]
+        for nid in new_ids:
+            cells[nid] = [seq]
+        _publish(spark, root, cells, centroids_gen=seq, seq=seq)
+        next_id += n_sub
+    return oversized
+
+
+def compact_ivf_index_manifest(
+    spark: SparkSession,
+    root: str,
+    *,
+    target_file_mb: int = 128,
+    id_col: str = "vec_id",
+) -> dict[str, int]:
+    """Maintenance rewrite, manifest flavor: every cell's live
+    generations merge into ONE fresh generation, bin-packed to
+    ~``target_file_mb`` files and re-sorted to the (cell, id) in-file
+    order cell_local row-group skipping needs.  Commit is one manifest
+    publish (all cells move to the new generation atomically); the
+    superseded dirs await :func:`ivf_vacuum`.  A crashed pass leaves the
+    live index untouched — no staging validation or rollback needed,
+    unlike ``compact_table``'s two-rename swap, because nothing was
+    published."""
+    import math
+    import os as _os
+
+    live = _live(spark, root)
+    seq = live["seq"] + 1
+    df = read_ivf_index_manifest(spark, root)
+    if id_col not in df.columns:
+        raise ValueError(
+            f"compact_ivf_index_manifest: id column {id_col!r} not in the "
+            f"index at {root!r}"
+        )
+    files = df.inputFiles()
+    n_before = len(files)
+    rows_before = df.count()
+    total_bytes = 0
+    for f in files:
+        try:
+            total_bytes += _os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            # non-local fs: unknown per-file sizes; ~8 inputs per output
+            total_bytes = 0
+            break
+    n_out = (
+        max(1, math.ceil(total_bytes / (target_file_mb << 20)))
+        if total_bytes
+        else max(1, n_before // 8)
+    )
+    packed = df.repartitionByRange(
+        n_out, F.col("centroid_id"), F.col(id_col)
+    )
+    _write_gen(_prepare(packed, seq, id_col), root)
+    cell_ids = sorted(
+        int(r[0]) for r in df.select("centroid_id").distinct().collect()
+    )
+    _publish(
+        spark, root, {c: [seq] for c in cell_ids},
+        centroids_gen=live["centroids_gen"], seq=seq,
+    )
+    after = read_ivf_index_manifest(spark, root)
+    return {
+        "files_before": n_before,
+        "files_after": len(after.inputFiles()),
+        "rows": rows_before,
+    }
+
+
+def ivf_vacuum(
+    spark: SparkSession, root: str, *, keep_manifests: int = 3
+) -> dict[str, int]:
+    """Reclaim everything no reader can see: data and quantizer
+    generation dirs not referenced by the LIVE manifest (superseded
+    generations and crash orphans alike — DELETE analogue,
+    object-store-safe) plus manifest files older than the newest
+    ``keep_manifests``.  Single-writer contract: don't run concurrently
+    with a writer, whose target generation is unpublished by definition
+    and would be reclaimed.  Keeping older MANIFESTS without their data
+    dirs is fine — manifests are audit history; only the live one is
+    ever resolved for reads."""
+    m = _live(spark, root)
+    live_cells = _cells_of(m)
+    keep = {(c, g) for c, gens in live_cells.items() for g in gens}
+    data = _data_root(root)
+    dropped = 0
+    for cname in _ls_names(spark, data):
+        if not cname.startswith("centroid_id="):
+            continue
+        try:
+            c = int(cname.split("=", 1)[1])
+        except ValueError:
+            continue
+        for gname in _ls_names(spark, f"{data}/{cname}"):
+            if not gname.startswith("g="):
+                continue
+            try:
+                g = int(gname.split("=", 1)[1])
+            except ValueError:
+                continue
+            if (c, g) not in keep and _delete(
+                spark, f"{data}/{cname}/{gname}", recursive=True
+            ):
+                dropped += 1
+        if c not in live_cells:
+            # retired parent cell: reap the (now empty) cell dir shell
+            _delete(spark, f"{data}/{cname}", recursive=True)
+    cent_root = f"{root.rstrip('/')}/{_CENTROIDS}"
+    for gname in _ls_names(spark, cent_root):
+        if not gname.startswith("g="):
+            continue
+        try:
+            g = int(gname.split("=", 1)[1])
+        except ValueError:
+            continue
+        if g != int(m["centroids_gen"]) and _delete(
+            spark, f"{cent_root}/{gname}", recursive=True
+        ):
+            dropped += 1
+    return {
+        "data_dirs_deleted": dropped,
+        "manifests_deleted": len(
+            manifest_vacuum(spark, root, keep_last=keep_manifests)
+        ),
+    }

@@ -635,6 +635,18 @@ def write_ivf_index(
     # (append), or rebuild from a view missing the interrupted cell
     # (overwrite) — refuse on the write side exactly like the read side
     _raise_if_pending_splits(path, "writing")
+    # r11: refuse to write the DIRECTORY layout into a MANIFEST-layout
+    # root (.ivf_store) — manifest readers resolve only published
+    # generation dirs, so these rows would be silently invisible
+    from ..manifest import manifest_read
+
+    if manifest_read(assigned.sparkSession, path) is not None:
+        raise ValueError(
+            f"{path!r} is a manifest-layout IVF index — write through "
+            "operators.ivf_store (write_ivf_index_manifest / "
+            "ivf_append_manifest); directory-layout files here would be "
+            "invisible to manifest readers"
+        )
     # cell_id is pinned LONG: when the source of the copy is an inferred
     # PARTITION column (int32) instead of the long data column, a dir
     # mixing both widths crashes the vectorized reader on whichever
@@ -733,7 +745,18 @@ def read_ivf_index(spark, path: str) -> DataFrame:
     the parent dir and promoting the subcell dirs, that cell's rows live
     only in hidden directories and a plain read would silently MISS them
     — wrong top-k, no error.  Run :func:`ivf_recover_splits` to roll the
-    swap forward, then read."""
+    swap forward, then read.
+
+    r11: a MANIFEST-layout index (:mod:`.ivf_store`, the rename-free
+    object-store-safe lifecycle) is auto-detected by its ``_manifest``
+    commit log and read through its live manifest instead — one read
+    entry point for both layouts, identical output schema."""
+    from ..manifest import manifest_read
+
+    if manifest_read(spark, path) is not None:
+        from .ivf_store import read_ivf_index_manifest
+
+        return read_ivf_index_manifest(spark, path)
     _raise_if_pending_splits(path, "reading")
     return spark.read.parquet(path)
 

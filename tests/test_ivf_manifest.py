@@ -1,0 +1,288 @@
+"""Manifest-backed IVF store: the rename-free object-store-safe lifecycle.
+
+VERDICT r10 "Next" #3 pins the contract: a manifest-generation read path
+plus split/compact via fresh-path rewrite, **tested by simulating
+rename-unavailability** (os.rename/os.replace/shutil.move banned for the
+whole manifest pipeline), with results bit-equal to the local-fs
+rename-based path.  Plus the protocol's own claims: publish is the one
+commit point (crash-before-publish is invisible and retry-safe), an
+interrupted multi-cell split stays consistent per cell (no sentinel, no
+recovery op, quantizer and cells always paired), and vacuum reclaims
+exactly the unreferenced generations.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_etl_using_hyperjoin_spark.operators import ivf_store
+from datawarehouse_etl_using_hyperjoin_spark.operators.ivf_store import (
+    compact_ivf_index_manifest,
+    ivf_append_manifest,
+    ivf_split_oversized_manifest,
+    ivf_vacuum,
+    read_ivf_centroids,
+    read_ivf_index_manifest,
+    write_ivf_index_manifest,
+)
+from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+    ann_ivf_index_topk,
+    ivf_assign,
+    ivf_seed_centroids,
+    read_ivf_index,
+    write_ivf_index,
+)
+from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import load_table
+
+
+def _ban_renames(mp):
+    def boom(*a, **k):  # pragma: no cover - the assertion IS the test
+        raise AssertionError(
+            "rename/move called inside the manifest pipeline — the "
+            "protocol must be rename-free"
+        )
+
+    mp.setattr(os, "rename", boom)
+    mp.setattr(os, "replace", boom)
+    mp.setattr(shutil, "move", boom)
+
+
+def _rows(df):
+    return sorted(
+        (r.vec_id, int(r.centroid_id), r.cell_id, tuple(r.embedding))
+        for r in df.select(
+            "vec_id", "centroid_id", "cell_id", "embedding"
+        ).collect()
+    )
+
+
+def _cents(df):
+    return sorted(
+        (int(r.centroid_id), tuple(float(x) for x in r.centroid))
+        for r in df.collect()
+    )
+
+
+def test_manifest_lifecycle_bit_equal_to_rename_lifecycle_without_renames(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The full lifecycle — build, incremental append, hot-cell split,
+    compaction, serve — run through the manifest store with every rename
+    primitive monkeypatched to raise, against the SAME inputs as the
+    directory-layout (rename-based) store: final index rows, quantizer,
+    and ANN serving results are identical."""
+    em = load_table(spark, sf_dir, "embeddings")
+    base = em.filter(F.col("vec_id") % 2 == 0)
+    extra = em.filter(F.col("vec_id") % 2 == 1)
+    cent0 = ivf_seed_centroids(base, 2).localCheckpoint(eager=True)
+
+    # reference pipeline: directory layout, rename-based maintenance
+    dpath = str(tmp_path / "ivf_dir")
+    write_ivf_index(ivf_assign(base, cent0), dpath, sort_by="vec_id")
+    write_ivf_index(ivf_assign(extra, cent0), dpath, mode="append")
+    sizes = {
+        int(r.centroid_id): r["count"]
+        for r in read_ivf_index(spark, dpath)
+        .groupBy("centroid_id").count().collect()
+    }
+    max_rows = max(sizes.values()) - 1  # the hot cell is oversized
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_split_oversized,
+    )
+
+    cent_dir_layout = ivf_split_oversized(
+        spark, dpath, cent0, max_rows=max_rows, k=2
+    )
+    compact_ivf_index(spark, dpath)
+    idx_dir = read_ivf_index(spark, dpath)
+
+    # manifest pipeline: renames BANNED throughout
+    mroot = str(tmp_path / "ivf_manifest")
+    with monkeypatch.context() as mp:
+        _ban_renames(mp)
+        write_ivf_index_manifest(
+            base, mroot, centroids=cent0, sort_by="vec_id"
+        )
+        ivf_append_manifest(extra, mroot)
+        split = ivf_split_oversized_manifest(
+            spark, mroot, max_rows=max_rows, k=2
+        )
+        assert split  # the hot cell did split
+        compact_ivf_index_manifest(spark, mroot)
+        idx_man = read_ivf_index_manifest(spark, mroot)
+        cents_man = read_ivf_centroids(spark, mroot)
+
+        # bit-equal state: rows, quantizer
+        assert _rows(idx_man) == _rows(idx_dir)
+        assert _cents(cents_man) == _cents(cent_dir_layout)
+
+        # identical serving results through the SAME plan
+        q = em.filter(F.col("vec_id") < 6)
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, round(r.cos, 9))
+            for r in ann_ivf_index_topk(
+                q, idx_man, cents_man, k=3, nprobe=2
+            ).collect()
+        }
+        want = {
+            (r.query_id, r.rank): (r.neighbor_id, round(r.cos, 9))
+            for r in ann_ivf_index_topk(
+                q, idx_dir, cent_dir_layout, k=3, nprobe=2
+            ).collect()
+        }
+        assert got == want
+
+        # one read entry point: read_ivf_index auto-detects the layout
+        assert _rows(read_ivf_index(spark, mroot)) == _rows(idx_man)
+
+
+def test_publish_is_the_commit_point_crash_invisible_retry_exactly_once(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """An append that crashes AFTER its data write but BEFORE publish is
+    invisible to readers (no torn state, no sentinel, no refusal —
+    unlike the dir layout there is nothing to recover); the retried
+    append lands the batch exactly once."""
+    em = load_table(spark, sf_dir, "embeddings")
+    base = em.filter(F.col("vec_id") % 2 == 0)
+    extra = em.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "ivf_crash")
+    write_ivf_index_manifest(base, root, n_centroids=2)
+    n_base = base.count()
+    assert read_ivf_index_manifest(spark, root).count() == n_base
+
+    def no_publish(*a, **k):
+        raise RuntimeError("injected crash before publish")
+
+    with monkeypatch.context() as mp:
+        mp.setattr(ivf_store, "manifest_publish", no_publish)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ivf_append_manifest(extra, root)
+    # the orphan generation is invisible: reads see exactly the old state
+    assert read_ivf_index_manifest(spark, root).count() == n_base
+    # retry commits the batch exactly once (dynamic overwrite replaced
+    # the orphan dirs at the same target generation)
+    ivf_append_manifest(extra, root)
+    idx = read_ivf_index_manifest(spark, root)
+    assert idx.count() == n_base + extra.count()
+    assert idx.select("vec_id").distinct().count() == em.count()
+
+
+def test_interrupted_split_commits_per_cell_and_rerun_completes(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A split pass killed between cells leaves every completed cell
+    committed and the interrupted cell fully live pre-split — quantizer
+    and cells stay a consistent pair (the manifest commits both
+    together), which the dir layout cannot promise (its caller holds the
+    centroid relation).  Re-running completes; vacuum then reclaims the
+    orphan subcell dirs and superseded generations without touching the
+    live state."""
+    em = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "ivf_split_crash")
+    write_ivf_index_manifest(em, root, n_centroids=2)
+    n_total = em.count()
+    sizes = {
+        int(r.centroid_id): r["count"]
+        for r in read_ivf_index_manifest(spark, root)
+        .groupBy("centroid_id").count().collect()
+    }
+    max_rows = min(sizes.values()) - 1  # BOTH cells oversized
+    assert max_rows > 2
+
+    real_publish = ivf_store.manifest_publish
+    calls = {"n": 0}
+
+    def publish_once_then_crash(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected crash between cells")
+        return real_publish(*a, **k)
+
+    with monkeypatch.context() as mp:
+        mp.setattr(ivf_store, "manifest_publish", publish_once_then_crash)
+        with pytest.raises(RuntimeError, match="between cells"):
+            ivf_split_oversized_manifest(spark, root, max_rows=max_rows, k=2)
+
+    # mid-crash state is consistent and fully readable
+    idx = read_ivf_index_manifest(spark, root)
+    assert idx.count() == n_total
+    cents = read_ivf_centroids(spark, root)
+    assert {int(r.centroid_id) for r in cents.collect()} == {
+        int(r[0]) for r in idx.select("centroid_id").distinct().collect()
+    }
+    # exactly one parent retired so far
+    assert len(
+        set(sizes) - {int(r[0]) for r in idx.select("centroid_id").distinct().collect()}
+    ) == 1
+
+    # re-run completes the pass idempotently
+    split = ivf_split_oversized_manifest(spark, root, max_rows=max_rows, k=2)
+    assert len(split) == 1
+    idx = read_ivf_index_manifest(spark, root)
+    assert idx.count() == n_total
+    assert idx.select("vec_id").distinct().count() == n_total
+    live_cells = {
+        int(r[0]) for r in idx.select("centroid_id").distinct().collect()
+    }
+    assert set(sizes).isdisjoint(live_cells)  # both parents retired
+    cents = read_ivf_centroids(spark, root)
+    assert {int(r.centroid_id) for r in cents.collect()} == live_cells
+
+    # vacuum reclaims orphans + superseded gens; live state unchanged
+    before = _rows(idx)
+    stats = ivf_vacuum(spark, root, keep_manifests=1)
+    assert stats["data_dirs_deleted"] >= 1
+    assert _rows(read_ivf_index_manifest(spark, root)) == before
+    # superseded data really gone: every remaining (cell, gen) is live
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
+
+    live = manifest_read(spark, root)
+    live_pairs = {
+        (int(c), g) for c, gens in live["cells"].items() for g in gens
+    }
+    data = f"{root}/data"
+    on_disk = {
+        (int(c.split("=")[1]), int(g.split("=")[1]))
+        for c in os.listdir(data)
+        for g in os.listdir(f"{data}/{c}")
+        if g.startswith("g=")
+    }
+    assert on_disk == live_pairs
+
+
+def test_layout_guards_refuse_mixing(spark, sf_dir, tmp_path):
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_seed_centroids(em, 2)
+
+    mroot = str(tmp_path / "man")
+    write_ivf_index_manifest(em, mroot, centroids=cent)
+    with pytest.raises(ValueError, match="manifest-layout"):
+        write_ivf_index(ivf_assign(em, cent), mroot, mode="append")
+
+    droot = str(tmp_path / "dir")
+    write_ivf_index(ivf_assign(em, cent), droot)
+    with pytest.raises(ValueError, match="directory-layout"):
+        write_ivf_index_manifest(em, droot, centroids=cent)
+
+
+def test_torn_newest_manifest_reads_as_uncommitted(spark, sf_dir, tmp_path):
+    """A truncated newest manifest (a torn LOCAL publish; impossible on
+    object stores where PUT is atomic) must read as 'not yet committed':
+    the previous manifest stays live and reads keep working."""
+    em = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "torn")
+    write_ivf_index_manifest(em, root, n_centroids=2)
+    n = read_ivf_index_manifest(spark, root).count()
+    with open(f"{root}/_manifest/v00000002.json", "w") as fh:
+        fh.write('{"format": "generation-manifest/1", "seq')  # torn
+    assert read_ivf_index_manifest(spark, root).count() == n
+    # and the next real operation publishes OVER the torn file's seq
+    em2 = em.withColumn("vec_id", F.col("vec_id") + 10_000)
+    ivf_append_manifest(em2, root)
+    assert read_ivf_index_manifest(spark, root).count() == 2 * n

@@ -255,3 +255,38 @@ def test_maintained_sink_replay_converges(spark, sf_dir, tmp_path_factory):
     # final batch (plain write replay) — both must converge to the clean run
     assert run(replay_batch=2) == clean
     assert run(replay_batch=3) == clean
+
+
+def test_run_maintenance_covers_the_manifest_ivf_store(
+    spark, sf_dir, tmp_path
+):
+    """The cadence hook reaches the manifest-backed IVF index too:
+    compaction collapses its per-append generations and vacuum reclaims
+    the superseded dirs, rows and serving state unchanged."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.ivf_store import (
+        ivf_append_manifest,
+        read_ivf_index_manifest,
+        write_ivf_index_manifest,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import (
+        load_table,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "ivf_m")
+    write_ivf_index_manifest(em.filter(F.col("vec_id") % 3 == 0), root,
+                             n_centroids=2)
+    for rem in (1, 2):
+        ivf_append_manifest(em.filter(F.col("vec_id") % 3 == rem), root)
+    n = em.count()
+    before = read_ivf_index_manifest(spark, root)
+    assert before.count() == n
+    files_before = len(before.inputFiles())
+    stats = run_maintenance(spark, ivf_manifest_indexes=[root], keep_last=2)
+    key = f"ivf_manifest:{root}"
+    assert stats[key]["rows"] == n
+    assert stats[key]["files_after"] < files_before
+    assert stats[key]["data_dirs_deleted"] >= 1
+    after = read_ivf_index_manifest(spark, root)
+    assert after.count() == n
+    assert after.select("vec_id").distinct().count() == n
