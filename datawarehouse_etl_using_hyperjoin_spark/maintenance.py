@@ -16,6 +16,7 @@ star fact table       parquet dir, ``batch_id=N``             same pass, ``batch
 LSH / embedding index bucketed catalog table, ``ingest_batch``  ``operators.dedup.compact_lsh_index``
 IVF vector index      parquet dir, ``centroid_id=C``          ``operators.similarity.compact_ivf_index``
 IVF index (manifest)  generation dirs + ``_manifest`` log     ``operators.ivf_store.compact_ivf_index_manifest`` + ``ivf_vacuum``
+batch table (manifest) generation dirs + ``_manifest`` log    ``sources.manifest_table.compact_manifest_table`` + ``vacuum_manifest_table``
 late-data quarantine  ``late/`` + ``_hwm/`` per-batch dirs    ``streaming.pipeline.compact_quarantine``
 ====================  ======================================  ===========================
 
@@ -57,6 +58,7 @@ def run_maintenance(
     lsh_tables: Sequence[str] = (),
     ivf_indexes: Sequence[str] = (),
     ivf_manifest_indexes: Sequence[str] = (),
+    manifest_tables: Sequence[str] = (),
     quarantine_dirs: Sequence[str] = (),
     keep_last: int = 2,
     target_file_mb: int = 128,
@@ -115,6 +117,19 @@ def run_maintenance(
             ivf_vacuum(spark, p, keep_manifests=max(1, keep_last))
         )
         out[f"ivf_manifest:{p}"] = stats
+    for p in manifest_tables:
+        from .sources.manifest_table import (
+            compact_manifest_table,
+            vacuum_manifest_table,
+        )
+
+        stats = compact_manifest_table(
+            spark, p, keep_last=keep_last, target_file_mb=target_file_mb
+        )
+        stats.update(
+            vacuum_manifest_table(spark, p, keep_manifests=max(1, keep_last))
+        )
+        out[f"manifest_table:{p}"] = stats
     return out
 
 
@@ -148,7 +163,7 @@ def make_maintenance_sink(
         raise ValueError(f"maintenance cadence must be >= 1, got {every}")
     unknown = set(layout) - {
         "corpus_dirs", "fact_dirs", "lsh_tables", "ivf_indexes",
-        "ivf_manifest_indexes", "quarantine_dirs",
+        "ivf_manifest_indexes", "manifest_tables", "quarantine_dirs",
     }
     if unknown:
         raise TypeError(f"unknown maintenance layout keys: {sorted(unknown)}")

@@ -1803,6 +1803,160 @@ def measure_dim_write_amp(
     return result
 
 
+def measure_star_pipeline(
+    spark,
+    sf_dir: str,
+    *,
+    mult: int = 20,
+    n_batches: int = 20,
+    dim_buckets: int = 64,
+) -> dict[str, dict]:
+    """r11 (VERDICT r10 "Next" #5): the COMPOSED star pipeline — stream →
+    hyperjoin enrichment → quarantine split → dim upsert + fact append,
+    the exact ``run_pipeline_streaming`` dataflow driven through a real
+    ``writeStream``/``foreachBatch`` — at ``mult``× the sf transaction
+    volume, recording per-batch wall and WRITE BYTES as the stream ages,
+    flat vs bucketed dim layout (``dim_buckets``).
+
+    Two stream shapes, because batch key coverage decides the bucketed
+    layout's win (the honest boundary from the isolated ``dim_write_amp``
+    probe: ≥P distinct keys per batch = full rewrite either way):
+
+    * ``dense``  — batches are random row slices, so every batch touches
+      ~every product: bucketed ≈ flat is the EXPECTED outcome, and any
+      bucketed overhead shows here;
+    * ``sparse`` — batches are product-id range slices (category-sharded
+      ingest), so each batch touches ~1/n_batches of the key space: the
+      dim-write regime the bucketed layout exists for, now measured
+      inside the full composition instead of the isolated sink.
+    """
+    import os as _os
+
+    from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import (
+        master_data,
+        transactions,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        make_quarantine_sink,
+        make_star_sink,
+        read_parquet_stream,
+        stream_static_hyperjoin,
+    )
+
+    txns = transactions(spark, sf_dir)
+    master = master_data(spark, sf_dir).localCheckpoint(eager=True)
+    n_products = master.count()
+    big = (
+        txns.crossJoin(
+            F.broadcast(
+                spark.range(mult).withColumnRenamed("id", "__rep")
+            )
+        )
+        .withColumn(
+            "order_id", F.col("order_id") + F.col("__rep") * F.lit(10_000_000)
+        )
+        .drop("__rep")
+    )
+
+    def files_of(root):
+        out = {}
+        for dirpath, _dirs, files in _os.walk(root):
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue
+                p = _os.path.join(dirpath, fn)
+                out[_os.path.relpath(p, root)] = _os.path.getsize(p)
+        return out
+
+    streams = {}
+    for shape in ("dense", "sparse"):
+        path = tempfile.mkdtemp(prefix="star_pipe_") + f"/txn_{shape}"
+        if shape == "dense":
+            big.repartition(n_batches).write.parquet(path)
+        else:
+            big.repartitionByRange(
+                n_batches, F.col("product_id")
+            ).write.parquet(path)
+        streams[shape] = path
+
+    out: dict[str, dict] = {
+        "mult": mult, "n_batches": n_batches,
+        "txn_rows": big.count(), "dim_rows": n_products,
+        "dim_buckets": dim_buckets,
+    }
+    for shape, stream_path in streams.items():
+        for label, bkt in (("flat", None), ("bucketed", dim_buckets)):
+            out_dir = tempfile.mkdtemp(prefix="star_pipe_") + "/dw"
+            per_batch = []
+            inner = make_quarantine_sink(
+                make_star_sink(out_dir, dim_buckets=bkt),
+                out_dir,
+                watermark_col="order_date",
+                lateness="3650 days",
+            )
+            state = {"before": {}}
+
+            def sink(batch_df, batch_id, _inner=inner, _s=state, _pb=per_batch, _out=out_dir):
+                t0 = time.time()
+                _inner(batch_df, batch_id)
+                wall = time.time() - t0
+                after = files_of(_out)
+                written = sum(
+                    sz for p, sz in after.items()
+                    if _s["before"].get(p) != sz
+                )
+                dim_written = sum(
+                    sz for p, sz in after.items()
+                    if p.startswith("dim_product")
+                    and _s["before"].get(p) != sz
+                )
+                _s["before"] = after
+                _pb.append(
+                    {
+                        "batch": batch_id,
+                        "wall_sec": round(wall, 2),
+                        "write_mb": round(written / 1e6, 2),
+                        "dim_write_mb": round(dim_written / 1e6, 2),
+                    }
+                )
+
+            enriched = stream_static_hyperjoin(
+                read_parquet_stream(spark, stream_path, max_files_per_trigger=1),
+                master,
+            )
+            q = (
+                enriched.writeStream.outputMode("append")
+                .option("checkpointLocation", out_dir + "/_ckpt")
+                .foreachBatch(sink)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            walls = [b["wall_sec"] for b in per_batch]
+            dim_mb = [b["dim_write_mb"] for b in per_batch]
+            out[f"{shape}_{label}"] = {
+                "batches": len(per_batch),
+                "total_wall_sec": round(sum(walls), 2),
+                "first3_wall": walls[:3],
+                "last3_wall": walls[-3:],
+                "dim_write_mb_first3": dim_mb[:3],
+                "dim_write_mb_last3": dim_mb[-3:],
+                "dim_write_mb_total": round(sum(dim_mb), 2),
+                "fact_rows": spark.read.parquet(
+                    f"{out_dir}/fact_enriched"
+                ).count(),
+                "per_batch": per_batch,
+            }
+    for shape in ("dense", "sparse"):
+        f, b = out[f"{shape}_flat"], out[f"{shape}_bucketed"]
+        if b["dim_write_mb_total"]:
+            out[f"{shape}_dim_write_ratio_flat_over_bucketed"] = round(
+                f["dim_write_mb_total"] / b["dim_write_mb_total"], 2
+            )
+        assert f["fact_rows"] == b["fact_rows"], "layouts must agree on facts"
+    return out
+
+
 def measure_composed_pipeline(spark, docs) -> dict[str, float]:
     """r10 (verdict #4): the five demo stages (trained langid gate →
     quality classifier → Bloom decontamination → batched LSH ingest
@@ -2419,6 +2573,21 @@ def main() -> None:
                 bucket_rows=int(os.environ.get("SCALE_PROBE_BUCKET_ROWS", 6_250)),
             )
         print(json.dumps({"dim_write_amp": out}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "star_pipeline":
+        spark = get_spark(
+            "scale-probe-star",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+            extra_conf=METERED_SESSION_CONF,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({"star_pipeline": measure_star_pipeline(
+            spark,
+            os.environ.get("SCALE_PROBE_SF_DIR", "/root/testdata/sf0.1"),
+            mult=int(os.environ.get("SCALE_PROBE_MULT", 20)),
+            n_batches=int(os.environ.get("SCALE_PROBE_BATCHES", 20)),
+            dim_buckets=int(os.environ.get("SCALE_PROBE_DIM_BUCKETS", 64)),
+        )}, indent=2))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "pipeline":
         spark = get_spark(
