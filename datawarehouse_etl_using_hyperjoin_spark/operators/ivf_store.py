@@ -175,6 +175,7 @@ def _publish(
     cells: dict[int, list[int]],
     centroids_gen: int,
     seq: int,
+    batches: dict | None = None,
 ) -> int:
     return manifest_publish(
         spark, root,
@@ -182,6 +183,10 @@ def _publish(
             "table": "ivf-index",
             "cells": {str(c): sorted(g) for c, g in cells.items()},
             "centroids_gen": int(centroids_gen),
+            # the exactly-once ledger: {str(batch_id): committing seq} —
+            # carried through every publish so maintenance never forgets
+            # which ingest batches are in the index
+            "batches": {str(b): int(g) for b, g in (batches or {}).items()},
         },
         seq=seq,
     )
@@ -214,7 +219,12 @@ def write_ivf_index_manifest(
             vectors, n_centroids, id_col=id_col, vec_col=vec_col
         )
     centroids = centroids.localCheckpoint(eager=True)
-    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    # assigned feeds BOTH the data write and the touched-cells collect:
+    # checkpoint it once (the SCALE.md r10 foreachBatch lesson — never
+    # recompute a relation referenced more than once in a sink body)
+    assigned = ivf_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
     _write_gen(_prepare(assigned, seq, sort_by or id_col), root)
     _write_centroids(centroids, root, seq)
     cell_ids = sorted(
@@ -224,7 +234,11 @@ def write_ivf_index_manifest(
     if not cell_ids:
         raise ValueError("refusing to publish an empty IVF index")
     return _publish(
-        spark, root, {c: [seq] for c in cell_ids}, centroids_gen=seq, seq=seq
+        spark, root, {c: [seq] for c in cell_ids}, centroids_gen=seq, seq=seq,
+        # the batch ledger survives a full REBUILD: a late re-delivery of
+        # a pre-rebuild batch must still read as already-committed rather
+        # than appending stale rows to the new index
+        batches=live.get("batches", {}) if live else {},
     )
 
 
@@ -259,23 +273,39 @@ def ivf_append_manifest(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> int:
+    batch_id: int | None = None,
+) -> int | None:
     """Incremental ingest: assign the batch against the index's OWN
     published quantizer (never retrained per batch), land it at one
     fresh generation, publish a manifest adding that generation to each
     touched cell.  Linear in the batch; the indexed corpus is not
-    re-read.  Exactly-once under replay WITHOUT per-batch partition
-    bookkeeping: a crashed attempt's dirs were never published, so they
-    are invisible; the retry either overwrites them (same target gen) or
-    lands at a later gen while the orphans await vacuum — committed rows
-    are exactly the manifest-referenced ones either way."""
+    re-read.
+
+    Exactly-once, both crash sides, when ``batch_id`` is given (pass the
+    foreachBatch id — returns None for a skipped replay, the seq
+    otherwise):
+
+    * crash BEFORE publish: the attempt's dirs were never published, so
+      they are invisible; the retry either overwrites them (same target
+      gen) or lands at a later gen while the orphans await vacuum;
+    * re-delivery AFTER publish (checkpoint commit lost — the window
+      plain appends duplicate into, in BOTH layouts): the manifest's
+      batch LEDGER already records ``batch_id``, so the replay is
+      detected and skipped.  Without ``batch_id`` the ledger is
+      bypassed and this append is at-least-once under re-delivery,
+      exactly like the dir layout's ``ivf_append``."""
     spark = new_vectors.sparkSession
     live = _live(spark, root)
+    ledger = dict(live.get("batches", {}))
+    if batch_id is not None and str(int(batch_id)) in ledger:
+        return None  # replay of a committed batch: exactly-once no-op
     seq = live["seq"] + 1
     centroids = read_ivf_centroids(spark, root)
+    # batch-bounded and referenced twice (write + touched-cells collect):
+    # checkpoint, per the SCALE.md r10 foreachBatch lesson
     assigned = ivf_assign(
         new_vectors, centroids, id_col=id_col, vec_col=vec_col
-    )
+    ).localCheckpoint(eager=True)
     _write_gen(_prepare(assigned, seq, id_col), root)
     touched = sorted(
         int(r[0])
@@ -284,9 +314,35 @@ def ivf_append_manifest(
     cells = _cells_of(live)
     for c in touched:
         cells.setdefault(c, []).append(seq)
+    if batch_id is not None:
+        ledger[str(int(batch_id))] = seq
     return _publish(
-        spark, root, cells, centroids_gen=live["centroids_gen"], seq=seq
+        spark, root, cells, centroids_gen=live["centroids_gen"], seq=seq,
+        batches=ledger,
     )
+
+
+def make_ivf_ingest_sink(
+    root: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """``foreachBatch`` body for continuous vector ingest into the
+    manifest index: each micro-batch commits through
+    :func:`ivf_append_manifest` WITH the batch id, so the manifest's
+    ledger upgrades foreachBatch's at-least-once delivery to
+    exactly-once on both crash sides (see the append docstring).  The
+    index must already exist (:func:`write_ivf_index_manifest` — the
+    quantizer is trained/published at build time, never per batch)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_append_manifest(
+            batch_df, root,
+            id_col=id_col, vec_col=vec_col, batch_id=batch_id,
+        )
+
+    return _sink
 
 
 def ivf_split_oversized_manifest(
@@ -387,7 +443,10 @@ def ivf_split_oversized_manifest(
         del cells[c]
         for nid in new_ids:
             cells[nid] = [seq]
-        _publish(spark, root, cells, centroids_gen=seq, seq=seq)
+        _publish(
+            spark, root, cells, centroids_gen=seq, seq=seq,
+            batches=live.get("batches", {}),
+        )
         next_id += n_sub
     return oversized
 
@@ -445,6 +504,7 @@ def compact_ivf_index_manifest(
     _publish(
         spark, root, {c: [seq] for c in cell_ids},
         centroids_gen=live["centroids_gen"], seq=seq,
+        batches=live.get("batches", {}),
     )
     after = read_ivf_index_manifest(spark, root)
     return {

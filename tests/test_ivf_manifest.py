@@ -286,3 +286,42 @@ def test_torn_newest_manifest_reads_as_uncommitted(spark, sf_dir, tmp_path):
     em2 = em.withColumn("vec_id", F.col("vec_id") + 10_000)
     ivf_append_manifest(em2, root)
     assert read_ivf_index_manifest(spark, root).count() == 2 * n
+
+
+def test_batch_ledger_makes_streaming_append_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """The manifest's batch ledger closes the re-delivery-AFTER-publish
+    window (checkpoint commit lost once the manifest already landed) —
+    the window plain appends duplicate into in both layouts.  The ledger
+    survives compaction AND a full rebuild, so stale re-deliveries stay
+    no-ops forever."""
+    em = load_table(spark, sf_dir, "embeddings")
+    b0 = em.filter(F.col("vec_id") % 2 == 0)
+    b1 = em.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "ivf_ledger")
+    write_ivf_index_manifest(b0, root, n_centroids=2)
+    from datawarehouse_etl_using_hyperjoin_spark.operators.ivf_store import (
+        make_ivf_ingest_sink,
+    )
+
+    sink = make_ivf_ingest_sink(root)
+    sink(b1, 1)
+    n = em.count()
+    assert read_ivf_index_manifest(spark, root).count() == n
+    # re-delivery after publish: detected in the ledger, skipped
+    sink(b1, 1)
+    assert read_ivf_index_manifest(spark, root).count() == n
+    assert ivf_append_manifest(b1, root, batch_id=1) is None
+    # the ledger survives compaction
+    compact_ivf_index_manifest(spark, root)
+    assert ivf_append_manifest(b1, root, batch_id=1) is None
+    assert read_ivf_index_manifest(spark, root).count() == n
+    # ...and a full rebuild
+    write_ivf_index_manifest(em, root, n_centroids=2)
+    assert ivf_append_manifest(b1, root, batch_id=1) is None
+    assert read_ivf_index_manifest(spark, root).count() == n
+    # a NEW batch still lands
+    b2 = em.withColumn("vec_id", F.col("vec_id") + 50_000)
+    assert ivf_append_manifest(b2, root, batch_id=2) is not None
+    assert read_ivf_index_manifest(spark, root).count() == 2 * n
