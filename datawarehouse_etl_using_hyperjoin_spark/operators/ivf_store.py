@@ -121,6 +121,12 @@ def _prepare(assigned: DataFrame, gen: int, sort_by: str | None) -> DataFrame:
     """Pin cell_id LONG (same contract as write_ivf_index), tag the
     target generation, and restore the in-file (cell, id) sort order
     that cell_local row-group skipping relies on."""
+    if "g" in assigned.columns:
+        raise ValueError(
+            "the manifest store reserves column name 'g' for its "
+            "generation partition — rename the input column first "
+            "(silently overwriting it would corrupt the layout)"
+        )
     src = (
         F.col("cell_id") if "cell_id" in assigned.columns
         else F.col("centroid_id")

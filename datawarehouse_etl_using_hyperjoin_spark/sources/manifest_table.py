@@ -97,6 +97,13 @@ def manifest_table_append(
     None; otherwise returns the published seq.  Suitable directly as a
     ``foreachBatch`` body: ``lambda b, i: manifest_table_append(b, root, i)``.
     """
+    if "g" in df.columns:
+        raise ValueError(
+            "the manifest table reserves column name 'g' for its "
+            "generation partition — rename the input column first "
+            "(reads resolve generations as a partition column and would "
+            "collide)"
+        )
     spark = df.sparkSession
     live = manifest_read(spark, root)
     if live is not None and str(int(batch_id)) in live["batches"]:

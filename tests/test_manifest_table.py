@@ -112,3 +112,9 @@ def test_run_maintenance_covers_manifest_tables(spark, tmp_path):
     assert stats[key]["gens_after"] < stats[key]["gens_before"]
     assert stats[key]["data_dirs_deleted"] >= 1
     assert read_manifest_table(spark, root).count() == 50
+
+
+def test_reserved_generation_column_is_refused_loudly(spark, tmp_path):
+    df = spark.range(3).select(F.col("id"), F.lit(1).alias("g"))
+    with pytest.raises(ValueError, match="reserves column name 'g'"):
+        manifest_table_append(df, str(tmp_path / "r"), 0)
