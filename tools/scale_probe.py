@@ -1803,6 +1803,98 @@ def measure_dim_write_amp(
     return result
 
 
+def measure_ivf_manifest_overhead(
+    spark,
+    vecs,
+    *,
+    n_cells: int = 32,
+    n_queries: int = 64,
+    nprobe: int = 4,
+    n_appends: int = 8,
+) -> dict[str, dict]:
+    """r11: what the rename-free manifest commit protocol costs at SERVE
+    time.  Same vectors, same quantizer, both layouts; identical probe
+    (``ann_ivf_index_topk``) timed median-of-3 at three lifecycle points:
+    freshly built, after ``n_appends`` incremental batches (the manifest
+    index holds one generation dir per touched cell per append — the
+    aging worst case), and after compaction.  The manifest's extra
+    serve-time work is one LIST + one KB-scale GET (resolution) plus a
+    multi-dir file listing; everything else is the same pruned scan."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.ivf_store import (
+        compact_ivf_index_manifest,
+        ivf_append_manifest,
+        read_ivf_centroids,
+        read_ivf_index_manifest,
+        write_ivf_index_manifest,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        ann_ivf_index_topk,
+        compact_ivf_index,
+        ivf_append,
+        ivf_assign,
+        ivf_seed_centroids,
+        kmeans_refine,
+        read_ivf_index,
+    )
+
+    base = vecs.filter(F.col("vec_id") % (n_appends + 1) == 0)
+    cent = kmeans_refine(
+        base, ivf_seed_centroids(base, n_cells), iters=1
+    ).localCheckpoint(eager=True)
+    q = vecs.limit(n_queries).localCheckpoint(eager=True)
+
+    droot = tempfile.mkdtemp(prefix="ivfman_") + "/dir"
+    mroot = tempfile.mkdtemp(prefix="ivfman_") + "/man"
+    from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+        write_ivf_index,
+    )
+
+    write_ivf_index(ivf_assign(base, cent), droot, sort_by="vec_id")
+    write_ivf_index_manifest(base, mroot, centroids=cent, sort_by="vec_id")
+
+    def serve(layout: str) -> float:
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            if layout == "dir":
+                idx, cc = read_ivf_index(spark, droot), cent
+            else:
+                idx = read_ivf_index_manifest(spark, mroot)
+                cc = read_ivf_centroids(spark, mroot)
+            ann_ivf_index_topk(q, idx, cc, k=3, nprobe=nprobe).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            walls.append(time.time() - t0)
+        return round(sorted(walls)[1], 2)
+
+    out: dict[str, dict] = {
+        "n_vecs": vecs.count(), "n_cells": n_cells,
+        "n_queries": n_queries, "nprobe": nprobe, "n_appends": n_appends,
+    }
+    out["fresh"] = {"dir_sec": serve("dir"), "manifest_sec": serve("man")}
+    for b in range(1, n_appends + 1):
+        batch = vecs.filter(F.col("vec_id") % (n_appends + 1) == b)
+        ivf_append(batch, cent, droot)
+        ivf_append_manifest(batch, mroot, batch_id=b)
+    out["aged"] = {
+        "dir_sec": serve("dir"), "manifest_sec": serve("man"),
+        "dir_files": len(read_ivf_index(spark, droot).inputFiles()),
+        "manifest_files": len(
+            read_ivf_index_manifest(spark, mroot).inputFiles()
+        ),
+    }
+    compact_ivf_index(spark, droot)
+    compact_ivf_index_manifest(spark, mroot)
+    out["compacted"] = {
+        "dir_sec": serve("dir"), "manifest_sec": serve("man"),
+        "dir_files": len(read_ivf_index(spark, droot).inputFiles()),
+        "manifest_files": len(
+            read_ivf_index_manifest(spark, mroot).inputFiles()
+        ),
+    }
+    return out
+
+
 def measure_star_pipeline(
     spark,
     sf_dir: str,
@@ -1810,6 +1902,7 @@ def measure_star_pipeline(
     mult: int = 20,
     n_batches: int = 20,
     dim_buckets: int = 64,
+    dim_mult: int = 1,
 ) -> dict[str, dict]:
     """r11 (VERDICT r10 "Next" #5): the COMPOSED star pipeline — stream →
     hyperjoin enrichment → quarantine split → dim upsert + fact append,
@@ -1829,6 +1922,17 @@ def measure_star_pipeline(
       ingest), so each batch touches ~1/n_batches of the key space: the
       dim-write regime the bucketed layout exists for, now measured
       inside the full composition instead of the isolated sink.
+
+    ``dim_mult > 1`` moves the composition into the LARGE-dim regime the
+    isolated ``dim_write_amp`` probe measured: the dim is pre-seeded
+    (bulk initial load, the engine's S5 shape) with the master
+    replicated ``dim_mult``× under shifted product ids, so the stream's
+    per-batch upserts hit a dim ``dim_mult``× larger than the touched
+    key set — flat rewrites the whole dim every batch, bucketed only the
+    touched buckets.  ``dim_mult = 1`` (the sf-master dim, ~20k rows at
+    sf0.1) measures the SMALL-dim side of the crossover, where flat's
+    single-file rewrite beats the bucketed layout's per-bucket footer
+    overhead — both honest data points.
     """
     import os as _os
 
@@ -1879,14 +1983,40 @@ def measure_star_pipeline(
             ).write.parquet(path)
         streams[shape] = path
 
+    dim_seed = None
+    if dim_mult > 1:
+        dim_seed = (
+            master.select("product_id", "product_name", "product_price")
+            .crossJoin(
+                F.broadcast(
+                    spark.range(dim_mult).withColumnRenamed("id", "__rep")
+                )
+            )
+            .withColumn(
+                "product_id",
+                F.col("product_id") + F.col("__rep") * F.lit(1_000_000),
+            )
+            .drop("__rep")
+        )
+
     out: dict[str, dict] = {
         "mult": mult, "n_batches": n_batches,
-        "txn_rows": big.count(), "dim_rows": n_products,
+        "txn_rows": big.count(),
+        "dim_rows": n_products * dim_mult,
+        "dim_mult": dim_mult,
         "dim_buckets": dim_buckets,
     }
     for shape, stream_path in streams.items():
         for label, bkt in (("flat", None), ("bucketed", dim_buckets)):
             out_dir = tempfile.mkdtemp(prefix="star_pipe_") + "/dw"
+            if dim_seed is not None:
+                from datawarehouse_etl_using_hyperjoin_spark.operators.upsert import (
+                    upsert_parquet_sink,
+                )
+
+                upsert_parquet_sink(
+                    f"{out_dir}/dim_product", "product_id", buckets=bkt
+                )(dim_seed, 0)
             per_batch = []
             inner = make_quarantine_sink(
                 make_star_sink(out_dir, dim_buckets=bkt),
@@ -1894,7 +2024,9 @@ def measure_star_pipeline(
                 watermark_col="order_date",
                 lateness="3650 days",
             )
-            state = {"before": {}}
+            # baseline AFTER any dim pre-seed, so batch 0's write bytes
+            # measure the batch, not the bulk load
+            state = {"before": files_of(out_dir)}
 
             def sink(batch_df, batch_id, _inner=inner, _s=state, _pb=per_batch, _out=out_dir):
                 t0 = time.time()
@@ -2574,6 +2706,29 @@ def main() -> None:
             )
         print(json.dumps({"dim_write_amp": out}, indent=2))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "ivf_manifest":
+        spark = get_spark(
+            "scale-probe-ivfman",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+            extra_conf=METERED_SESSION_CONF,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        vec_path = tempfile.mkdtemp(prefix="scale_probe_") + "/vectors"
+        synth_clustered_vectors(
+            spark, int(os.environ.get("SCALE_PROBE_VECS", 400_000)), 32,
+            vec_path,
+            n_blobs=int(os.environ.get("SCALE_PROBE_BLOBS", 32)),
+            spread=float(os.environ.get("SCALE_PROBE_SPREAD", 0.15)),
+        )
+        print(json.dumps({"ivf_manifest": measure_ivf_manifest_overhead(
+            spark,
+            spark.read.parquet(vec_path).localCheckpoint(eager=True),
+            n_cells=int(os.environ.get("SCALE_PROBE_CELLS", 32)),
+            n_queries=int(os.environ.get("SCALE_PROBE_QUERIES", 64)),
+            nprobe=int(os.environ.get("SCALE_PROBE_NPROBE", 4)),
+            n_appends=int(os.environ.get("SCALE_PROBE_APPENDS", 8)),
+        )}, indent=2))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "star_pipeline":
         spark = get_spark(
             "scale-probe-star",
@@ -2587,6 +2742,7 @@ def main() -> None:
             mult=int(os.environ.get("SCALE_PROBE_MULT", 20)),
             n_batches=int(os.environ.get("SCALE_PROBE_BATCHES", 20)),
             dim_buckets=int(os.environ.get("SCALE_PROBE_DIM_BUCKETS", 64)),
+            dim_mult=int(os.environ.get("SCALE_PROBE_DIM_MULT", 1)),
         )}, indent=2))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "pipeline":
