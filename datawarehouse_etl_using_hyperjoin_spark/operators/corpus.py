@@ -439,9 +439,28 @@ def make_corpus_ingest_sink(
     n_bands: int = 4,
     shingle_k: int = 3,
     max_bucket: int = 1000,
+    corpus_layout: str = "partition",
 ):
     """foreachBatch handler: gate each micro-batch, near-dup it against
     the AT-REST LSH index, append survivors + their signatures.
+
+    ``corpus_layout`` (r11) picks the survivors' at-rest form:
+
+    - ``"partition"`` (default): one ``ingest_batch=N`` partition dir
+      per batch, replay overwrites it — the local-fs shape, compacted
+      by :func:`compact_corpus` (rename swap).
+    - ``"manifest"``: the generation-manifest batch table
+      (:mod:`...sources.manifest_table`) — the object-store-safe shape:
+      no rename anywhere, the commit point is a manifest PUT, and the
+      batch LEDGER detects a replayed committed batch outright (read the
+      corpus back with ``read_manifest_table``; compact via
+      ``compact_manifest_table`` / ``run_maintenance(manifest_tables=)``).
+      On a ledger hit the band upsert below still runs — it is an
+      idempotent partition overwrite, so a crash BETWEEN the two commits
+      (corpus published, index not yet) converges on replay.  The LSH
+      index stays a bucketed catalog table in both modes; its per-batch
+      dynamic partition overwrite is delete+write, no engine-level
+      rename.
 
     This is the historical-dedup half :func:`prepare_corpus_stream`
     deliberately leaves out of the per-row stream: each batch computes
@@ -481,7 +500,32 @@ def make_corpus_ingest_sink(
         upsert_lsh_index_batch,
     )
 
+    if corpus_layout not in ("partition", "manifest"):
+        raise ValueError(
+            f"corpus_layout must be 'partition' or 'manifest', got "
+            f"{corpus_layout!r}"
+        )
     layout_checked = []
+
+    def _guard_manifest_layout(spark) -> None:
+        # the manifest guard is simpler: the dir must be manifest-shaped
+        # (or absent) — a partition-layout or pre-r7 flat corpus mixed
+        # under a manifest root would be invisible to manifest readers
+        if layout_checked:
+            return
+        from ..fsutil import list_visible
+
+        entries = list_visible(spark, out_dir)
+        for name, _is_dir in entries or []:
+            if name not in ("_manifest", "data"):
+                raise ValueError(
+                    f"corpus dir {out_dir!r} contains non-manifest entry "
+                    f"{name!r} — corpus_layout='manifest' needs a fresh "
+                    "directory (or one already in manifest layout); "
+                    "rows outside the manifest would be invisible to "
+                    "read_manifest_table"
+                )
+        layout_checked.append(True)
 
     def _guard_corpus_layout(spark) -> None:
         # mirror of upsert_lsh_index_batch's ingest_batch guard, for the
@@ -529,7 +573,10 @@ def make_corpus_ingest_sink(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _guard_corpus_layout(spark)
+        if corpus_layout == "manifest":
+            _guard_manifest_layout(spark)
+        else:
+            _guard_corpus_layout(spark)
         scored = corpus_metrics(batch_df, id_col, text_col)
         gated = _quality_gate(
             scored, min_quality=min_quality, min_tokens=min_tokens, langs=langs
@@ -602,9 +649,22 @@ def make_corpus_ingest_sink(
         # append is a dynamic partition overwrite keyed by batch id —
         # so a replayed batch converges to the same state instead of
         # duplicating rows (the r6 at-least-once caveat, closed)
-        kept.write.mode("overwrite").parquet(
-            f"{out_dir}/ingest_batch={int(batch_id)}"
-        )
+        if corpus_layout == "manifest":
+            from ..sources.manifest_table import manifest_table_append
+
+            # carries ingest_batch as a DATA column so reads match the
+            # partition layout's schema; a ledger hit (replayed committed
+            # batch) returns None and skips only the corpus write — the
+            # band upsert below re-lands idempotently either way
+            manifest_table_append(
+                kept.withColumn("ingest_batch", F.lit(int(batch_id))),
+                out_dir,
+                batch_id,
+            )
+        else:
+            kept.write.mode("overwrite").parquet(
+                f"{out_dir}/ingest_batch={int(batch_id)}"
+            )
         upsert_lsh_index_batch(
             bands.join(kept.select(id_col), id_col, "semi"),
             index_table,

@@ -118,3 +118,88 @@ def test_reserved_generation_column_is_refused_loudly(spark, tmp_path):
     df = spark.range(3).select(F.col("id"), F.lit(1).alias("g"))
     with pytest.raises(ValueError, match="reserves column name 'g'"):
         manifest_table_append(df, str(tmp_path / "r"), 0)
+
+
+def test_corpus_sink_manifest_layout_matches_partition_layout(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """make_corpus_ingest_sink(corpus_layout='manifest'): same gating,
+    same index-backed near-dup survivors as the partition layout on the
+    same batches, but the corpus commits through the rename-free
+    manifest table (renames banned) — replays detected by the ledger,
+    and a crash between the corpus publish and the band upsert converges
+    on replay."""
+    import uuid as _uuid
+
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        make_corpus_ingest_sink,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import (
+        load_table,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+        .localCheckpoint(eager=True)
+    )
+    near = base.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    ).localCheckpoint(eager=True)
+    batches = [base, near]
+
+    def run(layout, root, table):
+        sink = make_corpus_ingest_sink(
+            root, table, min_quality=0.0, min_tokens=1,
+            corpus_layout=layout,
+        )
+        for b, df in enumerate(batches):
+            sink(df, b)
+        return sink
+
+    p_root = str(tmp_path / "p_corpus")
+    p_table = f"mt_p_{_uuid.uuid4().hex[:8]}"
+    m_root = str(tmp_path / "m_corpus")
+    m_table = f"mt_m_{_uuid.uuid4().hex[:8]}"
+    try:
+        run("partition", p_root, p_table)
+        with monkeypatch.context() as mp:
+            _ban_renames(mp)
+            m_sink = run("manifest", m_root, m_table)
+            want = {
+                (r.doc_id, r.text)
+                for r in spark.read.parquet(p_root)
+                .select("doc_id", "text").collect()
+            }
+            got_df = read_manifest_table(spark, m_root)
+            got = {
+                (r.doc_id, r.text)
+                for r in got_df.select("doc_id", "text").collect()
+            }
+            assert got == want and got
+            # ingest_batch rides as a data column with the same values
+            assert {
+                (r.doc_id, int(r.ingest_batch)) for r in got_df.collect()
+            } == {
+                (r.doc_id, int(r.ingest_batch))
+                for r in spark.read.parquet(p_root).collect()
+            }
+            # replay of a committed batch: ledger-detected, corpus
+            # unchanged, band re-upsert idempotent
+            m_sink(batches[1], 1)
+            assert read_manifest_table(spark, m_root).count() == len(got)
+            assert spark.table(m_table).count() == spark.table(
+                p_table
+            ).count()
+        # layout guard: a partition-layout dir refuses manifest mode
+        bad = make_corpus_ingest_sink(
+            p_root, m_table, min_quality=0.0, min_tokens=1,
+            corpus_layout="manifest",
+        )
+        with pytest.raises(ValueError, match="non-manifest entry"):
+            bad(base, 5)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {p_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {m_table}")
