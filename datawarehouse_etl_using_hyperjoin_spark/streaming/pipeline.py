@@ -677,7 +677,12 @@ def compact_quarantine(
     return out
 
 
-def make_star_sink(out_dir: str, *, dim_buckets: int | None = None):
+def make_star_sink(
+    out_dir: str,
+    *,
+    dim_buckets: int | None = None,
+    fact_layout: str = "partition",
+):
     """The ``foreachBatch`` body of :func:`run_pipeline_streaming` as a
     standalone factory: per micro-batch, keyed SCD1 upsert of the product
     dim + idempotent per-batch fact append under ``out_dir``.
@@ -692,9 +697,29 @@ def make_star_sink(out_dir: str, *, dim_buckets: int | None = None):
     the dim (``upsert_parquet_sink(buckets=...)``; read it back through
     ``operators.upsert.read_dim``).  Sticky per table — keep it constant
     across restarts.
+
+    ``fact_layout`` (opt-in, r11) picks the fact relation's at-rest form:
+    ``"partition"`` (default) is the ``batch_id=N`` dir per micro-batch,
+    replay overwrites it; ``"manifest"`` commits through the
+    generation-manifest batch table (:mod:`..sources.manifest_table`) —
+    the object-store posture: replays are LEDGER-detected rather than
+    relying on overwrite idempotency, and the fact's compaction
+    (``compact_manifest_table``) is rename-free, where the partition
+    layout's ``compact_corpus`` path swaps directories with renames.
+    Read the fact back with ``read_manifest_table``; ``batch_id`` rides
+    as a data column with the same values the partition column carries.
+    Both dim layouts are already rename-free at the engine level (static
+    or dynamic overwrite), so with ``fact_layout="manifest"`` +
+    ``dim_buckets`` the whole hot path AND the fact's maintenance avoid
+    renames end to end.
     """
     from ..operators.upsert import upsert_parquet_sink
 
+    if fact_layout not in ("partition", "manifest"):
+        raise ValueError(
+            f"fact_layout must be 'partition' or 'manifest', got "
+            f"{fact_layout!r}"
+        )
     dim_sink = upsert_parquet_sink(
         f"{out_dir}/dim_product", "product_id", buckets=dim_buckets
     )
@@ -706,12 +731,25 @@ def make_star_sink(out_dir: str, *, dim_buckets: int | None = None):
                 "product_id", "product_name", "product_price"
             ).dropDuplicates(["product_id"])
             dim_sink(dim_updates, batch_id)
-            batch_df.select(
+            fact = batch_df.select(
                 "order_id", "line_number", "product_id", "quantity",
                 "product_price_num", "total_sale",
-            ).write.mode("overwrite").parquet(
-                f"{out_dir}/fact_enriched/batch_id={batch_id}"
             )
+            if fact_layout == "manifest":
+                from ..sources.manifest_table import manifest_table_append
+
+                # dim upsert runs FIRST and is keyed-idempotent, so a
+                # ledger hit here (replayed committed batch) still
+                # converges the dim before skipping the fact write
+                manifest_table_append(
+                    fact.withColumn("batch_id", F.lit(int(batch_id))),
+                    f"{out_dir}/fact_enriched",
+                    batch_id,
+                )
+            else:
+                fact.write.mode("overwrite").parquet(
+                    f"{out_dir}/fact_enriched/batch_id={batch_id}"
+                )
         finally:
             batch_df.unpersist()
 
@@ -728,6 +766,7 @@ def run_pipeline_streaming(
     quarantine_lateness: str | None = None,
     quarantine_watermark_col: str = "order_date",
     dim_buckets: int | None = None,
+    fact_layout: str = "partition",
     maintenance_every: int | None = None,
     maintenance_keep_last: int = 2,
 ) -> dict[str, int]:
@@ -761,6 +800,12 @@ def run_pipeline_streaming(
     ``dim_buckets`` (opt-in) — see :func:`make_star_sink`: bounds per-
     batch dim write bytes by the batch, not the dim.
 
+    ``fact_layout`` (opt-in, r11) — see :func:`make_star_sink`:
+    ``"manifest"`` commits the fact through the generation-manifest
+    batch table (ledger exactly-once, rename-free compaction — the
+    object-store posture); the returned counts and ``maintenance_every``
+    adapt automatically.
+
     ``maintenance_every`` (opt-in, r11) closes the operational loop the
     per-artifact compaction passes left open (each existed but had to
     be remembered separately): every N-th committed micro-batch runs
@@ -774,7 +819,9 @@ def run_pipeline_streaming(
     rewrites in place) and needs no pass.
     """
     enriched = stream_static_hyperjoin(txn_stream, master)
-    sink = make_star_sink(out_dir, dim_buckets=dim_buckets)
+    sink = make_star_sink(
+        out_dir, dim_buckets=dim_buckets, fact_layout=fact_layout
+    )
     if quarantine_lateness is not None:
         sink = make_quarantine_sink(
             sink,
@@ -785,14 +832,17 @@ def run_pipeline_streaming(
     if maintenance_every is not None:
         from ..maintenance import make_maintenance_sink
 
+        fact_kind = (
+            "manifest_tables" if fact_layout == "manifest" else "fact_dirs"
+        )
         sink = make_maintenance_sink(
             sink,
             maintenance_every,
             keep_last=maintenance_keep_last,
-            fact_dirs=[f"{out_dir}/fact_enriched"],
             quarantine_dirs=(
                 [out_dir] if quarantine_lateness is not None else []
             ),
+            **{fact_kind: [f"{out_dir}/fact_enriched"]},
         )
     writer = enriched.writeStream.outputMode("append").foreachBatch(sink)
     if checkpoint_dir:
@@ -800,9 +850,17 @@ def run_pipeline_streaming(
     q = writer.start()
     q.processAllAvailable()
     q.stop()
+    if fact_layout == "manifest":
+        from ..sources.manifest_table import read_manifest_table
+
+        fact_count = read_manifest_table(
+            spark, f"{out_dir}/fact_enriched"
+        ).count()
+    else:
+        fact_count = spark.read.parquet(f"{out_dir}/fact_enriched").count()
     counts = {
         "dim_product": spark.read.parquet(f"{out_dir}/dim_product").count(),
-        "fact_enriched": spark.read.parquet(f"{out_dir}/fact_enriched").count(),
+        "fact_enriched": fact_count,
     }
     if quarantine_lateness is not None:
         from pyspark.errors import AnalysisException

@@ -290,3 +290,55 @@ def test_run_maintenance_covers_the_manifest_ivf_store(
     after = read_ivf_index_manifest(spark, root)
     assert after.count() == n
     assert after.select("vec_id").distinct().count() == n
+
+
+def test_pipeline_manifest_fact_layout_parity_and_bounded_generations(
+    spark, sf_dir, eight_file_stream_dir, tmp_path_factory
+):
+    """run_pipeline_streaming(fact_layout='manifest'): identical fact
+    content and dim state to the partition layout over the same 8-batch
+    stream, with the fact committed through the ledgered manifest table;
+    maintenance_every compacts GENERATIONS (rename-free) instead of
+    partition dirs, and the count stays bounded in stream age."""
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        read_manifest_table,
+    )
+
+    master = master_data(spark, sf_dir)
+    ref_out = str(tmp_path_factory.mktemp("fact_ref"))
+    ref = run_pipeline_streaming(
+        spark,
+        read_parquet_stream(spark, eight_file_stream_dir, max_files_per_trigger=1),
+        master,
+        ref_out,
+        checkpoint_dir=ref_out + "/_ckpt",
+    )
+    out = str(tmp_path_factory.mktemp("fact_man"))
+    counts = run_pipeline_streaming(
+        spark,
+        read_parquet_stream(spark, eight_file_stream_dir, max_files_per_trigger=1),
+        master,
+        out,
+        checkpoint_dir=out + "/_ckpt",
+        fact_layout="manifest",
+        maintenance_every=2,
+        maintenance_keep_last=1,
+    )
+    assert counts == ref
+    ref_fact = spark.read.parquet(f"{ref_out}/fact_enriched")
+    fact = read_manifest_table(spark, f"{out}/fact_enriched")
+    data_cols = [c for c in ref_fact.columns if c != "batch_id"]
+    assert fact.select(data_cols).exceptAll(ref_fact.select(data_cols)).count() == 0
+    assert ref_fact.select(data_cols).exceptAll(fact.select(data_cols)).count() == 0
+    assert _decimal_sum(fact) == _decimal_sum(ref_fact)
+    # batch_id rides as a data column with the same values
+    assert {
+        int(r[0]) for r in ref_fact.select("batch_id").distinct().collect()
+    } == set(range(8))
+    assert fact.select("batch_id").distinct().count() == 8
+    # generations bounded by the cadence: merged(1) + kept(1) + ≤2 new
+    live = manifest_read(spark, f"{out}/fact_enriched")
+    assert len(live["gens"]) <= 4
+    # the ledger recorded every micro-batch exactly once
+    assert set(live["batches"]) == {str(b) for b in range(8)}
