@@ -325,3 +325,42 @@ def test_batch_ledger_makes_streaming_append_exactly_once(
     b2 = em.withColumn("vec_id", F.col("vec_id") + 50_000)
     assert ivf_append_manifest(b2, root, batch_id=2) is not None
     assert read_ivf_index_manifest(spark, root).count() == 2 * n
+
+
+def test_manifest_read_keeps_partition_pruning(spark, sf_dir, tmp_path):
+    """The scale property that makes the IVF index work — probed cells
+    pruned from the FILE LISTING — must survive the manifest read's
+    multi-root construction: the probe filter reaches PartitionFilters
+    and the executed scan reads strictly fewer files than the index
+    holds, exactly as on the dir layout."""
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import (
+        plan_string,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "ivf_prune")
+    write_ivf_index_manifest(em, root, n_centroids=4)
+    # two appends so cells span several generations (several roots each)
+    for b in (1, 2):
+        ivf_append_manifest(
+            em.withColumn("vec_id", F.col("vec_id") + 10_000 * b),
+            root, batch_id=b,
+        )
+    index = read_ivf_index_manifest(spark, root)
+    probed = sorted(
+        int(r[0]) for r in index.select("centroid_id").distinct().collect()
+    )[:2]
+    pruned = index.filter(F.col("centroid_id").isin(probed))
+    plan = plan_string(pruned)
+    assert any(
+        "PartitionFilters" in l and "centroid_id" in l
+        for l in plan.splitlines()
+    ), f"no centroid_id PartitionFilters through the manifest read:\n{plan}"
+    read_files = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert read_files and len(read_files) < len(index.inputFiles())
+    # every file actually read belongs to a probed cell's directory
+    assert all(
+        any(f"centroid_id={c}/" in f for c in probed) for f in read_files
+    )
