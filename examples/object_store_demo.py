@@ -1,0 +1,208 @@
+"""Runnable demo: the OBJECT-STORE posture, end to end, with renames
+disabled for the whole run.
+
+Everything here commits through the generation-manifest protocol
+(``manifest.py``): data only ever lands at fresh generation paths, the
+commit point is a manifest PUT, readers resolve exactly the published
+state, and maintenance rewrites to fresh paths instead of swapping
+directories.  To prove the posture rather than claim it, this script
+REPLACES ``os.rename``/``os.replace``/``shutil.move`` with raising
+stubs before any pipeline work starts — the local-fs idioms the
+engine's partition layouts use are physically unavailable, exactly as
+on S3/GCS.
+
+Stages (printed as they run):
+
+1. the reference's star pipeline in streaming form —
+   ``run_pipeline_streaming(fact_layout='manifest', dim_buckets=...,
+   maintenance_every=...)``: ledgered fact commits, bucketed dim,
+   scheduled rename-free compaction;
+2. streamed corpus ingest with at-rest LSH dedup,
+   ``corpus_layout='manifest'``, including a simulated re-delivery the
+   ledger must skip;
+3. the vector index lifecycle on the manifest store: build → streaming
+   ingest (exactly-once sink) → a crash injected BEFORE a publish
+   (invisible to readers, retried cleanly) → hot-cell split → compact →
+   vacuum → ANN serving off the final state.
+
+    python examples/object_store_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from datawarehouse_etl_using_hyperjoin_spark.maintenance import run_maintenance
+from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+    make_corpus_ingest_sink,
+)
+from datawarehouse_etl_using_hyperjoin_spark.operators.ivf_store import (
+    compact_ivf_index_manifest,
+    ivf_split_oversized_manifest,
+    ivf_vacuum,
+    make_ivf_ingest_sink,
+    read_ivf_centroids,
+    read_ivf_index_manifest,
+    write_ivf_index_manifest,
+)
+from datawarehouse_etl_using_hyperjoin_spark.operators.similarity import (
+    ann_ivf_index_topk,
+)
+from datawarehouse_etl_using_hyperjoin_spark.session import get_spark
+from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import (
+    load_table,
+    master_data,
+    transactions,
+)
+from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+    read_manifest_table,
+)
+from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+    read_parquet_stream,
+    run_pipeline_streaming,
+)
+
+
+def _disable_renames() -> None:
+    def boom(*a, **k):
+        raise OSError(
+            "rename is unavailable in this demo (object-store simulation)"
+        )
+
+    os.rename = boom  # type: ignore[assignment]
+    os.replace = boom  # type: ignore[assignment]
+    shutil.move = boom  # type: ignore[assignment]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("object-store-demo", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="objstore_demo_")
+    _disable_renames()
+    print(f"== object-store posture demo (renames DISABLED), sf={sf_dir}")
+
+    # -- 1. the reference pipeline, streaming, manifest fact + bucketed dim
+    stream_dir = f"{root}/txn_stream"
+    transactions(spark, sf_dir).repartition(4).write.parquet(stream_dir)
+    out = f"{root}/dw"
+    counts = run_pipeline_streaming(
+        spark,
+        read_parquet_stream(spark, stream_dir, max_files_per_trigger=1),
+        master_data(spark, sf_dir),
+        out,
+        checkpoint_dir=f"{out}/_ckpt",
+        dim_buckets=8,
+        fact_layout="manifest",
+        maintenance_every=2,
+        maintenance_keep_last=1,
+    )
+    fact = read_manifest_table(spark, f"{out}/fact_enriched")
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
+
+    live = manifest_read(spark, f"{out}/fact_enriched")
+    print(
+        f"[star]   dim={counts['dim_product']} fact={counts['fact_enriched']} "
+        f"generations={len(live['gens'])} (maintenance merged "
+        f"{len(live['batches']) - len(live['gens'])} of "
+        f"{len(live['batches'])} ledgered batches) "
+        f"sum(total_sale)={fact.agg(F.sum('total_sale')).first()[0]:.2f}"
+    )
+
+    # -- 2. corpus ingest, manifest layout, with a replayed delivery
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 200)
+    b1 = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 300)
+    ).unionByName(
+        # near-dups of batch 0: must be dropped against the AT-REST index
+        b0.limit(40).select(
+            (F.col("doc_id") + 50_000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    corpus = f"{root}/corpus"
+    index = f"demo_lsh_{uuid.uuid4().hex[:8]}"
+    sink = make_corpus_ingest_sink(
+        corpus, index, min_quality=0.0, min_tokens=1,
+        corpus_layout="manifest",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    n = read_manifest_table(spark, corpus).count()
+    sink(b1, 1)  # at-least-once re-delivery: the ledger must skip it
+    n_after = read_manifest_table(spark, corpus).count()
+    print(
+        f"[corpus] survivors={n} (near-dups dropped against the at-rest "
+        f"index); replayed delivery skipped by the ledger "
+        f"({'OK' if n == n_after else 'FAILED'})"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {index}")
+
+    # -- 3. the vector index lifecycle on the manifest store
+    em = load_table(spark, sf_dir, "embeddings")
+    ivf = f"{root}/ivf"
+    write_ivf_index_manifest(
+        em.filter(F.col("vec_id") % 3 == 0), ivf, n_centroids=2
+    )
+    vec_sink = make_ivf_ingest_sink(ivf)
+    vec_sink(em.filter(F.col("vec_id") % 3 == 1), 1)
+
+    # crash BEFORE publish: the write lands, the manifest does not —
+    # readers see nothing, the retry commits exactly once
+    import datawarehouse_etl_using_hyperjoin_spark.operators.ivf_store as st
+
+    real_publish, st.manifest_publish = st.manifest_publish, lambda *a, **k: (
+        (_ for _ in ()).throw(RuntimeError("simulated crash"))
+    )
+    try:
+        vec_sink(em.filter(F.col("vec_id") % 3 == 2), 2)
+    except RuntimeError:
+        pass
+    n_mid = read_ivf_index_manifest(spark, ivf).count()
+    st.manifest_publish = real_publish
+    vec_sink(em.filter(F.col("vec_id") % 3 == 2), 2)  # retry
+    n_all = read_ivf_index_manifest(spark, ivf).count()
+    print(
+        f"[ivf]    crash-before-publish invisible (rows {n_mid} -> {n_all} "
+        f"after retry, corpus total {em.count()}: "
+        f"{'OK' if n_all == em.count() else 'FAILED'})"
+    )
+
+    sizes = {
+        int(r[0]): r[1]
+        for r in read_ivf_index_manifest(spark, ivf)
+        .groupBy("centroid_id").count().collect()
+    }
+    split = ivf_split_oversized_manifest(
+        spark, ivf, max_rows=max(sizes.values()) - 1, k=2
+    )
+    stats = compact_ivf_index_manifest(spark, ivf)
+    vac = ivf_vacuum(spark, ivf, keep_manifests=2)
+    print(
+        f"[ivf]    split parents={split}; compacted "
+        f"{stats['files_before']}->{stats['files_after']} files; vacuum "
+        f"reclaimed {vac['data_dirs_deleted']} dirs, "
+        f"{vac['manifests_deleted']} old manifests"
+    )
+    top = ann_ivf_index_topk(
+        em.filter(F.col("vec_id") < 4),
+        read_ivf_index_manifest(spark, ivf),
+        read_ivf_centroids(spark, ivf),
+        k=3, nprobe=2,
+    )
+    print(f"[ivf]    ANN serving off the final state: {top.count()} result rows")
+    print("== done: every commit above was a manifest PUT; zero renames")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
