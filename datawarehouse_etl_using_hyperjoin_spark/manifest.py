@@ -212,7 +212,21 @@ def manifest_publish(
     retry of the same operation re-publishes the same seq with the same
     content (create-with-overwrite, PUT analogue).  Single maintenance
     writer per table is the concurrency contract, as for every other
-    maintenance op in the engine."""
+    maintenance op in the engine — and a VIOLATION of it is refused
+    rather than silently lost: publishing a seq BEHIND the newest
+    on-disk manifest would land a file readers never resolve (they take
+    the max), so the writer would believe it committed while its data
+    stays invisible forever.  Retrying the newest seq itself is the
+    legitimate crash-retry case and stays allowed."""
+    seqs = manifest_seqs(spark, root)
+    if seqs and int(seq) < seqs[-1]:
+        raise RuntimeError(
+            f"stale publish: target seq {seq} is behind the newest "
+            f"manifest v{seqs[-1]:08d} at {root!r} — another writer "
+            "published since this operation read the live manifest "
+            "(single-writer contract violated); re-derive from the live "
+            "manifest and retry"
+        )
     body = dict(payload)
     body["format"] = FORMAT
     body["seq"] = int(seq)

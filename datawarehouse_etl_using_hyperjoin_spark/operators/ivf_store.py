@@ -87,6 +87,14 @@ def _live(spark: SparkSession, root: str) -> dict:
             "write_ivf_index_manifest first (or use the directory-layout "
             "API in operators.similarity for a plain index)"
         )
+    if m.get("table") != "ivf-index":
+        # the commit protocol is shared; the TABLE KIND is not — reading
+        # a batch-table manifest as an IVF index would KeyError deep in
+        # cell resolution instead of saying what went wrong
+        raise ValueError(
+            f"manifest at {root!r} is a {m.get('table')!r} table, not an "
+            "ivf-index — wrong store for this root"
+        )
     return m
 
 
@@ -219,6 +227,12 @@ def write_ivf_index_manifest(
     spark = vectors.sparkSession
     _guard_layout(spark, root)
     live = manifest_read(spark, root)
+    if live is not None and live.get("table") != "ivf-index":
+        raise ValueError(
+            f"manifest at {root!r} is a {live.get('table')!r} table, not "
+            "an ivf-index — building here would publish over the other "
+            "store's commit log"
+        )
     seq = (live["seq"] + 1) if live else 1
     if centroids is None:
         centroids = ivf_seed_centroids(

@@ -71,6 +71,13 @@ def _live(spark: SparkSession, root: str) -> dict:
             f"no table manifest at {root!r} — the first "
             "manifest_table_append creates it"
         )
+    if m.get("table") != "batch-table":
+        # same protocol, different table kind (e.g. an ivf-index root):
+        # fail with the actual mismatch, not a KeyError on 'gens'
+        raise ValueError(
+            f"manifest at {root!r} is a {m.get('table')!r} table, not a "
+            "batch-table — wrong store for this root"
+        )
     return m
 
 
@@ -106,6 +113,12 @@ def manifest_table_append(
         )
     spark = df.sparkSession
     live = manifest_read(spark, root)
+    if live is not None and live.get("table") != "batch-table":
+        raise ValueError(
+            f"manifest at {root!r} is a {live.get('table')!r} table, not "
+            "a batch-table — appending here would publish over the other "
+            "store's commit log"
+        )
     if live is not None and str(int(batch_id)) in live["batches"]:
         return None  # replay of a committed batch: exactly-once no-op
     seq = (live["seq"] + 1) if live else 1

@@ -203,3 +203,44 @@ def test_corpus_sink_manifest_layout_matches_partition_layout(
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {p_table}")
         spark.sql(f"DROP TABLE IF EXISTS {m_table}")
+
+
+def test_stale_publish_and_wrong_table_kind_are_refused(
+    spark, sf_dir, tmp_path
+):
+    """Two loud-failure contracts of the shared protocol: (a) a writer
+    whose target seq fell behind the newest on-disk manifest (a
+    single-writer violation — its publish would be invisible to readers
+    while it believes it committed) is REFUSED; (b) pointing one store
+    kind at the other's root fails with the actual mismatch, on reads
+    AND on the build/append entry points, instead of corrupting the
+    commit log."""
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import (
+        manifest_publish,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.ivf_store import (
+        read_ivf_index_manifest,
+        write_ivf_index_manifest,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import (
+        load_table,
+    )
+
+    root = str(tmp_path / "guards")
+    for b in range(3):
+        manifest_table_append(_batch(spark, b), root, b)
+    with pytest.raises(RuntimeError, match="stale publish"):
+        manifest_publish(spark, root, {"table": "batch-table"}, seq=1)
+
+    em = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="not an ivf-index"):
+        read_ivf_index_manifest(spark, root)
+    with pytest.raises(ValueError, match="not an ivf-index"):
+        write_ivf_index_manifest(em, root, n_centroids=2)
+
+    ivf_root = str(tmp_path / "ivf_guard")
+    write_ivf_index_manifest(em, ivf_root, n_centroids=2)
+    with pytest.raises(ValueError, match="not a batch-table"):
+        read_manifest_table(spark, ivf_root)
+    with pytest.raises(ValueError, match="not a batch-table"):
+        manifest_table_append(_batch(spark, 0), ivf_root, 0)
