@@ -503,6 +503,7 @@ def make_quarantine_sink(
     *,
     watermark_col: str = "ts",
     lateness: str = "10 minutes",
+    side_layout: str = "partition",
 ):
     """Wrap a ``foreachBatch`` sink with a persisted late-data quarantine:
     each batch is split by :func:`quarantine_late` against the maximum
@@ -538,9 +539,49 @@ def make_quarantine_sink(
     the high watermark to None would let every late row in that batch
     bypass quarantine and double-count in SUM-merging summaries, and
     would shift the replay cutoff this docstring promises is stable.
+
+    ``side_layout`` (r11) picks the side artifacts' at-rest form:
+    ``"partition"`` (default) is the per-batch dir layout above;
+    ``"manifest"`` commits ``late`` and ``_hwm`` through the ledgered
+    generation-manifest batch table (:mod:`..sources.manifest_table`) —
+    the object-store posture: rename-free (incl. their compaction),
+    replays ledger-detected, and the O(1) cutoff read becomes a LEDGER
+    LOOKUP of batch ``N-1``'s generation (still one tiny direct-path
+    read, stream-age-independent).  Empty late splits stop being a
+    special case: a zero-row generation merges away in ordinary
+    compaction, where the partition layout needed the r10
+    empty-partition reap.  Read the artifacts back with
+    ``read_manifest_table``; compact via ``compact_quarantine`` (which
+    auto-detects the layout) or ``run_maintenance``.
     """
     _validate_lateness(lateness)
+    if side_layout not in ("partition", "manifest"):
+        raise ValueError(
+            f"side_layout must be 'partition' or 'manifest', got "
+            f"{side_layout!r}"
+        )
     hwm_dir = f"{out_dir}/_hwm"
+
+    def _prior_hwm_manifest(spark: SparkSession, batch_id: int):
+        from ..manifest import manifest_read
+        from ..sources.manifest_table import read_manifest_table
+
+        live = manifest_read(spark, hwm_dir)
+        if live is None:
+            return None  # no history yet
+        # O(1) fast path: the ledger names the previous batch's
+        # generation directly — one tiny read, whatever the stream age
+        g = live["batches"].get(str(int(batch_id) - 1))
+        if g is not None:
+            prev = spark.read.parquet(f"{hwm_dir}/data/g={int(g)}")
+            if "cum_max_ts" in prev.columns:
+                return prev.agg(F.max("cum_max_ts")).first()[0]
+        # fallback (id gap / replay): running max over every committed
+        # batch EXCEPT this one — same cutoff the fast path carries
+        prior = read_manifest_table(spark, hwm_dir).where(
+            F.col("ingest_batch") != int(batch_id)
+        )
+        return prior.agg(F.max("max_ts")).first()[0]
 
     def _prior_hwm(spark: SparkSession, batch_id: int):
         from ..fsutil import dir_exists, table_exists
@@ -572,23 +613,45 @@ def make_quarantine_sink(
         spark = batch_df.sparkSession
         batch_df.persist()
         try:
-            hwm = _prior_hwm(spark, batch_id)
+            if side_layout == "manifest":
+                hwm = _prior_hwm_manifest(spark, batch_id)
+            else:
+                hwm = _prior_hwm(spark, batch_id)
             on_time, late = quarantine_late(
                 batch_df, watermark_col, lateness, high_watermark=hwm
             )
-            late.write.mode("overwrite").parquet(
-                f"{out_dir}/late/ingest_batch={int(batch_id)}"
-            )
+            if side_layout == "manifest":
+                from ..sources.manifest_table import manifest_table_append
+
+                manifest_table_append(
+                    late.withColumn("ingest_batch", F.lit(int(batch_id))),
+                    f"{out_dir}/late",
+                    batch_id,
+                )
+            else:
+                late.write.mode("overwrite").parquet(
+                    f"{out_dir}/late/ingest_batch={int(batch_id)}"
+                )
             inner_sink(on_time, batch_id)
             own = batch_df.agg(
                 F.max(F.col(watermark_col).cast("timestamp"))
             ).first()[0]
             cum = max((v for v in (own, hwm) if v is not None), default=None)
-            spark.createDataFrame(
+            hwm_row = spark.createDataFrame(
                 [(own, cum)], "max_ts timestamp, cum_max_ts timestamp"
-            ).write.mode("overwrite").parquet(
-                f"{hwm_dir}/ingest_batch={int(batch_id)}"
             )
+            if side_layout == "manifest":
+                from ..sources.manifest_table import manifest_table_append
+
+                manifest_table_append(
+                    hwm_row.withColumn("ingest_batch", F.lit(int(batch_id))),
+                    hwm_dir,
+                    batch_id,
+                )
+            else:
+                hwm_row.write.mode("overwrite").parquet(
+                    f"{hwm_dir}/ingest_batch={int(batch_id)}"
+                )
         finally:
             batch_df.unpersist()
 
@@ -639,6 +702,26 @@ def compact_quarantine(
     for rel in ("late", "_hwm"):
         path = f"{out_dir}/{rel}"
         if not dir_exists(spark, path):
+            continue
+        from ..manifest import manifest_read
+
+        if manifest_read(spark, path) is not None:
+            # manifest side layout (make_quarantine_sink side_layout=
+            # "manifest"): generations compact + vacuum rename-free; a
+            # zero-row late generation merges away like any other, so
+            # the partition layout's empty-dir reap has no counterpart
+            from ..sources.manifest_table import (
+                compact_manifest_table,
+                vacuum_manifest_table,
+            )
+
+            stats = compact_manifest_table(spark, path, keep_last=keep_last)
+            stats.update(
+                vacuum_manifest_table(
+                    spark, path, keep_manifests=max(1, keep_last)
+                )
+            )
+            out[rel] = stats
             continue
         if rel == "late":
             entries = list_visible(spark, path)
@@ -828,6 +911,9 @@ def run_pipeline_streaming(
             out_dir,
             watermark_col=quarantine_watermark_col,
             lateness=quarantine_lateness,
+            # the object-store switch flips the pipeline's artifacts
+            # together: manifest fact => manifest late/_hwm
+            side_layout=fact_layout,
         )
     if maintenance_every is not None:
         from ..maintenance import make_maintenance_sink
@@ -868,16 +954,20 @@ def run_pipeline_streaming(
         from ..fsutil import dir_exists
 
         late_dir = f"{out_dir}/late"
-        try:
-            counts["late"] = (
-                spark.read.parquet(late_dir).count()
-                if dir_exists(spark, late_dir)
-                else 0
-            )
-        except AnalysisException:
-            # dir exists but holds no parquet footers: every batch's late
-            # split was empty (empty-DF overwrites write only _SUCCESS)
-            counts["late"] = 0
+        if fact_layout == "manifest":
+            counts["late"] = read_manifest_table(spark, late_dir).count()
+        else:
+            try:
+                counts["late"] = (
+                    spark.read.parquet(late_dir).count()
+                    if dir_exists(spark, late_dir)
+                    else 0
+                )
+            except AnalysisException:
+                # dir exists but holds no parquet footers: every batch's
+                # late split was empty (empty-DF overwrites write only
+                # _SUCCESS)
+                counts["late"] = 0
     return counts
 
 

@@ -342,3 +342,93 @@ def test_pipeline_manifest_fact_layout_parity_and_bounded_generations(
     assert len(live["gens"]) <= 4
     # the ledger recorded every micro-batch exactly once
     assert set(live["batches"]) == {str(b) for b in range(8)}
+
+
+def test_pipeline_manifest_quarantine_parity_and_compaction(
+    spark, sf_dir, tmp_path_factory
+):
+    """fact_layout='manifest' flips the quarantine side artifacts to the
+    ledgered manifest layout too: identical straggler diversion to the
+    partition layout on the same stream (late ids equal, fact excludes
+    them), the O(1) cutoff read rides the ledger, and compact_quarantine
+    auto-detects the layout — zero-row late generations merge away with
+    no special empty-dir reap."""
+    import time
+
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        read_manifest_table,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        compact_quarantine,
+    )
+
+    txns = transactions(spark, sf_dir)
+    recent = txns.filter(F.year("order_date") >= 1998)
+    old = txns.filter(F.year("order_date") <= 1996).limit(7)
+    n_old = old.count()
+    root = str(tmp_path_factory.mktemp("mq_stream"))
+
+    def _append(df, tag):
+        import os as _os
+
+        sub = f"{root}/_{tag}"
+        df.coalesce(1).write.parquet(sub)
+        for f in _os.listdir(sub):
+            if f.endswith(".parquet"):
+                _os.rename(f"{sub}/{f}", f"{root}/{tag}_{f}")
+
+    # 3 on-time batches in increasing event-time ranges (each batch's
+    # min is within the lateness window of the prior max, so nothing
+    # on-time quarantines) then a straggler batch: several hwm
+    # generations, deterministic late set
+    parts = [
+        recent.filter(F.year("order_date") == 1998),
+        recent.filter(F.year("order_date") == 1999),
+        recent.filter(F.year("order_date") >= 2000),
+    ]
+    for i, p in enumerate(parts):
+        _append(p, f"b{i}")
+        time.sleep(1.1)
+    _append(old, "b3")
+
+    results = {}
+    for layout in ("partition", "manifest"):
+        out = str(tmp_path_factory.mktemp(f"mq_{layout}"))
+        counts = run_pipeline_streaming(
+            spark,
+            read_parquet_stream(spark, root, max_files_per_trigger=1),
+            master_data(spark, sf_dir),
+            out,
+            checkpoint_dir=out + "/_ckpt",
+            quarantine_lateness="365 days",
+            fact_layout=layout,
+        )
+        if layout == "manifest":
+            late = read_manifest_table(spark, f"{out}/late")
+        else:
+            late = spark.read.parquet(f"{out}/late")
+        results[layout] = (
+            counts,
+            {(r.order_id, r.line_number) for r in late.collect()},
+            out,
+        )
+    p_counts, p_late, _ = results["partition"]
+    m_counts, m_late, m_out = results["manifest"]
+    assert m_counts == p_counts
+    assert m_late == p_late
+    assert m_counts["late"] == n_old
+    # hwm rode the ledger: one committed batch per micro-batch
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
+
+    hwm_live = manifest_read(spark, f"{m_out}/_hwm")
+    assert set(hwm_live["batches"]) == {"0", "1", "2", "3"}
+    # auto-detected manifest compaction bounds generations (incl. the
+    # zero-row late generations of the on-time batches)
+    stats = compact_quarantine(spark, m_out, keep_last=1)
+    assert stats["late"]["gens_after"] < stats["late"]["gens_before"]
+    assert stats["_hwm"]["gens_after"] < stats["_hwm"]["gens_before"]
+    assert read_manifest_table(spark, f"{m_out}/late").count() == n_old
+    assert {
+        (r.order_id, r.line_number)
+        for r in read_manifest_table(spark, f"{m_out}/late").collect()
+    } == p_late
