@@ -101,7 +101,9 @@ def main() -> None:
         out,
         checkpoint_dir=f"{out}/_ckpt",
         dim_buckets=8,
-        fact_layout="manifest",
+        fact_layout="manifest",  # also flips late/_hwm to manifest
+        quarantine_lateness="3650 days",
+        quarantine_watermark_col="order_date",
         maintenance_every=2,
         maintenance_keep_last=1,
     )
@@ -111,8 +113,8 @@ def main() -> None:
     live = manifest_read(spark, f"{out}/fact_enriched")
     print(
         f"[star]   dim={counts['dim_product']} fact={counts['fact_enriched']} "
-        f"generations={len(live['gens'])} (maintenance merged "
-        f"{len(live['batches']) - len(live['gens'])} of "
+        f"late={counts['late']} generations={len(live['gens'])} "
+        f"(maintenance merged {len(live['batches']) - len(live['gens'])} of "
         f"{len(live['batches'])} ledgered batches) "
         f"sum(total_sale)={fact.agg(F.sum('total_sale')).first()[0]:.2f}"
     )
