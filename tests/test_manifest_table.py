@@ -244,3 +244,86 @@ def test_stale_publish_and_wrong_table_kind_are_refused(
         read_manifest_table(spark, ivf_root)
     with pytest.raises(ValueError, match="not a batch-table"):
         manifest_table_append(_batch(spark, 0), ivf_root, 0)
+
+
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.integers(min_value=0, max_value=4),   # batch id
+            st.integers(min_value=1, max_value=5),   # rows in the batch
+        ),
+        st.tuples(
+            st.just("crash_append"),
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=1, max_value=5),
+        ),
+        st.tuples(st.just("compact"), st.integers(1, 3), st.just(0)),
+        st.tuples(st.just("vacuum"), st.just(0), st.just(0)),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@given(ops=_ops)
+@hyp_settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_manifest_table_model_under_random_ops_and_crashes(
+    spark, tmp_path_factory, ops
+):
+    """Model-based property: against ANY interleaving of appends,
+    crashed appends (publish suppressed), compactions, and vacuums, the
+    table's visible rows equal the model's committed batches exactly —
+    crashes commit nothing, re-appends of committed ids commit nothing
+    new, maintenance changes nothing visible."""
+    import datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table as m
+
+    root = str(tmp_path_factory.mktemp("mt_model"))
+    committed: dict[int, set[int]] = {}  # batch_id -> row ids
+
+    def batch_rows(bid, n):
+        # row ids deterministic per (batch, size) so replays are replays
+        return {bid * 100 + i for i in range(n)}
+
+    def df_of(rows):
+        return spark.createDataFrame([(r,) for r in sorted(rows)], "doc_id long")
+
+    real_publish = m.manifest_publish
+    for op, a, b in ops:
+        if op == "append":
+            rows = batch_rows(a, b)
+            res = m.manifest_table_append(df_of(rows), root, a)
+            if a in committed:
+                assert res is None  # ledger-detected replay
+            else:
+                committed[a] = rows
+        elif op == "crash_append":
+            if a in committed:
+                continue  # a replayed committed batch cannot crash-write
+            m.manifest_publish = lambda *x, **k: (_ for _ in ()).throw(
+                RuntimeError("crash")
+            )
+            try:
+                import pytest as _pt
+
+                with _pt.raises(RuntimeError):
+                    m.manifest_table_append(df_of(batch_rows(a, b)), root, a)
+            finally:
+                m.manifest_publish = real_publish
+        elif op == "compact" and committed:
+            m.compact_manifest_table(spark, root, keep_last=a)
+        elif op == "vacuum" and committed:
+            m.vacuum_manifest_table(spark, root)
+        # invariant: visible rows == the model, after EVERY op
+        if committed:
+            got = {
+                r.doc_id for r in m.read_manifest_table(spark, root).collect()
+            }
+            assert got == set().union(*committed.values())
