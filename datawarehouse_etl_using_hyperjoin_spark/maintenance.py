@@ -17,7 +17,7 @@ LSH / embedding index bucketed catalog table, ``ingest_batch``  ``operators.dedu
 IVF vector index      parquet dir, ``centroid_id=C``          ``operators.similarity.compact_ivf_index``
 IVF index (manifest)  generation dirs + ``_manifest`` log     ``operators.ivf_store.compact_ivf_index_manifest`` + ``ivf_vacuum``
 batch table (manifest) generation dirs + ``_manifest`` log    ``sources.manifest_table.compact_manifest_table`` + ``vacuum_manifest_table``
-late-data quarantine  ``late/`` + ``_hwm/`` per-batch dirs    ``streaming.pipeline.compact_quarantine``
+late-data quarantine  ``late/`` + ``_hwm/`` per-batch dirs    ``streaming.pipeline.compact_quarantine`` (auto-detects the manifest side layout)
 ====================  ======================================  ===========================
 
 :func:`run_maintenance` runs any subset in one call against a declared
