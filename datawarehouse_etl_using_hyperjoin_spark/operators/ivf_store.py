@@ -534,6 +534,60 @@ def compact_ivf_index_manifest(
     }
 
 
+def migrate_ivf_index_to_manifest(
+    spark: SparkSession,
+    dir_path: str,
+    root: str,
+    *,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """One-call migration from the directory layout to the manifest
+    store: read the rename-based index (refusing a mid-flight split, as
+    any read does), re-cell NOTHING — rows keep their assignments — and
+    publish them with the given quantizer as generation 1 at a FRESH
+    root.  ``centroids`` is the caller-held relation the dir layout
+    requires them to carry; after this call the index owns it and the
+    caller can drop theirs.  The source index is left untouched (delete
+    it once the manifest copy is verified — e.g. compare
+    ``read_ivf_index`` row sets).  Linear in the index, the same cost as
+    one compaction."""
+    from .similarity import read_ivf_index
+
+    _guard_layout(spark, root)
+    if manifest_read(spark, root) is not None:
+        raise ValueError(
+            f"{root!r} already holds a manifest index — migrate to a "
+            "fresh root"
+        )
+    src = read_ivf_index(spark, dir_path)
+    assigned = src.withColumn(
+        "centroid_id", F.col("centroid_id").cast("long")
+    )
+    centroids = centroids.localCheckpoint(eager=True)
+    cell_ids = sorted(
+        int(r[0])
+        for r in assigned.select("centroid_id").distinct().collect()
+    )
+    cent_ids = {
+        int(r[0]) for r in centroids.select("centroid_id").collect()
+    }
+    missing = [c for c in cell_ids if c not in cent_ids]
+    if missing:
+        # validated BEFORE any write: nothing to orphan on refusal
+        raise ValueError(
+            f"cells {missing} exist in the index at {dir_path!r} but not "
+            "in the given centroid relation — the caller-held quantizer "
+            "drifted from the index (the hazard this store eliminates); "
+            "pass the relation the index was last assigned under"
+        )
+    _write_gen(_prepare(assigned, 1, id_col), root)
+    _write_centroids(centroids, root, 1)
+    return _publish(
+        spark, root, {c: [1] for c in cell_ids}, centroids_gen=1, seq=1
+    )
+
+
 def ivf_vacuum(
     spark: SparkSession, root: str, *, keep_manifests: int = 3
 ) -> dict[str, int]:

@@ -468,3 +468,55 @@ def test_ivf_store_model_under_random_ops_and_crashes(
             for r in s.read_ivf_centroids(spark, root).collect()
         }
         assert live_cells <= cent_ids  # every data cell has its centroid
+
+
+def test_migration_from_dir_layout_preserves_index_and_serving(
+    spark, sf_dir, tmp_path
+):
+    """migrate_ivf_index_to_manifest: the manifest copy holds the SAME
+    rows and serves identically; a drifted caller-held quantizer (cells
+    in the index missing from the relation) is refused loudly; the
+    migrated store then appends/compacts like a native one."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.ivf_store import (
+        migrate_ivf_index_to_manifest,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_seed_centroids(em, 2).localCheckpoint(eager=True)
+    dpath = str(tmp_path / "src_dir")
+    write_ivf_index(ivf_assign(em, cent), dpath, sort_by="vec_id")
+
+    root = str(tmp_path / "migrated")
+    migrate_ivf_index_to_manifest(spark, dpath, root, centroids=cent)
+    assert _rows(read_ivf_index_manifest(spark, root)) == _rows(
+        read_ivf_index(spark, dpath)
+    )
+    q = em.filter(F.col("vec_id") < 4)
+    a = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann_ivf_index_topk(
+            q, read_ivf_index_manifest(spark, root),
+            read_ivf_centroids(spark, root), k=3, nprobe=2,
+        ).collect()
+    }
+    b = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann_ivf_index_topk(
+            q, read_ivf_index(spark, dpath), cent, k=3, nprobe=2
+        ).collect()
+    }
+    assert a == b
+    # native lifecycle works on the migrated store
+    extra = em.withColumn("vec_id", F.col("vec_id") + 40_000)
+    assert ivf_append_manifest(extra, root, batch_id=1) is not None
+    assert read_ivf_index_manifest(spark, root).count() == 2 * em.count()
+
+    # drifted quantizer refused
+    with pytest.raises(ValueError, match="drifted"):
+        migrate_ivf_index_to_manifest(
+            spark, dpath, str(tmp_path / "m2"),
+            centroids=cent.filter(F.col("centroid_id") == 0),
+        )
+    # occupied root refused
+    with pytest.raises(ValueError, match="already holds"):
+        migrate_ivf_index_to_manifest(spark, dpath, root, centroids=cent)
