@@ -1895,6 +1895,83 @@ def measure_ivf_manifest_overhead(
     return out
 
 
+def measure_fact_layout(
+    spark,
+    sf_dir: str,
+    *,
+    mult: int = 20,
+    n_batches: int = 20,
+) -> dict[str, dict]:
+    """r11: what the LEDGERED manifest fact commit costs vs the
+    partition layout, isolated to the sink (the rest of the composed
+    pipeline is identical — ``star_pipeline`` measures that).  The SAME
+    enriched batches drive ``make_star_sink`` in both layouts; per-batch
+    wall and the manifest's publish overhead (one KB-scale PUT + a
+    read-back of the live manifest per batch) are what differ.  Also
+    records a replayed delivery's cost in each layout: the partition
+    layout re-executes the full batch write (idempotent overwrite), the
+    manifest layout detects it in the ledger and skips the fact write
+    after the dim upsert."""
+    from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import (
+        master_data,
+        transactions,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        make_star_sink,
+        stream_static_hyperjoin,
+    )
+
+    master = master_data(spark, sf_dir).localCheckpoint(eager=True)
+    big = (
+        transactions(spark, sf_dir)
+        .crossJoin(
+            F.broadcast(spark.range(mult).withColumnRenamed("id", "__rep"))
+        )
+        .withColumn(
+            "order_id", F.col("order_id") + F.col("__rep") * F.lit(10_000_000)
+        )
+        .drop("__rep")
+    )
+    enriched = stream_static_hyperjoin(big, master).withColumn(
+        "__b", F.pmod(F.xxhash64("order_id", "line_number"), F.lit(n_batches))
+    ).localCheckpoint(eager=True)
+    batches = [
+        enriched.filter(F.col("__b") == b).drop("__b")
+        for b in range(n_batches)
+    ]
+    out: dict[str, dict] = {
+        "mult": mult, "n_batches": n_batches, "rows": enriched.count(),
+    }
+    for layout in ("partition", "manifest"):
+        root = tempfile.mkdtemp(prefix="fact_layout_") + "/dw"
+        sink = make_star_sink(root, fact_layout=layout)
+        walls = []
+        for b, df in enumerate(batches):
+            t0 = time.time()
+            sink(df, b)
+            walls.append(round(time.time() - t0, 2))
+        t0 = time.time()
+        sink(batches[-1], n_batches - 1)  # re-delivery of a committed batch
+        replay_wall = round(time.time() - t0, 2)
+        if layout == "manifest":
+            from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+                read_manifest_table,
+            )
+
+            fact_rows = read_manifest_table(spark, f"{root}/fact_enriched").count()
+        else:
+            fact_rows = spark.read.parquet(f"{root}/fact_enriched").count()
+        out[layout] = {
+            "total_wall_sec": round(sum(walls), 2),
+            "first3_wall": walls[:3],
+            "last3_wall": walls[-3:],
+            "replay_wall_sec": replay_wall,
+            "fact_rows": fact_rows,
+        }
+    assert out["partition"]["fact_rows"] == out["manifest"]["fact_rows"]
+    return out
+
+
 def measure_star_pipeline(
     spark,
     sf_dir: str,
@@ -2705,6 +2782,20 @@ def main() -> None:
                 bucket_rows=int(os.environ.get("SCALE_PROBE_BUCKET_ROWS", 6_250)),
             )
         print(json.dumps({"dim_write_amp": out}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "fact_layout":
+        spark = get_spark(
+            "scale-probe-factlayout",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+            extra_conf=METERED_SESSION_CONF,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({"fact_layout": measure_fact_layout(
+            spark,
+            os.environ.get("SCALE_PROBE_SF_DIR", "/root/testdata/sf0.1"),
+            mult=int(os.environ.get("SCALE_PROBE_MULT", 20)),
+            n_batches=int(os.environ.get("SCALE_PROBE_BATCHES", 20)),
+        )}, indent=2))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf_manifest":
         spark = get_spark(
