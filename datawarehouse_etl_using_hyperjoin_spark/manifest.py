@@ -175,14 +175,27 @@ def manifest_seqs(spark: SparkSession, root: str) -> list[int]:
     return sorted(s for n in names if (s := _seq_of(n)) is not None)
 
 
-def manifest_read(spark: SparkSession, root: str) -> dict | None:
+def manifest_read(
+    spark: SparkSession, root: str, *, at: int | None = None
+) -> dict | None:
     """The LIVE manifest: highest-numbered file that parses and carries
     the expected format tag, or None when no valid manifest exists.  An
     unparseable newest file is a crashed local publish — "not yet
     committed" — and the previous manifest stays live (documented in the
     module crash model; on object stores PUT atomicity makes torn
-    manifests impossible)."""
+    manifests impossible).
+
+    ``at`` (r11) resolves a HISTORICAL commit instead: the newest valid
+    manifest with ``seq <= at`` — the snapshot-read primitive (every
+    retained manifest is a complete description of the table at its
+    commit, so time travel is just "resolve an older one").  The window
+    is what retention left behind: ``manifest_vacuum`` bounds the
+    manifest files, and the table's data vacuum may have reclaimed a
+    snapshot's generation DIRS even while its manifest file survives —
+    readers surface that as a missing-path error at scan time."""
     for seq in reversed(manifest_seqs(spark, root)):
+        if at is not None and seq > int(at):
+            continue
         path = f"{root}/{MANIFEST_SUBDIR}/v{seq:08d}.json"
         try:
             payload = json.loads(_read_text(spark, path))
@@ -201,6 +214,23 @@ def manifest_read(spark: SparkSession, root: str) -> dict | None:
             )
         return payload
     return None
+
+
+def manifest_history(spark: SparkSession, root: str) -> list[dict]:
+    """Every retained, valid manifest, ascending by seq — the table's
+    commit audit trail (what each commit's live state was, which batch
+    ids were in the ledger when).  Unparseable files (torn local
+    publishes) are skipped, same as reads."""
+    out = []
+    for seq in manifest_seqs(spark, root):
+        path = f"{root}/{MANIFEST_SUBDIR}/v{seq:08d}.json"
+        try:
+            payload = json.loads(_read_text(spark, path))
+        except (ValueError, OSError):
+            continue
+        if payload.get("format") == FORMAT and payload.get("seq") == seq:
+            out.append(payload)
+    return out
 
 
 def manifest_publish(

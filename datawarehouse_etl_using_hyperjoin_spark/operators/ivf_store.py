@@ -79,8 +79,14 @@ def _cent_dir(root: str, gen: int) -> str:
     return f"{root.rstrip('/')}/{_CENTROIDS}/g={int(gen)}"
 
 
-def _live(spark: SparkSession, root: str) -> dict:
-    m = manifest_read(spark, root)
+def _live(spark: SparkSession, root: str, at: int | None = None) -> dict:
+    m = manifest_read(spark, root, at=at)
+    if m is None and at is not None:
+        raise ValueError(
+            f"no retained manifest at or before seq {at} at {root!r} — "
+            "the snapshot window is bounded by manifest retention "
+            "(ivf_vacuum keep_manifests)"
+        )
     if m is None:
         raise ValueError(
             f"no IVF manifest at {root!r} — build the index with "
@@ -262,16 +268,35 @@ def write_ivf_index_manifest(
     )
 
 
-def read_ivf_index_manifest(spark: SparkSession, root: str) -> DataFrame:
+def read_ivf_index_manifest(
+    spark: SparkSession, root: str, *, as_of: int | None = None
+) -> DataFrame:
     """Read the LIVE index state: exactly the generation dirs the newest
     valid manifest names.  Orphans and superseded generations are
     invisible by construction — the manifest-side answer to the dir
     layout's refuse-on-sentinel read guard.  Schema matches the
     directory-layout read (data columns + inferred ``centroid_id``
     partition column), so every serving plan
-    (``ann_ivf_index_topk[_quantized]``) works unchanged."""
-    cells = _cells_of(_live(spark, root))
+    (``ann_ivf_index_topk[_quantized]``) works unchanged.
+
+    ``as_of`` (r11) reads the SNAPSHOT as of commit seq ``as_of``
+    (newest manifest ≤ it) — the index BEFORE a split/compaction/batch,
+    with :func:`read_ivf_centroids` at the same ``as_of`` giving the
+    matching quantizer (the pair is consistent by construction: one
+    manifest names both).  Reaches only what :func:`ivf_vacuum`
+    retained."""
+    cells = _cells_of(_live(spark, root, at=as_of))
     dirs = _cell_dirs(root, cells)
+    if as_of is not None:
+        from ..fsutil import dir_exists
+
+        gone = [d for d in dirs if not dir_exists(spark, d)]
+        if gone:
+            raise ValueError(
+                f"snapshot at seq {as_of} of {root!r} is no longer fully "
+                f"readable — {len(gone)} generation dirs were vacuumed "
+                "(time travel reaches only what ivf_vacuum retained)"
+            )
     return (
         spark.read.option("basePath", _data_root(root))
         .parquet(*dirs)
@@ -279,11 +304,15 @@ def read_ivf_index_manifest(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
-def read_ivf_centroids(spark: SparkSession, root: str) -> DataFrame:
+def read_ivf_centroids(
+    spark: SparkSession, root: str, *, as_of: int | None = None
+) -> DataFrame:
     """The LIVE quantizer — always the one the live cells were assigned
     under, because splits commit both in one manifest.  Feed it to the
-    serving plans next to :func:`read_ivf_index_manifest`'s relation."""
-    m = _live(spark, root)
+    serving plans next to :func:`read_ivf_index_manifest`'s relation.
+    ``as_of`` resolves the quantizer of that snapshot instead (see the
+    index read)."""
+    m = _live(spark, root, at=as_of)
     return spark.read.parquet(_cent_dir(root, m["centroids_gen"]))
 
 
@@ -591,18 +620,30 @@ def migrate_ivf_index_to_manifest(
 def ivf_vacuum(
     spark: SparkSession, root: str, *, keep_manifests: int = 3
 ) -> dict[str, int]:
-    """Reclaim everything no reader can see: data and quantizer
-    generation dirs not referenced by the LIVE manifest (superseded
-    generations and crash orphans alike — DELETE analogue,
-    object-store-safe) plus manifest files older than the newest
-    ``keep_manifests``.  Single-writer contract: don't run concurrently
-    with a writer, whose target generation is unpublished by definition
-    and would be reclaimed.  Keeping older MANIFESTS without their data
-    dirs is fine — manifests are audit history; only the live one is
-    ever resolved for reads."""
-    m = _live(spark, root)
-    live_cells = _cells_of(m)
-    keep = {(c, g) for c, gens in live_cells.items() for g in gens}
+    """Reclaim what no RETAINED snapshot references: expire manifest
+    files beyond the newest ``keep_manifests`` first (the time-travel
+    window), then delete every data and quantizer generation dir that
+    none of the remaining manifests reference — superseded generations
+    past the window and crash orphans alike (DELETE analogue,
+    object-store-safe).  Every retained manifest stays fully readable
+    via ``read_ivf_index_manifest(as_of=...)`` + matching centroids;
+    the snapshot window and the storage bound are the same knob.
+    Single-writer contract: don't run concurrently with a writer, whose
+    target generation is unpublished by definition and would be
+    reclaimed."""
+    from ..manifest import manifest_history
+
+    _live(spark, root)  # kind check + fail loudly on an empty root
+    n_manifests = len(manifest_vacuum(spark, root, keep_last=keep_manifests))
+    retained = manifest_history(spark, root)
+    keep = {
+        (int(c), int(g))
+        for m in retained
+        for c, gens in m.get("cells", {}).items()
+        for g in gens
+    }
+    keep_cells = {c for c, _g in keep}
+    keep_cent = {int(m["centroids_gen"]) for m in retained}
     data = _data_root(root)
     dropped = 0
     for cname in _ls_names(spark, data):
@@ -623,8 +664,8 @@ def ivf_vacuum(
                 spark, f"{data}/{cname}/{gname}", recursive=True
             ):
                 dropped += 1
-        if c not in live_cells:
-            # retired parent cell: reap the (now empty) cell dir shell
+        if c not in keep_cells:
+            # cell referenced by no retained snapshot: reap the shell
             _delete(spark, f"{data}/{cname}", recursive=True)
     cent_root = f"{root.rstrip('/')}/{_CENTROIDS}"
     for gname in _ls_names(spark, cent_root):
@@ -634,13 +675,11 @@ def ivf_vacuum(
             g = int(gname.split("=", 1)[1])
         except ValueError:
             continue
-        if g != int(m["centroids_gen"]) and _delete(
+        if g not in keep_cent and _delete(
             spark, f"{cent_root}/{gname}", recursive=True
         ):
             dropped += 1
     return {
         "data_dirs_deleted": dropped,
-        "manifests_deleted": len(
-            manifest_vacuum(spark, root, keep_last=keep_manifests)
-        ),
+        "manifests_deleted": n_manifests,
     }

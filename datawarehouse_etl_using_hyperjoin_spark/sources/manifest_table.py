@@ -64,8 +64,14 @@ def _gen_dir(root: str, gen: int) -> str:
     return f"{_data_root(root)}/g={int(gen)}"
 
 
-def _live(spark: SparkSession, root: str) -> dict:
-    m = manifest_read(spark, root)
+def _live(spark: SparkSession, root: str, at: int | None = None) -> dict:
+    m = manifest_read(spark, root, at=at)
+    if m is None and at is not None:
+        raise ValueError(
+            f"no retained manifest at or before seq {at} at {root!r} — "
+            "the snapshot window is bounded by manifest retention "
+            "(manifest_vacuum keep_last)"
+        )
     if m is None:
         raise ValueError(
             f"no table manifest at {root!r} — the first "
@@ -131,14 +137,35 @@ def manifest_table_append(
     return _publish(spark, root, gens, batches, seq)
 
 
-def read_manifest_table(spark: SparkSession, root: str) -> DataFrame:
+def read_manifest_table(
+    spark: SparkSession, root: str, *, as_of: int | None = None
+) -> DataFrame:
     """Union of exactly the LIVE generations — orphans from crashed
-    appends/compactions are invisible by construction."""
-    m = _live(spark, root)
+    appends/compactions are invisible by construction.
+
+    ``as_of`` (r11) reads the SNAPSHOT as of commit seq ``as_of``
+    instead (newest manifest ≤ it): time travel for free, because every
+    retained manifest fully describes the table at its commit.  The
+    window is what retention kept — a vacuumed snapshot's generation
+    dirs surface as a clear error here rather than a silent partial
+    read."""
+    m = _live(spark, root, at=as_of)
     if not m["gens"]:
         raise ValueError(f"table manifest at {root!r} lists no generations")
+    dirs = [_gen_dir(root, g) for g in m["gens"]]
+    if as_of is not None:
+        from ..fsutil import dir_exists
+
+        gone = [d for d in dirs if not dir_exists(spark, d)]
+        if gone:
+            raise ValueError(
+                f"snapshot seq {m['seq']} of {root!r} is no longer fully "
+                f"readable — {len(gone)} of its generation dirs were "
+                "vacuumed (time travel reaches only what "
+                "vacuum_manifest_table retained)"
+            )
     return spark.read.option("basePath", _data_root(root)).parquet(
-        *(_gen_dir(root, g) for g in m["gens"])
+        *dirs
     ).drop("g")
 
 
@@ -212,11 +239,24 @@ def compact_manifest_table(
 def vacuum_manifest_table(
     spark: SparkSession, root: str, *, keep_manifests: int = 3
 ) -> dict[str, int]:
-    """Reclaim generation dirs the LIVE manifest no longer references
-    (superseded by compaction, or orphaned by a crashed append) plus
-    manifest files older than the newest ``keep_manifests``.
-    Single-writer contract, as everywhere in the manifest protocol."""
-    live = {int(g) for g in _live(spark, root)["gens"]}
+    """Reclaim what no RETAINED snapshot references: first expire
+    manifest files beyond the newest ``keep_manifests`` (shrinking the
+    time-travel window, Iceberg's expire-snapshots step), then delete
+    every generation dir referenced by none of the manifests that
+    remain — superseded generations past the window and crash orphans
+    alike.  Every retained manifest therefore stays FULLY readable via
+    ``read_manifest_table(as_of=...)``; the snapshot window and the
+    storage bound are the same ``keep_manifests`` knob.  Single-writer
+    contract, as everywhere in the manifest protocol."""
+    from ..manifest import manifest_history
+
+    _live(spark, root)  # kind check + fail loudly on an empty root
+    n_manifests = len(manifest_vacuum(spark, root, keep_last=keep_manifests))
+    keep = {
+        int(g)
+        for m in manifest_history(spark, root)
+        for g in m.get("gens", ())
+    }
     dropped = 0
     for name in _ls_names(spark, _data_root(root)):
         if not name.startswith("g="):
@@ -225,13 +265,11 @@ def vacuum_manifest_table(
             g = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        if g not in live and _delete(
+        if g not in keep and _delete(
             spark, f"{_data_root(root)}/{name}", recursive=True
         ):
             dropped += 1
     return {
         "data_dirs_deleted": dropped,
-        "manifests_deleted": len(
-            manifest_vacuum(spark, root, keep_last=keep_manifests)
-        ),
+        "manifests_deleted": n_manifests,
     }

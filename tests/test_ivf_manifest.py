@@ -520,3 +520,49 @@ def test_migration_from_dir_layout_preserves_index_and_serving(
     # occupied root refused
     with pytest.raises(ValueError, match="already holds"):
         migrate_ivf_index_to_manifest(spark, dpath, root, centroids=cent)
+
+
+def test_snapshot_reads_pair_quantizer_with_cells(spark, sf_dir, tmp_path):
+    """Time travel on the index: as_of a pre-split commit returns the
+    parent cell WITH the quantizer it was assigned under (one manifest
+    names both, so the pair cannot be mismatched at any snapshot);
+    vacuum's retention is snapshot-aware and the window error is loud."""
+    em = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "ivf_tt")
+    write_ivf_index_manifest(
+        em.filter(F.col("vec_id") % 2 == 0), root, n_centroids=2
+    )  # seq 1
+    ivf_append_manifest(
+        em.filter(F.col("vec_id") % 2 == 1), root, batch_id=1
+    )  # seq 2
+    sizes = {
+        int(r[0]): r[1]
+        for r in read_ivf_index_manifest(spark, root)
+        .groupBy("centroid_id").count().collect()
+    }
+    hot = max(sizes, key=sizes.get)
+    ivf_split_oversized_manifest(
+        spark, root, max_rows=sizes[hot] - 1, k=2
+    )  # seq 3
+
+    n = em.count()
+    for s in (2, 3):
+        snap = read_ivf_index_manifest(spark, root, as_of=s)
+        cents = read_ivf_centroids(spark, root, as_of=s)
+        assert snap.count() == n
+        cells = {
+            int(r[0]) for r in snap.select("centroid_id").distinct().collect()
+        }
+        cent_ids = {int(r.centroid_id) for r in cents.collect()}
+        assert cells <= cent_ids  # the pair is consistent at EVERY snapshot
+        assert (hot in cells) == (s == 2)  # parent live before, gone after
+    assert read_ivf_index_manifest(spark, root, as_of=1).count() == em.filter(
+        F.col("vec_id") % 2 == 0
+    ).count()
+
+    # snapshot-aware vacuum keeps the retained window readable
+    ivf_vacuum(spark, root, keep_manifests=2)
+    assert read_ivf_index_manifest(spark, root, as_of=2).count() == n
+    assert read_ivf_centroids(spark, root, as_of=2).count() == 2
+    with pytest.raises(ValueError, match="no retained manifest"):
+        read_ivf_index_manifest(spark, root, as_of=1)

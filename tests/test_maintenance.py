@@ -282,7 +282,11 @@ def test_run_maintenance_covers_the_manifest_ivf_store(
     before = read_ivf_index_manifest(spark, root)
     assert before.count() == n
     files_before = len(before.inputFiles())
-    stats = run_maintenance(spark, ivf_manifest_indexes=[root], keep_last=2)
+    # keep_last=1: retain only the newest snapshot, so the vacuum half
+    # actually reclaims the superseded generations (r11 snapshot-aware
+    # retention keeps every RETAINED manifest's generations readable —
+    # with keep_last=2 the pre-compaction snapshot would survive intact)
+    stats = run_maintenance(spark, ivf_manifest_indexes=[root], keep_last=1)
     key = f"ivf_manifest:{root}"
     assert stats[key]["rows"] == n
     assert stats[key]["files_after"] < files_before

@@ -327,3 +327,36 @@ def test_manifest_table_model_under_random_ops_and_crashes(
                 r.doc_id for r in m.read_manifest_table(spark, root).collect()
             }
             assert got == set().union(*committed.values())
+
+
+def test_snapshot_reads_and_history(spark, tmp_path):
+    """Time travel: every retained manifest is a complete snapshot —
+    read_manifest_table(as_of=seq) returns exactly the rows committed by
+    then, through compaction; vacuum's retention is snapshot-aware (a
+    retained snapshot stays FULLY readable; beyond the window the read
+    fails with the clear retention error, never a partial result)."""
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import (
+        manifest_history,
+    )
+
+    root = str(tmp_path / "tt")
+    seqs = [manifest_table_append(_batch(spark, b), root, b) for b in range(4)]
+    assert seqs == [1, 2, 3, 4]
+    for i, s in enumerate(seqs):
+        assert read_manifest_table(spark, root, as_of=s).count() == (i + 1) * 10
+    compact_manifest_table(spark, root, keep_last=1)  # publishes seq 5
+    # pre-compaction snapshots still read exactly (gens retained)
+    assert read_manifest_table(spark, root, as_of=2).count() == 20
+    assert read_manifest_table(spark, root, as_of=4).count() == 40
+    assert read_manifest_table(spark, root).count() == 40
+    # history audit: ledgers grow monotonically across commits
+    hist = manifest_history(spark, root)
+    assert [m["seq"] for m in hist] == [1, 2, 3, 4, 5]
+    assert [len(m["batches"]) for m in hist] == [1, 2, 3, 4, 4]
+
+    # snapshot-aware vacuum: the retained window stays fully readable
+    vacuum_manifest_table(spark, root, keep_manifests=2)
+    assert read_manifest_table(spark, root, as_of=4).count() == 40
+    assert read_manifest_table(spark, root).count() == 40
+    with pytest.raises(ValueError, match="no retained manifest"):
+        read_manifest_table(spark, root, as_of=2)
