@@ -188,7 +188,21 @@ def main() -> None:
         spark, ivf, max_rows=max(sizes.values()) - 1, k=2
     )
     stats = compact_ivf_index_manifest(spark, ivf)
-    vac = ivf_vacuum(spark, ivf, keep_manifests=2)
+    # time travel BEFORE vacuum narrows the window: seq 3 (the retried
+    # append) is the pre-split snapshot, read with the quantizer it was
+    # assigned under — one manifest names both, so the pair holds at
+    # every snapshot
+    snap = read_ivf_index_manifest(spark, ivf, as_of=3)
+    print(
+        f"[ivf]    time travel: as_of=3 reads {snap.count()} rows in "
+        f"{snap.select('centroid_id').distinct().count()} pre-split cells "
+        f"(live: "
+        f"{read_ivf_index_manifest(spark, ivf).select('centroid_id').distinct().count()}"
+        " cells)"
+    )
+    # snapshot-aware retention: keep 3 manifests, so seq 3 STAYS readable
+    vac = ivf_vacuum(spark, ivf, keep_manifests=3)
+    assert read_ivf_index_manifest(spark, ivf, as_of=3).count() == snap.count()
     print(
         f"[ivf]    split parents={split}; compacted "
         f"{stats['files_before']}->{stats['files_after']} files; vacuum "
