@@ -19,14 +19,16 @@ exactly this reason (public design; implementation original):
 
 Every filesystem operation used here has a 1:1 object-store analogue:
 
-==================  =====================  ======================
-operation           here                   object store
-==================  =====================  ======================
-list manifests      ``listStatus``         LIST prefix
-read manifest       ``open`` + read        GET (atomic per object)
-publish manifest    ``create(overwrite)``  PUT (atomic per object)
-reclaim             ``delete``             DELETE
-==================  =====================  ======================
+==================  ======================  ==========================
+operation           here                    object store
+==================  ======================  ==========================
+list manifests      ``listStatus``          LIST prefix
+read manifest       ``open`` + read         GET (atomic per object)
+publish manifest    ``create(overwrite=F)`` conditional PUT
+                                            (If-None-Match /
+                                            ifGenerationMatch=0)
+reclaim             ``delete``              DELETE
+==================  ======================  ==========================
 
 No rename appears anywhere in the protocol (test-pinned: the manifest
 pipelines run with ``os.rename``/``os.replace``/``shutil.move``
@@ -36,14 +38,26 @@ any Spark-on-object-store deployment — the protocol never depends on it
 beyond "a succeeded write's files are all present", because a
 half-committed generation is simply never published.
 
-Crash model (single maintenance writer, same contract as the rename
-ops): a crash BEFORE publish leaves orphan generation dirs no reader
-ever sees — the retry re-derives the same target generation and its
-dynamic-partition-overwrite write replaces them, or a later vacuum
+Crash model: a crash BEFORE publish leaves orphan generation dirs no
+reader ever sees — the retry re-derives the same target generation and
+its dynamic-partition-overwrite write replaces them, or a later vacuum
 deletes them; a crash AFTER publish is a completed operation.  There is
 no mid-flight window at all — the sentinel/rollback machinery the
 rename protocol needs (``ivf_recover_splits``) has no manifest-side
 counterpart because no state ever needs recovering.
+
+Concurrency model (r12): the publish is a conditional PUT
+(create-if-absent), so two INDEPENDENT writers racing a commit resolve
+deterministically — exactly one wins a given seq; the loser raises
+``ManifestConflictError`` with nothing visible from its attempt and
+either rebases (the ledgered batch appends re-derive against the new
+head automatically) or aborts (maintenance passes re-run later).  No
+generation is ever silently dropped.  The one residual single-writer
+assumption is LOCAL-filesystem torn-file handling: a torn manifest is
+treated as this writer's own crashed publish (object-store PUTs cannot
+tear), so local deployments should still serialize writers per table;
+maintenance passes invoked from a stream's ``foreachBatch`` already
+are.
 
 Manifest files are ``{root}/_manifest/v{seq:08d}.json``; readers take
 the highest-numbered file that parses (a torn local write of the newest
@@ -67,6 +81,19 @@ from .fsutil import hadoop_fs
 
 MANIFEST_SUBDIR = "_manifest"
 FORMAT = "generation-manifest/1"
+
+
+class ManifestConflictError(RuntimeError):
+    """Another writer committed first: the target manifest seq already
+    exists with DIFFERENT content (or newer seqs appeared since the
+    writer read the live manifest).  The losing writer's data dirs are
+    unpublished orphans — nothing it wrote is visible, nothing the
+    winner committed is disturbed.  Recovery: re-resolve the live
+    manifest and either REBASE (re-derive the operation against the new
+    head at a fresh seq — what the ledgered batch appends do
+    automatically, since disjoint batch ids compose) or ABORT (what
+    compaction/vacuum/split maintenance does — the pass simply re-runs
+    later against the new head)."""
 
 
 def _local_path(path: str) -> str | None:
@@ -140,6 +167,40 @@ def _write_text(spark: SparkSession, path: str, text: str) -> None:
     os.makedirs(os.path.dirname(lp), exist_ok=True)
     with open(lp, "w", encoding="utf-8") as fh:
         fh.write(text)
+
+
+def _create_text_exclusive(spark: SparkSession, path: str, text: str) -> bool:
+    """Create-if-absent — the conditional-PUT analogue (S3
+    ``If-None-Match: *`` / GCS ``ifGenerationMatch=0``).  Returns False
+    when the object already exists (someone else PUT it first), True on
+    a successful exclusive create.  Via the JVM gateway this is Hadoop
+    ``FileSystem.create(path, overwrite=false)`` — atomic on HDFS and
+    mapped to the conditional PUT by the S3A/GCS connectors; locally,
+    ``open(..., 'x')``."""
+    got = hadoop_fs(spark, path)
+    if got is not None:
+        fs, jpath = got
+        try:
+            out = fs.create(jpath, False)
+        except Exception as exc:  # Py4JJavaError wrapping the FS error
+            msg = str(exc)
+            if "AlreadyExists" in msg or "already exists" in msg:
+                return False
+            raise
+        try:
+            out.write(text.encode("utf-8"))
+        finally:
+            out.close()
+        return True
+    lp = _require_local(path, "writing")
+    os.makedirs(os.path.dirname(lp), exist_ok=True)
+    try:
+        fh = open(lp, "x", encoding="utf-8")
+    except FileExistsError:
+        return False
+    with fh:
+        fh.write(text)
+    return True
 
 
 def _delete(spark: SparkSession, path: str, *, recursive: bool) -> bool:
@@ -238,48 +299,92 @@ def manifest_publish(
 ) -> int:
     """Publish ``payload`` as manifest ``seq`` — THE commit point.
     ``seq`` must be the writer's pre-computed target (live seq + 1, the
-    value its fresh-path data writes were tagged with); an idempotent
-    retry of the same operation re-publishes the same seq with the same
-    content (create-with-overwrite, PUT analogue).  Single maintenance
-    writer per table is the concurrency contract, as for every other
-    maintenance op in the engine — and a VIOLATION of it is refused
-    rather than silently lost: publishing a seq BEHIND the newest
-    on-disk manifest would land a file readers never resolve (they take
-    the max), so the writer would believe it committed while its data
-    stays invisible forever.  Retrying the newest seq itself is the
-    legitimate crash-retry case and stays allowed."""
+    value its fresh-path data writes were tagged with).
+
+    Optimistic concurrency (r12): the publish is a CREATE-IF-ABSENT
+    (conditional PUT, :func:`_create_text_exclusive`), so two writers
+    racing the same ``v{N+1}`` resolve deterministically — exactly one
+    wins; the loser gets :class:`ManifestConflictError` with nothing
+    visible from its attempt (its data dirs are unpublished orphans) and
+    re-resolves the head to rebase or abort.  The pre-check keeps the
+    older loud refusal for a writer whose target seq fell BEHIND the
+    newest manifest (it raced, lost, and kept going) — same error class.
+
+    Idempotent crash retry stays allowed: re-publishing the newest seq
+    with byte-identical content is a success, not a conflict (the writer
+    crashed after its own PUT landed).  A torn LOCAL file at the target
+    seq (impossible on object stores — PUT is atomic) is this writer's
+    own crashed publish and is overwritten to completion."""
     seqs = manifest_seqs(spark, root)
     if seqs and int(seq) < seqs[-1]:
-        raise RuntimeError(
+        raise ManifestConflictError(
             f"stale publish: target seq {seq} is behind the newest "
             f"manifest v{seqs[-1]:08d} at {root!r} — another writer "
-            "published since this operation read the live manifest "
-            "(single-writer contract violated); re-derive from the live "
-            "manifest and retry"
+            "published since this operation read the live manifest; "
+            "re-derive from the live manifest and retry (rebase) or "
+            "abort"
         )
     body = dict(payload)
     body["format"] = FORMAT
     body["seq"] = int(seq)
-    _write_text(
-        spark,
-        f"{root}/{MANIFEST_SUBDIR}/v{seq:08d}.json",
-        json.dumps(body, sort_keys=True),
+    text = json.dumps(body, sort_keys=True)
+    path = f"{root}/{MANIFEST_SUBDIR}/v{seq:08d}.json"
+    if _create_text_exclusive(spark, path, text):
+        return int(seq)
+    try:
+        existing = json.loads(_read_text(spark, path))
+    except (ValueError, OSError):
+        existing = None
+    if existing == body:
+        return int(seq)  # crash retry of our own committed publish
+    if existing is None or existing.get("format") != FORMAT:
+        # torn local remnant of a crashed publish: complete the retry
+        _write_text(spark, path, text)
+        return int(seq)
+    raise ManifestConflictError(
+        f"manifest v{seq:08d} at {root!r} was committed by another "
+        "writer with different content — this attempt lost the "
+        "conditional PUT; its data generations are unpublished orphans "
+        "(vacuum reclaims them); re-derive from the live manifest and "
+        "retry (rebase) or abort"
     )
-    return int(seq)
 
 
 def manifest_vacuum(
     spark: SparkSession, root: str, *, keep_last: int = 3
 ) -> list[int]:
-    """Delete manifest FILES older than the newest ``keep_last`` (history
-    for audit/debug; the live manifest is always kept).  Data-dir
-    reclamation is the table owner's job (it knows its layout) — e.g.
-    ``operators.ivf_store.ivf_vacuum``."""
+    """Delete manifest FILES older than the newest ``keep_last`` VALID
+    manifests (history for audit/debug; the live manifest is always
+    kept).  Retention is computed over manifests that actually parse and
+    carry the expected format/seq: an unparseable file is a crashed
+    local publish — counting it toward retention would let a torn newest
+    file occupy the only slot at ``keep_last=1`` and evict the LIVE
+    manifest (from which the table vacuums would then reclaim every
+    generation dir: total table loss).  Torn files are instead deleted
+    as orphans, whatever their position.  Safe under the protocol's
+    writer contract: vacuum runs in the maintenance writer, so no
+    publish of its own can be mid-write; a concurrent OTHER writer's
+    in-flight local publish is outside the crash model (object-store
+    PUTs cannot tear at all).  Data-dir reclamation is the table owner's
+    job (it knows its layout) — e.g. ``operators.ivf_store.ivf_vacuum``.
+    """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the live manifest)")
     seqs = manifest_seqs(spark, root)
+    valid = []
+    for seq in seqs:
+        path = f"{root}/{MANIFEST_SUBDIR}/v{seq:08d}.json"
+        try:
+            payload = json.loads(_read_text(spark, path))
+        except (ValueError, OSError):
+            continue
+        if payload.get("format") == FORMAT and payload.get("seq") == seq:
+            valid.append(seq)
+    keep = set(valid[-keep_last:])
     dropped = []
-    for seq in seqs[: max(0, len(seqs) - keep_last)]:
+    for seq in seqs:
+        if seq in keep:
+            continue
         if _delete(
             spark, f"{root}/{MANIFEST_SUBDIR}/v{seq:08d}.json",
             recursive=False,

@@ -342,32 +342,51 @@ def ivf_append_manifest(
       batch LEDGER already records ``batch_id``, so the replay is
       detected and skipped.  Without ``batch_id`` the ledger is
       bypassed and this append is at-least-once under re-delivery,
-      exactly like the dir layout's ``ivf_append``."""
+      exactly like the dir layout's ``ivf_append``.
+
+    Multi-writer (r12): a lost conditional PUT (another writer — an
+    ingest stream on a second driver, or a maintenance pass — committed
+    first) REBASES: the head is re-resolved, the ledger re-checked, and
+    the batch re-derived at a fresh seq against the new head (quantizer
+    included — a concurrent split may have replaced it).  The losing
+    attempt's generation is an unpublished orphan for ``ivf_vacuum``."""
+    from ..manifest import ManifestConflictError
+
     spark = new_vectors.sparkSession
-    live = _live(spark, root)
-    ledger = dict(live.get("batches", {}))
-    if batch_id is not None and str(int(batch_id)) in ledger:
-        return None  # replay of a committed batch: exactly-once no-op
-    seq = live["seq"] + 1
-    centroids = read_ivf_centroids(spark, root)
-    # batch-bounded and referenced twice (write + touched-cells collect):
-    # checkpoint, per the SCALE.md r10 foreachBatch lesson
-    assigned = ivf_assign(
-        new_vectors, centroids, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint(eager=True)
-    _write_gen(_prepare(assigned, seq, id_col), root)
-    touched = sorted(
-        int(r[0])
-        for r in assigned.select("centroid_id").distinct().collect()
-    )
-    cells = _cells_of(live)
-    for c in touched:
-        cells.setdefault(c, []).append(seq)
-    if batch_id is not None:
-        ledger[str(int(batch_id))] = seq
-    return _publish(
-        spark, root, cells, centroids_gen=live["centroids_gen"], seq=seq,
-        batches=ledger,
+    last_conflict: ManifestConflictError | None = None
+    for _ in range(5):
+        live = _live(spark, root)
+        ledger = dict(live.get("batches", {}))
+        if batch_id is not None and str(int(batch_id)) in ledger:
+            return None  # replay of a committed batch: exactly-once no-op
+        seq = live["seq"] + 1
+        centroids = read_ivf_centroids(spark, root)
+        # batch-bounded and referenced twice (write + touched-cells
+        # collect): checkpoint, per the SCALE.md r10 foreachBatch lesson
+        assigned = ivf_assign(
+            new_vectors, centroids, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
+        _write_gen(_prepare(assigned, seq, id_col), root)
+        touched = sorted(
+            int(r[0])
+            for r in assigned.select("centroid_id").distinct().collect()
+        )
+        cells = _cells_of(live)
+        for c in touched:
+            cells.setdefault(c, []).append(seq)
+        if batch_id is not None:
+            ledger[str(int(batch_id))] = seq
+        try:
+            return _publish(
+                spark, root, cells, centroids_gen=live["centroids_gen"],
+                seq=seq, batches=ledger,
+            )
+        except ManifestConflictError as exc:
+            last_conflict = exc
+    raise ManifestConflictError(
+        f"ivf append of batch {batch_id} to {root!r} lost the "
+        "conditional PUT 5 times in a row — sustained multi-writer "
+        f"contention on one index; last conflict: {last_conflict}"
     )
 
 

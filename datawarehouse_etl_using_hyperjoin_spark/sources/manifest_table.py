@@ -39,19 +39,27 @@ engine-side answers, local-fs and object-store flavored.
 
 from __future__ import annotations
 
+import json
 import math
 import os as _os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ..manifest import (
+    ManifestConflictError,
     _delete,
     _ls_names,
     manifest_publish,
     manifest_read,
     manifest_vacuum,
 )
+
+#: rebase attempts per append before giving up — each retry re-resolves
+#: the head, so only sustained contention from many concurrent writers
+#: on one table exhausts it
+_APPEND_MAX_REBASES = 5
 
 _DATA = "data"
 
@@ -87,16 +95,56 @@ def _live(spark: SparkSession, root: str, at: int | None = None) -> dict:
     return m
 
 
-def _publish(spark, root, gens, batches, seq) -> int:
-    return manifest_publish(
-        spark, root,
-        {
-            "table": "batch-table",
-            "gens": sorted(int(g) for g in gens),
-            "batches": {str(b): int(g) for b, g in batches.items()},
-        },
-        seq=seq,
-    )
+def _publish(spark, root, gens, batches, seq, schema=None) -> int:
+    payload = {
+        "table": "batch-table",
+        "gens": sorted(int(g) for g in gens),
+        "batches": {str(b): int(g) for b, g in batches.items()},
+    }
+    if schema is not None:
+        payload["schema"] = (
+            schema if isinstance(schema, dict) else json.loads(schema.json())
+        )
+    return manifest_publish(spark, root, payload, seq=seq)
+
+
+def _merge_schema(old: StructType | None, new: StructType) -> StructType:
+    """ADDITIVE schema evolution (r12): reconcile a batch's schema with
+    the table's recorded one.  New columns are appended (forced nullable
+    — older generations lack them, so reads must fill null); a column a
+    batch omits stays, turned nullable for the same reason; a TYPE
+    change or any other narrowing is refused loudly, because it would
+    make already-committed generations unreadable under the merged
+    schema.  Read-time reconciliation is the parquet reader's
+    missing-column-to-null rule under the recorded schema — the
+    ``unionByName(allowMissingColumns=True)`` semantics without N
+    per-generation unions."""
+    if old is None:
+        return new
+    remaining = {f.name: f for f in new.fields}
+    fields = []
+    for f in old.fields:
+        g = remaining.pop(f.name, None)
+        if g is None:
+            fields.append(StructField(f.name, f.dataType, True, f.metadata))
+        elif g.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution refused for column {f.name!r}: "
+                f"{f.dataType.simpleString()} -> "
+                f"{g.dataType.simpleString()} — the manifest table "
+                "supports ADDITIVE evolution only (new nullable "
+                "columns); a type change would make already-committed "
+                "generations unreadable"
+            )
+        else:
+            fields.append(
+                StructField(
+                    f.name, f.dataType, f.nullable or g.nullable, f.metadata
+                )
+            )
+    for g in remaining.values():
+        fields.append(StructField(g.name, g.dataType, True, g.metadata))
+    return StructType(fields)
 
 
 def manifest_table_append(
@@ -109,6 +157,15 @@ def manifest_table_append(
     checkpoint commit) is detected in the ledger and SKIPPED — returns
     None; otherwise returns the published seq.  Suitable directly as a
     ``foreachBatch`` body: ``lambda b, i: manifest_table_append(b, root, i)``.
+
+    Schema (r12): each manifest records the table's merged schema, and
+    appends reconcile additively — a batch may ADD nullable columns or
+    OMIT existing ones (older/missing columns read as null under the
+    recorded schema); type changes are refused loudly
+    (:func:`_merge_schema`).  Recording the schema also makes
+    generations with no parquet footers (all-empty batches under
+    committers that skip empty files) readable.  Tables whose manifests
+    predate schema recording stay on read-time inference, unchanged.
     """
     if "g" in df.columns:
         raise ValueError(
@@ -118,23 +175,51 @@ def manifest_table_append(
             "collide)"
         )
     spark = df.sparkSession
-    live = manifest_read(spark, root)
-    if live is not None and live.get("table") != "batch-table":
-        raise ValueError(
-            f"manifest at {root!r} is a {live.get('table')!r} table, not "
-            "a batch-table — appending here would publish over the other "
-            "store's commit log"
-        )
-    if live is not None and str(int(batch_id)) in live["batches"]:
-        return None  # replay of a committed batch: exactly-once no-op
-    seq = (live["seq"] + 1) if live else 1
-    # static overwrite of the gen-specific fresh path: delete-then-write,
-    # both object-store-safe; idempotent for a crashed attempt's retry
-    df.write.mode("overwrite").parquet(_gen_dir(root, seq))
-    gens = (list(live["gens"]) if live else []) + [seq]
-    batches = dict(live["batches"]) if live else {}
-    batches[str(int(batch_id))] = seq
-    return _publish(spark, root, gens, batches, seq)
+    # optimistic-concurrency rebase loop (r12): a lost conditional PUT
+    # means another writer committed first — re-resolve the head; the
+    # ledger decides whether OUR batch is now committed (their replay of
+    # it won: exactly-once no-op) or disjoint (re-derive at a fresh seq
+    # — the losing attempt's generation dir is an orphan vacuum
+    # reclaims).  Both racing commits land; none is silently dropped.
+    last_conflict: ManifestConflictError | None = None
+    for _ in range(_APPEND_MAX_REBASES):
+        live = manifest_read(spark, root)
+        if live is not None and live.get("table") != "batch-table":
+            raise ValueError(
+                f"manifest at {root!r} is a {live.get('table')!r} table, "
+                "not a batch-table — appending here would publish over "
+                "the other store's commit log"
+            )
+        if live is not None and str(int(batch_id)) in live["batches"]:
+            return None  # replay of a committed batch: exactly-once no-op
+        # additive evolution against the recorded schema; legacy tables
+        # (manifest without a schema) stay inference-read and unrecorded
+        if live is None:
+            merged = df.schema
+        elif live.get("schema") is not None:
+            merged = _merge_schema(
+                StructType.fromJson(live["schema"]), df.schema
+            )
+        else:
+            merged = None
+        seq = (live["seq"] + 1) if live else 1
+        # static overwrite of the gen-specific fresh path: delete-then-
+        # write, both object-store-safe; idempotent for a crashed
+        # attempt's retry
+        df.write.mode("overwrite").parquet(_gen_dir(root, seq))
+        gens = (list(live["gens"]) if live else []) + [seq]
+        batches = dict(live["batches"]) if live else {}
+        batches[str(int(batch_id))] = seq
+        try:
+            return _publish(spark, root, gens, batches, seq, schema=merged)
+        except ManifestConflictError as exc:
+            last_conflict = exc
+    raise ManifestConflictError(
+        f"append of batch {batch_id} to {root!r} lost the conditional "
+        f"PUT {_APPEND_MAX_REBASES} times in a row — sustained "
+        "multi-writer contention on one table; last conflict: "
+        f"{last_conflict}"
+    )
 
 
 def read_manifest_table(
@@ -148,7 +233,13 @@ def read_manifest_table(
     retained manifest fully describes the table at its commit.  The
     window is what retention kept — a vacuumed snapshot's generation
     dirs surface as a clear error here rather than a silent partial
-    read."""
+    read.
+
+    When the resolved manifest records a schema (r12), the union is
+    read under THAT schema: generations missing later-added columns
+    fill null (additive evolution), footerless all-empty generations
+    stay readable, and an ``as_of`` read returns the snapshot's own
+    schema, not today's."""
     m = _live(spark, root, at=as_of)
     if not m["gens"]:
         raise ValueError(f"table manifest at {root!r} lists no generations")
@@ -164,6 +255,12 @@ def read_manifest_table(
                 "vacuumed (time travel reaches only what "
                 "vacuum_manifest_table retained)"
             )
+    if m.get("schema") is not None:
+        # each dir is read as its own root (no basePath): no partition
+        # column is discovered, so the recorded schema IS the result
+        return spark.read.schema(StructType.fromJson(m["schema"])).parquet(
+            *dirs
+        )
     return spark.read.option("basePath", _data_root(root)).parquet(
         *dirs
     ).drop("g")
@@ -188,7 +285,7 @@ def compact_manifest_table(
     unchanged: exactly-once survives any number of compactions."""
     live = _live(spark, root)
     gens = sorted(int(g) for g in live["gens"])
-    old = gens[: len(gens) - keep_last] if keep_last > 0 else gens
+    old = gens[: max(0, len(gens) - keep_last)] if keep_last > 0 else gens
     files_before = len(
         read_manifest_table(spark, root).inputFiles()
     )
@@ -201,9 +298,16 @@ def compact_manifest_table(
             "gens_after": len(gens),
         }
     seq = live["seq"] + 1
-    merged = spark.read.option("basePath", _data_root(root)).parquet(
-        *(_gen_dir(root, g) for g in old)
-    ).drop("g")
+    old_dirs = [_gen_dir(root, g) for g in old]
+    if live.get("schema") is not None:
+        # recorded schema: evolved/footerless generations merge cleanly
+        merged = spark.read.schema(
+            StructType.fromJson(live["schema"])
+        ).parquet(*old_dirs)
+    else:
+        merged = spark.read.option("basePath", _data_root(root)).parquet(
+            *old_dirs
+        ).drop("g")
     files = merged.inputFiles()
     total_bytes = 0
     for f in files:
@@ -226,7 +330,10 @@ def compact_manifest_table(
     )
     packed.write.mode("overwrite").parquet(_gen_dir(root, seq))
     new_gens = [seq] + [g for g in gens if g not in old]
-    _publish(spark, root, new_gens, dict(live["batches"]), seq)
+    _publish(
+        spark, root, new_gens, dict(live["batches"]), seq,
+        schema=live.get("schema"),
+    )
     return {
         "files_before": files_before,
         "files_after": len(read_manifest_table(spark, root).inputFiles()),

@@ -955,7 +955,19 @@ def run_pipeline_streaming(
 
         late_dir = f"{out_dir}/late"
         if fact_layout == "manifest":
-            counts["late"] = read_manifest_table(spark, late_dir).count()
+            # mirror the partition branch's guard: a stream where every
+            # batch's late split was empty can leave only footerless
+            # generation dirs (schema inference fails) — and a stream of
+            # zero batches leaves no manifest at all (ValueError).  Both
+            # mean "no late rows", not a failure.
+            try:
+                counts["late"] = read_manifest_table(spark, late_dir).count()
+            except ValueError:
+                counts["late"] = 0
+            except AnalysisException as exc:
+                if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+                    raise
+                counts["late"] = 0
         else:
             try:
                 counts["late"] = (

@@ -566,3 +566,71 @@ def test_snapshot_reads_pair_quantizer_with_cells(spark, sf_dir, tmp_path):
     assert read_ivf_centroids(spark, root, as_of=2).count() == 2
     with pytest.raises(ValueError, match="no retained manifest"):
         read_ivf_index_manifest(spark, root, as_of=1)
+
+
+def test_ivf_append_rebases_after_losing_the_conditional_put(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r12 multi-writer safety: two ingest writers race — writer B's
+    batch commits between writer A's head read and A's conditional PUT;
+    A's publish loses, rebases against the new head (re-assigning under
+    the then-live quantizer) and lands.  Both batches are in the ledger,
+    every vector is served exactly once.  A maintenance pass racing a
+    writer ABORTS loudly instead of dropping either commit."""
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import (
+        ManifestConflictError,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    base = em.filter(F.col("vec_id") < 300)
+    b1 = em.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    b2 = em.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500))
+    root = str(tmp_path / "ivf_race")
+    write_ivf_index_manifest(base, root, n_centroids=2)
+
+    real_pub = ivf_store.manifest_publish
+    fired = {"done": False}
+
+    def racy(spark_, root_, payload, *, seq):
+        if not fired["done"]:
+            fired["done"] = True
+            assert ivf_append_manifest(b2, root, batch_id=2) is not None
+        return real_pub(spark_, root_, payload, seq=seq)
+
+    with monkeypatch.context() as mp:
+        mp.setattr(ivf_store, "manifest_publish", racy)
+        assert ivf_append_manifest(b1, root, batch_id=1) is not None
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
+
+    live = manifest_read(spark, root)
+    assert {"1", "2"} <= set(live["batches"])
+    t = read_ivf_index_manifest(spark, root)
+    assert t.count() == 500
+    assert t.select("vec_id").distinct().count() == 500
+
+    # maintenance racing a writer: the compaction's publish loses and
+    # ABORTS with the conflict error — the writer's commit is untouched
+    fired2 = {"done": False}
+
+    def racy2(spark_, root_, payload, *, seq):
+        if not fired2["done"]:
+            fired2["done"] = True
+            b3 = em.limit(50).withColumn(
+                "vec_id", F.col("vec_id") + 10_000
+            )
+            ivf_append_manifest(b3, root, batch_id=3)
+        return real_pub(spark_, root_, payload, seq=seq)
+
+    with monkeypatch.context() as mp:
+        mp.setattr(ivf_store, "manifest_publish", racy2)
+        with pytest.raises(ManifestConflictError):
+            compact_ivf_index_manifest(spark, root)
+    t = read_ivf_index_manifest(spark, root)
+    assert t.count() == 550
+    assert t.select("vec_id").distinct().count() == 550
+    # the aborted pass re-runs cleanly against the new head
+    compact_ivf_index_manifest(spark, root)
+    assert read_ivf_index_manifest(spark, root).count() == 550
+    # vacuum reclaims the losers' orphan generations; serving unchanged
+    ivf_vacuum(spark, root, keep_manifests=1)
+    assert read_ivf_index_manifest(spark, root).count() == 550

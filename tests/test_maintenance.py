@@ -436,3 +436,36 @@ def test_pipeline_manifest_quarantine_parity_and_compaction(
         (r.order_id, r.line_number)
         for r in read_manifest_table(spark, f"{m_out}/late").collect()
     } == p_late
+
+
+def test_manifest_layout_all_empty_late_reports_zero(
+    spark, sf_dir, tmp_path_factory
+):
+    """ADVICE r11 (low): with fact_layout='manifest' + quarantine, a
+    stream where EVERY batch's late split is empty (the common
+    no-straggler case) must report late=0 like the partition branch —
+    not raise on reading the all-empty late table.  With the r12
+    schema-in-manifest the generations are readable even footerless; the
+    guard additionally covers legacy tables and zero-batch streams."""
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        read_manifest_table,
+    )
+
+    stream_dir = str(tmp_path_factory.mktemp("noq"))
+    transactions(spark, sf_dir).limit(200).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(stream_dir)
+    out = str(tmp_path_factory.mktemp("noq_out"))
+    counts = run_pipeline_streaming(
+        spark,
+        read_parquet_stream(spark, stream_dir, max_files_per_trigger=1),
+        master_data(spark, sf_dir),
+        out,
+        checkpoint_dir=out + "/_ckpt",
+        quarantine_lateness="3650 days",  # nothing is ever late
+        fact_layout="manifest",
+    )
+    assert counts["late"] == 0
+    assert counts["fact_enriched"] == 200
+    # the late table exists, with the schema recorded, and is empty
+    assert read_manifest_table(spark, f"{out}/late").count() == 0

@@ -263,6 +263,14 @@ _ops = st.lists(
         ),
         st.tuples(st.just("compact"), st.integers(1, 3), st.just(0)),
         st.tuples(st.just("vacuum"), st.just(0), st.just(0)),
+        # r12: a SECOND WRITER commits between this writer's head read
+        # and its conditional PUT (batch ids 5..9, disjoint from the
+        # first writer's 0..4)
+        st.tuples(
+            st.just("race_append"),
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=1, max_value=5),
+        ),
     ),
     min_size=1,
     max_size=7,
@@ -317,6 +325,34 @@ def test_manifest_table_model_under_random_ops_and_crashes(
                     m.manifest_table_append(df_of(batch_rows(a, b)), root, a)
             finally:
                 m.manifest_publish = real_publish
+        elif op == "race_append":
+            # a rival writer lands batch a+5 between this writer's head
+            # read and its publish: the conditional PUT loses, the
+            # rebase loop re-resolves, BOTH batches must land (or the
+            # replay stay a no-op) — never a dropped generation
+            rows = batch_rows(a, b)
+            rival_id, rival_rows = a + 5, batch_rows(a + 5, b)
+            fired = {"done": False}
+
+            def racy(s_, r_, payload, *, seq, _f=fired, _rr=rival_rows,
+                     _ri=rival_id):
+                if not _f["done"]:
+                    _f["done"] = True
+                    m.manifest_table_append(df_of(_rr), root, _ri)
+                return real_publish(s_, r_, payload, seq=seq)
+
+            m.manifest_publish = racy
+            try:
+                res = m.manifest_table_append(df_of(rows), root, a)
+            finally:
+                m.manifest_publish = real_publish
+            if fired["done"] and rival_id not in committed:
+                committed[rival_id] = rival_rows
+            if a in committed:
+                assert res is None
+            else:
+                assert res is not None
+                committed[a] = rows
         elif op == "compact" and committed:
             m.compact_manifest_table(spark, root, keep_last=a)
         elif op == "vacuum" and committed:
@@ -360,3 +396,219 @@ def test_snapshot_reads_and_history(spark, tmp_path):
     assert read_manifest_table(spark, root).count() == 40
     with pytest.raises(ValueError, match="no retained manifest"):
         read_manifest_table(spark, root, as_of=2)
+
+
+def test_vacuum_retention_counts_valid_manifests_only(spark, tmp_path):
+    """ADVICE r11 (medium): a torn newest manifest file (a crashed local
+    publish — the module's own crash model) must NOT occupy a retention
+    slot.  Before the fix, keep_last=1 kept only the torn file, so the
+    newest VALID (live) manifest was deleted and the data vacuum —
+    deriving its keep-set from the now-empty history — reclaimed every
+    generation dir: total table loss from a crash-then-vacuum sequence
+    the protocol declares safe.  Now retention counts validated
+    manifests only and torn files are deleted as orphans."""
+    root = str(tmp_path / "torn")
+    for b in range(2):
+        manifest_table_append(_batch(spark, b), root, b)
+    # a crashed publish's torn remnant, newest by seq
+    with open(f"{root}/_manifest/v00000003.json", "w") as fh:
+        fh.write('{"format": "generation-manifest/1", "seq"')
+    # the production-reachable path: run_maintenance keep_last=1
+    stats = run_maintenance(spark, manifest_tables=[root], keep_last=1)
+    t = read_manifest_table(spark, root)
+    assert t.count() == 20
+    assert t.select("doc_id").distinct().count() == 20
+    # the torn orphan is gone, the live manifest retained
+    assert not os.path.exists(f"{root}/_manifest/v00000003.json")
+    assert os.path.exists(f"{root}/_manifest/v00000002.json")
+    assert stats[f"manifest_table:{root}"]["data_dirs_deleted"] >= 0
+
+
+def test_compact_keep_last_beyond_generation_count_is_a_noop(
+    spark, tmp_path
+):
+    """ADVICE r11 (low): keep_last larger than the generation count must
+    keep EVERYTHING byte-verbatim — the old negative-slice wrap compacted
+    the OLDEST generations instead (6 gens, keep_last=8 merged the first
+    4), violating the newest-stay-verbatim audit contract."""
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
+
+    root = str(tmp_path / "klw")
+    for b in range(6):
+        manifest_table_append(_batch(spark, b), root, b)
+    stats = compact_manifest_table(spark, root, keep_last=8)
+    assert stats["gens_before"] == 6 and stats["gens_after"] == 6
+    # no new manifest was published (nothing to merge)
+    assert manifest_read(spark, root)["seq"] == 6
+    assert read_manifest_table(spark, root).count() == 60
+
+
+def test_additive_schema_evolution(spark, tmp_path, monkeypatch):
+    """r12 (VERDICT Next #5): a later batch may ADD a nullable column —
+    old generations read as null under the merged recorded schema; a
+    batch may also OMIT a column.  as_of reads return each snapshot's
+    OWN schema.  Type changes are refused loudly.  All rename-free."""
+    root = str(tmp_path / "evo")
+    with monkeypatch.context() as mp:
+        _ban_renames(mp)
+        s1 = manifest_table_append(_batch(spark, 0), root, 0)
+        # batch 1 adds a column
+        s2 = manifest_table_append(
+            _batch(spark, 1).withColumn("lang", F.lit("en")), root, 1
+        )
+        # batch 2 omits text entirely
+        s3 = manifest_table_append(
+            _batch(spark, 2).drop("text").withColumn("lang", F.lit("fr")),
+            root, 2,
+        )
+        t = read_manifest_table(spark, root)
+        assert t.columns == ["doc_id", "text", "lang"]
+        assert t.count() == 30
+        assert t.where(F.col("lang").isNull()).count() == 10      # gen 1
+        assert t.where(F.col("text").isNull()).count() == 10      # gen 3
+        assert t.where(
+            (F.col("lang") == "en") & F.col("text").isNotNull()
+        ).count() == 10
+        # snapshots carry their own schema
+        assert read_manifest_table(spark, root, as_of=s1).columns == [
+            "doc_id", "text",
+        ]
+        assert read_manifest_table(spark, root, as_of=s2).columns == [
+            "doc_id", "text", "lang",
+        ]
+        # compaction preserves the merged schema and the null fills
+        compact_manifest_table(spark, root, keep_last=1)
+        t2 = read_manifest_table(spark, root)
+        assert t2.columns == ["doc_id", "text", "lang"]
+        assert t2.count() == 30
+        assert t2.where(F.col("lang").isNull()).count() == 10
+        # a type change is refused before anything is written
+        with pytest.raises(ValueError, match="ADDITIVE evolution only"):
+            manifest_table_append(
+                _batch(spark, 3).withColumn(
+                    "lang", F.lit(7)
+                ), root, 3,
+            )
+        assert read_manifest_table(spark, root).count() == 30
+        assert read_manifest_table(spark, root, as_of=s3).count() == 30
+
+
+def test_recorded_schema_keeps_empty_generations_readable(spark, tmp_path):
+    """ADVICE r11 (low, pipeline.py): all-empty generations can be
+    footerless under committers that skip empty files — with the schema
+    in the manifest, reads and compactions no longer depend on footer
+    inference at all (simulated by stripping every parquet file)."""
+    root = str(tmp_path / "nofooter")
+    for b in range(2):
+        manifest_table_append(
+            _batch(spark, b).limit(0), root, b
+        )
+    # simulate a committer that wrote no files for the empty batches
+    for g in os.listdir(f"{root}/data"):
+        for f in os.listdir(f"{root}/data/{g}"):
+            if "part-" in f:
+                os.remove(f"{root}/data/{g}/{f}")
+    t = read_manifest_table(spark, root)
+    assert t.count() == 0
+    assert t.columns == ["doc_id", "text"]
+    stats = compact_manifest_table(spark, root, keep_last=0)
+    assert stats["rows"] == 0
+    assert read_manifest_table(spark, root).count() == 0
+
+
+def test_conditional_put_publisher_conflict_is_loud(spark, tmp_path):
+    """r12 multi-writer safety (VERDICT Next #2): two independent
+    writers racing the same v{N+1} — the first PUT wins, the second
+    raises ManifestConflictError; the winner's commit is untouched and
+    nothing is silently dropped.  An idempotent retry of one's OWN
+    committed publish (same seq, same content) stays a success."""
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import (
+        ManifestConflictError,
+        manifest_publish,
+        manifest_read,
+    )
+
+    root = str(tmp_path / "race")
+    manifest_table_append(_batch(spark, 0), root, 0)
+    live = manifest_read(spark, root)
+    target = live["seq"] + 1
+    winner = {"table": "batch-table", "gens": [1, 2], "batches": {"0": 1, "1": 2}}
+    loser = {"table": "batch-table", "gens": [1, 3], "batches": {"0": 1, "2": 3}}
+    assert manifest_publish(spark, root, winner, seq=target) == target
+    with pytest.raises(ManifestConflictError, match="another\\s+writer"):
+        manifest_publish(spark, root, loser, seq=target)
+    # the winner's commit is intact
+    assert manifest_read(spark, root)["batches"] == winner["batches"]
+    # crash retry: same seq, same content — success, not conflict
+    assert manifest_publish(spark, root, winner, seq=target) == target
+    # a writer still holding an older head: refused on the pre-check
+    with pytest.raises(ManifestConflictError, match="stale publish"):
+        manifest_publish(spark, root, loser, seq=target - 1)
+
+
+def test_append_rebases_after_losing_the_conditional_put(
+    spark, tmp_path, monkeypatch
+):
+    """The rebase side: writer A reads the head, writer B commits batch
+    9 first (injected between A's read and A's publish), A's conditional
+    PUT loses — and A automatically re-resolves, re-derives at a fresh
+    seq, and lands its batch.  BOTH commits land; the ledger holds both
+    batch ids; no generation is dropped."""
+    root = str(tmp_path / "rebase")
+    manifest_table_append(_batch(spark, 0), root, 0)
+
+    real_pub = mt.manifest_publish
+    fired = {"done": False}
+
+    def racy(spark_, root_, payload, *, seq):
+        if not fired["done"]:
+            fired["done"] = True
+            assert mt.manifest_table_append(_batch(spark, 9), root, 9) is not None
+        return real_pub(spark_, root_, payload, seq=seq)
+
+    with monkeypatch.context() as mp:
+        mp.setattr(mt, "manifest_publish", racy)
+        assert manifest_table_append(_batch(spark, 1), root, 1) is not None
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
+
+    live = manifest_read(spark, root)
+    assert set(live["batches"]) == {"0", "1", "9"}
+    t = read_manifest_table(spark, root)
+    assert t.count() == 30
+    assert t.select("doc_id").distinct().count() == 30
+    # the losing attempt's orphan generation (if any) is reclaimed and
+    # the table is unchanged by vacuum
+    vacuum_manifest_table(spark, root, keep_manifests=1)
+    assert read_manifest_table(spark, root).count() == 30
+
+
+def test_append_rebase_detects_rival_commit_of_same_batch(
+    spark, tmp_path, monkeypatch
+):
+    """If the RIVAL writer committed the very batch this writer is
+    appending (a replayed delivery racing the original), the rebase
+    re-check finds it in the ledger and returns None — exactly-once
+    holds across writers, not just within one.  (The rival lands a
+    second batch too, so the heads genuinely diverge; a rival commit
+    with byte-identical content is indistinguishable from this writer's
+    own crash retry and legitimately succeeds via the idempotent
+    path.)"""
+    root = str(tmp_path / "rebase_same")
+    manifest_table_append(_batch(spark, 0), root, 0)
+
+    real_pub = mt.manifest_publish
+    fired = {"done": False}
+
+    def racy(spark_, root_, payload, *, seq):
+        if not fired["done"]:
+            fired["done"] = True
+            mt.manifest_table_append(_batch(spark, 7), root, 7)
+            mt.manifest_table_append(_batch(spark, 1), root, 1)
+        return real_pub(spark_, root_, payload, seq=seq)
+
+    with monkeypatch.context() as mp:
+        mp.setattr(mt, "manifest_publish", racy)
+        assert manifest_table_append(_batch(spark, 1), root, 1) is None
+    t = read_manifest_table(spark, root)
+    assert t.count() == 30
+    assert t.select("doc_id").distinct().count() == 30
