@@ -71,8 +71,8 @@ def render_result(payload: dict) -> str:
     tests/test_bench_contract.py::test_tail_capture_keeps_medians."""
     order = (
         "metric", "value", "unit", "sf", "protocol",
-        "host_load", "calibration", "stream_attribution", "spread",
-        "queries",
+        "host_load", "calibration", "host_cpu", "stream_attribution",
+        "spread", "queries",
     )
     known = {k: payload[k] for k in order if k in payload}
     extra = {k: v for k, v in payload.items() if k not in known}
@@ -104,6 +104,11 @@ def render_final(payload: dict) -> str:
         # ~22 bytes of self-reported host-contention evidence (see
         # calibrate()) — cheap enough to keep in the tail-capture line
         essentials["cal"] = payload["calibration"]
+    if payload.get("host_cpu"):
+        # the whole-host meter's headline: average EXTERNAL busy cores
+        # over the run (see HostCpuMeter) — the field that catches the
+        # partial multi-core contention cal is blind to.  ~12 bytes.
+        essentials["ext"] = payload["host_cpu"]["ext_busy_cores"]
     essentials["queries"] = {
         k: round(float(v), 2) for k, v in payload["queries"].items()
     }
@@ -139,6 +144,94 @@ def calibrate() -> float:
         acc += i * i
     assert acc  # keep the loop un-eliminable
     return round(time.perf_counter() - t0, 3)
+
+
+def _host_jiffies() -> tuple[int, int] | None:
+    """(total, busy) jiffies across ALL cpus since boot, from the
+    aggregate first line of ``/proc/stat``.  busy = everything except
+    idle+iowait.  None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):  # pragma: no cover - non-Linux
+        return None
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    return sum(vals), sum(vals) - idle
+
+
+def _tree_cpu_jiffies() -> int | None:
+    """CPU jiffies consumed by THIS process and every live descendant
+    (the pyspark JVM, its python workers), plus each one's already-reaped
+    children (cutime/cstime) — the bench's own share of the host meter.
+    ``getrusage(RUSAGE_CHILDREN)`` alone cannot see the live JVM, which
+    is why the single-core ``calibrate()`` probe needed this sibling."""
+    try:
+        stats: dict[int, tuple[int, int]] = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    data = f.read()
+            except OSError:
+                continue  # raced a process exit
+            rest = data[data.rindex(")") + 2:].split()
+            # proc(5) fields: state ppid ... utime(14) stime(15)
+            # cutime(16) cstime(17) → offsets 1, 11..14 after state
+            stats[int(pid)] = (
+                int(rest[1]),
+                int(rest[11]) + int(rest[12]) + int(rest[13])
+                + int(rest[14]),
+            )
+    except OSError:  # pragma: no cover - non-Linux
+        return None
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in stats.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0, [os.getpid()], set()
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in stats:
+            continue
+        seen.add(p)
+        total += stats[p][1]
+        stack.extend(kids.get(p, []))
+    return total
+
+
+class HostCpuMeter:
+    """Whole-host external-CPU meter (r12, VERDICT r11 "What's wrong"
+    #1): the single-core ``calibrate()`` probe only inflates when
+    external load contends for EVERY core — on this 32-CPU host, 8–16
+    busy external cores steal ~10% from the 32-thread suite while the
+    one-core probe still finds a free core and reads "drained"
+    (BENCH_r11: 77.0 s with cal 0.142 vs 69.8–71.1 s same-code drained).
+    This meter cannot be fooled that way: it integrates ALL cpu busy
+    jiffies over the run and subtracts the bench's own process tree
+    (python + JVM + workers), leaving the average number of cores OTHER
+    processes kept busy — ~0 on a drained host, ≈N under an N-core
+    external load, whatever N."""
+
+    def __init__(self) -> None:
+        self.t0 = time.time()
+        self.host0 = _host_jiffies()
+        self.tree0 = _tree_cpu_jiffies()
+
+    def read(self) -> dict | None:
+        host1, tree1 = _host_jiffies(), _tree_cpu_jiffies()
+        if None in (self.host0, self.tree0, host1, tree1):
+            return None  # pragma: no cover - non-Linux
+        elapsed = max(time.time() - self.t0, 1e-6)
+        hz = os.sysconf("SC_CLK_TCK")
+        busy = (host1[1] - self.host0[1]) / hz / elapsed
+        own = (tree1 - self.tree0) / hz / elapsed
+        return {
+            "ext_busy_cores": round(max(0.0, busy - own), 2),
+            "own_cores": round(own, 2),
+            "host_busy_cores": round(busy, 2),
+            "n_cpus": os.cpu_count(),
+            "window_sec": round(elapsed, 1),
+        }
 
 
 def loadavg() -> list[float] | None:
@@ -213,6 +306,7 @@ def main() -> None:
 
     # Warm pass: session/codegen/file-listing/stream-fixture one-offs.
     cal_start = calibrate()
+    meter = HostCpuMeter()
     host_load = [loadavg()]
     for name in roster:
         run_once(name)
@@ -262,6 +356,10 @@ def main() -> None:
         # the drained-host constant (BENCH_NOTES) = external load, and
         # the artifact carries its own evidence (see calibrate())
         "calibration": [cal_start, calibrate()],
+        # whole-host external-CPU integral over the run — catches the
+        # partial multi-core contention the single-core cal probe is
+        # blind to (HostCpuMeter docstring; BENCH_NOTES r12 control)
+        "host_cpu": meter.read(),
         "protocol": (
             "interleaved median-of-3 (warm pass excluded); "
             f"full {len(roster)}-query roster; streaming via noop "

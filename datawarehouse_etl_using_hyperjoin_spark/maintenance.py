@@ -63,6 +63,7 @@ def run_maintenance(
     keep_last: int = 2,
     target_file_mb: int = 128,
     ivf_id_col: str = "vec_id",
+    live_stream: bool = False,
 ) -> dict[str, dict]:
     """Run every applicable compaction pass over a declared layout.
 
@@ -71,6 +72,14 @@ def run_maintenance(
     verbatim — the replay window).  Returns ``{artifact_key: pass
     stats}`` with keys like ``corpus:/path`` / ``lsh:table`` so a caller
     (or log line) can see exactly what ran and what it changed.
+
+    ``live_stream=True`` (what :func:`make_maintenance_sink` passes)
+    declares the manifest-store artifacts' owning stream is committing
+    concurrently: their vacuums' ``keep_manifests`` is floored at 2 and
+    the underlying vacuums additionally REFUSE lower values — the
+    snapshot-read/vacuum race discipline (see
+    ``vacuum_manifest_table``/``ivf_vacuum``: the retention window must
+    outlast the longest concurrent read).
 
     Order: directory-shaped artifacts first (corpus, fact, quarantine),
     then catalog tables, then the IVF index — arbitrary but fixed, so a
@@ -96,7 +105,7 @@ def run_maintenance(
         )
     for d in quarantine_dirs:
         out[f"quarantine:{d}"] = compact_quarantine(
-            spark, d, keep_last=keep_last
+            spark, d, keep_last=keep_last, live_stream=live_stream
         )
     for t in lsh_tables:
         out[f"lsh:{t}"] = compact_lsh_index(spark, t, keep_last=keep_last)
@@ -113,8 +122,13 @@ def run_maintenance(
         # manifest stores never delete at rewrite (publish supersedes);
         # reclamation is this separate, equally idempotent step.  keep
         # the manifest history as deep as the replay window by analogy
+        # — floored at 2 under a live stream (snapshot-read race)
+        floor = 2 if live_stream else 1
         stats.update(
-            ivf_vacuum(spark, p, keep_manifests=max(1, keep_last))
+            ivf_vacuum(
+                spark, p, keep_manifests=max(floor, keep_last),
+                live_stream=live_stream,
+            )
         )
         out[f"ivf_manifest:{p}"] = stats
     for p in manifest_tables:
@@ -126,8 +140,12 @@ def run_maintenance(
         stats = compact_manifest_table(
             spark, p, keep_last=keep_last, target_file_mb=target_file_mb
         )
+        floor = 2 if live_stream else 1
         stats.update(
-            vacuum_manifest_table(spark, p, keep_manifests=max(1, keep_last))
+            vacuum_manifest_table(
+                spark, p, keep_manifests=max(floor, keep_last),
+                live_stream=live_stream,
+            )
         )
         out[f"manifest_table:{p}"] = stats
     return out
@@ -158,6 +176,10 @@ def make_maintenance_sink(
     the quarantine wrapper: wrap OUTERMOST
     (``make_maintenance_sink(make_quarantine_sink(make_star_sink(…)))``)
     so maintenance sees the quarantine split's artifacts too.
+
+    The wrapped passes run with ``live_stream=True``: manifest-store
+    vacuums keep at least 2 manifests regardless of ``keep_last`` (the
+    snapshot-read/vacuum race floor — see ``run_maintenance``).
     """
     if every < 1:
         raise ValueError(f"maintenance cadence must be >= 1, got {every}")
@@ -176,6 +198,7 @@ def make_maintenance_sink(
                 keep_last=keep_last,
                 target_file_mb=target_file_mb,
                 ivf_id_col=ivf_id_col,
+                live_stream=True,
                 **layout,
             )
             if on_stats is not None:

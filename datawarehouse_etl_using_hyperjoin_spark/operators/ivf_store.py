@@ -637,7 +637,11 @@ def migrate_ivf_index_to_manifest(
 
 
 def ivf_vacuum(
-    spark: SparkSession, root: str, *, keep_manifests: int = 3
+    spark: SparkSession,
+    root: str,
+    *,
+    keep_manifests: int = 3,
+    live_stream: bool = False,
 ) -> dict[str, int]:
     """Reclaim what no RETAINED snapshot references: expire manifest
     files beyond the newest ``keep_manifests`` first (the time-travel
@@ -647,11 +651,29 @@ def ivf_vacuum(
     object-store-safe).  Every retained manifest stays fully readable
     via ``read_ivf_index_manifest(as_of=...)`` + matching centroids;
     the snapshot window and the storage bound are the same knob.
-    Single-writer contract: don't run concurrently with a writer, whose
-    target generation is unpublished by definition and would be
-    reclaimed."""
+    Don't run concurrently with a writer whose target generation is
+    still unpublished — it would be reclaimed as an orphan (within one
+    stream, ``foreachBatch`` serializes sink and maintenance, so the
+    composed sinks are safe by construction).
+
+    Snapshot-read vs vacuum race (r12): a reader that resolved manifest
+    ``v=k`` (an ``as_of`` audit, or an ANN serving job mid-scan) races
+    any vacuum that expires k — the time-based contract and the
+    ``live_stream`` floor are identical to
+    ``sources.manifest_table.vacuum_manifest_table``: keep the
+    retention window longer than the longest read; with a live owning
+    stream (``make_maintenance_sink``), ``keep_manifests`` below 2 is
+    refused."""
     from ..manifest import manifest_history
 
+    if live_stream and keep_manifests < 2:
+        raise ValueError(
+            f"keep_manifests={keep_manifests} on a LIVE stream's index: "
+            "every new commit would immediately reclaim the generations "
+            "of the manifest any concurrent reader just resolved "
+            "(snapshot-read/vacuum race) — keep at least 2, sized so "
+            "the retention window outlasts your longest read"
+        )
     _live(spark, root)  # kind check + fail loudly on an empty root
     n_manifests = len(manifest_vacuum(spark, root, keep_last=keep_manifests))
     retained = manifest_history(spark, root)

@@ -344,7 +344,11 @@ def compact_manifest_table(
 
 
 def vacuum_manifest_table(
-    spark: SparkSession, root: str, *, keep_manifests: int = 3
+    spark: SparkSession,
+    root: str,
+    *,
+    keep_manifests: int = 3,
+    live_stream: bool = False,
 ) -> dict[str, int]:
     """Reclaim what no RETAINED snapshot references: first expire
     manifest files beyond the newest ``keep_manifests`` (shrinking the
@@ -353,10 +357,31 @@ def vacuum_manifest_table(
     remain — superseded generations past the window and crash orphans
     alike.  Every retained manifest therefore stays FULLY readable via
     ``read_manifest_table(as_of=...)``; the snapshot window and the
-    storage bound are the same ``keep_manifests`` knob.  Single-writer
-    contract, as everywhere in the manifest protocol."""
+    storage bound are the same ``keep_manifests`` knob.
+
+    Snapshot-read vs vacuum race (r12, the classic Iceberg retention
+    race): a reader that resolved manifest ``v=k`` — a pinned ``as_of``
+    or simply a long-running live read — scans k's generation dirs for
+    as long as its job runs; a concurrent vacuum can reclaim those dirs
+    mid-read once newer commits push k outside the retention window.
+    THE CONTRACT IS TIME-BASED: keep the retention window (the wall
+    time ``keep_manifests`` commits span) longer than the longest read
+    you run against the table.  ``live_stream=True`` declares that the
+    table's owning stream is committing concurrently (what
+    ``make_maintenance_sink`` passes) and REFUSES ``keep_manifests``
+    below 2 — with only the newest manifest retained, every new commit
+    immediately invalidates the manifest any in-flight reader resolved,
+    so even instant reads race."""
     from ..manifest import manifest_history
 
+    if live_stream and keep_manifests < 2:
+        raise ValueError(
+            f"keep_manifests={keep_manifests} on a LIVE stream's table: "
+            "every new commit would immediately reclaim the generations "
+            "of the manifest any concurrent reader just resolved "
+            "(snapshot-read/vacuum race) — keep at least 2, sized so "
+            "the retention window outlasts your longest read"
+        )
     _live(spark, root)  # kind check + fail loudly on an empty root
     n_manifests = len(manifest_vacuum(spark, root, keep_last=keep_manifests))
     keep = {

@@ -659,7 +659,11 @@ def make_quarantine_sink(
 
 
 def compact_quarantine(
-    spark: SparkSession, out_dir: str, *, keep_last: int = 2
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    keep_last: int = 2,
+    live_stream: bool = False,
 ) -> dict[str, dict[str, int]]:
     """Maintenance pass for the quarantine sink's side artifacts — the
     last members of the per-batch-partition family to get one
@@ -716,9 +720,11 @@ def compact_quarantine(
             )
 
             stats = compact_manifest_table(spark, path, keep_last=keep_last)
+            floor = 2 if live_stream else 1
             stats.update(
                 vacuum_manifest_table(
-                    spark, path, keep_manifests=max(1, keep_last)
+                    spark, path, keep_manifests=max(floor, keep_last),
+                    live_stream=live_stream,
                 )
             )
             out[rel] = stats
@@ -743,7 +749,11 @@ def compact_quarantine(
                     }
                 except AnalysisException:
                     nonempty = set()  # no footers at all
-                reap = ids[: len(ids) - keep_last] if keep_last > 0 else ids
+                reap = (
+                    ids[: max(0, len(ids) - keep_last)]
+                    if keep_last > 0
+                    else ids
+                )
                 for b in reap:
                     if b in nonempty:
                         continue

@@ -47,6 +47,13 @@ def _full_size_payload():
         },
         "host_load": [[1.0, 2.0, 3.0]] * 5,
         "calibration": [0.251, 0.262],
+        "host_cpu": {
+            "ext_busy_cores": 12.34,
+            "own_cores": 28.71,
+            "host_busy_cores": 41.05,
+            "n_cpus": 32,
+            "window_sec": 77.0,
+        },
     }
 
 
@@ -134,3 +141,66 @@ def test_unknown_keys_survive_and_stay_in_front():
     parsed = json.loads(render_result(payload))
     assert parsed["new_diagnostic"] == {"anything": 1}
     assert list(parsed)[-1] == "queries"
+
+
+def test_final_line_carries_ext_busy_cores():
+    """r12 (VERDICT r11 #1): the compact tail-capture line must carry the
+    whole-host external-CPU estimate next to cal — the field that makes a
+    partially-loaded-host artifact self-reporting."""
+    line = render_final(_full_size_payload())
+    parsed = json.loads(line)
+    assert parsed["ext"] == 12.34
+    assert parsed["cal"] == [0.251, 0.262]
+    # absent meter (non-Linux): the field is simply omitted
+    p = dict(_full_size_payload())
+    p["host_cpu"] = None
+    assert "ext" not in json.loads(render_final(p))
+
+
+def test_host_cpu_meter_attributes_own_work_not_external():
+    """The meter's core claim: CPU burned by THIS process tree reads as
+    own_cores, not ext_busy_cores — so a busy bench on a drained host
+    reports ext≈0 (what cal cannot distinguish from a loaded host when
+    the load leaves one core free)."""
+    import time as _t
+
+    from bench import HostCpuMeter
+
+    m = HostCpuMeter()
+    t_end = _t.time() + 1.2
+    acc = 0
+    while _t.time() < t_end:  # ~1.2 s of single-core own work
+        acc += 1
+    assert acc
+    r = m.read()
+    assert r is not None
+    assert r["own_cores"] >= 0.5            # our burn is visible...
+    assert r["ext_busy_cores"] < r["host_busy_cores"] + 0.01
+    # ...and attributed to us, not to external load: ext excludes own
+    assert r["ext_busy_cores"] <= r["host_busy_cores"] - r["own_cores"] + 0.25
+    assert r["n_cpus"] == os.cpu_count()
+
+
+def test_host_cpu_meter_sees_external_load():
+    """The blind-spot closure: a busy process OUTSIDE this process tree
+    (double-forked, reparented to init — as co-located load would be)
+    shows up in ext_busy_cores even though it leaves 30+ cores free, i.e.
+    exactly the load shape the single-core cal probe misses."""
+    import subprocess
+    import time as _t
+
+    from bench import HostCpuMeter
+
+    m = HostCpuMeter()
+    # double fork: the intermediate shell exits at once, the burner is
+    # reparented to init and is NOT our descendant
+    subprocess.run(
+        ["sh", "-c",
+         "python3 -c 'import time;e=time.time()+2.0\n"
+         "while time.time()<e: pass' >/dev/null 2>&1 &"],
+        check=True,
+    )
+    _t.sleep(2.2)
+    r = m.read()
+    assert r is not None
+    assert r["ext_busy_cores"] >= 0.5

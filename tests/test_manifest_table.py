@@ -612,3 +612,57 @@ def test_append_rebase_detects_rival_commit_of_same_batch(
     t = read_manifest_table(spark, root)
     assert t.count() == 30
     assert t.select("doc_id").distinct().count() == 30
+
+
+def test_snapshot_vacuum_race_discipline(spark, tmp_path):
+    """r12 (VERDICT Next #3): the Iceberg-classic retention race.  (a) A
+    vacuum invoked for a LIVE stream's table refuses keep_manifests < 2
+    loudly; run_maintenance(live_stream=True) floors it instead of
+    passing keep_last=1 through.  (b) A pinned as_of read STRADDLING a
+    vacuum: within the retention window it returns exact rows after the
+    vacuum ran; a vacuum that expires the pinned snapshot makes the
+    straddling read fail LOUDLY at scan — never a silent partial
+    result."""
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import (
+        manifest_history,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.ivf_store import (
+        ivf_vacuum,
+    )
+
+    root = str(tmp_path / "race_vac")
+    seqs = [manifest_table_append(_batch(spark, b), root, b) for b in range(4)]
+
+    # (a) the live-stream floor
+    with pytest.raises(ValueError, match="snapshot-read/vacuum race"):
+        vacuum_manifest_table(spark, root, keep_manifests=1, live_stream=True)
+    with pytest.raises(ValueError, match="snapshot-read/vacuum race"):
+        ivf_vacuum(spark, root, keep_manifests=1, live_stream=True)
+    stats = run_maintenance(
+        spark, manifest_tables=[root], keep_last=1, live_stream=True
+    )
+    assert stats  # floored to keep_manifests=2, no refusal through the hook
+    assert len(manifest_history(spark, root)) >= 2
+
+    # (b) pinned as_of read straddling a vacuum, inside the window:
+    # retention kept the snapshot, the pre-vacuum handle still reads
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
+
+    live_seq = manifest_read(spark, root)["seq"]
+    pinned = read_manifest_table(spark, root, as_of=live_seq)
+    compact_manifest_table(spark, root, keep_last=0)
+    vacuum_manifest_table(spark, root, keep_manifests=2)
+    assert pinned.count() == 40  # snapshot retained: exact rows
+
+    # ...and outside the window: the straddling read fails loudly
+    live_seq2 = manifest_read(spark, root)["seq"]
+    pinned2 = read_manifest_table(spark, root, as_of=live_seq2)
+    for b in range(4, 7):
+        manifest_table_append(_batch(spark, b), root, b)
+    compact_manifest_table(spark, root, keep_last=0)
+    vacuum_manifest_table(spark, root, keep_manifests=1)
+    with pytest.raises(Exception, match="(?i)file|path|exist"):
+        pinned2.count()
+    # a fresh resolve of the expired snapshot gets the clear error
+    with pytest.raises(ValueError, match="no retained manifest"):
+        read_manifest_table(spark, root, as_of=seqs[0])
