@@ -64,6 +64,7 @@ def run_maintenance(
     target_file_mb: int = 128,
     ivf_id_col: str = "vec_id",
     live_stream: bool = False,
+    min_merge_mb: float | None = None,
 ) -> dict[str, dict]:
     """Run every applicable compaction pass over a declared layout.
 
@@ -117,7 +118,8 @@ def run_maintenance(
         from .operators.ivf_store import compact_ivf_index_manifest, ivf_vacuum
 
         stats = compact_ivf_index_manifest(
-            spark, p, target_file_mb=target_file_mb, id_col=ivf_id_col
+            spark, p, target_file_mb=target_file_mb, id_col=ivf_id_col,
+            min_merge_mb=min_merge_mb,
         )
         # manifest stores never delete at rewrite (publish supersedes);
         # reclamation is this separate, equally idempotent step.  keep
@@ -138,7 +140,8 @@ def run_maintenance(
         )
 
         stats = compact_manifest_table(
-            spark, p, keep_last=keep_last, target_file_mb=target_file_mb
+            spark, p, keep_last=keep_last, target_file_mb=target_file_mb,
+            min_merge_mb=min_merge_mb,
         )
         floor = 2 if live_stream else 1
         stats.update(
@@ -158,6 +161,7 @@ def make_maintenance_sink(
     keep_last: int = 2,
     target_file_mb: int = 128,
     ivf_id_col: str = "vec_id",
+    min_merge_mb: float | None = None,
     on_stats=None,
     **layout: Sequence[str],
 ):
@@ -199,6 +203,7 @@ def make_maintenance_sink(
                 target_file_mb=target_file_mb,
                 ivf_id_col=ivf_id_col,
                 live_stream=True,
+                min_merge_mb=min_merge_mb,
                 **layout,
             )
             if on_stats is not None:

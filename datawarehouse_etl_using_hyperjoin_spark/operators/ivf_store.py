@@ -525,52 +525,119 @@ def compact_ivf_index_manifest(
     *,
     target_file_mb: int = 128,
     id_col: str = "vec_id",
+    min_merge_mb: float | None = None,
 ) -> dict[str, int]:
-    """Maintenance rewrite, manifest flavor: every cell's live
-    generations merge into ONE fresh generation, bin-packed to
-    ~``target_file_mb`` files and re-sorted to the (cell, id) in-file
-    order cell_local row-group skipping needs.  Commit is one manifest
-    publish (all cells move to the new generation atomically); the
-    superseded dirs await :func:`ivf_vacuum`.  A crashed pass leaves the
-    live index untouched — no staging validation or rollback needed,
-    unlike ``compact_table``'s two-rename swap, because nothing was
-    published."""
+    """Maintenance rewrite, manifest flavor: the SMALL live generations
+    merge into ONE fresh generation, bin-packed to ~``target_file_mb``
+    files and re-sorted to the (cell, id) in-file order cell_local
+    row-group skipping needs.  Commit is one manifest publish (every
+    touched cell moves atomically); the superseded dirs await
+    :func:`ivf_vacuum`.  A crashed pass leaves the live index
+    untouched — no staging validation or rollback needed, unlike
+    ``compact_table``'s two-rename swap, because nothing was published.
+
+    Size tiering (r12, same lever as ``compact_manifest_table``):
+    generations at or above ``min_merge_mb`` (default
+    ``target_file_mb``) are FROZEN — already compact and already
+    (cell, id)-sorted from their own compaction, so re-merging them
+    every cadence pass only re-rewrites the same rows (quadratic total
+    bytes in stream age).  Frozen generations keep their cell entries;
+    each still serves with selective row-group stats because every
+    generation is written in ``_prepare``'s sorted order.  A row is
+    therefore rewritten a CONSTANT number of times over the index's
+    life, and the cells×generations listing stays
+    O(index_size/min_merge_mb) + the ingest window."""
     import math
     import os as _os
+    import re as _re
+
+    from ..fsutil import hadoop_fs
 
     live = _live(spark, root)
     seq = live["seq"] + 1
-    df = read_ivf_index_manifest(spark, root)
-    if id_col not in df.columns:
+    cells = _cells_of(live)
+    df_all = read_ivf_index_manifest(spark, root)
+    if id_col not in df_all.columns:
         raise ValueError(
             f"compact_ivf_index_manifest: id column {id_col!r} not in the "
             f"index at {root!r}"
         )
-    files = df.inputFiles()
+    files = df_all.inputFiles()
     n_before = len(files)
-    rows_before = df.count()
-    total_bytes = 0
+    rows_before = df_all.count()
+    # per-generation bytes from the live listing (local getsize, Hadoop
+    # getFileStatus otherwise — compaction-time only, never at serve)
+    limit = int(
+        (target_file_mb if min_merge_mb is None else min_merge_mb)
+        * (1 << 20)
+    )
+    gen_bytes: dict[int, int] = {}
+    got = hadoop_fs(spark, root)
     for f in files:
+        m = _re.search(r"/g=(\d+)/", f)
+        if m is None:
+            continue
         try:
-            total_bytes += _os.path.getsize(f.removeprefix("file:"))
+            sz = _os.path.getsize(f.removeprefix("file:"))
         except OSError:
-            # non-local fs: unknown per-file sizes; ~8 inputs per output
-            total_bytes = 0
-            break
+            if got is None:
+                gen_bytes = {}
+                break
+            fs, _ = got
+            sz = int(
+                fs.getFileStatus(
+                    spark._jvm.org.apache.hadoop.fs.Path(f)  # noqa: SLF001
+                ).getLen()
+            )
+        g = int(m.group(1))
+        gen_bytes[g] = gen_bytes.get(g, 0) + sz
+    gens_all = sorted({g for gs in cells.values() for g in gs})
+    if gen_bytes:
+        small = {g for g in gens_all if gen_bytes.get(g, 0) < limit}
+    else:
+        small = set(gens_all)  # sizes unknown: merge everything (pre-r12)
+    if len(small) < 2:
+        return {
+            "files_before": n_before,
+            "files_after": n_before,
+            "rows": rows_before,
+            "gens_before": len(gens_all),
+            "gens_after": len(gens_all),
+        }
+    sub_cells = {
+        c: [g for g in gs if g in small] for c, gs in cells.items()
+    }
+    sub_cells = {c: gs for c, gs in sub_cells.items() if gs}
+    merged = (
+        spark.read.option("basePath", _data_root(root))
+        .parquet(*_cell_dirs(root, sub_cells))
+        .drop("g")
+    )
+    small_files = merged.inputFiles()
+    total_bytes = sum(
+        gen_bytes.get(g, 0) for g in small
+    )
     n_out = (
         max(1, math.ceil(total_bytes / (target_file_mb << 20)))
         if total_bytes
-        else max(1, n_before // 8)
+        else max(1, len(small_files) // 8)
     )
-    packed = df.repartitionByRange(
+    packed = merged.repartitionByRange(
         n_out, F.col("centroid_id"), F.col(id_col)
     )
     _write_gen(_prepare(packed, seq, id_col), root)
-    cell_ids = sorted(
-        int(r[0]) for r in df.select("centroid_id").distinct().collect()
-    )
+    touched = {
+        int(r[0]) for r in merged.select("centroid_id").distinct().collect()
+    }  # C rows — design parameter, never data volume
+    new_cells = {}
+    for c, gs in cells.items():
+        kept = [g for g in gs if g not in small]
+        if int(c) in touched:
+            kept.append(seq)
+        if kept:
+            new_cells[c] = kept
     _publish(
-        spark, root, {c: [seq] for c in cell_ids},
+        spark, root, new_cells,
         centroids_gen=live["centroids_gen"], seq=seq,
         batches=live.get("batches", {}),
     )
@@ -579,6 +646,10 @@ def compact_ivf_index_manifest(
         "files_before": n_before,
         "files_after": len(after.inputFiles()),
         "rows": rows_before,
+        "gens_before": len(gens_all),
+        "gens_after": len(
+            sorted({g for gs in new_cells.values() for g in gs})
+        ),
     }
 
 

@@ -25,11 +25,14 @@ overwrite of a gen-specific fresh path).
 
 Aging: every batch is one generation, so a long-lived stream is O(age)
 directories — the same shape the partition sinks have —
-:func:`compact_manifest_table` merges all but the newest ``keep_last``
-BATCH generations into one (publish supersedes; nothing deleted until
-:func:`vacuum_manifest_table`).  ``keep_last`` here protects nothing
-(the ledger already makes replays no-ops) but is kept for operational
-symmetry: the newest batches stay byte-verbatim for audit/debug.
+:func:`compact_manifest_table` merges the SMALL generations older than
+the newest ``keep_last`` into one (size-TIERED since r12: generations
+already at ``min_merge_mb`` are frozen, so a row is rewritten a
+CONSTANT number of times however long the stream runs; publish
+supersedes, nothing deleted until :func:`vacuum_manifest_table`).
+``keep_last`` here protects nothing (the ledger already makes replays
+no-ops) but is kept for operational symmetry: the newest batches stay
+byte-verbatim for audit/debug.
 
 Reference lineage: the reference's sink is five JDBC INSERTs per tuple
 with autocommit (StreamGeneratorThread.java:134-158) — no atomicity at
@@ -266,6 +269,30 @@ def read_manifest_table(
     ).drop("g")
 
 
+def _gen_bytes(spark: SparkSession, root: str, g: int) -> int:
+    """On-disk bytes of one generation dir — the size-tiering input.
+    Hadoop ``getContentSummary`` (one RPC; LIST on object stores) with a
+    local ``os.walk`` fallback for Connect sessions."""
+    from ..fsutil import hadoop_fs
+
+    path = _gen_dir(root, g)
+    got = hadoop_fs(spark, path)
+    if got is not None:
+        fs, jpath = got
+        if not fs.exists(jpath):
+            return 0
+        return int(fs.getContentSummary(jpath).getLength())
+    lp = path.removeprefix("file://").removeprefix("file:")
+    total = 0
+    for dirpath, _dirs, files in _os.walk(lp):
+        for f in files:
+            try:
+                total += _os.path.getsize(_os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
 def compact_manifest_table(
     spark: SparkSession,
     root: str,
@@ -273,19 +300,38 @@ def compact_manifest_table(
     keep_last: int = 2,
     target_file_mb: int = 128,
     sort_by: list[str] | None = None,
+    min_merge_mb: float | None = None,
 ) -> dict[str, int]:
-    """Merge all but the newest ``keep_last`` generations into ONE fresh
-    generation, bin-packed to ~``target_file_mb`` files (sized from the
-    file listing, like ``compact_table``) and optionally range-sorted on
-    ``sort_by`` so footer stats stay selective.  Commit is one manifest
-    publish; the superseded dirs await :func:`vacuum_manifest_table`.  A
-    crash leaves the live table untouched — no staging validation, no
-    rollback, no brief-absence window (``compact_lsh_index``'s rename
-    caveats), because nothing was published.  The batch ledger is
-    unchanged: exactly-once survives any number of compactions."""
+    """Merge the SMALL generations older than the newest ``keep_last``
+    into ONE fresh generation, bin-packed to ~``target_file_mb`` files
+    (sized from the file listing, like ``compact_table``) and optionally
+    range-sorted on ``sort_by`` so footer stats stay selective.  Commit
+    is one manifest publish; the superseded dirs await
+    :func:`vacuum_manifest_table`.  A crash leaves the live table
+    untouched — no staging validation, no rollback, no brief-absence
+    window (``compact_lsh_index``'s rename caveats), because nothing was
+    published.  The batch ledger is unchanged: exactly-once survives any
+    number of compactions.
+
+    Size tiering (r12): generations at or above ``min_merge_mb``
+    (default ``target_file_mb``) are FROZEN — already compact, never
+    re-merged.  Without the tier, every scheduled pass re-merged the
+    previously-merged big generation with the new small ones, so the
+    total bytes a maintained stream rewrites grows QUADRATICALLY in
+    stream age (measured: the r12 20×/20-batch probe paid ~6.4 s per
+    cadence pass, most of it re-rewriting already-compacted rows) — a
+    scale-killer at 10⁵ batches.  With the tier, a row is rewritten at
+    most ~``min_merge_mb / batch_mb`` times ever, CONSTANT in stream
+    age, and the generation-dir count stays O(table_size/min_merge_mb +
+    keep_last + cadence) — bounded listing growth, bounded rewrite."""
     live = _live(spark, root)
     gens = sorted(int(g) for g in live["gens"])
     old = gens[: max(0, len(gens) - keep_last)] if keep_last > 0 else gens
+    limit = int(
+        (target_file_mb if min_merge_mb is None else min_merge_mb)
+        * (1 << 20)
+    )
+    old = [g for g in old if _gen_bytes(spark, root, g) < limit]
     files_before = len(
         read_manifest_table(spark, root).inputFiles()
     )

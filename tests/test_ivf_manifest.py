@@ -384,6 +384,13 @@ _ivf_ops = st.lists(
         st.tuples(st.just("split"), st.just(0), st.just(0)),
         st.tuples(st.just("compact"), st.just(0), st.just(0)),
         st.tuples(st.just("vacuum"), st.just(0), st.just(0)),
+        # r12: a second writer commits between this writer's head read
+        # and its conditional PUT (rival batch ids 5..8, disjoint)
+        st.tuples(
+            st.just("race_append"),
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=2, max_value=6),
+        ),
     ),
     min_size=1,
     max_size=6,
@@ -444,6 +451,30 @@ def test_ivf_store_model_under_random_ops_and_crashes(
                     s.ivf_append_manifest(df_of(vec_rows(a, b)), root, batch_id=a)
             finally:
                 s.manifest_publish = real_publish
+        elif op == "race_append":
+            rows = vec_rows(a, b)
+            rival_id, rival_rows = a + 4, vec_rows(a + 4, b)
+            fired = {"done": False}
+
+            def racy(s_, r_, payload, *, seq, _f=fired, _rr=rival_rows,
+                     _ri=rival_id):
+                if not _f["done"]:
+                    _f["done"] = True
+                    s.ivf_append_manifest(df_of(_rr), root, batch_id=_ri)
+                return real_publish(s_, r_, payload, seq=seq)
+
+            s.manifest_publish = racy
+            try:
+                res = s.ivf_append_manifest(df_of(rows), root, batch_id=a)
+            finally:
+                s.manifest_publish = real_publish
+            if fired["done"] and rival_id not in committed:
+                committed[rival_id] = rival_rows
+            if a in committed:
+                assert res is None
+            else:
+                assert res is not None
+                committed[a] = rows
         elif op == "split":
             sizes = [
                 r["count"]
@@ -634,3 +665,76 @@ def test_ivf_append_rebases_after_losing_the_conditional_put(
     # vacuum reclaims the losers' orphan generations; serving unchanged
     ivf_vacuum(spark, root, keep_manifests=1)
     assert read_ivf_index_manifest(spark, root).count() == 550
+
+
+def test_ivf_size_tiered_compaction_freezes_large_generations(
+    spark, sf_dir, tmp_path
+):
+    """r12: generations at/above min_merge_mb are frozen — an already-
+    compacted big generation is not re-rewritten by every cadence pass
+    (the quadratic-rewrite shape the 20x fact probe measured).  Frozen
+    generations keep serving (each is (cell,id)-sorted from its own
+    write), small ones merge, rows exact throughout."""
+    import os as _os
+
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
+
+    em = load_table(spark, sf_dir, "embeddings").limit(400)
+    root = str(tmp_path / "ivf_tier")
+    write_ivf_index_manifest(em, root, n_centroids=2)  # gen 1, the big one
+    for i in range(3):  # small gens 2..4
+        b = em.limit(40).withColumn(
+            "vec_id", F.col("vec_id") + (i + 1) * 10_000
+        )
+        assert ivf_append_manifest(b, root, batch_id=i + 1) is not None
+
+    def gen_bytes():
+        sizes: dict[int, int] = {}
+        data = f"{root}/data"
+        for cdir in _os.listdir(data):
+            for gdir in _os.listdir(f"{data}/{cdir}"):
+                g = int(gdir.split("=", 1)[1])
+                for f in _os.listdir(f"{data}/{cdir}/{gdir}"):
+                    p = f"{data}/{cdir}/{gdir}/{f}"
+                    if _os.path.isfile(p):
+                        sizes[g] = sizes.get(g, 0) + _os.path.getsize(p)
+        return sizes
+
+    sizes = gen_bytes()
+    small_max = max(v for g, v in sizes.items() if g != 1)
+    assert sizes[1] > small_max  # the premise: gen 1 is the big one
+    thr_mb = (sizes[1] + small_max) / 2 / (1 << 20)
+
+    stats = compact_ivf_index_manifest(spark, root, min_merge_mb=thr_mb)
+    live = manifest_read(spark, root)
+    live_gens = sorted({g for gs in live["cells"].values() for g in gs})
+    assert 1 in live_gens                 # frozen, not re-merged
+    assert stats["gens_before"] == 4 and stats["gens_after"] == 2
+    t = read_ivf_index_manifest(spark, root)
+    assert t.count() == 520
+    assert t.select("vec_id").distinct().count() == 520
+
+    # second round: more small appends, gen 1 STILL frozen afterwards
+    for i in range(3, 5):
+        b = em.limit(40).withColumn(
+            "vec_id", F.col("vec_id") + (i + 1) * 10_000
+        )
+        ivf_append_manifest(b, root, batch_id=i + 1)
+    compact_ivf_index_manifest(spark, root, min_merge_mb=thr_mb)
+    live = manifest_read(spark, root)
+    live_gens = sorted({g for gs in live["cells"].values() for g in gs})
+    assert 1 in live_gens
+    t = read_ivf_index_manifest(spark, root)
+    assert t.count() == 600
+    # serving across frozen + merged generations stays exact: each query
+    # vector is in the index, so its top-1 cosine is 1.0
+    q = em.limit(3).select("vec_id", "embedding")
+    hits = ann_ivf_index_topk(
+        q, read_ivf_index_manifest(spark, root),
+        read_ivf_centroids(spark, root), k=1, nprobe=2,
+    ).collect()
+    assert len(hits) == 3
+    assert all(r.cos >= 0.9999 for r in hits)
+    # vacuum reclaims the superseded small gens; nothing visible changes
+    ivf_vacuum(spark, root, keep_manifests=1)
+    assert read_ivf_index_manifest(spark, root).count() == 600

@@ -666,3 +666,45 @@ def test_snapshot_vacuum_race_discipline(spark, tmp_path):
     # a fresh resolve of the expired snapshot gets the clear error
     with pytest.raises(ValueError, match="no retained manifest"):
         read_manifest_table(spark, root, as_of=seqs[0])
+
+
+def test_size_tiered_compaction_freezes_large_generations(
+    spark, tmp_path, monkeypatch
+):
+    """r12: generations at/above min_merge_mb are FROZEN — never
+    re-merged — so the total bytes a maintained stream rewrites is
+    constant per row instead of growing with stream age (the quadratic
+    re-merge the 20x probe measured).  Simulated by reporting a huge
+    size for the first compaction's output generation."""
+    root = str(tmp_path / "tier")
+    for b in range(6):
+        manifest_table_append(_batch(spark, b), root, b)
+    # first pass merges gens 1..4 into gen 7 (keep_last=2)
+    stats = compact_manifest_table(spark, root, keep_last=2)
+    assert stats["gens_before"] == 6 and stats["gens_after"] == 3
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
+
+    big_gen = manifest_read(spark, root)["seq"]  # the merged generation
+    for b in range(6, 9):
+        manifest_table_append(_batch(spark, b), root, b)
+
+    real_bytes = mt._gen_bytes
+
+    def fake_bytes(spark_, root_, g):
+        if int(g) == big_gen:
+            return 10 << 30  # pretend the merged gen is 10 GB
+        return real_bytes(spark_, root_, g)
+
+    with monkeypatch.context() as mp:
+        mp.setattr(mt, "_gen_bytes", fake_bytes)
+        stats2 = compact_manifest_table(spark, root, keep_last=2)
+    # the frozen gen stays; only the small ones merged (gens 5,6 + 7,8
+    # minus keep_last... -> merged small set excludes big_gen)
+    live = manifest_read(spark, root)
+    assert big_gen in set(live["gens"])  # frozen, not re-merged
+    assert stats2["gens_after"] < stats2["gens_before"]
+    t = read_manifest_table(spark, root)
+    assert t.count() == 90
+    assert t.select("doc_id").distinct().count() == 90
+    # rows merged in pass 2 exclude the frozen generation's 40 rows
+    assert stats2["rows"] == 30  # gens 5,6,7(batch ids 4,5,6) small ones

@@ -1901,6 +1901,8 @@ def measure_fact_layout(
     *,
     mult: int = 20,
     n_batches: int = 20,
+    maintenance_every: int | None = None,
+    min_merge_mb: int | None = None,
 ) -> dict[str, dict]:
     """r11: what the LEDGERED manifest fact commit costs vs the
     partition layout, isolated to the sink (the rest of the composed
@@ -1911,7 +1913,17 @@ def measure_fact_layout(
     records a replayed delivery's cost in each layout: the partition
     layout re-executes the full batch write (idempotent overwrite), the
     manifest layout detects it in the ledger and skips the fact write
-    after the dim upsert."""
+    after the dim upsert.
+
+    ``maintenance_every`` (r12, VERDICT r11 Next #4) adds a THIRD
+    variant: the manifest layout with ``make_maintenance_sink`` live on
+    the same cadence hook the pipeline exposes — demonstrating, inside
+    the composed 20× sink, that the generation count stays BOUNDED at
+    O(keep_last + every) instead of O(stream age), per-batch wall stays
+    flat (the cadence passes pay for themselves), and the aged full-read
+    cost the r11 probe decomposed (~0.5 s manifest resolution +
+    generation-root listing) is retired.  Every variant records
+    ``gens_per_batch`` (manifest layouts) and a final ``read_wall_sec``."""
     from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import (
         master_data,
         transactions,
@@ -1942,33 +1954,87 @@ def measure_fact_layout(
     out: dict[str, dict] = {
         "mult": mult, "n_batches": n_batches, "rows": enriched.count(),
     }
-    for layout in ("partition", "manifest"):
+    variants: list[tuple[str, int | None, int | None]] = [
+        ("partition", None, None), ("manifest", None, None),
+    ]
+    if maintenance_every:
+        # untier by forcing an effectively-infinite freeze threshold so
+        # the quadratic-rewrite shape is measured next to the tiered one
+        variants.append(("manifest", int(maintenance_every), 1 << 20))
+        if min_merge_mb:
+            variants.append(
+                ("manifest", int(maintenance_every), int(min_merge_mb))
+            )
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        read_manifest_table,
+    )
+
+    for layout, every, tier in variants:
         root = tempfile.mkdtemp(prefix="fact_layout_") + "/dw"
+        fact_root = f"{root}/fact_enriched"
         sink = make_star_sink(root, fact_layout=layout)
-        walls = []
+        if every:
+            from datawarehouse_etl_using_hyperjoin_spark.maintenance import (
+                make_maintenance_sink,
+            )
+
+            passes: list[dict] = []
+
+            def on_stats(bid, st, _p=passes, _r=fact_root):
+                s = st.get(f"manifest_table:{_r}", {})
+                _p.append({
+                    "batch": bid,
+                    "merged_rows": (
+                        s.get("rows", 0)
+                        if s.get("gens_after") != s.get("gens_before")
+                        else 0
+                    ),
+                })
+
+            sink = make_maintenance_sink(
+                sink, every, keep_last=2, manifest_tables=[fact_root],
+                min_merge_mb=tier, on_stats=on_stats,
+            )
+        walls, gens_per_batch = [], []
         for b, df in enumerate(batches):
             t0 = time.time()
             sink(df, b)
             walls.append(round(time.time() - t0, 2))
+            if layout == "manifest":
+                gens_per_batch.append(
+                    len(manifest_read(spark, fact_root)["gens"])
+                )
         t0 = time.time()
         sink(batches[-1], n_batches - 1)  # re-delivery of a committed batch
         replay_wall = round(time.time() - t0, 2)
+        t0 = time.time()
         if layout == "manifest":
-            from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
-                read_manifest_table,
-            )
-
-            fact_rows = read_manifest_table(spark, f"{root}/fact_enriched").count()
+            fact_rows = read_manifest_table(spark, fact_root).count()
         else:
-            fact_rows = spark.read.parquet(f"{root}/fact_enriched").count()
-        out[layout] = {
+            fact_rows = spark.read.parquet(fact_root).count()
+        read_wall = round(time.time() - t0, 2)
+        key = layout
+        if every:
+            key += f"+maint{every}"
+            if tier and tier < (1 << 20):
+                key += f"+tier{tier}mb"
+        out[key] = {
             "total_wall_sec": round(sum(walls), 2),
             "first3_wall": walls[:3],
             "last3_wall": walls[-3:],
             "replay_wall_sec": replay_wall,
+            "read_wall_sec": read_wall,
             "fact_rows": fact_rows,
         }
-    assert out["partition"]["fact_rows"] == out["manifest"]["fact_rows"]
+        if gens_per_batch:
+            out[key]["gens_per_batch"] = gens_per_batch
+        if every:
+            out[key]["maintenance_passes"] = passes
+            out[key]["rewritten_rows_total"] = sum(
+                p["merged_rows"] for p in passes
+            )
+        assert out[key]["fact_rows"] == out["partition"]["fact_rows"]
     return out
 
 
@@ -2795,6 +2861,12 @@ def main() -> None:
             os.environ.get("SCALE_PROBE_SF_DIR", "/root/testdata/sf0.1"),
             mult=int(os.environ.get("SCALE_PROBE_MULT", 20)),
             n_batches=int(os.environ.get("SCALE_PROBE_BATCHES", 20)),
+            maintenance_every=int(
+                os.environ.get("SCALE_PROBE_MAINT_EVERY", 0)
+            ) or None,
+            min_merge_mb=int(
+                os.environ.get("SCALE_PROBE_MIN_MERGE_MB", 0)
+            ) or None,
         )}, indent=2))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf_manifest":
