@@ -216,6 +216,50 @@ def main() -> None:
         k=3, nprobe=2,
     )
     print(f"[ivf]    ANN serving off the final state: {top.count()} result rows")
+
+    # -- 4. r12: two writers racing one commit + additive schema evolution
+    import datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table as mtab
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        manifest_table_append,
+    )
+
+    tbl = f"{root}/evolving_table"
+    manifest_table_append(docs.filter(F.col("doc_id") < 50), tbl, 0)
+    # writer B commits batch 9 between writer A's head read and A's
+    # conditional PUT; A loses the PUT, rebases, and lands — both commit
+    real_pub, fired = mtab.manifest_publish, {"done": False}
+
+    def racy(s_, r_, payload, *, seq):
+        if not fired["done"]:
+            fired["done"] = True
+            mtab.manifest_table_append(
+                docs.filter(
+                    (F.col("doc_id") >= 300) & (F.col("doc_id") < 350)
+                ),
+                tbl, 9,
+            )
+        return real_pub(s_, r_, payload, seq=seq)
+
+    mtab.manifest_publish = racy
+    try:
+        # writer A's batch also ADDS a column — additive schema evolution
+        manifest_table_append(
+            docs.filter(
+                (F.col("doc_id") >= 50) & (F.col("doc_id") < 100)
+            ).withColumn("lang", F.lit("en")),
+            tbl, 1,
+        )
+    finally:
+        mtab.manifest_publish = real_pub
+    t = read_manifest_table(spark, tbl)
+    ledger = sorted(manifest_read(spark, tbl)["batches"])
+    print(
+        f"[table]  conditional-PUT race: both writers committed "
+        f"(ledger batches={ledger}, rows={t.count()}); schema evolved "
+        f"additively to {t.columns} — "
+        f"{t.where(F.col('lang').isNull()).count()} pre-evolution rows "
+        "read lang=NULL"
+    )
     print("== done: every commit above was a manifest PUT; zero renames")
     spark.stop()
 
