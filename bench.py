@@ -159,6 +159,19 @@ def _host_jiffies() -> tuple[int, int] | None:
     return sum(vals), sum(vals) - idle
 
 
+def _psi_stall_us(kind: str) -> int | None:
+    """Cumulative 'some' stall time in µs from /proc/pressure/<kind>
+    (Linux PSI) — None when the kernel doesn't expose it."""
+    try:
+        with open(f"/proc/pressure/{kind}") as f:
+            for line in f:
+                if line.startswith("some"):
+                    return int(line.rsplit("total=", 1)[1])
+    except (OSError, ValueError, IndexError):
+        pass
+    return None
+
+
 def _tree_cpu_jiffies() -> int | None:
     """CPU jiffies consumed by THIS process and every live descendant
     (the pyspark JVM, its python workers), plus each one's already-reaped
@@ -216,6 +229,7 @@ class HostCpuMeter:
         self.t0 = time.time()
         self.host0 = _host_jiffies()
         self.tree0 = _tree_cpu_jiffies()
+        self.io0 = _psi_stall_us("io")
 
     def read(self) -> dict | None:
         host1, tree1 = _host_jiffies(), _tree_cpu_jiffies()
@@ -225,13 +239,22 @@ class HostCpuMeter:
         hz = os.sysconf("SC_CLK_TCK")
         busy = (host1[1] - self.host0[1]) / hz / elapsed
         own = (tree1 - self.tree0) / hz / elapsed
-        return {
+        out = {
             "ext_busy_cores": round(max(0.0, busy - own), 2),
             "own_cores": round(own, 2),
             "host_busy_cores": round(busy, 2),
             "n_cpus": os.cpu_count(),
             "window_sec": round(elapsed, 1),
         }
+        io1 = _psi_stall_us("io")
+        if self.io0 is not None and io1 is not None:
+            # whole-host (incl. our own) IO-stall seconds over the run —
+            # the signal for the r12 anomaly class BOTH cpu meters
+            # missed: episodic multi-second disk stalls (spread 12–19 s
+            # on single queries) with cal AND ext near-drained.  Compare
+            # against the drained constant in BENCH_NOTES, like cal.
+            out["io_stall_sec"] = round((io1 - self.io0) / 1e6, 1)
+        return out
 
 
 def loadavg() -> list[float] | None:
