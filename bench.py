@@ -153,9 +153,9 @@ def _host_jiffies() -> tuple[int, int] | None:
     try:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
-    except (OSError, ValueError):  # pragma: no cover - non-Linux
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    except (OSError, ValueError, IndexError):  # pragma: no cover
         return None
-    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
     return sum(vals), sum(vals) - idle
 
 
@@ -186,16 +186,16 @@ def _tree_cpu_jiffies() -> int | None:
             try:
                 with open(f"/proc/{pid}/stat") as f:
                     data = f.read()
-            except OSError:
-                continue  # raced a process exit
-            rest = data[data.rindex(")") + 2:].split()
-            # proc(5) fields: state ppid ... utime(14) stime(15)
-            # cutime(16) cstime(17) → offsets 1, 11..14 after state
-            stats[int(pid)] = (
-                int(rest[1]),
-                int(rest[11]) + int(rest[12]) + int(rest[13])
-                + int(rest[14]),
-            )
+                rest = data[data.rindex(")") + 2:].split()
+                # proc(5) fields: state ppid ... utime(14) stime(15)
+                # cutime(16) cstime(17) → offsets 1, 11..14 after state
+                stats[int(pid)] = (
+                    int(rest[1]),
+                    int(rest[11]) + int(rest[12]) + int(rest[13])
+                    + int(rest[14]),
+                )
+            except (OSError, ValueError, IndexError):
+                continue  # raced a process exit / torn stat read
     except OSError:  # pragma: no cover - non-Linux
         return None
     kids: dict[int, list[int]] = {}
