@@ -154,9 +154,16 @@ def _host_jiffies() -> tuple[int, int] | None:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
         idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        # guest/guest_nice (fields 9/10) are ALREADY included in
+        # user/nice on Linux — summing them too would double-count any
+        # co-located VM's CPU in the external estimate
+        guest = (vals[8] if len(vals) > 8 else 0) + (
+            vals[9] if len(vals) > 9 else 0
+        )
     except (OSError, ValueError, IndexError):  # pragma: no cover
         return None
-    return sum(vals), sum(vals) - idle
+    total = sum(vals) - guest
+    return total, total - idle
 
 
 def _psi_stall_us(kind: str) -> int | None:
@@ -172,12 +179,18 @@ def _psi_stall_us(kind: str) -> int | None:
     return None
 
 
-def _tree_cpu_jiffies() -> int | None:
-    """CPU jiffies consumed by THIS process and every live descendant
-    (the pyspark JVM, its python workers), plus each one's already-reaped
-    children (cutime/cstime) — the bench's own share of the host meter.
-    ``getrusage(RUSAGE_CHILDREN)`` alone cannot see the live JVM, which
-    is why the single-core ``calibrate()`` probe needed this sibling."""
+def _tree_cpu_jiffies(
+    extra_pids: frozenset[int] = frozenset(),
+) -> tuple[int, frozenset[int]] | None:
+    """(CPU jiffies, pids counted) for THIS process and every live
+    descendant (the pyspark JVM, its python workers), plus each one's
+    already-reaped children (cutime/cstime) — the bench's own share of
+    the host meter.  ``getrusage(RUSAGE_CHILDREN)`` alone cannot see the
+    live JVM, which is why the single-core ``calibrate()`` probe needed
+    this sibling.  ``extra_pids`` pins processes counted at an earlier
+    sample: a descendant whose intermediate parent exits is reparented
+    to init and would otherwise vanish from the later walk, deflating
+    own-CPU and inflating the external estimate."""
     try:
         stats: dict[int, tuple[int, int]] = {}
         for pid in os.listdir("/proc"):
@@ -209,7 +222,11 @@ def _tree_cpu_jiffies() -> int | None:
         seen.add(p)
         total += stats[p][1]
         stack.extend(kids.get(p, []))
-    return total
+    for p in extra_pids:  # reparented-but-alive earlier descendants
+        if p not in seen and p in stats:
+            seen.add(p)
+            total += stats[p][1]
+    return total, frozenset(seen)
 
 
 class HostCpuMeter:
@@ -228,11 +245,14 @@ class HostCpuMeter:
     def __init__(self) -> None:
         self.t0 = time.time()
         self.host0 = _host_jiffies()
-        self.tree0 = _tree_cpu_jiffies()
+        got = _tree_cpu_jiffies()
+        self.tree0, self.pids0 = got if got else (None, frozenset())
         self.io0 = _psi_stall_us("io")
 
     def read(self) -> dict | None:
-        host1, tree1 = _host_jiffies(), _tree_cpu_jiffies()
+        host1 = _host_jiffies()
+        got = _tree_cpu_jiffies(extra_pids=self.pids0)
+        tree1 = got[0] if got else None
         if None in (self.host0, self.tree0, host1, tree1):
             return None  # pragma: no cover - non-Linux
         elapsed = max(time.time() - self.t0, 1e-6)

@@ -39,9 +39,9 @@ beyond "a succeeded write's files are all present", because a
 half-committed generation is simply never published.
 
 Crash model: a crash BEFORE publish leaves orphan generation dirs no
-reader ever sees — the retry re-derives the same target generation and
-its dynamic-partition-overwrite write replaces them, or a later vacuum
-deletes them; a crash AFTER publish is a completed operation.  There is
+reader ever sees — the retry lands at a fresh attempt-unique generation
+(``fresh_gen``) and a later vacuum deletes the orphans; a crash AFTER
+publish is a completed operation.  There is
 no mid-flight window at all — the sentinel/rollback machinery the
 rename protocol needs (``ivf_recover_splits``) has no manifest-side
 counterpart because no state ever needs recovering.
@@ -174,9 +174,20 @@ def _create_text_exclusive(spark: SparkSession, path: str, text: str) -> bool:
     ``If-None-Match: *`` / GCS ``ifGenerationMatch=0``).  Returns False
     when the object already exists (someone else PUT it first), True on
     a successful exclusive create.  Via the JVM gateway this is Hadoop
-    ``FileSystem.create(path, overwrite=false)`` — atomic on HDFS and
-    mapped to the conditional PUT by the S3A/GCS connectors; locally,
-    ``open(..., 'x')``."""
+    ``FileSystem.create(path, overwrite=false)``; locally,
+    ``open(..., 'x')``.
+
+    DEPLOYMENT REQUIREMENT, stated honestly: the multi-writer guarantee
+    is only as strong as the connector's create-if-absent.  HDFS
+    namespace creates are atomic.  STOCK S3A historically implements
+    ``overwrite=false`` as a HEAD at create time with an unconditional
+    PUT at close — a check-then-act race; true conditional PUT needs
+    Hadoop >= 3.4.1 with ``fs.s3a.create.conditional`` enabled (or any
+    store-side If-None-Match support).  GCS connector creates map to
+    ``ifGenerationMatch=0`` (atomic).  Multi-writer deployments must
+    run a connector whose exclusive create is genuinely atomic; with a
+    HEAD-then-PUT connector the protocol degrades to the documented
+    single-writer contract."""
     got = hadoop_fs(spark, path)
     if got is not None:
         fs, jpath = got
@@ -219,6 +230,34 @@ def _delete(spark: SparkSession, path: str, *, recursive: bool) -> bool:
     else:
         os.remove(lp)
     return True
+
+
+#: rebase attempts per ledgered append before giving up — shared by the
+#: batch table and the IVF store (the two stores claim one protocol)
+MAX_REBASES = 5
+
+
+def fresh_gen(seq: int) -> int:
+    """ATTEMPT-UNIQUE generation id targeting commit ``seq``:
+    ``(seq << 32) | 32 random bits``, so ids sort seq-major (the
+    "newest keep_last" ordering compactions rely on) while no two write
+    attempts ever share a data path.
+
+    Why generation dirs must not be derived from ``seq`` alone (r12
+    review finding): the conditional PUT protects the MANIFEST, not the
+    data dirs.  Two writers racing the same head both target seq K+1;
+    if both wrote data at ``g=K+1``, the loser's ``mode("overwrite")``
+    data write — which can complete AFTER the winner's publish — would
+    replace the winner's already-committed generation in place, losing
+    its rows while the ledger still points at the dir.  With a random
+    attempt component, the loser's data is genuinely an unpublished
+    orphan at its own path (vacuum reclaims it) and the winner's
+    generation is untouchable by construction.  The same reasoning
+    covers a crashed attempt's retry: it lands at a NEW generation and
+    the orphan awaits vacuum, rather than overwriting in place."""
+    import secrets
+
+    return (int(seq) << 32) | secrets.randbits(32)
 
 
 def _seq_of(name: str) -> int | None:
@@ -331,14 +370,28 @@ def manifest_publish(
     path = f"{root}/{MANIFEST_SUBDIR}/v{seq:08d}.json"
     if _create_text_exclusive(spark, path, text):
         return int(seq)
-    try:
-        existing = json.loads(_read_text(spark, path))
-    except (ValueError, OSError):
-        existing = None
+    # the target already exists.  Re-read with a short bounded backoff
+    # before classifying: on filesystems where create is exclusive but
+    # content only appears at the writer's close (HDFS), an immediate
+    # read of ANOTHER writer's in-flight file sees it empty/partial —
+    # without the backoff that would be misclassified as our own torn
+    # crash remnant and overwritten, silently clobbering their commit.
+    existing = None
+    for attempt in range(3):
+        if attempt:
+            import time as _time
+
+            _time.sleep(0.1 * (2 ** (attempt - 1)))
+        try:
+            existing = json.loads(_read_text(spark, path))
+            break
+        except (ValueError, OSError):
+            existing = None
     if existing == body:
         return int(seq)  # crash retry of our own committed publish
     if existing is None or existing.get("format") != FORMAT:
-        # torn local remnant of a crashed publish: complete the retry
+        # still unparseable after the backoff: a torn crash remnant
+        # (single-writer local crash model); complete the retry
         _write_text(spark, path, text)
         return int(seq)
     raise ManifestConflictError(

@@ -14,16 +14,17 @@ Layout::
     {root}/centroids/g={gen}/             # quantizer generations
 
 The manifest maps each cell to the generation dirs that hold its live
-rows (``{"cells": {"7": [1, 4]}}`` = cell 7 lives in ``g=1`` and
-``g=4``) and names the live quantizer (``"centroids_gen"``).  Writers
-only ever create NEW generation dirs — the target ``gen`` is always
-``live seq + 1``, written with dynamic partition overwrite so an
-idempotent retry replaces its own half-done dirs — then publish one
+rows (``{"cells": {"7": [g1, g2]}}``) and names the live quantizer
+(``"centroids_gen"``).  Writers only ever create NEW generation dirs —
+generation ids are ATTEMPT-UNIQUE (``manifest.fresh_gen``: seq-major
+with a random component, so no two write attempts ever share a data
+path — the property the multi-writer conditional PUT needs, since it
+protects the manifest but not the data dirs) — then publish one
 manifest naming the new state.  Readers resolve the manifest and read
 exactly those paths, so:
 
 * a crash BEFORE publish leaves orphan dirs no reader sees (reclaimed
-  by :func:`ivf_vacuum`; a retry's dynamic overwrite replaces them);
+  by :func:`ivf_vacuum`; the retry lands at a fresh generation);
 * a crash AFTER publish is a completed operation;
 * there is NO mid-flight window — the dir-layout sentinel/refuse/
   recover machinery (``_raise_if_pending_splits`` /
@@ -59,8 +60,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..manifest import (
+    MAX_REBASES,
     _delete,
     _ls_names,
+    fresh_gen,
     manifest_publish,
     manifest_read,
     manifest_vacuum,
@@ -240,6 +243,7 @@ def write_ivf_index_manifest(
             "store's commit log"
         )
     seq = (live["seq"] + 1) if live else 1
+    gen = fresh_gen(seq)  # attempt-unique data path: fresh_gen docstring
     if centroids is None:
         centroids = ivf_seed_centroids(
             vectors, n_centroids, id_col=id_col, vec_col=vec_col
@@ -251,8 +255,8 @@ def write_ivf_index_manifest(
     assigned = ivf_assign(
         vectors, centroids, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=True)
-    _write_gen(_prepare(assigned, seq, sort_by or id_col), root)
-    _write_centroids(centroids, root, seq)
+    _write_gen(_prepare(assigned, gen, sort_by or id_col), root)
+    _write_centroids(centroids, root, gen)
     cell_ids = sorted(
         int(r[0])
         for r in assigned.select("centroid_id").distinct().collect()
@@ -260,7 +264,7 @@ def write_ivf_index_manifest(
     if not cell_ids:
         raise ValueError("refusing to publish an empty IVF index")
     return _publish(
-        spark, root, {c: [seq] for c in cell_ids}, centroids_gen=seq, seq=seq,
+        spark, root, {c: [gen] for c in cell_ids}, centroids_gen=gen, seq=seq,
         # the batch ledger survives a full REBUILD: a late re-delivery of
         # a pre-rebuild batch must still read as already-committed rather
         # than appending stale rows to the new index
@@ -335,8 +339,8 @@ def ivf_append_manifest(
     otherwise):
 
     * crash BEFORE publish: the attempt's dirs were never published, so
-      they are invisible; the retry either overwrites them (same target
-      gen) or lands at a later gen while the orphans await vacuum;
+      they are invisible; the retry lands at a fresh attempt-unique
+      generation while the orphans await vacuum;
     * re-delivery AFTER publish (checkpoint commit lost — the window
       plain appends duplicate into, in BOTH layouts): the manifest's
       batch LEDGER already records ``batch_id``, so the replay is
@@ -354,28 +358,29 @@ def ivf_append_manifest(
 
     spark = new_vectors.sparkSession
     last_conflict: ManifestConflictError | None = None
-    for _ in range(5):
+    for _ in range(MAX_REBASES):
         live = _live(spark, root)
         ledger = dict(live.get("batches", {}))
         if batch_id is not None and str(int(batch_id)) in ledger:
             return None  # replay of a committed batch: exactly-once no-op
         seq = live["seq"] + 1
+        gen = fresh_gen(seq)  # attempt-unique data path
         centroids = read_ivf_centroids(spark, root)
         # batch-bounded and referenced twice (write + touched-cells
         # collect): checkpoint, per the SCALE.md r10 foreachBatch lesson
         assigned = ivf_assign(
             new_vectors, centroids, id_col=id_col, vec_col=vec_col
         ).localCheckpoint(eager=True)
-        _write_gen(_prepare(assigned, seq, id_col), root)
+        _write_gen(_prepare(assigned, gen, id_col), root)
         touched = sorted(
             int(r[0])
             for r in assigned.select("centroid_id").distinct().collect()
         )
         cells = _cells_of(live)
         for c in touched:
-            cells.setdefault(c, []).append(seq)
+            cells.setdefault(c, []).append(gen)
         if batch_id is not None:
-            ledger[str(int(batch_id))] = seq
+            ledger[str(int(batch_id))] = gen
         try:
             return _publish(
                 spark, root, cells, centroids_gen=live["centroids_gen"],
@@ -385,7 +390,7 @@ def ivf_append_manifest(
             last_conflict = exc
     raise ManifestConflictError(
         f"ivf append of batch {batch_id} to {root!r} lost the "
-        "conditional PUT 5 times in a row — sustained multi-writer "
+        f"conditional PUT {MAX_REBASES} times in a row — sustained multi-writer "
         f"contention on one index; last conflict: {last_conflict}"
     )
 
@@ -469,6 +474,7 @@ def ivf_split_oversized_manifest(
         cells = _cells_of(live)
         centroids = read_ivf_centroids(spark, root)
         seq = live["seq"] + 1
+        gen = fresh_gen(seq)  # attempt-unique data path
         cell = (
             spark.read.option("basePath", data)
             .parquet(*(f"{data}/centroid_id={c}/g={g}" for g in cells[c]))
@@ -498,21 +504,21 @@ def ivf_split_oversized_manifest(
         _write_gen(
             # repartition BEFORE _prepare so its sortWithinPartitions
             # gives the in-file (cell, id) order, not get shuffled away
-            _prepare(re.repartition(k, F.col("centroid_id")), seq, id_col),
+            _prepare(re.repartition(k, F.col("centroid_id")), gen, id_col),
             root,
         )
         new_cent = centroids.filter(
             F.col("centroid_id") != int(c)
         ).unionByName(sub)
-        _write_centroids(new_cent, root, seq)
+        _write_centroids(new_cent, root, gen)
         new_ids = sorted(
             int(r[0]) for r in sub.select("centroid_id").collect()
         )
         del cells[c]
         for nid in new_ids:
-            cells[nid] = [seq]
+            cells[nid] = [gen]
         _publish(
-            spark, root, cells, centroids_gen=seq, seq=seq,
+            spark, root, cells, centroids_gen=gen, seq=seq,
             batches=live.get("batches", {}),
         )
         next_id += n_sub
@@ -555,6 +561,7 @@ def compact_ivf_index_manifest(
 
     live = _live(spark, root)
     seq = live["seq"] + 1
+    gen = fresh_gen(seq)  # attempt-unique data path
     cells = _cells_of(live)
     df_all = read_ivf_index_manifest(spark, root)
     if id_col not in df_all.columns:
@@ -625,7 +632,7 @@ def compact_ivf_index_manifest(
     packed = merged.repartitionByRange(
         n_out, F.col("centroid_id"), F.col(id_col)
     )
-    _write_gen(_prepare(packed, seq, id_col), root)
+    _write_gen(_prepare(packed, gen, id_col), root)
     touched = {
         int(r[0]) for r in merged.select("centroid_id").distinct().collect()
     }  # C rows — design parameter, never data volume
@@ -633,7 +640,7 @@ def compact_ivf_index_manifest(
     for c, gs in cells.items():
         kept = [g for g in gs if g not in small]
         if int(c) in touched:
-            kept.append(seq)
+            kept.append(gen)
         if kept:
             new_cells[c] = kept
     _publish(
@@ -700,10 +707,11 @@ def migrate_ivf_index_to_manifest(
             "drifted from the index (the hazard this store eliminates); "
             "pass the relation the index was last assigned under"
         )
-    _write_gen(_prepare(assigned, 1, id_col), root)
-    _write_centroids(centroids, root, 1)
+    gen = fresh_gen(1)  # attempt-unique data path: fresh_gen docstring
+    _write_gen(_prepare(assigned, gen, id_col), root)
+    _write_centroids(centroids, root, gen)
     return _publish(
-        spark, root, {c: [1] for c in cell_ids}, centroids_gen=1, seq=1
+        spark, root, {c: [gen] for c in cell_ids}, centroids_gen=gen, seq=1
     )
 
 

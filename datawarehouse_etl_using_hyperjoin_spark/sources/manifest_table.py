@@ -15,13 +15,16 @@ Layout::
 
 The manifest carries ``gens`` (the live generation list — a read unions
 exactly those dirs) and ``batches`` (``{batch_id: gen}`` — the
-exactly-once ledger).  Compared to the partition-overwrite sinks, the
-exactly-once guarantee is STRONGER here: a replayed ``foreachBatch``
-delivery is detected by the ledger and skipped outright, rather than
-relying on the rewrite being byte-idempotent, and a crash between data
-write and publish leaves orphan dirs no reader ever resolves (the retry
-overwrites them at the same target generation — a per-generation static
-overwrite of a gen-specific fresh path).
+exactly-once ledger).  Generation ids are ATTEMPT-UNIQUE
+(``manifest.fresh_gen``: seq-major with a random component), so no two
+write attempts ever share a data path — the property the multi-writer
+conditional PUT needs, since it protects the manifest but not the data
+dirs.  Compared to the partition-overwrite sinks, the exactly-once
+guarantee is STRONGER here: a replayed ``foreachBatch`` delivery is
+detected by the ledger and skipped outright, rather than relying on
+the rewrite being byte-idempotent, and a crash between data write and
+publish leaves orphan dirs no reader ever resolves (the retry lands at
+a fresh generation; the orphans await vacuum).
 
 Aging: every batch is one generation, so a long-lived stream is O(age)
 directories — the same shape the partition sinks have —
@@ -51,18 +54,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from ..manifest import (
+    MAX_REBASES,
     ManifestConflictError,
     _delete,
     _ls_names,
+    fresh_gen,
     manifest_publish,
     manifest_read,
     manifest_vacuum,
 )
-
-#: rebase attempts per append before giving up — each retry re-resolves
-#: the head, so only sustained contention from many concurrent writers
-#: on one table exhausts it
-_APPEND_MAX_REBASES = 5
 
 _DATA = "data"
 
@@ -185,7 +185,7 @@ def manifest_table_append(
     # — the losing attempt's generation dir is an orphan vacuum
     # reclaims).  Both racing commits land; none is silently dropped.
     last_conflict: ManifestConflictError | None = None
-    for _ in range(_APPEND_MAX_REBASES):
+    for _ in range(MAX_REBASES):
         live = manifest_read(spark, root)
         if live is not None and live.get("table") != "batch-table":
             raise ValueError(
@@ -206,20 +206,23 @@ def manifest_table_append(
         else:
             merged = None
         seq = (live["seq"] + 1) if live else 1
-        # static overwrite of the gen-specific fresh path: delete-then-
-        # write, both object-store-safe; idempotent for a crashed
-        # attempt's retry
-        df.write.mode("overwrite").parquet(_gen_dir(root, seq))
-        gens = (list(live["gens"]) if live else []) + [seq]
+        # ATTEMPT-UNIQUE generation path (fresh_gen docstring): the
+        # conditional PUT protects the manifest, not the data dirs — a
+        # seq-derived path would let a losing writer's late data write
+        # overwrite the winner's committed generation in place.  A
+        # crashed/losing attempt's dir is an orphan vacuum reclaims.
+        gen = fresh_gen(seq)
+        df.write.mode("overwrite").parquet(_gen_dir(root, gen))
+        gens = (list(live["gens"]) if live else []) + [gen]
         batches = dict(live["batches"]) if live else {}
-        batches[str(int(batch_id))] = seq
+        batches[str(int(batch_id))] = gen
         try:
             return _publish(spark, root, gens, batches, seq, schema=merged)
         except ManifestConflictError as exc:
             last_conflict = exc
     raise ManifestConflictError(
         f"append of batch {batch_id} to {root!r} lost the conditional "
-        f"PUT {_APPEND_MAX_REBASES} times in a row — sustained "
+        f"PUT {MAX_REBASES} times in a row — sustained "
         "multi-writer contention on one table; last conflict: "
         f"{last_conflict}"
     )
@@ -344,6 +347,7 @@ def compact_manifest_table(
             "gens_after": len(gens),
         }
     seq = live["seq"] + 1
+    gen = fresh_gen(seq)  # attempt-unique: see fresh_gen docstring
     old_dirs = [_gen_dir(root, g) for g in old]
     if live.get("schema") is not None:
         # recorded schema: evolved/footerless generations merge cleanly
@@ -374,8 +378,8 @@ def compact_manifest_table(
         if sort_by
         else merged.repartition(n_out)
     )
-    packed.write.mode("overwrite").parquet(_gen_dir(root, seq))
-    new_gens = [seq] + [g for g in gens if g not in old]
+    packed.write.mode("overwrite").parquet(_gen_dir(root, gen))
+    new_gens = [gen] + [g for g in gens if g not in old]
     _publish(
         spark, root, new_gens, dict(live["batches"]), seq,
         schema=live.get("schema"),

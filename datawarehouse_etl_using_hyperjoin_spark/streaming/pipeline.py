@@ -972,7 +972,14 @@ def run_pipeline_streaming(
             # mean "no late rows", not a failure.
             try:
                 counts["late"] = read_manifest_table(spark, late_dir).count()
-            except ValueError:
+            except ValueError as exc:
+                # ONLY the two "no late rows" shapes — a wrong-table-kind
+                # manifest at this root is corruption and must surface
+                if (
+                    "no table manifest" not in str(exc)
+                    and "lists no generations" not in str(exc)
+                ):
+                    raise
                 counts["late"] = 0
             except AnalysisException as exc:
                 if "UNABLE_TO_INFER_SCHEMA" not in str(exc):

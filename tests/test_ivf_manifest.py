@@ -165,8 +165,8 @@ def test_publish_is_the_commit_point_crash_invisible_retry_exactly_once(
             ivf_append_manifest(extra, root)
     # the orphan generation is invisible: reads see exactly the old state
     assert read_ivf_index_manifest(spark, root).count() == n_base
-    # retry commits the batch exactly once (dynamic overwrite replaced
-    # the orphan dirs at the same target generation)
+    # retry commits the batch exactly once (at a fresh attempt-unique
+    # generation; the crashed attempt's orphan dirs await vacuum)
     ivf_append_manifest(extra, root)
     idx = read_ivf_index_manifest(spark, root)
     assert idx.count() == n_base + extra.count()
@@ -681,8 +681,13 @@ def test_ivf_size_tiered_compaction_freezes_large_generations(
 
     em = load_table(spark, sf_dir, "embeddings").limit(400)
     root = str(tmp_path / "ivf_tier")
-    write_ivf_index_manifest(em, root, n_centroids=2)  # gen 1, the big one
-    for i in range(3):  # small gens 2..4
+    write_ivf_index_manifest(em, root, n_centroids=2)
+    (build_gen,) = {  # the big generation: the initial build's
+        g
+        for gs in manifest_read(spark, root)["cells"].values()
+        for g in gs
+    }
+    for i in range(3):  # small gens: the appends
         b = em.limit(40).withColumn(
             "vec_id", F.col("vec_id") + (i + 1) * 10_000
         )
@@ -701,14 +706,14 @@ def test_ivf_size_tiered_compaction_freezes_large_generations(
         return sizes
 
     sizes = gen_bytes()
-    small_max = max(v for g, v in sizes.items() if g != 1)
-    assert sizes[1] > small_max  # the premise: gen 1 is the big one
-    thr_mb = (sizes[1] + small_max) / 2 / (1 << 20)
+    small_max = max(v for g, v in sizes.items() if g != build_gen)
+    assert sizes[build_gen] > small_max  # premise: the build is biggest
+    thr_mb = (sizes[build_gen] + small_max) / 2 / (1 << 20)
 
     stats = compact_ivf_index_manifest(spark, root, min_merge_mb=thr_mb)
     live = manifest_read(spark, root)
     live_gens = sorted({g for gs in live["cells"].values() for g in gs})
-    assert 1 in live_gens                 # frozen, not re-merged
+    assert build_gen in live_gens         # frozen, not re-merged
     assert stats["gens_before"] == 4 and stats["gens_after"] == 2
     t = read_ivf_index_manifest(spark, root)
     assert t.count() == 520
@@ -723,7 +728,7 @@ def test_ivf_size_tiered_compaction_freezes_large_generations(
     compact_ivf_index_manifest(spark, root, min_merge_mb=thr_mb)
     live = manifest_read(spark, root)
     live_gens = sorted({g for gs in live["cells"].values() for g in gs})
-    assert 1 in live_gens
+    assert build_gen in live_gens
     t = read_ivf_index_manifest(spark, root)
     assert t.count() == 600
     # serving across frozen + merged generations stays exact: each query
@@ -738,3 +743,45 @@ def test_ivf_size_tiered_compaction_freezes_large_generations(
     # vacuum reclaims the superseded small gens; nothing visible changes
     ivf_vacuum(spark, root, keep_manifests=1)
     assert read_ivf_index_manifest(spark, root).count() == 600
+
+
+def test_ivf_loser_data_write_after_winner_commit_cannot_clobber(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Same loser-writes-last interleaving for the IVF store: the rival
+    batch commits fully before the losing append's data write.  The
+    attempt-unique generation keeps the winner's committed cells
+    untouched; the rebase lands the loser's batch; every vector serves
+    exactly once."""
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
+
+    em = load_table(spark, sf_dir, "embeddings")
+    base = em.filter(F.col("vec_id") < 300)
+    b1 = em.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    b2 = em.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500))
+    root = str(tmp_path / "ivf_clobber")
+    write_ivf_index_manifest(base, root, n_centroids=2)
+
+    real_fg = ivf_store.fresh_gen
+    fired = {"done": False}
+
+    def late_fg(seq):
+        if not fired["done"]:
+            fired["done"] = True
+            assert ivf_append_manifest(b2, root, batch_id=2) is not None
+        return real_fg(seq)
+
+    with monkeypatch.context() as mp:
+        mp.setattr(ivf_store, "fresh_gen", late_fg)
+        assert ivf_append_manifest(b1, root, batch_id=1) is not None
+    live = manifest_read(spark, root)
+    assert {"1", "2"} <= set(live["batches"])
+    t = read_ivf_index_manifest(spark, root)
+    assert t.count() == 500
+    assert t.select("vec_id").distinct().count() == 500
+    # the winner's (batch 2) vectors are intact
+    assert t.where(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 500)
+    ).count() == 100
+    ivf_vacuum(spark, root, keep_manifests=1)
+    assert read_ivf_index_manifest(spark, root).count() == 500

@@ -93,7 +93,8 @@ def test_crash_before_publish_is_invisible_and_retry_lands_once(
             manifest_table_append(_batch(spark, 1), root, 1)
     # the orphan generation is invisible
     assert read_manifest_table(spark, root).count() == 10
-    # retry lands the batch exactly once (same target gen overwritten)
+    # retry lands the batch exactly once (fresh attempt-unique gen;
+    # the crashed attempt's orphan awaits vacuum)
     assert manifest_table_append(_batch(spark, 1), root, 1) is not None
     t = read_manifest_table(spark, root)
     assert t.count() == 20
@@ -677,14 +678,16 @@ def test_size_tiered_compaction_freezes_large_generations(
     re-merge the 20x probe measured).  Simulated by reporting a huge
     size for the first compaction's output generation."""
     root = str(tmp_path / "tier")
-    for b in range(6):
-        manifest_table_append(_batch(spark, b), root, b)
-    # first pass merges gens 1..4 into gen 7 (keep_last=2)
-    stats = compact_manifest_table(spark, root, keep_last=2)
-    assert stats["gens_before"] == 6 and stats["gens_after"] == 3
     from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
 
-    big_gen = manifest_read(spark, root)["seq"]  # the merged generation
+    for b in range(6):
+        manifest_table_append(_batch(spark, b), root, b)
+    gens_before = set(manifest_read(spark, root)["gens"])
+    # first pass merges the 4 oldest batch gens into one (keep_last=2)
+    stats = compact_manifest_table(spark, root, keep_last=2)
+    assert stats["gens_before"] == 6 and stats["gens_after"] == 3
+    # the merged generation = the one the compaction added
+    (big_gen,) = set(manifest_read(spark, root)["gens"]) - gens_before
     for b in range(6, 9):
         manifest_table_append(_batch(spark, b), root, b)
 
@@ -708,3 +711,47 @@ def test_size_tiered_compaction_freezes_large_generations(
     assert t.select("doc_id").distinct().count() == 90
     # rows merged in pass 2 exclude the frozen generation's 40 rows
     assert stats2["rows"] == 30  # gens 5,6,7(batch ids 4,5,6) small ones
+
+
+def test_loser_data_write_after_winner_commit_cannot_clobber(
+    spark, tmp_path, monkeypatch
+):
+    """r12 review finding (the interleaving the rival-inside-publish
+    tests structurally cannot produce): the RIVAL commits fully BEFORE
+    the losing writer's data write.  With seq-derived generation paths
+    both writers would target g=K+1 and the loser's mode('overwrite')
+    data write would replace the winner's already-committed generation
+    in place (rows lost while the ledger still points at the dir).
+    With attempt-unique generations (manifest.fresh_gen) the loser's
+    write lands at its own path, the conditional PUT conflicts, the
+    rebase lands the batch — and the winner's rows are INTACT."""
+    root = str(tmp_path / "clobber")
+    manifest_table_append(_batch(spark, 0), root, 0)
+
+    real_fg = mt.fresh_gen
+    fired = {"done": False}
+
+    def late_fg(seq):
+        # called after the loser read the head but BEFORE its data
+        # write: the rival commits fully first
+        if not fired["done"]:
+            fired["done"] = True
+            assert mt.manifest_table_append(_batch(spark, 9), root, 9) is not None
+        return real_fg(seq)
+
+    with monkeypatch.context() as mp:
+        mp.setattr(mt, "fresh_gen", late_fg)
+        assert manifest_table_append(_batch(spark, 1), root, 1) is not None
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
+
+    live = manifest_read(spark, root)
+    assert set(live["batches"]) == {"0", "1", "9"}
+    t = read_manifest_table(spark, root)
+    assert t.count() == 30
+    # the winner's (batch 9) rows are byte-intact — the clobber check
+    assert t.where(
+        (F.col("doc_id") >= 90) & (F.col("doc_id") < 100)
+    ).count() == 10
+    assert t.select("doc_id").distinct().count() == 30
+    vacuum_manifest_table(spark, root, keep_manifests=1)
+    assert read_manifest_table(spark, root).count() == 30
