@@ -45,9 +45,12 @@ engine-side answers, local-fs and object-store flavored.
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import json
 import math
 import os as _os
+from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,7 +101,9 @@ def _live(spark: SparkSession, root: str, at: int | None = None) -> dict:
     return m
 
 
-def _publish(spark, root, gens, batches, seq, schema=None) -> int:
+def _publish(
+    spark, root, gens, batches, seq, schema=None, stats=None, stats_cols=None
+) -> int:
     payload = {
         "table": "batch-table",
         "gens": sorted(int(g) for g in gens),
@@ -108,6 +113,14 @@ def _publish(spark, root, gens, batches, seq, schema=None) -> int:
         payload["schema"] = (
             schema if isinstance(schema, dict) else json.loads(schema.json())
         )
+    if stats_cols:
+        payload["stats_cols"] = list(stats_cols)
+        # stats only for LIVE generations — superseded/merged-away gens
+        # drop out of the payload with the gens list itself
+        live_set = {str(int(g)) for g in gens}
+        payload["stats"] = {
+            g: s for g, s in (stats or {}).items() if g in live_set
+        }
     return manifest_publish(spark, root, payload, seq=seq)
 
 
@@ -150,8 +163,270 @@ def _merge_schema(old: StructType | None, new: StructType) -> StructType:
     return StructType(fields)
 
 
+# ---------------------------------------------------------------------------
+# Per-generation column statistics + read-time generation pruning (r12).
+#
+# The same data-skipping shape Iceberg/Delta record per data file, kept at
+# the protocol's own commit granularity (the generation dir) so the prune
+# decision is made from the MANIFEST alone — before any directory is
+# listed or any parquet footer opened.  At 100 TB that is the difference
+# between "LIST every generation root, schedule everything, let row-group
+# pruning discard at task time" and "touch only the dirs whose [min,max]
+# can satisfy the predicate".  Parquet footer/row-group pruning still
+# applies inside the generations that survive — the two levels compose.
+
+#: atomic Spark types whose min/max are meaningfully orderable and
+#: JSON-encodable (decimals handled by prefix match)
+_STATS_TYPES = {
+    "boolean", "byte", "short", "integer", "long", "float", "double",
+    "string", "date", "timestamp", "timestamp_ntz",
+}
+
+#: predicate operators understood by the pruner and the residual filter
+_PRED_OPS = {
+    "=", "==", "<", "<=", ">", ">=", "in", "between", "is_null", "not_null",
+}
+
+
+def _stats_encode(v):
+    """JSON-safe encoding of a min/max value; ``None`` means UNKNOWN
+    (never prunes).  Non-finite floats encode as unknown — JSON has no
+    NaN/Infinity, and NaN's Spark ordering (greater than everything)
+    would make range logic lie anyway."""
+    if v is None:
+        return None
+    if isinstance(v, bool) or isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, _dt.datetime):  # before date: datetime IS a date
+        return {"$t": "ts", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"$t": "date", "v": v.isoformat()}
+    if isinstance(v, _decimal.Decimal):
+        return {"$t": "dec", "v": str(v)}
+    return None
+
+
+def _stats_decode(v):
+    if isinstance(v, dict):
+        tag, s = v.get("$t"), v.get("v")
+        if tag == "ts":
+            return _dt.datetime.fromisoformat(s)
+        if tag == "date":
+            return _dt.date.fromisoformat(s)
+        if tag == "dec":
+            return _decimal.Decimal(s)
+        return None
+    return v
+
+
+def collect_gen_stats(df: DataFrame, cols: Sequence[str]) -> dict:
+    """One-pass per-generation statistics: row count plus
+    ``{col: {min, max, nulls}}`` for each requested column.  The agg
+    collapses to a single driver row — never data-sized.  Columns the
+    batch omits entirely (additive evolution) record all-null stats; a
+    column present with a non-atomic type is refused loudly (arrays /
+    structs / binaries have no orderable min/max to prune on)."""
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    present = []
+    for c in cols:
+        dt = by_name.get(c)
+        if dt is None:
+            continue  # omitted column: all-null entry synthesized below
+        tn = dt.typeName()
+        if tn not in _STATS_TYPES and not tn.startswith("decimal"):
+            raise ValueError(
+                f"stats_cols column {c!r} has type {dt.simpleString()} — "
+                "generation stats need an orderable atomic type "
+                "(numeric/string/date/timestamp/decimal/boolean)"
+            )
+        i = len(present)
+        present.append(c)
+        aggs.extend(
+            [
+                F.min(c).alias(f"__min{i}"),
+                F.max(c).alias(f"__max{i}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__null{i}"),
+            ]
+        )
+    row = df.agg(*aggs).collect()[0]
+    rows = int(row["__rows"])
+    out_cols = {}
+    for i, c in enumerate(present):
+        out_cols[c] = {
+            "min": _stats_encode(row[f"__min{i}"]),
+            "max": _stats_encode(row[f"__max{i}"]),
+            "nulls": int(row[f"__null{i}"] or 0),
+        }
+    for c in cols:
+        if c not in out_cols:
+            out_cols[c] = {"min": None, "max": None, "nulls": rows}
+    return {"rows": rows, "cols": out_cols}
+
+
+def _normalize_where(where) -> list[tuple]:
+    """Validate/normalize predicates: a list of ``(col, op)`` (null
+    tests) or ``(col, op, value)`` tuples, AND-combined.  ``in`` takes a
+    collection, ``between`` an inclusive ``(lo, hi)`` pair.  ``None``
+    comparison values are refused — that's SQL three-valued logic
+    territory; say ``(col, "is_null")``."""
+    preds = []
+    for p in where:
+        p = tuple(p)
+        if len(p) == 2:
+            col, op = p
+            val = None
+            if op not in ("is_null", "not_null"):
+                raise ValueError(
+                    f"predicate {p!r}: two-element form is only for "
+                    "'is_null'/'not_null'"
+                )
+        elif len(p) == 3:
+            col, op, val = p
+            if op in ("is_null", "not_null"):
+                raise ValueError(f"predicate {p!r}: null tests take no value")
+            if op == "between":
+                if not isinstance(val, (tuple, list)) or len(val) != 2:
+                    raise ValueError(
+                        f"predicate {p!r}: 'between' needs a (lo, hi) pair"
+                    )
+                if val[0] is None or val[1] is None:
+                    raise ValueError(
+                        f"predicate {p!r}: None bound — use a one-sided "
+                        "comparison instead"
+                    )
+            elif op == "in":
+                val = list(val)
+                if any(v is None for v in val):
+                    raise ValueError(
+                        f"predicate {p!r}: None in an 'in' list never "
+                        "matches in SQL — drop it (and add 'is_null' if "
+                        "null rows are wanted)"
+                    )
+            elif val is None:
+                raise ValueError(
+                    f"predicate {p!r}: comparison with None — use "
+                    "('col', 'is_null')"
+                )
+        else:
+            raise ValueError(f"predicate {p!r}: expected 2 or 3 elements")
+        if op not in _PRED_OPS:
+            raise ValueError(
+                f"predicate {p!r}: unknown op {op!r} (supported: "
+                f"{sorted(_PRED_OPS)})"
+            )
+        preds.append((col, op, val))
+    return preds
+
+
+def _gen_matches(gstats: dict | None, col: str, op: str, val) -> bool:
+    """May generation ``gstats`` contain a row satisfying the predicate?
+    True (scan) on any uncertainty — pruning must never be the reason a
+    row goes missing.  False only when the stats PROVE no row matches."""
+    if gstats is None:
+        return True  # no stats recorded for this generation: scan
+    ent = (gstats.get("cols") or {}).get(col)
+    if ent is None:
+        return True  # stats exist but not for this column: scan
+    rows = gstats.get("rows")
+    if rows is None:
+        return True
+    if rows == 0:
+        return False  # empty generation matches nothing
+    nulls = ent.get("nulls", 0)
+    if op == "is_null":
+        return nulls > 0
+    if op == "not_null":
+        return nulls < rows
+    if nulls >= rows:
+        return False  # all-null column: no comparison ever matches
+    lo = _stats_decode(ent.get("min"))
+    hi = _stats_decode(ent.get("max"))
+    if lo is None or hi is None:
+        return True  # unknown bound (NaN/unencodable): scan
+    try:
+        if op in ("=", "=="):
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+        if op == "in":
+            return any(lo <= v <= hi for v in val)
+        if op == "between":
+            a, b = val
+            return hi >= a and lo <= b
+    except TypeError:
+        return True  # incomparable literal (e.g. date vs timestamp): scan
+    return True
+
+
+def _pred_column(col: str, op: str, val):
+    """The predicate as a real Column filter — applied to every read so
+    results are EXACT whether or not any generation was pruned."""
+    c = F.col(col)
+    if op == "is_null":
+        return c.isNull()
+    if op == "not_null":
+        return c.isNotNull()
+    if op in ("=", "=="):
+        return c == F.lit(val)
+    if op == "<":
+        return c < F.lit(val)
+    if op == "<=":
+        return c <= F.lit(val)
+    if op == ">":
+        return c > F.lit(val)
+    if op == ">=":
+        return c >= F.lit(val)
+    if op == "in":
+        return c.isin(val) if val else F.lit(False)
+    if op == "between":
+        return c.between(F.lit(val[0]), F.lit(val[1]))
+    raise AssertionError(op)
+
+
+def plan_manifest_read(
+    spark: SparkSession,
+    root: str,
+    where,
+    *,
+    as_of: int | None = None,
+) -> dict:
+    """The prune decision, inspectable: which generations a
+    ``read_manifest_table(where=...)`` would scan vs skip, from the
+    manifest alone (no data IO).  Returns ``{"seq", "gens_scan",
+    "gens_skipped", "total", "scanned", "skipped"}``."""
+    m = _live(spark, root, at=as_of)
+    preds = _normalize_where(where)
+    stats = m.get("stats") or {}
+    scan, skipped = [], []
+    for g in m["gens"]:
+        gs = stats.get(str(int(g)))
+        if all(_gen_matches(gs, *p) for p in preds):
+            scan.append(int(g))
+        else:
+            skipped.append(int(g))
+    return {
+        "seq": m["seq"],
+        "gens_scan": scan,
+        "gens_skipped": skipped,
+        "total": len(m["gens"]),
+        "scanned": len(scan),
+        "skipped": len(skipped),
+    }
+
+
 def manifest_table_append(
-    df: DataFrame, root: str, batch_id: int
+    df: DataFrame, root: str, batch_id: int, *, stats_cols=None
 ) -> int | None:
     """EXACTLY-ONCE batch append: write the batch at one fresh
     generation, then publish a manifest adding it to ``gens`` and
@@ -169,6 +444,18 @@ def manifest_table_append(
     generations with no parquet footers (all-empty batches under
     committers that skip empty files) readable.  Tables whose manifests
     predate schema recording stay on read-time inference, unchanged.
+
+    Generation statistics (r12): ``stats_cols=[...]`` records per-
+    generation ``min/max/nulls`` for the named columns in the manifest
+    (one single-row agg over the batch — batch-sized, not table-sized),
+    enabling :func:`read_manifest_table`'s ``where=`` generation
+    pruning.  The setting is STICKY: once a manifest records
+    ``stats_cols``, later appends that omit the argument keep collecting
+    for the same columns, so one enabled writer is enough on a
+    multi-writer table.  Passing a different list updates the setting;
+    generations written before a column was tracked carry no stats for
+    it and are always scanned (pruning is never the reason a row goes
+    missing).
     """
     if "g" in df.columns:
         raise ValueError(
@@ -185,6 +472,7 @@ def manifest_table_append(
     # — the losing attempt's generation dir is an orphan vacuum
     # reclaims).  Both racing commits land; none is silently dropped.
     last_conflict: ManifestConflictError | None = None
+    stats_cache: dict[tuple, dict] = {}  # cols -> collected batch stats
     for _ in range(MAX_REBASES):
         live = manifest_read(spark, root)
         if live is not None and live.get("table") != "batch-table":
@@ -205,6 +493,16 @@ def manifest_table_append(
             )
         else:
             merged = None
+        # sticky stats setting: an explicit argument wins, else whatever
+        # the live manifest records (resolved per attempt — a rebase may
+        # land on a head whose setting another writer just changed)
+        eff_cols = (
+            list(stats_cols)
+            if stats_cols is not None
+            else list((live or {}).get("stats_cols") or [])
+        )
+        if eff_cols and tuple(eff_cols) not in stats_cache:
+            stats_cache[tuple(eff_cols)] = collect_gen_stats(df, eff_cols)
         seq = (live["seq"] + 1) if live else 1
         # ATTEMPT-UNIQUE generation path (fresh_gen docstring): the
         # conditional PUT protects the manifest, not the data dirs — a
@@ -216,8 +514,14 @@ def manifest_table_append(
         gens = (list(live["gens"]) if live else []) + [gen]
         batches = dict(live["batches"]) if live else {}
         batches[str(int(batch_id))] = gen
+        stats = dict((live or {}).get("stats") or {})
+        if eff_cols:
+            stats[str(gen)] = stats_cache[tuple(eff_cols)]
         try:
-            return _publish(spark, root, gens, batches, seq, schema=merged)
+            return _publish(
+                spark, root, gens, batches, seq, schema=merged,
+                stats=stats, stats_cols=eff_cols,
+            )
         except ManifestConflictError as exc:
             last_conflict = exc
     raise ManifestConflictError(
@@ -229,7 +533,11 @@ def manifest_table_append(
 
 
 def read_manifest_table(
-    spark: SparkSession, root: str, *, as_of: int | None = None
+    spark: SparkSession,
+    root: str,
+    *,
+    as_of: int | None = None,
+    where=None,
 ) -> DataFrame:
     """Union of exactly the LIVE generations — orphans from crashed
     appends/compactions are invisible by construction.
@@ -245,12 +553,28 @@ def read_manifest_table(
     read under THAT schema: generations missing later-added columns
     fill null (additive evolution), footerless all-empty generations
     stay readable, and an ``as_of`` read returns the snapshot's own
-    schema, not today's."""
+    schema, not today's.
+
+    ``where`` (r12) is a list of ``(col, op[, value])`` predicates
+    (AND-combined; ops ``= < <= > >= in between is_null not_null``) with
+    two effects: generations whose recorded stats PROVE no row can match
+    are skipped before any directory is listed (manifest-level data
+    skipping — the Iceberg/Delta file-stats shape at generation
+    granularity), and the predicates are ALSO applied as a real filter
+    on the result, so the answer is exactly
+    ``read_manifest_table(...).filter(...)`` whatever was or wasn't
+    prunable.  Generations without stats for a predicate column are
+    always scanned.  Inspect the decision with
+    :func:`plan_manifest_read`; parquet footer/row-group pruning still
+    applies inside the generations that survive."""
     m = _live(spark, root, at=as_of)
     if not m["gens"]:
         raise ValueError(f"table manifest at {root!r} lists no generations")
     dirs = [_gen_dir(root, g) for g in m["gens"]]
     if as_of is not None:
+        # snapshot integrity is checked over the WHOLE snapshot, pruned
+        # dirs included — a partially-vacuumed snapshot erroring only
+        # under some predicates would be a debugging trap
         from ..fsutil import dir_exists
 
         gone = [d for d in dirs if not dir_exists(spark, d)]
@@ -261,15 +585,47 @@ def read_manifest_table(
                 "vacuumed (time travel reaches only what "
                 "vacuum_manifest_table retained)"
             )
-    if m.get("schema") is not None:
-        # each dir is read as its own root (no basePath): no partition
-        # column is discovered, so the recorded schema IS the result
-        return spark.read.schema(StructType.fromJson(m["schema"])).parquet(
-            *dirs
+    preds = _normalize_where(where) if where else []
+    if preds:
+        recorded = (
+            {f["name"] for f in m["schema"]["fields"]}
+            if m.get("schema") is not None
+            else None
         )
-    return spark.read.option("basePath", _data_root(root)).parquet(
-        *dirs
-    ).drop("g")
+        if recorded is not None:
+            missing = {c for c, _op, _v in preds} - recorded
+            if missing:
+                raise ValueError(
+                    f"where references column(s) {sorted(missing)} not in "
+                    f"the table schema at {root!r}"
+                )
+        stats = m.get("stats") or {}
+        dirs = [
+            _gen_dir(root, g)
+            for g in m["gens"]
+            if all(_gen_matches(stats.get(str(int(g))), *p) for p in preds)
+        ]
+    if m.get("schema") is not None:
+        schema = StructType.fromJson(m["schema"])
+        if not dirs:  # every generation pruned: statically empty
+            out = spark.createDataFrame([], schema)
+        else:
+            # each dir is read as its own root (no basePath): no
+            # partition column is discovered, so the recorded schema IS
+            # the result
+            out = spark.read.schema(schema).parquet(*dirs)
+    else:
+        if not dirs:
+            # legacy table (no recorded schema): nothing to build an
+            # empty frame from — read everything; the filter still
+            # yields the correct (empty) result
+            dirs = [_gen_dir(root, g) for g in m["gens"]]
+        out = spark.read.option("basePath", _data_root(root)).parquet(
+            *dirs
+        ).drop("g")
+    for col, op, val in preds:
+        out = out.filter(_pred_column(col, op, val))
+    return out
 
 
 def _gen_bytes(spark: SparkSession, root: str, g: int) -> int:
@@ -304,6 +660,7 @@ def compact_manifest_table(
     target_file_mb: int = 128,
     sort_by: list[str] | None = None,
     min_merge_mb: float | None = None,
+    range_split_mb: float | None = None,
 ) -> dict[str, int]:
     """Merge the SMALL generations older than the newest ``keep_last``
     into ONE fresh generation, bin-packed to ~``target_file_mb`` files
@@ -326,7 +683,33 @@ def compact_manifest_table(
     scale-killer at 10⁵ batches.  With the tier, a row is rewritten at
     most ~``min_merge_mb / batch_mb`` times ever, CONSTANT in stream
     age, and the generation-dir count stays O(table_size/min_merge_mb +
-    keep_last + cadence) — bounded listing growth, bounded rewrite."""
+    keep_last + cadence) — bounded listing growth, bounded rewrite.
+
+    Generation stats (r12): when the table records ``stats_cols``, the
+    pass recomputes stats for what it writes (from the WRITTEN files,
+    so the recorded ranges are exact) and carries untouched
+    generations' stats forward — ``where=`` pruning survives any number
+    of compactions.
+
+    Range-split clustering (r12): ``range_split_mb=N`` (requires
+    ``sort_by``) writes the merged output as MULTIPLE generations of
+    ~N MB each, range-partitioned on ``sort_by`` in ONE write job
+    (rows are routed by ``repartitionByRange`` and each shuffle
+    partition lands as its own attempt-unique generation dir via
+    ``partitionBy``).  Each generation then covers a narrow, disjoint
+    slice of the sort key, so its recorded [min,max] prunes tightly —
+    this is the clustered layout that makes ``where`` reads on an aged
+    table touch O(selectivity) dirs instead of all of them.  Size ``N``
+    at or above ``min_merge_mb`` so split generations FREEZE (they are
+    deliberately many; re-merging them would undo the clustering), and
+    well above the per-file target — a one-file generation layout at
+    file granularity would re-create the measured file-level-manifest
+    listing pessimization (SCALE.md r11)."""
+    if range_split_mb is not None and not sort_by:
+        raise ValueError(
+            "range_split_mb needs sort_by — the split IS the sort-key "
+            "range partitioning"
+        )
     live = _live(spark, root)
     gens = sorted(int(g) for g in live["gens"])
     old = gens[: max(0, len(gens) - keep_last)] if keep_last > 0 else gens
@@ -347,7 +730,6 @@ def compact_manifest_table(
             "gens_after": len(gens),
         }
     seq = live["seq"] + 1
-    gen = fresh_gen(seq)  # attempt-unique: see fresh_gen docstring
     old_dirs = [_gen_dir(root, g) for g in old]
     if live.get("schema") is not None:
         # recorded schema: evolved/footerless generations merge cleanly
@@ -366,23 +748,75 @@ def compact_manifest_table(
         except OSError:
             total_bytes = 0  # non-local: ~8 inputs per output heuristic
             break
-    n_out = (
-        max(1, math.ceil(total_bytes / (target_file_mb << 20)))
-        if total_bytes
-        else max(1, len(files) // 8)
-    )
     rows = merged.count()
-    packed = (
-        merged.repartitionByRange(n_out, *[F.col(c) for c in sort_by])
-        .sortWithinPartitions(*sort_by)
-        if sort_by
-        else merged.repartition(n_out)
-    )
-    packed.write.mode("overwrite").parquet(_gen_dir(root, gen))
-    new_gens = [gen] + [g for g in gens if g not in old]
+    if range_split_mb is not None:
+        # one write job: route rows into ~range_split_mb range slices,
+        # land every slice as its own attempt-unique generation dir.
+        # Empty slices (quantile ties) write no dir and publish nothing.
+        n_gens = (
+            max(1, math.ceil(total_bytes / (range_split_mb * (1 << 20))))
+            if total_bytes
+            else max(1, len(files) // 8)
+        )
+        base = fresh_gen(seq)  # gen ids base..base+n_gens-1: seq-major,
+        # attempt-unique as a BLOCK (the 32-bit random offset makes two
+        # attempts' blocks disjoint with probability 1 - n/2^32)
+        (
+            merged.repartitionByRange(n_gens, *[F.col(c) for c in sort_by])
+            .sortWithinPartitions(*sort_by)
+            .withColumn(
+                "g",
+                F.lit(int(base)).cast("long")
+                + F.spark_partition_id().cast("long"),
+            )
+            .write.partitionBy("g")
+            .mode("append")
+            .parquet(_data_root(root))
+        )
+        written = [
+            int(name.split("=", 1)[1])
+            for name in _ls_names(spark, _data_root(root))
+            if name.startswith("g=")
+            and name.split("=", 1)[1].isdigit()
+            and base <= int(name.split("=", 1)[1]) < base + n_gens
+        ]
+        new_ids = sorted(written)
+    else:
+        n_out = (
+            max(1, math.ceil(total_bytes / (target_file_mb << 20)))
+            if total_bytes
+            else max(1, len(files) // 8)
+        )
+        packed = (
+            merged.repartitionByRange(n_out, *[F.col(c) for c in sort_by])
+            .sortWithinPartitions(*sort_by)
+            if sort_by
+            else merged.repartition(n_out)
+        )
+        gen = fresh_gen(seq)  # attempt-unique: see fresh_gen docstring
+        packed.write.mode("overwrite").parquet(_gen_dir(root, gen))
+        new_ids = [gen]
+    stats_cols = live.get("stats_cols") or []
+    stats = {
+        g: s
+        for g, s in (live.get("stats") or {}).items()
+        if int(g) not in set(old)
+    }
+    if stats_cols:
+        # exact stats from the WRITTEN generations — one single-row agg
+        # per new generation (generation-count-sized driver work)
+        for g in new_ids:
+            if live.get("schema") is not None:
+                gdf = spark.read.schema(
+                    StructType.fromJson(live["schema"])
+                ).parquet(_gen_dir(root, g))
+            else:
+                gdf = spark.read.parquet(_gen_dir(root, g))
+            stats[str(g)] = collect_gen_stats(gdf, stats_cols)
+    new_gens = sorted(new_ids + [g for g in gens if g not in old])
     _publish(
         spark, root, new_gens, dict(live["batches"]), seq,
-        schema=live.get("schema"),
+        schema=live.get("schema"), stats=stats, stats_cols=stats_cols,
     )
     return {
         "files_before": files_before,

@@ -1,0 +1,425 @@
+"""Generation statistics + manifest-level data skipping (r12).
+
+The manifest table records per-generation min/max/null stats (the
+Iceberg/Delta file-stats shape at the protocol's own commit granularity)
+and ``read_manifest_table(where=...)`` prunes generations the stats
+PROVE irrelevant — before any directory is listed.  The invariant every
+test here leans on: a pruned read is ALWAYS exactly equal to the full
+read plus the same filter; pruning may only ever change how many
+directories get touched, never a row.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datawarehouse_etl_using_hyperjoin_spark.sources import manifest_table as mt
+from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+    compact_manifest_table,
+    manifest_table_append,
+    plan_manifest_read,
+    read_manifest_table,
+)
+
+
+def _day(n: int) -> datetime.date:
+    return datetime.date(2024, 1, 1) + datetime.timedelta(days=n)
+
+
+def _batch(spark, b, n=20):
+    """Batch ``b`` covers days [10*b, 10*b+10) — disjoint ranges, so a
+    day predicate identifies exactly one generation."""
+    rows = [
+        (b * 1000 + i, _day(b * 10 + i % 10), float(b * 10 + i % 10))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, d date, score double")
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_append_records_stats_and_setting_is_sticky(spark, tmp_path):
+    root = str(tmp_path / "t")
+    manifest_table_append(_batch(spark, 0), root, 0, stats_cols=["d", "score"])
+    # later appends omit the argument: the manifest setting carries
+    for b in range(1, 4):
+        manifest_table_append(_batch(spark, b), root, b)
+    m = mt.manifest_read(spark, root)
+    assert m["stats_cols"] == ["d", "score"]
+    assert len(m["stats"]) == 4  # one entry per generation
+    for g, s in m["stats"].items():
+        assert s["rows"] == 20
+        assert set(s["cols"]) == {"d", "score"}
+        assert s["cols"]["d"]["nulls"] == 0
+
+
+@pytest.mark.parametrize(
+    "where, expect_scanned",
+    [
+        ([("d", "=", _day(15))], 1),
+        ([("d", "between", (_day(11), _day(14)))], 1),
+        ([("d", "<", _day(10))], 1),
+        ([("d", ">=", _day(30))], 1),
+        ([("d", "in", [_day(5), _day(25)])], 2),
+        ([("score", ">", 28.0), ("d", "<", _day(30))], 1),  # AND composes
+    ],
+)
+def test_pruned_read_equals_filtered_full_read(
+    spark, tmp_path, where, expect_scanned
+):
+    root = str(tmp_path / "t")
+    for b in range(4):
+        manifest_table_append(
+            _batch(spark, b), root, b, stats_cols=["d", "score"]
+        )
+    plan = plan_manifest_read(spark, root, where)
+    assert plan["total"] == 4
+    assert plan["scanned"] == expect_scanned
+
+    pruned = read_manifest_table(spark, root, where=where)
+    full = read_manifest_table(spark, root)
+    for col, op, *v in where:
+        full = full.filter(mt._pred_column(col, op, v[0] if v else None))
+    assert _ids(pruned) == _ids(full)
+    # the skip is real: only the surviving generations' files are read
+    assert {f.rsplit("/", 2)[-2] for f in pruned.inputFiles()} <= {
+        f"g={g}" for g in plan["gens_scan"]
+    }
+
+
+def test_null_semantics(spark, tmp_path):
+    root = str(tmp_path / "t")
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, d date"
+    )
+    some_null = spark.createDataFrame(
+        [(3, _day(5)), (4, None)], "doc_id long, d date"
+    )
+    no_null = spark.createDataFrame(
+        [(5, _day(50)), (6, _day(51))], "doc_id long, d date"
+    )
+    manifest_table_append(all_null, root, 0, stats_cols=["d"])
+    manifest_table_append(some_null, root, 1)
+    manifest_table_append(no_null, root, 2)
+
+    # comparisons never match null rows: the all-null gen is prunable
+    plan = plan_manifest_read(spark, root, [("d", "=", _day(5))])
+    assert plan["scanned"] == 1
+    assert _ids(read_manifest_table(spark, root, where=[("d", "=", _day(5))])) == [3]
+
+    # is_null keeps exactly the gens with nulls
+    plan = plan_manifest_read(spark, root, [("d", "is_null")])
+    assert plan["scanned"] == 2
+    assert _ids(read_manifest_table(spark, root, where=[("d", "is_null")])) == [1, 2, 4]
+
+    plan = plan_manifest_read(spark, root, [("d", "not_null")])
+    assert plan["scanned"] == 2
+    assert _ids(read_manifest_table(spark, root, where=[("d", "not_null")])) == [3, 5, 6]
+
+
+def test_typed_bounds_timestamp_decimal_string(spark, tmp_path):
+    root = str(tmp_path / "t")
+    rows_a = [
+        ("alpha", datetime.datetime(2024, 1, 1, 10), decimal.Decimal("1.50")),
+        ("beta", datetime.datetime(2024, 1, 1, 12), decimal.Decimal("2.25")),
+    ]
+    rows_b = [
+        ("omega", datetime.datetime(2024, 6, 1, 10), decimal.Decimal("99.00")),
+        ("sigma", datetime.datetime(2024, 6, 1, 12), decimal.Decimal("88.75")),
+    ]
+    schema = "name string, ts timestamp, amt decimal(10,2)"
+    manifest_table_append(
+        spark.createDataFrame(rows_a, schema), root, 0,
+        stats_cols=["name", "ts", "amt"],
+    )
+    manifest_table_append(spark.createDataFrame(rows_b, schema), root, 1)
+
+    for where, names in [
+        ([("ts", "<", datetime.datetime(2024, 3, 1))], {"alpha", "beta"}),
+        ([("amt", ">=", decimal.Decimal("50"))], {"omega", "sigma"}),
+        ([("name", ">=", "omega")], {"omega", "sigma"}),
+    ]:
+        plan = plan_manifest_read(spark, root, where)
+        assert plan["scanned"] == 1, where
+        got = {
+            r.name
+            for r in read_manifest_table(spark, root, where=where).collect()
+        }
+        assert got == names
+
+
+def test_nan_bounds_are_unknown_not_wrong(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 3.0)], "doc_id long, v double"
+    )
+    manifest_table_append(df, root, 0, stats_cols=["v"])
+    m = mt.manifest_read(spark, root)
+    (gstats,) = m["stats"].values()
+    # Spark's max treats NaN as greatest; JSON has no NaN — recorded as
+    # unknown, so the generation is scanned, never mis-pruned
+    assert gstats["cols"]["v"]["max"] is None
+    plan = plan_manifest_read(spark, root, [("v", ">", 100.0)])
+    assert plan["scanned"] == 1
+    got = read_manifest_table(spark, root, where=[("v", ">", 100.0)])
+    assert _ids(got) == [1]  # NaN > 100.0 is true in Spark's ordering
+
+
+def test_untracked_generations_are_always_scanned(spark, tmp_path):
+    root = str(tmp_path / "t")
+    # two generations BEFORE stats were enabled
+    manifest_table_append(_batch(spark, 0), root, 0)
+    manifest_table_append(_batch(spark, 1), root, 1)
+    manifest_table_append(_batch(spark, 2), root, 2, stats_cols=["d"])
+    where = [("d", "=", _day(25))]
+    plan = plan_manifest_read(spark, root, where)
+    # the stats-bearing gen (days 20..29) matches; the two blind gens
+    # must be scanned too — absence of stats never prunes
+    assert plan["scanned"] == 3 and plan["skipped"] == 0
+    got = read_manifest_table(spark, root, where=where)
+    full = read_manifest_table(spark, root).filter(F.col("d") == F.lit(_day(25)))
+    assert _ids(got) == _ids(full)
+
+    where2 = [("d", "=", _day(5))]
+    plan2 = plan_manifest_read(spark, root, where2)
+    assert plan2["scanned"] == 2  # the tracked gen IS prunable
+    assert _ids(read_manifest_table(spark, root, where=where2)) == _ids(
+        read_manifest_table(spark, root).filter(F.col("d") == F.lit(_day(5)))
+    )
+
+
+def test_stats_survive_compaction_exactly(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for b in range(5):
+        manifest_table_append(_batch(spark, b), root, b, stats_cols=["d"])
+    stats = compact_manifest_table(spark, root, keep_last=2)
+    assert stats["gens_after"] == 3
+    m = mt.manifest_read(spark, root)
+    assert len(m["stats"]) == 3  # merged gen recomputed, kept gens carried
+    # the merged generation is the NEWEST id (fresh_gen is seq-major)
+    merged_gen = str(max(int(g) for g in m["gens"]))
+    # the merged generation's recomputed range spans its inputs exactly
+    ent = m["stats"][merged_gen]["cols"]["d"]
+    assert mt._stats_decode(ent["min"]) == _day(0)
+    assert mt._stats_decode(ent["max"]) == _day(29)
+    assert m["stats"][merged_gen]["rows"] == 60
+    # pruning still works post-compaction
+    plan = plan_manifest_read(spark, root, [("d", "=", _day(35))])
+    assert plan["scanned"] == 1
+    got = read_manifest_table(spark, root, where=[("d", "=", _day(35))])
+    assert len(_ids(got)) == 2
+
+
+def test_range_split_compaction_clusters_and_freezes(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for b in range(6):
+        manifest_table_append(
+            _batch(spark, b, n=40), root, b, stats_cols=["d"]
+        )
+    before = read_manifest_table(spark, root)
+    rows_before = _ids(before)
+
+    stats = compact_manifest_table(
+        spark, root, keep_last=0, sort_by=["d"],
+        range_split_mb=0.002, min_merge_mb=1,
+    )
+    assert stats["gens_after"] > 2  # genuinely split
+    m = mt.manifest_read(spark, root)
+    assert len(m["stats"]) == stats["gens_after"]
+
+    # ranges are disjoint: a point query scans exactly one generation
+    plan = plan_manifest_read(spark, root, [("d", "=", _day(31))])
+    assert plan["scanned"] == 1
+    got = read_manifest_table(spark, root, where=[("d", "=", _day(31))])
+    full = [i for i in rows_before]
+    assert _ids(got) == _ids(
+        read_manifest_table(spark, root).filter(F.col("d") == F.lit(_day(31)))
+    )
+    assert _ids(read_manifest_table(spark, root)) == full
+
+    # the ledger survived: replays of any committed batch are no-ops
+    assert manifest_table_append(_batch(spark, 3, n=40), root, 3) is None
+
+    # split generations FREEZE under the size tier: a scheduled pass
+    # with the same min_merge_mb must not undo the clustering
+    again = compact_manifest_table(
+        spark, root, keep_last=0, sort_by=["d"], min_merge_mb=0.0005,
+    )
+    assert again["gens_after"] == stats["gens_after"]
+
+
+def test_as_of_snapshot_combines_with_where(spark, tmp_path):
+    root = str(tmp_path / "t")
+    s0 = manifest_table_append(_batch(spark, 0), root, 0, stats_cols=["d"])
+    manifest_table_append(_batch(spark, 1), root, 1)
+    where = [("d", "<", _day(100))]
+    snap = read_manifest_table(spark, root, as_of=s0, where=where)
+    assert _ids(snap) == _ids(_batch(spark, 0))
+    # the snapshot's OWN stats drive the prune decision
+    plan = plan_manifest_read(spark, root, [("d", ">=", _day(10))], as_of=s0)
+    assert plan["total"] == 1 and plan["scanned"] == 0
+
+
+def test_pruned_to_empty_is_schema_stable(spark, tmp_path):
+    root = str(tmp_path / "t")
+    manifest_table_append(_batch(spark, 0), root, 0, stats_cols=["d"])
+    got = read_manifest_table(spark, root, where=[("d", ">", _day(10_000))])
+    assert got.schema == read_manifest_table(spark, root).schema
+    assert got.count() == 0
+    assert got.inputFiles() == []
+
+
+def test_bad_predicates_and_columns_are_refused(spark, tmp_path):
+    root = str(tmp_path / "t")
+    manifest_table_append(_batch(spark, 0), root, 0, stats_cols=["d"])
+    for where, msg in [
+        ([("nope", "=", 1)], "not in the table schema"),
+        ([("d", "~", 1)], "unknown op"),
+        ([("d", "=", None)], "is_null"),
+        ([("d", "between", (None, _day(1)))], "None bound"),
+        ([("d", "in", [_day(1), None])], "never"),
+        ([("d", "is_null", 1)], "no value"),
+        ([("d", "=")], "is_null"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            read_manifest_table(spark, root, where=where).count()
+
+
+def test_stats_on_non_atomic_column_refused(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, ["a", "b"])], "doc_id long, tags array<string>"
+    )
+    with pytest.raises(ValueError, match="orderable atomic type"):
+        manifest_table_append(df, root, 0, stats_cols=["tags"])
+
+
+def test_evolution_added_column_prunes_safely(spark, tmp_path):
+    root = str(tmp_path / "t")
+    manifest_table_append(
+        spark.createDataFrame([(1,)], "doc_id long"), root, 0,
+        stats_cols=["doc_id"],
+    )
+    # the table later gains a tracked column; the old gen has no stats
+    # for it (and reads it as null)
+    manifest_table_append(
+        spark.createDataFrame([(2, 7.0)], "doc_id long, q double"),
+        root, 1, stats_cols=["doc_id", "q"],
+    )
+    plan = plan_manifest_read(spark, root, [("q", ">", 5.0)])
+    assert plan["scanned"] == 2  # the blind old gen must be scanned
+    got = read_manifest_table(spark, root, where=[("q", ">", 5.0)])
+    assert _ids(got) == [2]  # ...but its null q rows filter out
+
+
+def test_stats_land_correctly_after_losing_the_conditional_put(
+    spark, tmp_path, monkeypatch
+):
+    """A rival commits between this writer's head read and publish; the
+    rebase must re-land the batch WITH its stats keyed by the retried
+    attempt's fresh generation, not the losing attempt's."""
+    root = str(tmp_path / "t")
+    manifest_table_append(_batch(spark, 0), root, 0, stats_cols=["d"])
+
+    real_publish = mt.manifest_publish
+    fired = []
+
+    def rival_then_publish(spark_, root_, payload, *, seq):
+        if not fired:
+            fired.append(True)
+            rival_gen = mt.fresh_gen(seq)
+            _batch(spark, 9).write.parquet(mt._gen_dir(root_, rival_gen))
+            live = mt.manifest_read(spark_, root_)
+            real_publish(
+                spark_, root_,
+                {
+                    "table": "batch-table",
+                    "gens": live["gens"] + [rival_gen],
+                    "batches": {**live["batches"], "9": rival_gen},
+                    "schema": live["schema"],
+                    "stats_cols": live["stats_cols"],
+                    "stats": live["stats"],
+                },
+                seq=seq,
+            )
+        return real_publish(spark_, root_, payload, seq=seq)
+
+    monkeypatch.setattr(mt, "manifest_publish", rival_then_publish)
+    manifest_table_append(_batch(spark, 1), root, 1)
+    monkeypatch.setattr(mt, "manifest_publish", real_publish)
+
+    m = mt.manifest_read(spark, root)
+    # batches 0 and 1 tracked with stats; the rival's gen 9 has none
+    g1 = str(m["batches"]["1"])
+    assert g1 in m["stats"]
+    ent = m["stats"][g1]["cols"]["d"]
+    assert mt._stats_decode(ent["min"]) == _day(10)
+    plan = plan_manifest_read(spark, root, [("d", ">=", _day(10))])
+    # gen 0 prunable, gen 1 matches, rival gen blind -> scanned
+    assert plan["scanned"] == 2 and plan["skipped"] == 1
+    got = read_manifest_table(spark, root, where=[("d", ">=", _day(10))])
+    assert _ids(got) == _ids(
+        read_manifest_table(spark, root).filter(F.col("d") >= F.lit(_day(10)))
+    )
+
+
+@hyp_settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_property_pruned_read_never_loses_rows(
+    spark, tmp_path_factory, data
+):
+    """For ANY batches (with nulls, duplicates, empty batches) and ANY
+    supported predicate, read(where) row-set == read().filter() row-set
+    — pruning is invisible except in the plan."""
+    root = str(tmp_path_factory.mktemp("mt_prop"))
+    n_batches = data.draw(st.integers(1, 4), label="n_batches")
+    vals = st.one_of(st.none(), st.integers(-50, 50))
+    next_id = [0]
+    for b in range(n_batches):
+        batch = data.draw(
+            st.lists(vals, min_size=0, max_size=6), label=f"batch{b}"
+        )
+        rows = []
+        for v in batch:
+            rows.append((next_id[0], v))
+            next_id[0] += 1
+        df = spark.createDataFrame(rows, "doc_id long, v long")
+        manifest_table_append(df, root, b, stats_cols=["v"])
+
+    op = data.draw(
+        st.sampled_from(
+            ["=", "<", "<=", ">", ">=", "in", "between", "is_null", "not_null"]
+        ),
+        label="op",
+    )
+    if op in ("is_null", "not_null"):
+        where = [("v", op)]
+    elif op == "in":
+        where = [("v", "in", data.draw(st.lists(st.integers(-50, 50), max_size=4)))]
+    elif op == "between":
+        lo = data.draw(st.integers(-50, 50), label="lo")
+        hi = data.draw(st.integers(-50, 50), label="hi")
+        where = [("v", "between", (lo, hi))]
+    else:
+        where = [("v", op, data.draw(st.integers(-50, 50), label="val"))]
+
+    pruned = read_manifest_table(spark, root, where=where)
+    col, o, *v = where[0]
+    full = read_manifest_table(spark, root).filter(
+        mt._pred_column(col, o, v[0] if v else None)
+    )
+    assert sorted(
+        (r.doc_id, r.v) for r in pruned.collect()
+    ) == sorted((r.doc_id, r.v) for r in full.collect())
