@@ -2043,6 +2043,120 @@ def measure_fact_layout(
     return out
 
 
+def measure_manifest_stats(
+    spark,
+    *,
+    n_batches: int = 64,
+    rows_per_batch: int = 200_000,
+) -> dict:
+    """Generation-stats data skipping on an AGED manifest table (r12).
+
+    An event-time-keyed stream (batch b covers day b — the natural
+    append-mostly-ordered shape of a log/fact table) ages into
+    ``n_batches`` generations; a narrow time-window read is the probe.
+    Four measurements:
+
+    1. append cost with vs without stats collection (the per-batch
+       single-row agg the stats add);
+    2. the aged narrow read, unpruned (``read + filter``) vs pruned
+       (``where=``): wall, generations touched, files touched;
+    3. the same read after a PLAIN compaction (one merged generation —
+       the worst case for generation stats: the merged range spans
+       everything, pruning degrades to the residual filter);
+    4. after a RANGE-SPLIT clustered compaction: pruning restored on
+       the compacted layout.
+    """
+    import datetime as _dt
+    import shutil as _sh
+
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        compact_manifest_table,
+        manifest_table_append,
+        plan_manifest_read,
+        read_manifest_table,
+    )
+
+    day0 = F.to_date(F.lit("2024-01-01"))
+
+    def batch(b: int):
+        return (
+            spark.range(rows_per_batch)
+            .select(
+                (F.col("id") + b * rows_per_batch).alias("doc_id"),
+                F.date_add(day0, b).alias("d"),
+                (F.rand(seed=b) * 100).alias("score"),
+                F.concat(F.lit("payload-"), F.col("id")).alias("text"),
+            )
+        )
+
+    out: dict = {}
+    roots = {}
+    for variant, cols in (("no_stats", None), ("stats", ["d"])):
+        root = tempfile.mkdtemp(prefix="manstats_") + "/t"
+        roots[variant] = root
+        t0 = time.time()
+        for b in range(n_batches):
+            manifest_table_append(
+                batch(b), root, b,
+                stats_cols=cols if b == 0 else None,  # sticky thereafter
+            )
+        out[f"append_wall_{variant}"] = round(time.time() - t0, 2)
+
+    root = roots["stats"]
+    lo, hi = (
+        _dt.date(2024, 1, 1) + _dt.timedelta(days=n_batches // 2),
+        _dt.date(2024, 1, 1) + _dt.timedelta(days=n_batches // 2 + 1),
+    )
+    where = [("d", "between", (lo, hi))]
+
+    def timed_reads(label: str) -> None:
+        t0 = time.time()
+        full = read_manifest_table(spark, root).where(
+            F.col("d").between(F.lit(lo), F.lit(hi))
+        )
+        n_full = full.count()
+        files_full = len(full.inputFiles())
+        unpruned = round(time.time() - t0, 3)
+        t0 = time.time()
+        pruned = read_manifest_table(spark, root, where=where)
+        n_pruned = pruned.count()
+        files_pruned = len(pruned.inputFiles())
+        pruned_wall = round(time.time() - t0, 3)
+        plan = plan_manifest_read(spark, root, where)
+        assert n_full == n_pruned, (label, n_full, n_pruned)
+        out[label] = {
+            "rows": n_full,
+            "unpruned_wall": unpruned,
+            "pruned_wall": pruned_wall,
+            "gens_total": plan["total"],
+            "gens_scanned": plan["scanned"],
+            "files_unpruned": files_full,
+            "files_pruned": files_pruned,
+        }
+
+    timed_reads("aged_read")
+
+    # snapshot the aged table for the clustered variant BEFORE the plain
+    # compaction rewrites it in place
+    root2 = tempfile.mkdtemp(prefix="manstats_") + "/t"
+    _sh.copytree(roots["stats"], root2, dirs_exist_ok=True)
+
+    # plain compaction: everything melts into ONE generation — stats'
+    # worst case, measured honestly
+    compact_manifest_table(spark, root, keep_last=2, min_merge_mb=1 << 20)
+    timed_reads("after_plain_compaction")
+
+    # clustered rebuild of the same aged table: range-split into ~64 MB
+    # generations on the time key
+    root = root2
+    compact_manifest_table(
+        spark, root, keep_last=2, min_merge_mb=1 << 20,
+        sort_by=["d"], range_split_mb=64,
+    )
+    timed_reads("after_range_split_compaction")
+    return out
+
+
 def measure_star_pipeline(
     spark,
     sf_dir: str,
@@ -2872,6 +2986,21 @@ def main() -> None:
             min_merge_mb=int(
                 os.environ.get("SCALE_PROBE_MIN_MERGE_MB", 0)
             ) or None,
+        )}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "manifest_stats":
+        spark = get_spark(
+            "scale-probe-manstats",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+            extra_conf=METERED_SESSION_CONF,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({"manifest_stats": measure_manifest_stats(
+            spark,
+            n_batches=int(os.environ.get("SCALE_PROBE_BATCHES", 64)),
+            rows_per_batch=int(
+                os.environ.get("SCALE_PROBE_ROWS_PER_BATCH", 200_000)
+            ),
         )}, indent=2))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf_manifest":
