@@ -65,6 +65,8 @@ def run_maintenance(
     ivf_id_col: str = "vec_id",
     live_stream: bool = False,
     min_merge_mb: float | None = None,
+    manifest_sort_by: Sequence[str] | None = None,
+    manifest_range_split_mb: float | None = None,
 ) -> dict[str, dict]:
     """Run every applicable compaction pass over a declared layout.
 
@@ -81,6 +83,14 @@ def run_maintenance(
     snapshot-read/vacuum race discipline (see
     ``vacuum_manifest_table``/``ivf_vacuum``: the retention window must
     outlast the longest concurrent read).
+
+    ``manifest_sort_by`` / ``manifest_range_split_mb`` (r12) apply to
+    the ``manifest_tables`` compactions: sort-cluster the merged output
+    (and optionally range-split it into disjoint sort-key generations)
+    so the tables' recorded generation stats stay selective for
+    ``read_manifest_table(where=...)`` pruning — see
+    ``compact_manifest_table``.  One knob for all listed tables; run
+    separate passes for tables clustered on different keys.
 
     Order: directory-shaped artifacts first (corpus, fact, quarantine),
     then catalog tables, then the IVF index — arbitrary but fixed, so a
@@ -142,6 +152,8 @@ def run_maintenance(
         stats = compact_manifest_table(
             spark, p, keep_last=keep_last, target_file_mb=target_file_mb,
             min_merge_mb=min_merge_mb,
+            sort_by=list(manifest_sort_by) if manifest_sort_by else None,
+            range_split_mb=manifest_range_split_mb,
         )
         floor = 2 if live_stream else 1
         stats.update(
@@ -162,6 +174,8 @@ def make_maintenance_sink(
     target_file_mb: int = 128,
     ivf_id_col: str = "vec_id",
     min_merge_mb: float | None = None,
+    manifest_sort_by: Sequence[str] | None = None,
+    manifest_range_split_mb: float | None = None,
     on_stats=None,
     **layout: Sequence[str],
 ):
@@ -204,6 +218,8 @@ def make_maintenance_sink(
                 ivf_id_col=ivf_id_col,
                 live_stream=True,
                 min_merge_mb=min_merge_mb,
+                manifest_sort_by=manifest_sort_by,
+                manifest_range_split_mb=manifest_range_split_mb,
                 **layout,
             )
             if on_stats is not None:

@@ -440,6 +440,7 @@ def make_corpus_ingest_sink(
     shingle_k: int = 3,
     max_bucket: int = 1000,
     corpus_layout: str = "partition",
+    corpus_stats_cols: list[str] | None = None,
 ):
     """foreachBatch handler: gate each micro-batch, near-dup it against
     the AT-REST LSH index, append survivors + their signatures.
@@ -460,7 +461,10 @@ def make_corpus_ingest_sink(
       (corpus published, index not yet) converges on replay.  The LSH
       index stays a bucketed catalog table in both modes; its per-batch
       dynamic partition overwrite is delete+write, no engine-level
-      rename.
+      rename.  ``corpus_stats_cols`` (r12, manifest mode only) records
+      per-generation min/max/null stats for the named survivor columns
+      so downstream ``read_manifest_table(where=...)`` reads skip
+      generations (sticky once set — restarts may omit it).
 
     This is the historical-dedup half :func:`prepare_corpus_stream`
     deliberately leaves out of the per-row stream: each batch computes
@@ -504,6 +508,12 @@ def make_corpus_ingest_sink(
         raise ValueError(
             f"corpus_layout must be 'partition' or 'manifest', got "
             f"{corpus_layout!r}"
+        )
+    if corpus_stats_cols and corpus_layout != "manifest":
+        raise ValueError(
+            "corpus_stats_cols needs corpus_layout='manifest' — "
+            "generation stats live in the manifest commit log; the "
+            "partition layout has no manifest to record them in"
         )
     layout_checked = []
 
@@ -660,6 +670,7 @@ def make_corpus_ingest_sink(
                 kept.withColumn("ingest_batch", F.lit(int(batch_id))),
                 out_dir,
                 batch_id,
+                stats_cols=corpus_stats_cols,
             )
         else:
             kept.write.mode("overwrite").parquet(

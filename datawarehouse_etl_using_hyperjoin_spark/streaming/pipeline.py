@@ -775,6 +775,7 @@ def make_star_sink(
     *,
     dim_buckets: int | None = None,
     fact_layout: str = "partition",
+    fact_stats_cols: list[str] | None = None,
 ):
     """The ``foreachBatch`` body of :func:`run_pipeline_streaming` as a
     standalone factory: per micro-batch, keyed SCD1 upsert of the product
@@ -805,6 +806,12 @@ def make_star_sink(
     or dynamic overwrite), so with ``fact_layout="manifest"`` +
     ``dim_buckets`` the whole hot path AND the fact's maintenance avoid
     renames end to end.
+
+    ``fact_stats_cols`` (r12, manifest layout only): record per-
+    generation min/max/null stats for the named fact columns so
+    ``read_manifest_table(where=...)`` can skip generations at read
+    time (``sources.manifest_table`` generation pruning).  Sticky once
+    set — restarts may omit it.
     """
     from ..operators.upsert import upsert_parquet_sink
 
@@ -812,6 +819,12 @@ def make_star_sink(
         raise ValueError(
             f"fact_layout must be 'partition' or 'manifest', got "
             f"{fact_layout!r}"
+        )
+    if fact_stats_cols and fact_layout != "manifest":
+        raise ValueError(
+            "fact_stats_cols needs fact_layout='manifest' — generation "
+            "stats live in the manifest commit log; the partition "
+            "layout has no manifest to record them in"
         )
     dim_sink = upsert_parquet_sink(
         f"{out_dir}/dim_product", "product_id", buckets=dim_buckets
@@ -838,6 +851,7 @@ def make_star_sink(
                     fact.withColumn("batch_id", F.lit(int(batch_id))),
                     f"{out_dir}/fact_enriched",
                     batch_id,
+                    stats_cols=fact_stats_cols,
                 )
             else:
                 fact.write.mode("overwrite").parquet(
@@ -860,6 +874,7 @@ def run_pipeline_streaming(
     quarantine_watermark_col: str = "order_date",
     dim_buckets: int | None = None,
     fact_layout: str = "partition",
+    fact_stats_cols: list[str] | None = None,
     maintenance_every: int | None = None,
     maintenance_keep_last: int = 2,
 ) -> dict[str, int]:
@@ -897,7 +912,10 @@ def run_pipeline_streaming(
     ``"manifest"`` commits the fact through the generation-manifest
     batch table (ledger exactly-once, rename-free compaction — the
     object-store posture); the returned counts and ``maintenance_every``
-    adapt automatically.
+    adapt automatically.  ``fact_stats_cols`` (r12, manifest layout
+    only) records per-generation stats for the named fact columns so
+    downstream ``read_manifest_table(where=...)`` reads skip
+    generations — see :func:`make_star_sink`.
 
     ``maintenance_every`` (opt-in, r11) closes the operational loop the
     per-artifact compaction passes left open (each existed but had to
@@ -913,7 +931,8 @@ def run_pipeline_streaming(
     """
     enriched = stream_static_hyperjoin(txn_stream, master)
     sink = make_star_sink(
-        out_dir, dim_buckets=dim_buckets, fact_layout=fact_layout
+        out_dir, dim_buckets=dim_buckets, fact_layout=fact_layout,
+        fact_stats_cols=fact_stats_cols,
     )
     if quarantine_lateness is not None:
         sink = make_quarantine_sink(

@@ -423,3 +423,87 @@ def test_property_pruned_read_never_loses_rows(
     assert sorted(
         (r.doc_id, r.v) for r in pruned.collect()
     ) == sorted((r.doc_id, r.v) for r in full.collect())
+
+
+def _star_batch(spark, b, n=30):
+    """A batch shaped like the star sink's enriched input; total_sale
+    rises with the batch id so generations have disjoint ranges."""
+    return spark.range(n).select(
+        (F.col("id") + b * 100).alias("order_id"),
+        F.lit(1).alias("line_number"),
+        (F.col("id") % 5).alias("product_id"),
+        F.concat(F.lit("p"), (F.col("id") % 5)).alias("product_name"),
+        F.lit("$9.99").alias("product_price"),
+        F.lit(2).alias("quantity"),
+        F.lit(9.99).alias("product_price_num"),
+        (F.lit(float(b * 1000)) + F.col("id")).alias("total_sale"),
+    )
+
+
+def test_star_sink_threads_fact_stats(spark, tmp_path):
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        make_star_sink,
+    )
+
+    out = str(tmp_path / "dw")
+    sink = make_star_sink(
+        out, fact_layout="manifest", fact_stats_cols=["total_sale"]
+    )
+    for b in range(3):
+        sink(_star_batch(spark, b), b)
+
+    fact_root = f"{out}/fact_enriched"
+    m = mt.manifest_read(spark, fact_root)
+    assert m["stats_cols"] == ["total_sale"]
+    assert len(m["stats"]) == 3
+    plan = plan_manifest_read(spark, fact_root, [("total_sale", ">=", 2000.0)])
+    assert plan["scanned"] == 1 and plan["skipped"] == 2
+    got = read_manifest_table(
+        spark, fact_root, where=[("total_sale", ">=", 2000.0)]
+    )
+    assert got.count() == 30
+
+    # stats need a manifest to live in
+    with pytest.raises(ValueError, match="fact_layout='manifest'"):
+        make_star_sink(out, fact_stats_cols=["total_sale"])
+
+
+def test_corpus_sink_stats_need_manifest_layout():
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        make_corpus_ingest_sink,
+    )
+
+    with pytest.raises(ValueError, match="corpus_layout='manifest'"):
+        make_corpus_ingest_sink(
+            "/tmp/x", "tbl", corpus_stats_cols=["doc_id"]
+        )
+
+
+def test_run_maintenance_clusters_manifest_tables(spark, tmp_path):
+    """The scheduled pass can sort-cluster and range-split the tables it
+    compacts, so generation stats stay selective on a maintained
+    stream's table without a separate manual compaction."""
+    from datawarehouse_etl_using_hyperjoin_spark.maintenance import (
+        run_maintenance,
+    )
+
+    root = str(tmp_path / "t")
+    for b in range(6):
+        manifest_table_append(
+            _batch(spark, b, n=40), root, b, stats_cols=["d"]
+        )
+    out = run_maintenance(
+        spark,
+        manifest_tables=[root],
+        keep_last=0,
+        min_merge_mb=1,
+        manifest_sort_by=["d"],
+        manifest_range_split_mb=0.002,
+    )
+    stats = out[f"manifest_table:{root}"]
+    assert stats["gens_after"] > 2  # genuinely split
+    m = mt.manifest_read(spark, root)
+    assert len(m["stats"]) == len(m["gens"])
+    plan = plan_manifest_read(spark, root, [("d", "=", _day(31))])
+    assert plan["scanned"] == 1
+    assert read_manifest_table(spark, root).count() == 240
