@@ -134,18 +134,28 @@ def _ls_names(spark: SparkSession, path: str) -> list[str]:
 
 
 def _read_text(spark: SparkSession, path: str) -> str:
-    """Whole-file read — GET analogue."""
+    """Whole-file read — GET analogue.  JVM-side read failures are
+    re-raised as ``OSError`` so every torn-file handler sees one
+    exception family: a crashed local JVM write leaves the data file
+    AND its LocalFileSystem ``.crc`` sidecar inconsistent, which reads
+    back as ``ChecksumException`` (a Py4J error, not a Python
+    ``OSError``) — without the translation the documented
+    torn-newest-manifest fallback would crash instead of falling back.
+    """
     got = hadoop_fs(spark, path)
     if got is not None:
         fs, jpath = got
-        stream = fs.open(jpath)
         try:
-            data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(  # noqa: SLF001
-                stream
-            )
-            return bytes(data).decode("utf-8")
-        finally:
-            stream.close()
+            stream = fs.open(jpath)
+            try:
+                data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(  # noqa: SLF001
+                    stream
+                )
+            finally:
+                stream.close()
+        except Exception as exc:
+            raise OSError(f"manifest read of {path!r} failed: {exc}") from exc
+        return bytes(data).decode("utf-8")
     with open(_require_local(path, "reading"), encoding="utf-8") as fh:
         return fh.read()
 

@@ -61,6 +61,8 @@ from ..manifest import (
     ManifestConflictError,
     _delete,
     _ls_names,
+    _read_text,
+    _write_text,
     fresh_gen,
     manifest_publish,
     manifest_read,
@@ -102,7 +104,8 @@ def _live(spark: SparkSession, root: str, at: int | None = None) -> dict:
 
 
 def _publish(
-    spark, root, gens, batches, seq, schema=None, stats=None, stats_cols=None
+    spark, root, gens, batches, seq, schema=None, stats=None,
+    stats_cols=None, blooms=None, bloom_cols=None, bloom_params=None,
 ) -> int:
     payload = {
         "table": "batch-table",
@@ -113,13 +116,19 @@ def _publish(
         payload["schema"] = (
             schema if isinstance(schema, dict) else json.loads(schema.json())
         )
+    live_set = {str(int(g)) for g in gens}
     if stats_cols:
         payload["stats_cols"] = list(stats_cols)
         # stats only for LIVE generations — superseded/merged-away gens
         # drop out of the payload with the gens list itself
-        live_set = {str(int(g)) for g in gens}
         payload["stats"] = {
             g: s for g, s in (stats or {}).items() if g in live_set
+        }
+    if bloom_cols:
+        payload["bloom_cols"] = list(bloom_cols)
+        payload["bloom_params"] = dict(bloom_params or {})
+        payload["blooms"] = {
+            g: c for g, c in (blooms or {}).items() if g in live_set
         }
     return manifest_publish(spark, root, payload, seq=seq)
 
@@ -268,6 +277,175 @@ def collect_gen_stats(df: DataFrame, cols: Sequence[str]) -> dict:
     return {"rows": rows, "cols": out_cols}
 
 
+# ---------------------------------------------------------------------------
+# Per-generation Bloom sidecars: point-lookup skipping (r12).
+#
+# Min/max stats prune RANGE predicates, but a point lookup on a
+# high-cardinality column (fetch doc_id X out of a 100 TB corpus) hits
+# every generation's [min,max] when ids are uniform.  A per-generation
+# Bloom filter answers "definitely not in this generation" for = / in
+# predicates — the Iceberg-puffin / Delta-bloom shape.  The filter lives
+# as a SIDECAR JSON inside the generation dir (underscore-prefixed, so
+# Spark's parquet reader ignores it), written BEFORE the manifest
+# publish — it shares the generation's crash story (an unpublished
+# sidecar is just orphan bytes) and keeps the manifest itself KB-scale
+# however many generations carry blooms.  Bloom parameters are fixed
+# PER TABLE at enable time (recorded in the manifest) so one static
+# probe expression covers every generation.  A missing/torn sidecar
+# degrades to "scan" — pruning is never the reason a row goes missing.
+
+#: default per-table bloom geometry: 2^20 bits (128 KB of longs, ~300 KB
+#: as a JSON sidecar), 7 hashes — ~1% FPP at ~10^5 distinct items per
+#: generation, degrading gracefully (higher FPP = less skipping, never
+#: wrong results) for bigger generations
+_BLOOM_BITS_DEFAULT = 1 << 20
+_BLOOM_HASHES_DEFAULT = 7
+_BLOOM_FORMAT = "gen-bloom/1"
+
+
+def _bloom_sidecar_path(root: str, gen: int, col: str) -> str:
+    return f"{_gen_dir(root, gen)}/_bloom_{col}.json"
+
+
+def _field_type(schema_json: dict, col: str):
+    from pyspark.sql.types import _parse_datatype_json_value
+
+    for f in schema_json.get("fields", ()):
+        if f["name"] == col:
+            return _parse_datatype_json_value(f["type"])
+    return None
+
+
+def _write_gen_blooms(
+    df: DataFrame, root: str, gen: int, bloom_cols, params: dict
+) -> None:
+    """Build and write one Bloom sidecar per column for generation
+    ``gen`` from ``df``'s rows (the exact rows the generation holds).
+    Each build is the executor-side 64-ary bit_or aggregate from
+    :mod:`...operators.bloom` — the driver holds only the finished
+    filter."""
+    from ..operators.bloom import bloom_build
+
+    spark = df.sparkSession
+    m, k = int(params["num_bits"]), int(params["num_hashes"])
+    for col in bloom_cols:
+        if col not in df.columns:
+            continue  # omitted column (evolution): no sidecar -> scanned
+        bits = bloom_build(df, col, num_bits=m, num_hashes=k)
+        _write_text(
+            spark,
+            _bloom_sidecar_path(root, gen, col),
+            json.dumps(
+                {
+                    "format": _BLOOM_FORMAT,
+                    "col": col,
+                    "num_bits": m,
+                    "num_hashes": k,
+                    "bits": bits,
+                }
+            ),
+        )
+
+
+def _bloom_prune(
+    spark: SparkSession,
+    root: str,
+    manifest: dict,
+    gens: list[int],
+    preds: list[tuple],
+) -> list[int]:
+    """Drop generations whose Bloom sidecars PROVE an equality predicate
+    can't match.  Only ``=``/``in`` predicates on recorded ``bloom_cols``
+    participate; everything else (and any generation whose sidecar is
+    missing, torn, or differently-parameterized) is kept.  The probe is
+    ONE tiny Spark job over (generation, bits) rows — generation-count
+    sized, never data-sized: the membership test needs the same
+    ``xxhash64`` the filters were built with, so it runs where that hash
+    lives."""
+    bloom_cols = set(manifest.get("bloom_cols") or [])
+    params = manifest.get("bloom_params") or {}
+    blooms = manifest.get("blooms") or {}
+    schema_json = manifest.get("schema")
+    if not bloom_cols or not params or schema_json is None:
+        return gens
+    eq_preds = []
+    for col, op, val in preds:
+        if col not in bloom_cols:
+            continue
+        if op in ("=", "=="):
+            eq_preds.append((col, [val]))
+        elif op == "in" and val:
+            eq_preds.append((col, list(val)))
+    if not eq_preds:
+        return gens
+    m, k = int(params["num_bits"]), int(params["num_hashes"])
+    rows = []  # (gen, col, bits) for every candidate gen x pred col
+    candidates = set()
+    for g in gens:
+        have = set(blooms.get(str(int(g))) or [])
+        for col, _vals in eq_preds:
+            if col not in have:
+                continue
+            try:
+                payload = json.loads(
+                    _read_text(spark, _bloom_sidecar_path(root, g, col))
+                )
+            except (ValueError, OSError):
+                continue  # torn/missing sidecar: scan
+            if (
+                payload.get("format") != _BLOOM_FORMAT
+                or payload.get("num_bits") != m
+                or payload.get("num_hashes") != k
+            ):
+                continue
+            rows.append((int(g), col, payload["bits"]))
+            candidates.add((int(g), col))
+    if not rows:
+        return gens
+    bdf = spark.createDataFrame(
+        rows, "gen long, col string, bits array<long>"
+    )
+    from ..operators.bloom import _mask
+
+    checks = []
+    for col, vals in eq_preds:
+        ctype = _field_type(schema_json, col)
+        might_any = F.lit(False)
+        for v in vals:
+            lit = F.lit(v).cast(ctype) if ctype is not None else F.lit(v)
+            h1 = F.pmod(F.xxhash64(lit, F.lit(0)), F.lit(m))
+            h2 = F.pmod(F.xxhash64(lit, F.lit(1)), F.lit(m - 1)) + 1
+            hit = F.lit(True)
+            for i in range(k):
+                p = F.pmod(h1 + F.lit(i).cast("long") * h2, F.lit(m))
+                hit = hit & (
+                    F.element_at("bits", (p / 64).cast("int") + 1)
+                    .bitwiseAND(_mask(p % 64))
+                    != 0
+                )
+            might_any = might_any | hit
+        checks.append(
+            F.when(F.col("col") == F.lit(col), might_any)
+        )
+    might = F.coalesce(*checks, F.lit(True))
+    verdicts = bdf.select("gen", "col", might.alias("might")).collect()
+    absent = {
+        (r["gen"], r["col"]) for r in verdicts if not r["might"]
+    }
+    out = []
+    for g in gens:
+        # a generation is skipped if ANY equality predicate is proven
+        # absent (AND semantics: one impossible conjunct kills the gen)
+        if any(
+            (int(g), col) in absent
+            for col, _vals in eq_preds
+            if (int(g), col) in candidates
+        ):
+            continue
+        out.append(g)
+    return out
+
+
 def _normalize_where(where) -> list[tuple]:
     """Validate/normalize predicates: a list of ``(col, op)`` (null
     tests) or ``(col, op, value)`` tuples, AND-combined.  ``in`` takes a
@@ -394,6 +572,22 @@ def _pred_column(col: str, op: str, val):
     raise AssertionError(op)
 
 
+def _pruned_gens(
+    spark: SparkSession, root: str, m: dict, preds: list[tuple]
+) -> list[int]:
+    """Generations a predicated read must scan: min/max stats pruning
+    first (manifest-only, zero IO), then Bloom-sidecar pruning of the
+    survivors for equality predicates (sidecar GETs + one tiny probe
+    job, generation-count sized)."""
+    stats = m.get("stats") or {}
+    gens = [
+        int(g)
+        for g in m["gens"]
+        if all(_gen_matches(stats.get(str(int(g))), *p) for p in preds)
+    ]
+    return _bloom_prune(spark, root, m, gens, preds)
+
+
 def plan_manifest_read(
     spark: SparkSession,
     root: str,
@@ -402,19 +596,17 @@ def plan_manifest_read(
     as_of: int | None = None,
 ) -> dict:
     """The prune decision, inspectable: which generations a
-    ``read_manifest_table(where=...)`` would scan vs skip, from the
-    manifest alone (no data IO).  Returns ``{"seq", "gens_scan",
-    "gens_skipped", "total", "scanned", "skipped"}``."""
+    ``read_manifest_table(where=...)`` would scan vs skip.  Min/max
+    stats pruning is manifest-only (no data IO); when the table carries
+    Bloom sidecars and ``where`` has equality predicates on bloom
+    columns, the surviving generations' sidecars are probed too.
+    Returns ``{"seq", "gens_scan", "gens_skipped", "total", "scanned",
+    "skipped"}``."""
     m = _live(spark, root, at=as_of)
     preds = _normalize_where(where)
-    stats = m.get("stats") or {}
-    scan, skipped = [], []
-    for g in m["gens"]:
-        gs = stats.get(str(int(g)))
-        if all(_gen_matches(gs, *p) for p in preds):
-            scan.append(int(g))
-        else:
-            skipped.append(int(g))
+    scan = _pruned_gens(spark, root, m, preds)
+    scan_set = set(scan)
+    skipped = [int(g) for g in m["gens"] if int(g) not in scan_set]
     return {
         "seq": m["seq"],
         "gens_scan": scan,
@@ -426,7 +618,13 @@ def plan_manifest_read(
 
 
 def manifest_table_append(
-    df: DataFrame, root: str, batch_id: int, *, stats_cols=None
+    df: DataFrame,
+    root: str,
+    batch_id: int,
+    *,
+    stats_cols=None,
+    bloom_cols=None,
+    bloom_bits: int | None = None,
 ) -> int | None:
     """EXACTLY-ONCE batch append: write the batch at one fresh
     generation, then publish a manifest adding it to ``gens`` and
@@ -456,6 +654,13 @@ def manifest_table_append(
     generations written before a column was tracked carry no stats for
     it and are always scanned (pruning is never the reason a row goes
     missing).
+
+    Bloom sidecars (r12): ``bloom_cols=[...]`` additionally writes a
+    per-generation Bloom filter sidecar per named column (see the bloom
+    section above) so ``where`` POINT lookups (``=``/``in``) skip
+    generations min/max ranges can't.  Sticky like ``stats_cols``;
+    filter geometry is fixed per table at first enable (``bloom_bits``
+    override, default 2^20) and recorded in the manifest.
     """
     if "g" in df.columns:
         raise ValueError(
@@ -503,6 +708,20 @@ def manifest_table_append(
         )
         if eff_cols and tuple(eff_cols) not in stats_cache:
             stats_cache[tuple(eff_cols)] = collect_gen_stats(df, eff_cols)
+        # sticky bloom setting; geometry fixed per table at first enable
+        eff_bloom = (
+            list(bloom_cols)
+            if bloom_cols is not None
+            else list((live or {}).get("bloom_cols") or [])
+        )
+        bloom_params = (live or {}).get("bloom_params") or (
+            {
+                "num_bits": int(bloom_bits or _BLOOM_BITS_DEFAULT),
+                "num_hashes": _BLOOM_HASHES_DEFAULT,
+            }
+            if eff_bloom
+            else None
+        )
         seq = (live["seq"] + 1) if live else 1
         # ATTEMPT-UNIQUE generation path (fresh_gen docstring): the
         # conditional PUT protects the manifest, not the data dirs — a
@@ -517,10 +736,18 @@ def manifest_table_append(
         stats = dict((live or {}).get("stats") or {})
         if eff_cols:
             stats[str(gen)] = stats_cache[tuple(eff_cols)]
+        blooms = dict((live or {}).get("blooms") or {})
+        if eff_bloom:
+            # sidecars ride inside the generation dir, BEFORE publish —
+            # they share the generation's crash/orphan story
+            _write_gen_blooms(df, root, gen, eff_bloom, bloom_params)
+            blooms[str(gen)] = [c for c in eff_bloom if c in df.columns]
         try:
             return _publish(
                 spark, root, gens, batches, seq, schema=merged,
                 stats=stats, stats_cols=eff_cols,
+                blooms=blooms, bloom_cols=eff_bloom,
+                bloom_params=bloom_params,
             )
         except ManifestConflictError as exc:
             last_conflict = exc
@@ -599,11 +826,8 @@ def read_manifest_table(
                     f"where references column(s) {sorted(missing)} not in "
                     f"the table schema at {root!r}"
                 )
-        stats = m.get("stats") or {}
         dirs = [
-            _gen_dir(root, g)
-            for g in m["gens"]
-            if all(_gen_matches(stats.get(str(int(g))), *p) for p in preds)
+            _gen_dir(root, g) for g in _pruned_gens(spark, root, m, preds)
         ]
     if m.get("schema") is not None:
         schema = StructType.fromJson(m["schema"])
@@ -802,9 +1026,17 @@ def compact_manifest_table(
         for g, s in (live.get("stats") or {}).items()
         if int(g) not in set(old)
     }
-    if stats_cols:
-        # exact stats from the WRITTEN generations — one single-row agg
-        # per new generation (generation-count-sized driver work)
+    bloom_cols = live.get("bloom_cols") or []
+    bloom_params = live.get("bloom_params") or {}
+    blooms = {
+        g: c
+        for g, c in (live.get("blooms") or {}).items()
+        if int(g) not in set(old)
+    }
+    if stats_cols or bloom_cols:
+        # exact stats/blooms from the WRITTEN generations — one
+        # single-row agg (+ one bloom build per column) per new
+        # generation: generation-count-sized driver work
         for g in new_ids:
             if live.get("schema") is not None:
                 gdf = spark.read.schema(
@@ -812,11 +1044,16 @@ def compact_manifest_table(
                 ).parquet(_gen_dir(root, g))
             else:
                 gdf = spark.read.parquet(_gen_dir(root, g))
-            stats[str(g)] = collect_gen_stats(gdf, stats_cols)
+            if stats_cols:
+                stats[str(g)] = collect_gen_stats(gdf, stats_cols)
+            if bloom_cols and bloom_params:
+                _write_gen_blooms(gdf, root, g, bloom_cols, bloom_params)
+                blooms[str(g)] = [c for c in bloom_cols if c in gdf.columns]
     new_gens = sorted(new_ids + [g for g in gens if g not in old])
     _publish(
         spark, root, new_gens, dict(live["batches"]), seq,
         schema=live.get("schema"), stats=stats, stats_cols=stats_cols,
+        blooms=blooms, bloom_cols=bloom_cols, bloom_params=bloom_params,
     )
     return {
         "files_before": files_before,

@@ -507,3 +507,97 @@ def test_run_maintenance_clusters_manifest_tables(spark, tmp_path):
     plan = plan_manifest_read(spark, root, [("d", "=", _day(31))])
     assert plan["scanned"] == 1
     assert read_manifest_table(spark, root).count() == 240
+
+
+def _overlap_batch(spark, b, n=20):
+    """doc_id = 10*i + b: every batch spans ~the same [min,max] range, so
+    min/max stats CANNOT prune a point lookup — only the Bloom can."""
+    return spark.range(n).select(
+        (F.col("id") * 10 + b).alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+
+
+def test_bloom_point_lookup_skips_overlapping_generations(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for b in range(6):
+        manifest_table_append(
+            _overlap_batch(spark, b), root, b,
+            stats_cols=["doc_id"] if b == 0 else None,
+            bloom_cols=["doc_id"] if b == 0 else None,  # sticky thereafter
+        )
+    m = mt.manifest_read(spark, root)
+    assert m["bloom_cols"] == ["doc_id"]
+    assert len(m["blooms"]) == 6
+
+    # min/max alone keeps everything (ranges overlap); the bloom doesn't
+    plan_minmax = plan_manifest_read(spark, root, [("doc_id", "<=", 55), ("doc_id", ">=", 55)])
+    assert plan_minmax["scanned"] == 6
+    plan = plan_manifest_read(spark, root, [("doc_id", "=", 55)])
+    assert plan["scanned"] <= 2  # 1 expected; tiny FPP allowance
+    got = read_manifest_table(spark, root, where=[("doc_id", "=", 55)])
+    assert _ids(got) == [55]
+
+    # in-list: values from two different generations
+    plan_in = plan_manifest_read(spark, root, [("doc_id", "in", [55, 102])])
+    assert plan_in["scanned"] <= 3
+    got = read_manifest_table(
+        spark, root, where=[("doc_id", "in", [55, 102])]
+    )
+    assert _ids(got) == [55, 102]
+
+    # a value in NO generation: everything bloom-pruned, result empty
+    plan0 = plan_manifest_read(spark, root, [("doc_id", "=", 57)])
+    assert plan0["scanned"] <= 1
+    assert read_manifest_table(spark, root, where=[("doc_id", "=", 57)]).count() == 0
+
+    # zero false negatives: every stored id remains findable
+    for v in (0, 3, 91, 144, 195):
+        got = read_manifest_table(spark, root, where=[("doc_id", "=", v)])
+        want = read_manifest_table(spark, root).filter(
+            F.col("doc_id") == v
+        )
+        assert _ids(got) == _ids(want), v
+
+
+def test_bloom_torn_sidecar_degrades_to_scan(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for b in range(3):
+        manifest_table_append(
+            _overlap_batch(spark, b), root, b,
+            bloom_cols=["doc_id"] if b == 0 else None,
+        )
+    m = mt.manifest_read(spark, root)
+    victim = int(m["batches"]["1"])
+    side = mt._bloom_sidecar_path(root, victim, "doc_id")
+    with open(side.removeprefix("file:"), "w") as fh:
+        fh.write('{"format": "gen-blo')  # torn mid-write
+    # the torn gen is scanned (never mis-skipped); others still prune
+    plan = plan_manifest_read(spark, root, [("doc_id", "=", 50)])
+    assert victim in plan["gens_scan"]
+    assert plan["scanned"] <= 3
+    got = read_manifest_table(spark, root, where=[("doc_id", "=", 50)])
+    assert _ids(got) == [50]
+
+
+def test_bloom_survives_compaction(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for b in range(5):
+        manifest_table_append(
+            _overlap_batch(spark, b), root, b,
+            bloom_cols=["doc_id"] if b == 0 else None,
+        )
+    compact_manifest_table(spark, root, keep_last=1)
+    m = mt.manifest_read(spark, root)
+    assert len(m["blooms"]) == len(m["gens"])  # recomputed for the merge
+    # point lookup: the merged gen holds batches 0-3's ids, the kept gen
+    # batch 4's; an id only in batch 4 skips the merged gen
+    plan = plan_manifest_read(spark, root, [("doc_id", "=", 194)])
+    assert plan["scanned"] <= 2
+    assert _ids(
+        read_manifest_table(spark, root, where=[("doc_id", "=", 194)])
+    ) == [194]
+    # absent id: everything pruned even after the merge
+    assert read_manifest_table(
+        spark, root, where=[("doc_id", "=", 57)]
+    ).count() == 0

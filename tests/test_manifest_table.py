@@ -755,3 +755,22 @@ def test_loser_data_write_after_winner_commit_cannot_clobber(
     assert t.select("doc_id").distinct().count() == 30
     vacuum_manifest_table(spark, root, keep_manifests=1)
     assert read_manifest_table(spark, root).count() == 30
+
+
+def test_torn_manifest_with_stale_crc_reads_as_uncommitted(spark, tmp_path):
+    """A crashed local JVM publish leaves the manifest file AND its
+    LocalFileSystem .crc sidecar inconsistent; reading it back raises
+    ChecksumException, not a Python OSError.  The reader must classify
+    that as 'not yet committed' (fall back to the previous manifest),
+    not crash — pinned by corrupting a JVM-written manifest in place."""
+    import datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table as m
+
+    root = str(tmp_path / "t")
+    s1 = m.manifest_table_append(_batch(spark, 0), root, 0)
+    s2 = m.manifest_table_append(_batch(spark, 1), root, 1)
+    path = f"{root}/_manifest/v{s2:08d}.json"
+    with open(path, "w") as fh:
+        fh.write('{"trunc')  # bytes changed, .crc now stale
+    live = m.manifest_read(spark, root)
+    assert live["seq"] == s1
+    assert m.read_manifest_table(spark, root).count() == 10
