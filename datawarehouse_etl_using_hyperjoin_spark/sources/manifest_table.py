@@ -290,30 +290,124 @@ def collect_gen_stats(df: DataFrame, cols: Sequence[str]) -> dict:
 # publish — it shares the generation's crash story (an unpublished
 # sidecar is just orphan bytes) and keeps the manifest itself KB-scale
 # however many generations carry blooms.  Bloom parameters are fixed
-# PER TABLE at enable time (recorded in the manifest) so one static
-# probe expression covers every generation.  A missing/torn sidecar
-# degrades to "scan" — pruning is never the reason a row goes missing.
+# PER TABLE at enable time (recorded in the manifest).  A missing/torn
+# sidecar degrades to "scan" — pruning is never the reason a row goes
+# missing.
+#
+# Hashing must be computable on BOTH sides — executors at build time
+# (one pass over the batch) and the DRIVER at probe time (so a point
+# lookup plans with zero Spark jobs: GET the sidecars, test bits in
+# Python).  So positions come from Kirsch-Mitzenmacher double hashing
+# over the md5 of a CANONICAL STRING form of the value, where Spark's
+# `CAST(col AS STRING)` and Python's rendering provably agree —
+# integral, string, and date key types (the realistic point-lookup
+# keys: ids, URLs, day partitions).  Floats/timestamps/decimals have
+# format-divergent string forms and are refused at enable time.
 
-#: default per-table bloom geometry: 2^20 bits (128 KB of longs, ~300 KB
-#: as a JSON sidecar), 7 hashes — ~1% FPP at ~10^5 distinct items per
-#: generation, degrading gracefully (higher FPP = less skipping, never
-#: wrong results) for bigger generations
-_BLOOM_BITS_DEFAULT = 1 << 20
+#: fallback bloom geometry when the first batch is empty: 2^17 bits
+#: (16 KB of bits) — real tables size from the first batch instead
+_BLOOM_BITS_DEFAULT = 1 << 17
+_BLOOM_BITS_CAP = 1 << 23  # 1 MB of bits per (generation, column)
 _BLOOM_HASHES_DEFAULT = 7
-_BLOOM_FORMAT = "gen-bloom/1"
+_BLOOM_FORMAT = "gen-bloom/2"
+
+#: Spark typeNames whose CAST-to-string equals the Python canonical form
+_BLOOM_TYPES = {"byte", "short", "integer", "long", "string", "date"}
 
 
 def _bloom_sidecar_path(root: str, gen: int, col: str) -> str:
     return f"{_gen_dir(root, gen)}/_bloom_{col}.json"
 
 
-def _field_type(schema_json: dict, col: str):
-    from pyspark.sql.types import _parse_datatype_json_value
+def _bloom_canon_py(v) -> bytes:
+    """Python-side canonical bytes of a key value — must equal what
+    Spark's ``CAST(col AS STRING)`` produces for the supported types."""
+    if isinstance(v, bool):
+        raise ValueError("boolean bloom keys are not supported")
+    if isinstance(v, int):
+        return str(v).encode("utf-8")
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, _dt.datetime):
+        raise ValueError(
+            "timestamp bloom keys are not supported (format-divergent "
+            "string forms) — use an integral/string/date key"
+        )
+    if isinstance(v, _dt.date):
+        return v.isoformat().encode("utf-8")
+    raise ValueError(
+        f"unsupported bloom key value {v!r} — integral/string/date only"
+    )
 
-    for f in schema_json.get("fields", ()):
-        if f["name"] == col:
-            return _parse_datatype_json_value(f["type"])
-    return None
+
+def _bloom_h1_h2_py(v, m: int) -> tuple[int, int]:
+    import hashlib
+
+    hx = hashlib.md5(_bloom_canon_py(v)).hexdigest()
+    h1 = int(hx[:15], 16) % m
+    h2 = int(hx[15:30], 16) % (m - 1) + 1
+    return h1, h2
+
+
+def _bloom_might_contain(packed: bytes, m: int, k: int, v) -> bool:
+    """Membership test straight on the little-endian-packed bit bytes —
+    bit ``p`` of the filter is bit ``p%8`` of byte ``(p>>6)*8 +
+    (p&63)//8`` — so probing never unpacks the filter."""
+    h1, h2 = _bloom_h1_h2_py(v, m)
+    for i in range(k):
+        p = (h1 + i * h2) % m
+        byte = packed[(p >> 6) * 8 + ((p & 63) >> 3)]
+        if not (byte >> (p & 7)) & 1:
+            return False
+    return True
+
+
+def _bloom_build_md5(df: DataFrame, col: str, m: int, k: int) -> list[int]:
+    """Executor-built filter (the 64-ary ``bit_or`` shape of
+    ``operators.bloom.bloom_build``) with md5-canonical double hashing
+    so the driver can probe without Spark.  ``conv(hex, 16, 10)`` on 15
+    hex chars stays under 2^60 — exact in a long.  Nulls are skipped:
+    equality predicates never match them."""
+    from ..operators.bloom import _mask
+
+    hx = F.md5(F.col(col).cast("string"))
+    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % F.lit(m)
+    h2 = (
+        F.conv(F.substring(hx, 16, 15), 16, 10).cast("long") % F.lit(m - 1)
+        + 1
+    )
+    positions = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m)),
+    )
+    buckets = (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(positions).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("bucket"),
+            _mask(F.col("pos") % 64).alias("mask"),
+        )
+        .groupBy("bucket")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    dense = [0] * (m // 64)
+    for r in buckets:
+        dense[r["bucket"]] = r["bits"]
+    return dense
+
+
+def _check_bloom_cols(schema, cols) -> None:
+    by_name = {f.name: f.dataType for f in schema.fields}
+    for c in cols:
+        dt = by_name.get(c)
+        if dt is not None and dt.typeName() not in _BLOOM_TYPES:
+            raise ValueError(
+                f"bloom_cols column {c!r} has type {dt.simpleString()} — "
+                "bloom keys must be integral/string/date (types whose "
+                "Spark CAST-to-string form matches the driver-side "
+                "canonical form the probe hashes)"
+            )
 
 
 def _write_gen_blooms(
@@ -321,17 +415,19 @@ def _write_gen_blooms(
 ) -> None:
     """Build and write one Bloom sidecar per column for generation
     ``gen`` from ``df``'s rows (the exact rows the generation holds).
-    Each build is the executor-side 64-ary bit_or aggregate from
-    :mod:`...operators.bloom` — the driver holds only the finished
-    filter."""
-    from ..operators.bloom import bloom_build
+    Bits travel base64-packed (little-endian u64s) — ~4× smaller than a
+    JSON int array and parsed in one ``struct`` call at probe time."""
+    import base64
+    import struct
 
     spark = df.sparkSession
     m, k = int(params["num_bits"]), int(params["num_hashes"])
+    _check_bloom_cols(df.schema, bloom_cols)
     for col in bloom_cols:
         if col not in df.columns:
             continue  # omitted column (evolution): no sidecar -> scanned
-        bits = bloom_build(df, col, num_bits=m, num_hashes=k)
+        bits = _bloom_build_md5(df, col, m, k)
+        packed = struct.pack(f"<{len(bits)}q", *bits)
         _write_text(
             spark,
             _bloom_sidecar_path(root, gen, col),
@@ -341,10 +437,66 @@ def _write_gen_blooms(
                     "col": col,
                     "num_bits": m,
                     "num_hashes": k,
-                    "bits": bits,
+                    "bits_b64": base64.b64encode(packed).decode("ascii"),
                 }
             ),
         )
+
+
+def _read_gen_bloom(
+    spark: SparkSession, root: str, gen: int, col: str, params: dict
+) -> tuple[bytes, int, int] | None:
+    """Parse one sidecar; None on any mismatch/tear (degrade to scan).
+    Results are LRU-cached by path — sound because generation paths are
+    attempt-unique and their contents immutable once published."""
+    got = _load_bloom_sidecar(spark, _bloom_sidecar_path(root, gen, col))
+    if got is None:
+        return None
+    packed, m, k = got
+    if m != int(params["num_bits"]) or k != int(params["num_hashes"]):
+        return None
+    return got
+
+
+#: path -> (packed bits, num_bits, num_hashes); ~240 KB per entry at the
+#: default cap, so 64 entries bound the cache at ~16 MB
+_BLOOM_CACHE: dict[str, tuple[bytes, int, int]] = {}
+_BLOOM_CACHE_MAX = 64
+
+
+def _load_bloom_sidecar(
+    spark: SparkSession, path: str
+) -> tuple[bytes, int, int] | None:
+    import base64
+
+    hit = _BLOOM_CACHE.get(path)
+    if hit is not None:
+        return hit
+    from ..manifest import _local_path
+
+    try:
+        lp = _local_path(path)
+        if lp is not None:
+            # local fast path: skips a Py4J byte-array hop per sidecar;
+            # real object-store schemes go through the Hadoop GET
+            with open(lp, encoding="utf-8") as fh:
+                text = fh.read()
+        else:
+            text = _read_text(spark, path)
+        payload = json.loads(text)
+        if payload.get("format") != _BLOOM_FORMAT:
+            return None
+        m = int(payload["num_bits"])
+        k = int(payload["num_hashes"])
+        packed = base64.b64decode(payload["bits_b64"])
+        if len(packed) != m // 8:
+            return None
+    except (ValueError, OSError, KeyError):
+        return None
+    if len(_BLOOM_CACHE) >= _BLOOM_CACHE_MAX:
+        _BLOOM_CACHE.pop(next(iter(_BLOOM_CACHE)))
+    _BLOOM_CACHE[path] = (packed, m, k)
+    return _BLOOM_CACHE[path]
 
 
 def _bloom_prune(
@@ -357,16 +509,14 @@ def _bloom_prune(
     """Drop generations whose Bloom sidecars PROVE an equality predicate
     can't match.  Only ``=``/``in`` predicates on recorded ``bloom_cols``
     participate; everything else (and any generation whose sidecar is
-    missing, torn, or differently-parameterized) is kept.  The probe is
-    ONE tiny Spark job over (generation, bits) rows — generation-count
-    sized, never data-sized: the membership test needs the same
-    ``xxhash64`` the filters were built with, so it runs where that hash
-    lives."""
+    missing, torn, or differently-parameterized) is kept.  Pure driver
+    work: one sidecar GET per surviving (generation, column) plus bit
+    math — NO Spark job; a point lookup's plan costs O(generations)
+    KB-sized GETs."""
     bloom_cols = set(manifest.get("bloom_cols") or [])
     params = manifest.get("bloom_params") or {}
     blooms = manifest.get("blooms") or {}
-    schema_json = manifest.get("schema")
-    if not bloom_cols or not params or schema_json is None:
+    if not bloom_cols or not params:
         return gens
     eq_preds = []
     for col, op, val in preds:
@@ -378,71 +528,28 @@ def _bloom_prune(
             eq_preds.append((col, list(val)))
     if not eq_preds:
         return gens
-    m, k = int(params["num_bits"]), int(params["num_hashes"])
-    rows = []  # (gen, col, bits) for every candidate gen x pred col
-    candidates = set()
-    for g in gens:
-        have = set(blooms.get(str(int(g))) or [])
-        for col, _vals in eq_preds:
-            if col not in have:
-                continue
-            try:
-                payload = json.loads(
-                    _read_text(spark, _bloom_sidecar_path(root, g, col))
-                )
-            except (ValueError, OSError):
-                continue  # torn/missing sidecar: scan
-            if (
-                payload.get("format") != _BLOOM_FORMAT
-                or payload.get("num_bits") != m
-                or payload.get("num_hashes") != k
-            ):
-                continue
-            rows.append((int(g), col, payload["bits"]))
-            candidates.add((int(g), col))
-    if not rows:
-        return gens
-    bdf = spark.createDataFrame(
-        rows, "gen long, col string, bits array<long>"
-    )
-    from ..operators.bloom import _mask
-
-    checks = []
-    for col, vals in eq_preds:
-        ctype = _field_type(schema_json, col)
-        might_any = F.lit(False)
-        for v in vals:
-            lit = F.lit(v).cast(ctype) if ctype is not None else F.lit(v)
-            h1 = F.pmod(F.xxhash64(lit, F.lit(0)), F.lit(m))
-            h2 = F.pmod(F.xxhash64(lit, F.lit(1)), F.lit(m - 1)) + 1
-            hit = F.lit(True)
-            for i in range(k):
-                p = F.pmod(h1 + F.lit(i).cast("long") * h2, F.lit(m))
-                hit = hit & (
-                    F.element_at("bits", (p / 64).cast("int") + 1)
-                    .bitwiseAND(_mask(p % 64))
-                    != 0
-                )
-            might_any = might_any | hit
-        checks.append(
-            F.when(F.col("col") == F.lit(col), might_any)
-        )
-    might = F.coalesce(*checks, F.lit(True))
-    verdicts = bdf.select("gen", "col", might.alias("might")).collect()
-    absent = {
-        (r["gen"], r["col"]) for r in verdicts if not r["might"]
-    }
     out = []
     for g in gens:
-        # a generation is skipped if ANY equality predicate is proven
-        # absent (AND semantics: one impossible conjunct kills the gen)
-        if any(
-            (int(g), col) in absent
-            for col, _vals in eq_preds
-            if (int(g), col) in candidates
-        ):
-            continue
-        out.append(g)
+        have = set(blooms.get(str(int(g))) or [])
+        keep = True
+        for col, vals in eq_preds:
+            if col not in have:
+                continue
+            got = _read_gen_bloom(spark, root, int(g), col, params)
+            if got is None:
+                continue  # torn/missing/mismatched sidecar: scan
+            bits, m, k = got
+            try:
+                if not any(
+                    _bloom_might_contain(bits, m, k, v) for v in vals
+                ):
+                    # one impossible conjunct kills the generation
+                    keep = False
+                    break
+            except ValueError:
+                continue  # unsupported literal type: scan
+        if keep:
+            out.append(g)
     return out
 
 
@@ -714,14 +821,25 @@ def manifest_table_append(
             if bloom_cols is not None
             else list((live or {}).get("bloom_cols") or [])
         )
-        bloom_params = (live or {}).get("bloom_params") or (
-            {
-                "num_bits": int(bloom_bits or _BLOOM_BITS_DEFAULT),
-                "num_hashes": _BLOOM_HASHES_DEFAULT,
-            }
-            if eff_bloom
-            else None
-        )
+        bloom_params = (live or {}).get("bloom_params")
+        if eff_bloom and bloom_params is None:
+            # size from the ENABLING batch at ~1% FPP (capped): batches
+            # are the generation unit, so the first batch is the honest
+            # n_items estimate; undersizing only costs skipping power
+            # (higher FPP), never correctness
+            if bloom_bits is not None:
+                m = ((int(bloom_bits) + 63) // 64) * 64
+                k = _BLOOM_HASHES_DEFAULT
+            else:
+                from ..operators.bloom import optimal_bloom_params
+
+                n = df.count()
+                if n:
+                    m, k = optimal_bloom_params(n, 0.01)
+                    m = min(m, _BLOOM_BITS_CAP)
+                else:
+                    m, k = _BLOOM_BITS_DEFAULT, _BLOOM_HASHES_DEFAULT
+            bloom_params = {"num_bits": int(m), "num_hashes": int(k)}
         seq = (live["seq"] + 1) if live else 1
         # ATTEMPT-UNIQUE generation path (fresh_gen docstring): the
         # conditional PUT protects the manifest, not the data dirs — a

@@ -601,3 +601,47 @@ def test_bloom_survives_compaction(spark, tmp_path):
     assert read_manifest_table(
         spark, root, where=[("doc_id", "=", 57)]
     ).count() == 0
+
+
+def test_bloom_canonical_form_matches_spark_cast(spark):
+    """The probe hashes a PYTHON canonical rendering; the build hashes
+    Spark's CAST(col AS STRING).  They must agree byte-for-byte for
+    every supported key type — this is the contract the zero-false-
+    negative guarantee rests on."""
+    cases = [
+        (5, "long"),
+        (-17, "int"),
+        (0, "long"),
+        (2**62, "long"),
+        ("héllo ✓ world", "string"),
+        ("", "string"),
+        (_day(5), "date"),
+    ]
+    for v, t in cases:
+        spark_form = (
+            spark.range(1)
+            .select(F.lit(v).cast(t).cast("string").alias("s"))
+            .first()["s"]
+        )
+        assert spark_form.encode("utf-8") == mt._bloom_canon_py(v), (v, t)
+
+
+def test_bloom_unsupported_key_types_refused(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 2.5)], "doc_id long, v double")
+    with pytest.raises(ValueError, match="integral/string/date"):
+        manifest_table_append(df, root, 0, bloom_cols=["v"])
+
+
+def test_bloom_autosizing_from_first_batch(spark, tmp_path):
+    from datawarehouse_etl_using_hyperjoin_spark.operators.bloom import (
+        optimal_bloom_params,
+    )
+
+    root = str(tmp_path / "t")
+    manifest_table_append(
+        _overlap_batch(spark, 0, n=500), root, 0, bloom_cols=["doc_id"]
+    )
+    m = mt.manifest_read(spark, root)
+    want_m, want_k = optimal_bloom_params(500, 0.01)
+    assert m["bloom_params"] == {"num_bits": want_m, "num_hashes": want_k}

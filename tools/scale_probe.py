@@ -2091,7 +2091,11 @@ def measure_manifest_stats(
 
     out: dict = {}
     roots = {}
-    for variant, cols in (("no_stats", None), ("stats", ["d"])):
+    for variant, cols, bloom in (
+        ("no_stats", None, None),
+        ("stats", ["d"], None),
+        ("bloom", ["d"], ["doc_id"]),
+    ):
         root = tempfile.mkdtemp(prefix="manstats_") + "/t"
         roots[variant] = root
         t0 = time.time()
@@ -2099,6 +2103,7 @@ def measure_manifest_stats(
             manifest_table_append(
                 batch(b), root, b,
                 stats_cols=cols if b == 0 else None,  # sticky thereafter
+                bloom_cols=bloom if b == 0 else None,
             )
         out[f"append_wall_{variant}"] = round(time.time() - t0, 2)
 
@@ -2135,6 +2140,34 @@ def measure_manifest_stats(
         }
 
     timed_reads("aged_read")
+
+    # Bloom point lookup on the bloom-enabled aged table: a doc_id exists
+    # in exactly one generation, but every generation's [min,max] id
+    # range matches it — min/max stats cannot prune, the Bloom can
+    broot = roots["bloom"]
+    target_id = (n_batches // 2) * rows_per_batch + 7
+    t0 = time.time()
+    full = read_manifest_table(spark, broot).where(
+        F.col("doc_id") == target_id
+    )
+    n_full = full.count()
+    lookup_unpruned = round(time.time() - t0, 3)
+    t0 = time.time()
+    pruned = read_manifest_table(
+        spark, broot, where=[("doc_id", "=", target_id)]
+    )
+    n_pruned = pruned.count()
+    files_pruned = len(pruned.inputFiles())
+    lookup_pruned = round(time.time() - t0, 3)
+    plan = plan_manifest_read(spark, broot, [("doc_id", "=", target_id)])
+    assert n_full == n_pruned == 1, (n_full, n_pruned)
+    out["point_lookup"] = {
+        "unpruned_wall": lookup_unpruned,
+        "bloom_wall": lookup_pruned,
+        "gens_total": plan["total"],
+        "gens_scanned": plan["scanned"],
+        "files_pruned": files_pruned,
+    }
 
     # snapshot the aged table for the clustered variant BEFORE the plain
     # compaction rewrites it in place
