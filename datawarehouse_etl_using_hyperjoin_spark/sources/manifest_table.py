@@ -970,6 +970,64 @@ def read_manifest_table(
     return out
 
 
+def manifest_table_aggregate(
+    spark: SparkSession,
+    root: str,
+    *,
+    as_of: int | None = None,
+) -> dict:
+    """Whole-table aggregates answered from the MANIFEST alone — zero
+    data IO, zero Spark jobs (the Iceberg/Delta aggregate-pushdown
+    shape at generation granularity): exact ``rows``, and per tracked
+    column exact ``nulls`` plus ``min``/``max``, provided EVERY live
+    generation carries stats.  Returns ``{"rows": N, "cols": {col:
+    {"min": v, "max": v, "nulls": n}}, "exact": bool}``; when any
+    generation lacks stats (written before tracking) or carries an
+    unknown bound (NaN), ``exact`` is False and the affected fields are
+    None — the caller decides whether to fall back to a real scan.
+    Folding is sound because per-generation min/max ignore nulls and
+    generations partition the table."""
+    m = _live(spark, root, at=as_of)
+    stats = m.get("stats") or {}
+    cols = list(m.get("stats_cols") or [])
+    out: dict = {"rows": 0, "cols": {}, "exact": True}
+    acc = {
+        c: {"min": None, "max": None, "nulls": 0, "ok": True} for c in cols
+    }
+    for g in m["gens"]:
+        gs = stats.get(str(int(g)))
+        if gs is None or gs.get("rows") is None:
+            return {"rows": None, "cols": {}, "exact": False}
+        rows = int(gs["rows"])
+        out["rows"] += rows
+        for c in cols:
+            a = acc[c]
+            ent = (gs.get("cols") or {}).get(c)
+            if ent is None:
+                a["ok"] = False
+                continue
+            a["nulls"] += int(ent.get("nulls", 0))
+            if rows == 0 or int(ent.get("nulls", 0)) >= rows:
+                continue  # no non-null values: nothing to fold
+            lo = _stats_decode(ent.get("min"))
+            hi = _stats_decode(ent.get("max"))
+            if lo is None or hi is None:
+                a["ok"] = False  # unknown bound (NaN/unencodable)
+                continue
+            a["min"] = lo if a["min"] is None else min(a["min"], lo)
+            a["max"] = hi if a["max"] is None else max(a["max"], hi)
+    for c in cols:
+        a = acc[c]
+        if not a["ok"]:
+            out["exact"] = False
+            out["cols"][c] = {"min": None, "max": None, "nulls": None}
+        else:
+            out["cols"][c] = {
+                "min": a["min"], "max": a["max"], "nulls": a["nulls"]
+            }
+    return out
+
+
 def _gen_bytes(spark: SparkSession, root: str, g: int) -> int:
     """On-disk bytes of one generation dir — the size-tiering input.
     Hadoop ``getContentSummary`` (one RPC; LIST on object stores) with a

@@ -645,3 +645,74 @@ def test_bloom_autosizing_from_first_batch(spark, tmp_path):
     m = mt.manifest_read(spark, root)
     want_m, want_k = optimal_bloom_params(500, 0.01)
     assert m["bloom_params"] == {"num_bits": want_m, "num_hashes": want_k}
+
+
+def test_manifest_table_aggregate_is_exact_and_jobless(spark, tmp_path):
+    """count/min/max/nulls answered from the manifest alone — verified
+    against the real scan, including across compaction and snapshots."""
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        manifest_table_aggregate,
+    )
+
+    root = str(tmp_path / "t")
+    seqs = []
+    for b in range(4):
+        seqs.append(
+            manifest_table_append(
+                _batch(spark, b), root, b, stats_cols=["d", "score"]
+            )
+        )
+    # a null-bearing batch folds into the null count
+    manifest_table_append(
+        spark.createDataFrame(
+            [(9000, None, None)], "doc_id long, d date, score double"
+        ),
+        root, 4,
+    )
+
+    agg = manifest_table_aggregate(spark, root)
+    assert agg["exact"] is True
+    assert agg["rows"] == 81
+    assert agg["cols"]["d"]["min"] == _day(0)
+    assert agg["cols"]["d"]["max"] == _day(39)
+    assert agg["cols"]["d"]["nulls"] == 1
+    # cross-check against the real data
+    real = read_manifest_table(spark, root).agg(
+        F.count(F.lit(1)), F.min("d"), F.max("d"),
+        F.sum(F.col("d").isNull().cast("long")),
+    ).first()
+    assert (agg["rows"], agg["cols"]["d"]["min"],
+            agg["cols"]["d"]["max"], agg["cols"]["d"]["nulls"]) == tuple(real)
+
+    # survives compaction
+    compact_manifest_table(spark, root, keep_last=1)
+    agg2 = manifest_table_aggregate(spark, root)
+    assert agg2 == agg
+
+    # snapshot aggregate reflects the snapshot, not today
+    snap = manifest_table_aggregate(spark, root, as_of=seqs[1])
+    assert snap["rows"] == 40 and snap["cols"]["d"]["max"] == _day(19)
+
+
+def test_manifest_table_aggregate_degrades_honestly(spark, tmp_path):
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        manifest_table_aggregate,
+    )
+
+    root = str(tmp_path / "t")
+    manifest_table_append(_batch(spark, 0), root, 0)  # no stats tracked
+    manifest_table_append(_batch(spark, 1), root, 1, stats_cols=["d"])
+    agg = manifest_table_aggregate(spark, root)
+    assert agg["exact"] is False and agg["rows"] is None
+
+    # NaN bound: rows stay exact, the affected column degrades
+    root2 = str(tmp_path / "t2")
+    manifest_table_append(
+        spark.createDataFrame(
+            [(1, float("nan")), (2, 1.0)], "doc_id long, v double"
+        ),
+        root2, 0, stats_cols=["v"],
+    )
+    agg2 = manifest_table_aggregate(spark, root2)
+    assert agg2["rows"] == 2 and agg2["exact"] is False
+    assert agg2["cols"]["v"] == {"min": None, "max": None, "nulls": None}
