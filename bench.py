@@ -71,8 +71,8 @@ def render_result(payload: dict) -> str:
     tests/test_bench_contract.py::test_tail_capture_keeps_medians."""
     order = (
         "metric", "value", "unit", "sf", "protocol",
-        "host_load", "calibration", "host_cpu", "stream_attribution",
-        "spread", "queries",
+        "host_load", "calibration", "calibration_mem", "host_cpu",
+        "stream_attribution", "spread", "queries",
     )
     known = {k: payload[k] for k in order if k in payload}
     extra = {k: v for k, v in payload.items() if k not in known}
@@ -109,6 +109,11 @@ def render_final(payload: dict) -> str:
         # over the run (see HostCpuMeter) — the field that catches the
         # partial multi-core contention cal is blind to.  ~12 bytes.
         essentials["ext"] = payload["host_cpu"]["ext_busy_cores"]
+    if payload.get("calibration_mem") and all(
+        v is not None for v in payload["calibration_mem"]
+    ):
+        # parallel memory-bandwidth probe (calibrate_mem) — ~24 bytes
+        essentials["calm"] = payload["calibration_mem"]
     essentials["queries"] = {
         k: round(float(v), 2) for k, v in payload["queries"].items()
     }
@@ -144,6 +149,53 @@ def calibrate() -> float:
         acc += i * i
     assert acc  # keep the loop un-eliminable
     return round(time.perf_counter() - t0, 3)
+
+
+def _mem_sweep_worker(barrier, n_floats: int) -> None:  # pragma: no cover
+    import numpy as np
+
+    arr = np.ones(n_floats)
+    barrier.wait()
+    s = 0.0
+    for _ in range(8):
+        s += float(arr.sum())
+    assert s
+
+
+def calibrate_mem(n_procs: int = 8, mb_each: int = 128) -> float | None:
+    """Parallel memory-BANDWIDTH probe: ``n_procs`` forked workers each
+    sweep a private ``mb_each``-MB array (far beyond L3) simultaneously;
+    the wall of the sweep phase is a machine constant on a quiet host
+    and inflates under MEMORY-BUS contention from co-located load — the
+    one contention class every other meter here is blind to: a
+    neighbor's bandwidth pressure shows ~0 in /proc/stat busy cores,
+    ~0 steal, ~0 PSI, and barely moves the single-core arithmetic cal
+    (r12 observation: suite walls of 85-103 s against a 70 s band with
+    cal only ~8% up, ext 0.1-0.45, io_stall 0 — the uniform-inflation
+    signature only a bandwidth probe can certify).  Allocation happens
+    BEFORE the barrier so only the sweeps are timed.  None when
+    numpy/multiprocessing are unavailable."""
+    try:
+        import multiprocessing as mp
+
+        import numpy as np  # noqa: F401
+
+        ctx = mp.get_context("fork")
+        barrier = ctx.Barrier(n_procs + 1)
+        n_floats = mb_each * (1 << 20) // 8
+        procs = [
+            ctx.Process(target=_mem_sweep_worker, args=(barrier, n_floats))
+            for _ in range(n_procs)
+        ]
+        for p in procs:
+            p.start()
+        barrier.wait()  # all workers allocated; sweeps start now
+        t0 = time.perf_counter()
+        for p in procs:
+            p.join()
+        return round(time.perf_counter() - t0, 3)
+    except Exception:  # pragma: no cover - platform without fork/numpy
+        return None
 
 
 def _host_jiffies() -> tuple[int, int] | None:
@@ -349,6 +401,7 @@ def main() -> None:
 
     # Warm pass: session/codegen/file-listing/stream-fixture one-offs.
     cal_start = calibrate()
+    calm_start = calibrate_mem()
     meter = HostCpuMeter()
     host_load = [loadavg()]
     for name in roster:
@@ -399,6 +452,10 @@ def main() -> None:
         # the drained-host constant (BENCH_NOTES) = external load, and
         # the artifact carries its own evidence (see calibrate())
         "calibration": [cal_start, calibrate()],
+        # parallel memory-bandwidth probe at [start, end] — the
+        # contention class /proc/stat, steal, PSI, and the single-core
+        # cal all miss (calibrate_mem docstring)
+        "calibration_mem": [calm_start, calibrate_mem()],
         # whole-host external-CPU integral over the run — catches the
         # partial multi-core contention the single-core cal probe is
         # blind to (HostCpuMeter docstring; BENCH_NOTES r12 control)

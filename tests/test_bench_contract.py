@@ -204,3 +204,46 @@ def test_host_cpu_meter_sees_external_load():
     r = m.read()
     assert r is not None
     assert r["ext_busy_cores"] >= 0.5
+
+
+def test_final_line_carries_memory_bandwidth_probe():
+    """r12: the compact line also carries calm, the parallel
+    memory-bandwidth calibration — the contention class cal/ext/PSI are
+    all blind to (a neighbor saturating the memory bus shows ~0 busy
+    cores, ~0 steal, and barely moves single-core arithmetic)."""
+    p = dict(_full_size_payload())
+    p["calibration_mem"] = [0.131, 0.128]
+    line = render_final(p)
+    assert len(line) <= FINAL_LINE_BUDGET
+    assert json.loads(line)["calm"] == [0.131, 0.128]
+    # unavailable probe (no fork/numpy): omitted, not null-carrying
+    p["calibration_mem"] = [None, None]
+    assert "calm" not in json.loads(render_final(p))
+
+
+def test_calibrate_mem_is_repeatable_and_sees_bus_load():
+    """The probe itself: repeatable on a quiet host (machine constant),
+    and inflating under genuine memory-bus pressure from processes
+    OUTSIDE our tree — the loaded control that certifies the field
+    means what BENCH_NOTES says it means."""
+    import subprocess
+    import time as _t
+
+    from bench import calibrate_mem
+
+    idle = min(calibrate_mem(), calibrate_mem())
+    assert idle is not None and idle > 0
+    # 16 detached burners sweeping 64 MB each saturate the bus briefly
+    burner = (
+        "import numpy,time;a=numpy.ones(8*1024*1024);e=time.time()+6\n"
+        "while time.time()<e: a.sum()"
+    )
+    for _ in range(16):
+        subprocess.run(
+            ["sh", "-c", f"python3 -c '{burner}' >/dev/null 2>&1 &"],
+            check=True,
+        )
+    _t.sleep(1.5)  # let the burners reach steady state
+    loaded = calibrate_mem()
+    _t.sleep(5)  # let the burners die before other tests time anything
+    assert loaded >= idle * 1.2, (idle, loaded)
