@@ -716,3 +716,126 @@ def test_manifest_table_aggregate_degrades_honestly(spark, tmp_path):
     agg2 = manifest_table_aggregate(spark, root2)
     assert agg2["rows"] == 2 and agg2["exact"] is False
     assert agg2["cols"]["v"] == {"min": None, "max": None, "nulls": None}
+
+
+_skip_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.integers(min_value=0, max_value=4),   # batch id
+            st.integers(min_value=0, max_value=5),   # rows in the batch
+        ),
+        st.tuples(
+            st.just("crash_append"),
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=1, max_value=5),
+        ),
+        st.tuples(st.just("compact"), st.integers(0, 2), st.just(0)),
+        st.tuples(st.just("compact_split"), st.integers(0, 2), st.just(0)),
+        st.tuples(st.just("vacuum"), st.just(0), st.just(0)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=_skip_ops, data=st.data())
+@hyp_settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_skipping_model_under_random_ops_and_crashes(
+    spark, tmp_path_factory, ops, data
+):
+    """Model-based property over the SKIPPING machinery: against ANY
+    interleaving of stats+bloom appends, crashed appends, plain and
+    range-split compactions, and vacuums, a predicated read returns
+    exactly the model's committed rows filtered in Python — stats and
+    sidecars never go stale in a way that loses or invents a row."""
+    import datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table as m
+
+    root = str(tmp_path_factory.mktemp("mt_skip_model"))
+    committed: dict[int, list[tuple]] = {}  # batch -> [(doc_id, d, score)]
+
+    def batch_rows(bid, n):
+        return [
+            (bid * 100 + i, _day((bid * 100 + i) % 17), float(i % 3))
+            for i in range(n)
+        ]
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, d date, score double"
+        )
+
+    real_publish = m.manifest_publish
+    first = True
+    for op, a, b in ops:
+        if op == "append":
+            res = m.manifest_table_append(
+                df_of(batch_rows(a, b)), root, a,
+                stats_cols=["d", "score"] if first else None,
+                bloom_cols=["doc_id"] if first else None,
+                bloom_bits=1 << 12,
+            )
+            first = False
+            if a in committed:
+                assert res is None
+            else:
+                committed[a] = batch_rows(a, b)
+        elif op == "crash_append":
+            if a in committed or first:
+                continue
+            m.manifest_publish = lambda *x, **k: (_ for _ in ()).throw(
+                RuntimeError("crash")
+            )
+            try:
+                with pytest.raises(RuntimeError):
+                    m.manifest_table_append(df_of(batch_rows(a, b)), root, a)
+            finally:
+                m.manifest_publish = real_publish
+        elif op in ("compact", "compact_split"):
+            if not committed:
+                continue
+            kwargs = dict(keep_last=a, min_merge_mb=64)
+            if op == "compact_split":
+                kwargs.update(sort_by=["d"], range_split_mb=0.001)
+            m.compact_manifest_table(spark, root, **kwargs)
+        elif op == "vacuum":
+            if not committed:
+                continue
+            m.vacuum_manifest_table(spark, root, keep_manifests=1)
+
+    if not committed:
+        return
+    model = [r for rows in committed.values() for r in rows]
+
+    # a drawn predicate of each kind, checked against the Python model
+    day = _day(data.draw(st.integers(0, 20), label="day"))
+    key = data.draw(st.integers(0, 500), label="key")
+    cases = [
+        ([("d", "=", day)], lambda r: r[1] == day),
+        ([("d", "<=", day)], lambda r: r[1] <= day),
+        ([("doc_id", "=", key)], lambda r: r[0] == key),
+        ([("score", ">", 1.0)], lambda r: r[2] > 1.0),
+        (
+            [("doc_id", "in", [key, key + 100])],
+            lambda r: r[0] in (key, key + 100),
+        ),
+    ]
+    for where, pred in cases:
+        got = sorted(
+            (r.doc_id, r.d, r.score)
+            for r in m.read_manifest_table(spark, root, where=where).collect()
+        )
+        want = sorted(r for r in model if pred(r))
+        assert got == want, (where, got, want)
+    # and the manifest-only aggregate stays exact
+    agg = m.manifest_table_aggregate(spark, root)
+    assert agg["exact"] is True
+    assert agg["rows"] == len(model)
+    non_null_days = [r[1] for r in model]
+    if non_null_days:
+        assert agg["cols"]["d"]["min"] == min(non_null_days)
+        assert agg["cols"]["d"]["max"] == max(non_null_days)
