@@ -839,3 +839,29 @@ def test_skipping_model_under_random_ops_and_crashes(
     if non_null_days:
         assert agg["cols"]["d"]["min"] == min(non_null_days)
         assert agg["cols"]["d"]["max"] == max(non_null_days)
+
+
+def test_catalyst_pushdown_survives_manifest_read(spark, tmp_path):
+    """The two skipping levels must COMPOSE: generation pruning happens
+    at the manifest, and the residual filter must still reach the
+    parquet scan of the surviving generations (PushedFilters) with the
+    projection pruned (ReadSchema) — the recorded-schema read path must
+    not hide the filter from Catalyst."""
+    from datawarehouse_etl_using_hyperjoin_spark.plans.inspect import (
+        plan_string,
+        pushed_filters,
+    )
+
+    root = str(tmp_path / "t")
+    for b in range(3):
+        manifest_table_append(_batch(spark, b), root, b, stats_cols=["d"])
+    df = read_manifest_table(
+        spark, root, where=[("d", ">=", _day(10))]
+    ).select("doc_id")
+    pf = pushed_filters(df)
+    assert "d" in pf, f"residual filter not pushed to the scan: {pf!r}"
+    read_schema = [
+        l for l in plan_string(df).splitlines() if "ReadSchema" in l
+    ]
+    assert read_schema and "doc_id" in read_schema[0]
+    assert "score" not in read_schema[0]  # projection pruned
