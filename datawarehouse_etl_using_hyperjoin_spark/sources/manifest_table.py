@@ -970,6 +970,54 @@ def read_manifest_table(
     return out
 
 
+def _zorder_expr(
+    df: DataFrame, cols: Sequence[str], total_rows: int,
+    *, buckets: int = 16, sample_rows: int = 10_000,
+):
+    """Morton (Z-order) code column over ``cols``: each column is ranked
+    into ``buckets`` quantile buckets (boundaries from a bounded SAMPLE
+    — the RangePartitioner approach, so any orderable type works, not
+    just what approxQuantile supports), and the bucket ranks' bits are
+    interleaved.  Range-splitting on this code gives every column a
+    tight per-generation [min,max] simultaneously — multi-dimensional
+    data skipping, where a single-column sort clusters only its leading
+    column (the public Delta OPTIMIZE ZORDER BY / Iceberg sort-order
+    design; implementation original).  Pure column arithmetic
+    (when-cascade + shift/or): JVM-side, no UDF."""
+    bits = max(1, (int(buckets) - 1).bit_length())
+    fraction = min(1.0, sample_rows / max(total_rows, 1))
+    sample = df.select(*cols).sample(fraction=fraction, seed=7).collect()
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        vals = sorted(r[c] for r in sample if r[c] is not None)
+        cuts = []
+        for q in range(1, buckets):
+            if vals:
+                cuts.append(vals[min(len(vals) - 1, q * len(vals) // buckets)])
+        # de-dup while preserving order (ties collapse buckets; harmless)
+        seen, bounds = set(), []
+        for v in cuts:
+            if v not in seen:
+                seen.add(v)
+                bounds.append(v)
+        bucket = None
+        for i, b in enumerate(bounds):
+            cond = F.col(c) <= F.lit(b)
+            bucket = F.when(cond, i) if bucket is None else bucket.when(cond, i)
+        bucket = (
+            F.lit(0)
+            if bucket is None
+            else bucket.otherwise(len(bounds))
+        )
+        bucket = F.coalesce(bucket, F.lit(0)).cast("long")  # nulls -> 0
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                i * len(cols) + j,
+            )
+    return z
+
+
 def manifest_table_aggregate(
     spark: SparkSession,
     root: str,
@@ -1061,6 +1109,7 @@ def compact_manifest_table(
     sort_by: list[str] | None = None,
     min_merge_mb: float | None = None,
     range_split_mb: float | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict[str, int]:
     """Merge the SMALL generations older than the newest ``keep_last``
     into ONE fresh generation, bin-packed to ~``target_file_mb`` files
@@ -1104,11 +1153,31 @@ def compact_manifest_table(
     deliberately many; re-merging them would undo the clustering), and
     well above the per-file target — a one-file generation layout at
     file granularity would re-create the measured file-level-manifest
-    listing pessimization (SCALE.md r11)."""
-    if range_split_mb is not None and not sort_by:
+    listing pessimization (SCALE.md r11).
+
+    Z-order clustering (r12): ``zorder_by=[...]`` (with
+    ``range_split_mb``, instead of ``sort_by``) range-splits on the
+    MORTON CODE of the columns' quantile-bucket ranks
+    (:func:`_zorder_expr`), so EVERY listed column gets a tight
+    per-generation range simultaneously — a single-column sort clusters
+    only its leading column, leaving predicates on the second dimension
+    unprunable.  Record the same columns in ``stats_cols``; the pruning
+    machinery is unchanged, only the layout gets smarter."""
+    if zorder_by and sort_by:
         raise ValueError(
-            "range_split_mb needs sort_by — the split IS the sort-key "
-            "range partitioning"
+            "sort_by and zorder_by are exclusive — one linear order per "
+            "rewrite"
+        )
+    if zorder_by and range_split_mb is None:
+        raise ValueError(
+            "zorder_by needs range_split_mb — Z-order clustering only "
+            "pays off when the merge is split into multiple generations "
+            "whose stats can prune"
+        )
+    if range_split_mb is not None and not (sort_by or zorder_by):
+        raise ValueError(
+            "range_split_mb needs sort_by or zorder_by — the split IS "
+            "the sort-key range partitioning"
         )
     live = _live(spark, root)
     gens = sorted(int(g) for g in live["gens"])
@@ -1161,10 +1230,21 @@ def compact_manifest_table(
         base = fresh_gen(seq)  # gen ids base..base+n_gens-1: seq-major,
         # attempt-unique as a BLOCK (the 32-bit random offset makes two
         # attempts' blocks disjoint with probability 1 - n/2^32)
+        if zorder_by:
+            clustered = (
+                merged.withColumn(
+                    "__z", _zorder_expr(merged, zorder_by, rows)
+                )
+                .repartitionByRange(n_gens, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            clustered = merged.repartitionByRange(
+                n_gens, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
         (
-            merged.repartitionByRange(n_gens, *[F.col(c) for c in sort_by])
-            .sortWithinPartitions(*sort_by)
-            .withColumn(
+            clustered.withColumn(
                 "g",
                 F.lit(int(base)).cast("long")
                 + F.spark_partition_id().cast("long"),

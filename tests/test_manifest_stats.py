@@ -865,3 +865,76 @@ def test_catalyst_pushdown_survives_manifest_read(spark, tmp_path):
     ]
     assert read_schema and "doc_id" in read_schema[0]
     assert "score" not in read_schema[0]  # projection pruned
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """Z-order range-split: after clustering on the Morton code of
+    (x, y), BOTH dimensions' predicates skip generations; a plain x-sort
+    control clusters only x.  Results always equal the filtered full
+    read."""
+
+    def mkbatch(b, n=400):
+        # x and y uniform and independent — the adversarial layout for
+        # single-column clustering
+        return spark.range(n).select(
+            (F.col("id") + b * 1000).alias("doc_id"),
+            F.pmod(F.xxhash64((F.col("id") + b * 1000) * 2), F.lit(1000))
+            .alias("x"),
+            F.pmod(F.xxhash64((F.col("id") + b * 1000) * 3), F.lit(1000))
+            .alias("y"),
+        )
+
+    roots = {}
+    for variant, kwargs in (
+        ("zorder", dict(zorder_by=["x", "y"])),
+        ("xsort", dict(sort_by=["x"])),
+    ):
+        root = str(tmp_path / variant)
+        roots[variant] = root
+        for b in range(6):
+            manifest_table_append(
+                mkbatch(b), root, b,
+                stats_cols=["x", "y"] if b == 0 else None,
+            )
+        compact_manifest_table(
+            spark, root, keep_last=0, min_merge_mb=1,
+            range_split_mb=0.003, **kwargs,
+        )
+        assert mt.manifest_read(spark, root)["gens"]
+
+    for variant in roots:
+        total = plan_manifest_read(spark, roots[variant], [])["total"]
+        assert total >= 8, (variant, total)  # genuinely split
+
+    for col in ("x", "y"):
+        where = [(col, "between", (100, 180))]
+        for variant, root in roots.items():
+            plan = plan_manifest_read(spark, root, where)
+            got = read_manifest_table(spark, root, where=where)
+            want = read_manifest_table(spark, root).filter(
+                F.col(col).between(100, 180)
+            )
+            assert _ids(got) == _ids(want), (variant, col)
+            if variant == "zorder":
+                # both dims prune under Z-order
+                assert plan["scanned"] < plan["total"], (col, plan)
+    # the control: x-sort prunes x tightly but cannot prune y at all
+    xs_y = plan_manifest_read(spark, roots["xsort"], [("y", "between", (100, 180))])
+    assert xs_y["scanned"] == xs_y["total"]
+    xs_x = plan_manifest_read(spark, roots["xsort"], [("x", "between", (100, 180))])
+    zo_x = plan_manifest_read(spark, roots["zorder"], [("x", "between", (100, 180))])
+    zo_y = plan_manifest_read(spark, roots["zorder"], [("y", "between", (100, 180))])
+    # z-order trades a little x-selectivity for y-selectivity; net win
+    assert zo_x["scanned"] + zo_y["scanned"] < xs_x["scanned"] + xs_y["scanned"]
+
+
+def test_zorder_argument_validation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    manifest_table_append(_batch(spark, 0), root, 0)
+    manifest_table_append(_batch(spark, 1), root, 1)
+    with pytest.raises(ValueError, match="exclusive"):
+        compact_manifest_table(
+            spark, root, sort_by=["d"], zorder_by=["d"], range_split_mb=1
+        )
+    with pytest.raises(ValueError, match="needs range_split_mb"):
+        compact_manifest_table(spark, root, zorder_by=["d"])

@@ -2190,6 +2190,66 @@ def measure_manifest_stats(
     return out
 
 
+def measure_manifest_zorder(
+    spark,
+    *,
+    n_rows: int = 8_000_000,
+    n_batches: int = 16,
+    split_mb: float = 2,
+) -> dict:
+    """Z-order vs single-column clustering on a 2-D query workload
+    (r12).  A table with two INDEPENDENT uniform keys (x, y) — the
+    adversarial case for single-column sort — is compacted two ways at
+    the same generation size; the probe reads are a ~8% x-window and a
+    ~8% y-window.  Reported per layout: generations scanned / total and
+    the pruned read wall per dimension."""
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        compact_manifest_table,
+        manifest_table_append,
+        plan_manifest_read,
+        read_manifest_table,
+    )
+
+    per = n_rows // n_batches
+    out: dict = {}
+    for variant, kwargs in (
+        ("xsort", dict(sort_by=["x"])),
+        ("zorder", dict(zorder_by=["x", "y"])),
+    ):
+        root = tempfile.mkdtemp(prefix="manz_") + "/t"
+        for b in range(n_batches):
+            batch = spark.range(per).select(
+                (F.col("id") + b * per).alias("doc_id"),
+                F.pmod(F.xxhash64((F.col("id") + b * per) * 2), F.lit(10_000))
+                .alias("x"),
+                F.pmod(F.xxhash64((F.col("id") + b * per) * 3), F.lit(10_000))
+                .alias("y"),
+            )
+            manifest_table_append(
+                batch, root, b, stats_cols=["x", "y"] if b == 0 else None
+            )
+        t0 = time.time()
+        compact_manifest_table(
+            spark, root, keep_last=0, min_merge_mb=1 << 20,
+            range_split_mb=split_mb, **kwargs,
+        )
+        compact_wall = round(time.time() - t0, 2)
+        stats: dict = {"compact_wall": compact_wall}
+        for col in ("x", "y"):
+            where = [(col, "between", (4000, 4800))]
+            plan = plan_manifest_read(spark, root, where)
+            t0 = time.time()
+            n = read_manifest_table(spark, root, where=where).count()
+            stats[col] = {
+                "wall": round(time.time() - t0, 3),
+                "rows": n,
+                "gens_scanned": plan["scanned"],
+                "gens_total": plan["total"],
+            }
+        out[variant] = stats
+    return out
+
+
 def measure_star_pipeline(
     spark,
     sf_dir: str,
@@ -3034,6 +3094,20 @@ def main() -> None:
             rows_per_batch=int(
                 os.environ.get("SCALE_PROBE_ROWS_PER_BATCH", 200_000)
             ),
+        )}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "manifest_zorder":
+        spark = get_spark(
+            "scale-probe-manz",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+            extra_conf=METERED_SESSION_CONF,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({"manifest_zorder": measure_manifest_zorder(
+            spark,
+            n_rows=int(os.environ.get("SCALE_PROBE_ROWS", 8_000_000)),
+            n_batches=int(os.environ.get("SCALE_PROBE_BATCHES", 16)),
+            split_mb=float(os.environ.get("SCALE_PROBE_SPLIT_MB", 2)),
         )}, indent=2))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf_manifest":
