@@ -1076,6 +1076,85 @@ def manifest_table_aggregate(
     return out
 
 
+def read_manifest_table_changes(
+    spark: SparkSession,
+    root: str,
+    since_seq: int,
+    *,
+    as_of: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL read: exactly the rows appended by commits AFTER
+    ``since_seq`` (up to the live head, or ``as_of``).  The batch LEDGER
+    makes this a manifest diff — batches present at the head but not in
+    the ``since_seq`` snapshot — and each such batch's rows are its own
+    generation dir, so the read unions only the NEW generations: a
+    downstream incremental consumer (re-train, re-index, replicate)
+    pays O(new data), never a full-table diff.  Returns an empty,
+    schema-stable frame when nothing changed.
+
+    Boundaries, stated loudly rather than silently wrong:
+
+    * the ``since_seq`` manifest must still be RETAINED
+      (``manifest_vacuum`` keep window) — otherwise the set of
+      already-delivered batches is unknowable and the read raises;
+    * a compaction that merged any post-``since_seq`` batch's
+      generation makes those rows inseparable from older ones — the
+      read raises and names the batches; size the maintenance
+      ``keep_last`` (newest generations stay verbatim) to exceed the
+      consumer's maximum lag, exactly the retention-vs-reader contract
+      the vacuum documents.
+
+    The consumer protocol is the same seq-cursor Delta/Iceberg
+    incremental reads use: process ``read_manifest_table_changes(root,
+    cursor)``, then advance ``cursor`` to the head seq (returned by the
+    appends, or ``manifest_read(...)["seq"]``)."""
+    head = _live(spark, root, at=as_of)
+    base = manifest_read(spark, root, at=int(since_seq))
+    if base is None:
+        raise ValueError(
+            f"no retained manifest at or before seq {since_seq} at "
+            f"{root!r} — the change window is bounded by manifest "
+            "retention (manifest_vacuum keep_last); re-baseline with a "
+            "full read"
+        )
+    if base.get("table") != "batch-table":
+        raise ValueError(
+            f"manifest at {root!r} is a {base.get('table')!r} table, "
+            "not a batch-table"
+        )
+    done = set(base["batches"])
+    new = {
+        b: int(g) for b, g in head["batches"].items() if b not in done
+    }
+    live_gens = {int(g) for g in head["gens"]}
+    merged_away = sorted(b for b, g in new.items() if g not in live_gens)
+    if merged_away:
+        raise ValueError(
+            f"batches {merged_away} committed after seq {since_seq} were "
+            "already compacted into merged generations — their rows are "
+            "no longer separable from older data.  Read changes before "
+            "maintenance merges them: keep the compaction keep_last "
+            "window larger than the consumer's lag (same contract as "
+            "the snapshot-read/vacuum race), or re-baseline with a full "
+            "read"
+        )
+    schema = (
+        StructType.fromJson(head["schema"])
+        if head.get("schema") is not None
+        else None
+    )
+    if not new:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        return read_manifest_table(spark, root, as_of=as_of).limit(0)
+    dirs = [_gen_dir(root, g) for g in sorted(new.values())]
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*dirs)
+    return spark.read.option("basePath", _data_root(root)).parquet(
+        *dirs
+    ).drop("g")
+
+
 def _gen_bytes(spark: SparkSession, root: str, g: int) -> int:
     """On-disk bytes of one generation dir — the size-tiering input.
     Hadoop ``getContentSummary`` (one RPC; LIST on object stores) with a

@@ -938,3 +938,67 @@ def test_zorder_argument_validation(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="needs range_split_mb"):
         compact_manifest_table(spark, root, zorder_by=["d"])
+
+
+def test_incremental_changes_read(spark, tmp_path):
+    """CDC-style seq-cursor reads: exactly the rows of batches committed
+    after the cursor, O(new generations) IO, with loud boundaries when
+    retention or compaction has destroyed the window."""
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        read_manifest_table_changes,
+        vacuum_manifest_table,
+    )
+
+    root = str(tmp_path / "t")
+    s0 = manifest_table_append(_batch(spark, 0), root, 0, stats_cols=["d"])
+    s1 = manifest_table_append(_batch(spark, 1), root, 1)
+    # nothing changed since the head: empty, schema-stable
+    empty = read_manifest_table_changes(spark, root, s1)
+    assert empty.count() == 0
+    assert empty.schema == read_manifest_table(spark, root).schema
+
+    s2 = manifest_table_append(_batch(spark, 2), root, 2)
+    s3 = manifest_table_append(_batch(spark, 3), root, 3)
+    got = read_manifest_table_changes(spark, root, s1)
+    assert _ids(got) == _ids(_batch(spark, 2)) + _ids(_batch(spark, 3))
+    # the new generations only: 2 dirs touched, not 4
+    assert len({f.rsplit("/", 2)[-2] for f in got.inputFiles()}) == 2
+    # bounded window via as_of
+    got_12 = read_manifest_table_changes(spark, root, s1, as_of=s2)
+    assert _ids(got_12) == _ids(_batch(spark, 2))
+
+    # a replayed batch commits nothing: no phantom changes
+    assert manifest_table_append(_batch(spark, 2), root, 2) is None
+    assert read_manifest_table_changes(spark, root, s3).count() == 0
+
+    # compaction inside the window: loud, names the batches
+    compact_manifest_table(spark, root, keep_last=1)
+    with pytest.raises(ValueError, match="already compacted"):
+        read_manifest_table_changes(spark, root, s1)
+    # ...but a cursor at the head still works (batch 3 stayed verbatim)
+    assert _ids(read_manifest_table_changes(spark, root, s2)) == _ids(
+        _batch(spark, 3)
+    )
+
+    # retention destroyed the baseline manifest: loud
+    vacuum_manifest_table(spark, root, keep_manifests=1)
+    with pytest.raises(ValueError, match="retention"):
+        read_manifest_table_changes(spark, root, s0)
+
+
+def test_incremental_changes_follow_schema_evolution(spark, tmp_path):
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        read_manifest_table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    s0 = manifest_table_append(
+        spark.createDataFrame([(1,)], "doc_id long"), root, 0
+    )
+    manifest_table_append(
+        spark.createDataFrame([(2, "en")], "doc_id long, lang string"),
+        root, 1,
+    )
+    got = read_manifest_table_changes(spark, root, s0)
+    assert got.columns == ["doc_id", "lang"]  # head schema, evolved
+    assert [(r.doc_id, r.lang) for r in got.collect()] == [(2, "en")]
