@@ -67,6 +67,7 @@ def run_maintenance(
     min_merge_mb: float | None = None,
     manifest_sort_by: Sequence[str] | None = None,
     manifest_range_split_mb: float | None = None,
+    manifest_zorder_by: Sequence[str] | None = None,
 ) -> dict[str, dict]:
     """Run every applicable compaction pass over a declared layout.
 
@@ -84,10 +85,11 @@ def run_maintenance(
     ``vacuum_manifest_table``/``ivf_vacuum``: the retention window must
     outlast the longest concurrent read).
 
-    ``manifest_sort_by`` / ``manifest_range_split_mb`` (r12) apply to
-    the ``manifest_tables`` compactions: sort-cluster the merged output
-    (and optionally range-split it into disjoint sort-key generations)
-    so the tables' recorded generation stats stay selective for
+    ``manifest_sort_by`` / ``manifest_range_split_mb`` /
+    ``manifest_zorder_by`` (r12) apply to the ``manifest_tables``
+    compactions: sort- or Z-order-cluster the merged output (and
+    range-split it into disjoint sort-key generations) so the tables'
+    recorded generation stats stay selective for
     ``read_manifest_table(where=...)`` pruning — see
     ``compact_manifest_table``.  One knob for all listed tables; run
     separate passes for tables clustered on different keys.
@@ -154,6 +156,7 @@ def run_maintenance(
             min_merge_mb=min_merge_mb,
             sort_by=list(manifest_sort_by) if manifest_sort_by else None,
             range_split_mb=manifest_range_split_mb,
+            zorder_by=list(manifest_zorder_by) if manifest_zorder_by else None,
         )
         floor = 2 if live_stream else 1
         stats.update(
@@ -176,6 +179,7 @@ def make_maintenance_sink(
     min_merge_mb: float | None = None,
     manifest_sort_by: Sequence[str] | None = None,
     manifest_range_split_mb: float | None = None,
+    manifest_zorder_by: Sequence[str] | None = None,
     on_stats=None,
     **layout: Sequence[str],
 ):
@@ -220,6 +224,7 @@ def make_maintenance_sink(
                 min_merge_mb=min_merge_mb,
                 manifest_sort_by=manifest_sort_by,
                 manifest_range_split_mb=manifest_range_split_mb,
+                manifest_zorder_by=manifest_zorder_by,
                 **layout,
             )
             if on_stats is not None:

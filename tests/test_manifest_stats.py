@@ -1002,3 +1002,36 @@ def test_incremental_changes_follow_schema_evolution(spark, tmp_path):
     got = read_manifest_table_changes(spark, root, s0)
     assert got.columns == ["doc_id", "lang"]  # head schema, evolved
     assert [(r.doc_id, r.lang) for r in got.collect()] == [(2, "en")]
+
+
+def test_run_maintenance_zorder_clusters(spark, tmp_path):
+    from datawarehouse_etl_using_hyperjoin_spark.maintenance import (
+        run_maintenance,
+    )
+
+    root = str(tmp_path / "t")
+    for b in range(4):
+        df = spark.range(200).select(
+            (F.col("id") + b * 1000).alias("doc_id"),
+            F.pmod(F.xxhash64((F.col("id") + b * 1000) * 2), F.lit(100))
+            .alias("x"),
+            F.pmod(F.xxhash64((F.col("id") + b * 1000) * 3), F.lit(100))
+            .alias("y"),
+        )
+        manifest_table_append(
+            df, root, b, stats_cols=["x", "y"] if b == 0 else None
+        )
+    out = run_maintenance(
+        spark,
+        manifest_tables=[root],
+        keep_last=0,
+        min_merge_mb=1,
+        manifest_zorder_by=["x", "y"],
+        manifest_range_split_mb=0.002,
+    )
+    stats = out[f"manifest_table:{root}"]
+    assert stats["gens_after"] > 2
+    for col in ("x", "y"):
+        plan = plan_manifest_read(spark, root, [(col, "between", (10, 25))])
+        assert plan["scanned"] < plan["total"], (col, plan)
+    assert read_manifest_table(spark, root).count() == 800
