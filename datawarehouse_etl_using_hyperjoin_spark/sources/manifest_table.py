@@ -410,24 +410,36 @@ def _check_bloom_cols(schema, cols) -> None:
             )
 
 
-def _write_gen_blooms(
-    df: DataFrame, root: str, gen: int, bloom_cols, params: dict
-) -> None:
-    """Build and write one Bloom sidecar per column for generation
-    ``gen`` from ``df``'s rows (the exact rows the generation holds).
-    Bits travel base64-packed (little-endian u64s) — ~4× smaller than a
-    JSON int array and parsed in one ``struct`` call at probe time."""
+def _build_gen_blooms(
+    df: DataFrame, bloom_cols, params: dict
+) -> dict[str, str]:
+    """Build the per-column filters for one batch; returns
+    ``{col: bits_b64}`` (base64-packed little-endian u64s — ~4× smaller
+    than a JSON int array and parsed in one ``b64decode`` at probe
+    time).  Split from the sidecar WRITE so a conditional-PUT rebase can
+    reuse the built bits at its fresh generation path instead of paying
+    the build jobs again."""
     import base64
     import struct
 
-    spark = df.sparkSession
     m, k = int(params["num_bits"]), int(params["num_hashes"])
     _check_bloom_cols(df.schema, bloom_cols)
+    out = {}
     for col in bloom_cols:
         if col not in df.columns:
             continue  # omitted column (evolution): no sidecar -> scanned
         bits = _bloom_build_md5(df, col, m, k)
         packed = struct.pack(f"<{len(bits)}q", *bits)
+        out[col] = base64.b64encode(packed).decode("ascii")
+    return out
+
+
+def _write_gen_bloom_sidecars(
+    spark: SparkSession, root: str, gen: int, built: dict[str, str],
+    params: dict,
+) -> None:
+    m, k = int(params["num_bits"]), int(params["num_hashes"])
+    for col, b64 in built.items():
         _write_text(
             spark,
             _bloom_sidecar_path(root, gen, col),
@@ -437,10 +449,21 @@ def _write_gen_blooms(
                     "col": col,
                     "num_bits": m,
                     "num_hashes": k,
-                    "bits_b64": base64.b64encode(packed).decode("ascii"),
+                    "bits_b64": b64,
                 }
             ),
         )
+
+
+def _write_gen_blooms(
+    df: DataFrame, root: str, gen: int, bloom_cols, params: dict
+) -> None:
+    """Build and write one Bloom sidecar per column for generation
+    ``gen`` from ``df``'s rows (the exact rows the generation holds)."""
+    _write_gen_bloom_sidecars(
+        df.sparkSession, root, gen,
+        _build_gen_blooms(df, bloom_cols, params), params,
+    )
 
 
 def _read_gen_bloom(
@@ -785,6 +808,7 @@ def manifest_table_append(
     # reclaims).  Both racing commits land; none is silently dropped.
     last_conflict: ManifestConflictError | None = None
     stats_cache: dict[tuple, dict] = {}  # cols -> collected batch stats
+    bloom_cache: dict[tuple, dict] = {}  # (cols, params) -> built bits
     for _ in range(MAX_REBASES):
         live = manifest_read(spark, root)
         if live is not None and live.get("table") != "batch-table":
@@ -856,10 +880,19 @@ def manifest_table_append(
             stats[str(gen)] = stats_cache[tuple(eff_cols)]
         blooms = dict((live or {}).get("blooms") or {})
         if eff_bloom:
+            # build once per (cols, params) — a rebase retries at a
+            # fresh generation path but the batch's bits are identical
+            bkey = (tuple(eff_bloom), json.dumps(bloom_params, sort_keys=True))
+            if bkey not in bloom_cache:
+                bloom_cache[bkey] = _build_gen_blooms(
+                    df, eff_bloom, bloom_params
+                )
             # sidecars ride inside the generation dir, BEFORE publish —
             # they share the generation's crash/orphan story
-            _write_gen_blooms(df, root, gen, eff_bloom, bloom_params)
-            blooms[str(gen)] = [c for c in eff_bloom if c in df.columns]
+            _write_gen_bloom_sidecars(
+                spark, root, gen, bloom_cache[bkey], bloom_params
+            )
+            blooms[str(gen)] = sorted(bloom_cache[bkey])
         try:
             return _publish(
                 spark, root, gens, batches, seq, schema=merged,
