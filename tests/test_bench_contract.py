@@ -231,19 +231,29 @@ def test_calibrate_mem_is_repeatable_and_sees_bus_load():
 
     from bench import calibrate_mem
 
-    idle = min(calibrate_mem(), calibrate_mem())
-    assert idle is not None and idle > 0
-    # 16 detached burners sweeping 64 MB each saturate the bus briefly
+    # up to two attempts: on a host whose bus is ALREADY contended by a
+    # neighbor, the idle baseline is inflated and one loaded/idle ratio
+    # can land under the bar without the probe being wrong — exactly
+    # the weather this probe exists to detect
     burner = (
         "import numpy,time;a=numpy.ones(8*1024*1024);e=time.time()+6\n"
         "while time.time()<e: a.sum()"
     )
-    for _ in range(16):
-        subprocess.run(
-            ["sh", "-c", f"python3 -c '{burner}' >/dev/null 2>&1 &"],
-            check=True,
-        )
-    _t.sleep(1.5)  # let the burners reach steady state
-    loaded = calibrate_mem()
-    _t.sleep(5)  # let the burners die before other tests time anything
-    assert loaded >= idle * 1.2, (idle, loaded)
+    last = None
+    for _attempt in range(2):
+        idle = min(calibrate_mem(), calibrate_mem())
+        assert idle is not None and idle > 0
+        # 16 detached burners sweeping 64 MB each saturate the bus
+        for _ in range(16):
+            subprocess.run(
+                ["sh", "-c", f"python3 -c '{burner}' >/dev/null 2>&1 &"],
+                check=True,
+            )
+        _t.sleep(1.5)  # let the burners reach steady state
+        loaded = calibrate_mem()
+        _t.sleep(5)  # let the burners die before timing anything else
+        last = (idle, loaded)
+        if loaded >= idle * 1.2:
+            break
+    else:
+        raise AssertionError(f"calm did not inflate under bus load: {last}")
