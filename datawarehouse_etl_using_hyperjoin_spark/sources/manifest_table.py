@@ -1109,6 +1109,118 @@ def manifest_table_aggregate(
     return out
 
 
+def manifest_table_delete(
+    spark: SparkSession, root: str, where
+) -> dict[str, int]:
+    """COPY-ON-WRITE row-level delete (the Iceberg/Delta CoW shape):
+    rewrite, at fresh generation paths, only the generations that might
+    contain matching rows, and publish one manifest swapping them in.
+    The skipping machinery is what makes this cheap at scale — a keyed
+    delete (GDPR erasure of some doc_ids from a 100 TB table) first
+    prunes by min/max stats and Bloom sidecars, then COUNTS matches per
+    candidate generation (false-positive candidates are left untouched,
+    not rewritten), so the rewrite cost is O(generations that truly
+    hold the rows).
+
+    Semantics: rows matching the ``where`` predicates (AND-combined,
+    same language as ``read_manifest_table``) are removed; SQL
+    three-valued logic applies — a row whose predicate evaluates to
+    NULL does not match and is KEPT (``delete where d = 5`` never
+    deletes ``d IS NULL`` rows).
+
+    Protocol effects: untouched generations keep their dirs and stats
+    byte-identical; rewritten generations get recomputed stats/Bloom
+    sidecars; the batch LEDGER keys are unchanged (replay detection
+    survives) with entries remapped onto the rewritten generations;
+    retained older manifests still reference the PRE-delete generations,
+    so time travel shows the rows until ``vacuum_manifest_table``
+    reclaims them — deletion becomes durable at vacuum, exactly the
+    Iceberg retention story.  A crash before publish leaves orphans and
+    no visible change; a lost conditional PUT aborts loudly
+    (maintenance-class operation: re-run against the new head).
+
+    Returns ``{"rows_deleted", "gens_rewritten", "gens_untouched"}``.
+    """
+    live = _live(spark, root)
+    preds = _normalize_where(where)
+    if not preds:
+        raise ValueError(
+            "manifest_table_delete needs at least one predicate — to "
+            "drop the whole table, delete the root instead"
+        )
+    gens = sorted(int(g) for g in live["gens"])
+    candidates = set(_pruned_gens(spark, root, live, preds))
+    match = None
+    for col, op, val in preds:
+        c = _pred_column(col, op, val)
+        match = c if match is None else match & c
+    match = F.coalesce(match, F.lit(False))  # NULL never matches: kept
+    schema = (
+        StructType.fromJson(live["schema"])
+        if live.get("schema") is not None
+        else None
+    )
+    stats_cols = live.get("stats_cols") or []
+    bloom_cols = live.get("bloom_cols") or []
+    bloom_params = live.get("bloom_params") or {}
+    stats = dict(live.get("stats") or {})
+    blooms = dict(live.get("blooms") or {})
+    batches = dict(live["batches"])
+    seq = live["seq"] + 1
+    new_gens: list[int] = []
+    rows_deleted = 0
+    rewritten = 0
+    for g in gens:
+        if g not in candidates:
+            new_gens.append(g)
+            continue
+        if schema is not None:
+            gdf = spark.read.schema(schema).parquet(_gen_dir(root, g))
+        else:
+            gdf = spark.read.parquet(_gen_dir(root, g))
+        n_match = gdf.where(match).count()
+        if n_match == 0:
+            new_gens.append(g)  # pruning false positive: untouched
+            continue
+        rows_deleted += n_match
+        rewritten += 1
+        kept = gdf.where(~match)
+        ng = fresh_gen(seq)  # attempt-unique: see fresh_gen docstring
+        kept.write.mode("overwrite").parquet(_gen_dir(root, ng))
+        new_gens.append(ng)
+        stats.pop(str(g), None)
+        blooms.pop(str(g), None)
+        if stats_cols or (bloom_cols and bloom_params):
+            if schema is not None:
+                wdf = spark.read.schema(schema).parquet(_gen_dir(root, ng))
+            else:
+                wdf = spark.read.parquet(_gen_dir(root, ng))
+            if stats_cols:
+                stats[str(ng)] = collect_gen_stats(wdf, stats_cols)
+            if bloom_cols and bloom_params:
+                _write_gen_blooms(wdf, root, ng, bloom_cols, bloom_params)
+                blooms[str(ng)] = [c for c in bloom_cols if c in wdf.columns]
+        # ledger keys unchanged; entries follow their rows' new home
+        for b, bg in batches.items():
+            if int(bg) == g:
+                batches[b] = ng
+    if rewritten == 0:
+        return {
+            "rows_deleted": 0, "gens_rewritten": 0,
+            "gens_untouched": len(gens),
+        }
+    _publish(
+        spark, root, new_gens, batches, seq,
+        schema=live.get("schema"), stats=stats, stats_cols=stats_cols,
+        blooms=blooms, bloom_cols=bloom_cols, bloom_params=bloom_params,
+    )
+    return {
+        "rows_deleted": rows_deleted,
+        "gens_rewritten": rewritten,
+        "gens_untouched": len(gens) - rewritten,
+    }
+
+
 def read_manifest_table_changes(
     spark: SparkSession,
     root: str,

@@ -1035,3 +1035,78 @@ def test_run_maintenance_zorder_clusters(spark, tmp_path):
         plan = plan_manifest_read(spark, root, [(col, "between", (10, 25))])
         assert plan["scanned"] < plan["total"], (col, plan)
     assert read_manifest_table(spark, root).count() == 800
+
+
+def test_copy_on_write_delete_touches_only_matching_generations(
+    spark, tmp_path
+):
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        manifest_table_delete,
+        vacuum_manifest_table,
+    )
+
+    root = str(tmp_path / "t")
+    for b in range(5):
+        manifest_table_append(
+            _overlap_batch(spark, b), root, b,
+            stats_cols=["doc_id"] if b == 0 else None,
+            bloom_cols=["doc_id"] if b == 0 else None,
+        )
+    pre = mt.manifest_read(spark, root)
+    pre_seq = pre["seq"]
+    gens_before = set(pre["gens"])
+
+    # doc_ids 52 and 103: live in batches 2 and 3 only (id % 10 = b);
+    # every generation's [min,max] overlaps them — blooms do the work
+    st = manifest_table_delete(
+        spark, root, [("doc_id", "in", [52, 103])]
+    )
+    assert st["rows_deleted"] == 2
+    assert st["gens_rewritten"] <= 2  # only the true holders rewritten
+    assert st["gens_untouched"] >= 3
+    post = mt.manifest_read(spark, root)
+    # the untouched generations' dirs are byte-identical (same ids)
+    assert len(gens_before & set(post["gens"])) == st["gens_untouched"]
+    # rows gone, everything else intact
+    t = read_manifest_table(spark, root)
+    assert t.count() == 98
+    assert t.where(F.col("doc_id").isin(52, 103)).count() == 0
+    # stats/blooms recomputed: the deleted keys now prune to zero
+    assert read_manifest_table(
+        spark, root, where=[("doc_id", "=", 52)]
+    ).count() == 0
+    # the ledger survived: replays still no-ops, fresh batches land
+    assert manifest_table_append(_overlap_batch(spark, 2), root, 2) is None
+    # time travel: the pre-delete snapshot still shows the rows...
+    snap = read_manifest_table(spark, root, as_of=pre_seq)
+    assert snap.where(F.col("doc_id").isin(52, 103)).count() == 2
+    # ...until vacuum makes the deletion durable
+    vacuum_manifest_table(spark, root, keep_manifests=1)
+    with pytest.raises(ValueError, match="no longer fully readable|no retained"):
+        read_manifest_table(spark, root, as_of=pre_seq).count()
+    assert read_manifest_table(spark, root).count() == 98
+
+
+def test_delete_null_semantics_and_noop(spark, tmp_path):
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        manifest_table_delete,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "doc_id long, v long"
+    )
+    manifest_table_append(df, root, 0, stats_cols=["v"])
+    st = manifest_table_delete(spark, root, [("v", "=", 5)])
+    assert st["rows_deleted"] == 1
+    # SQL three-valued logic: the NULL row does NOT match and is kept
+    assert _ids(read_manifest_table(spark, root)) == [2, 3]
+
+    # a delete matching nothing publishes nothing
+    seq_before = mt.manifest_read(spark, root)["seq"]
+    st = manifest_table_delete(spark, root, [("v", "=", 999)])
+    assert st == {"rows_deleted": 0, "gens_rewritten": 0, "gens_untouched": 1}
+    assert mt.manifest_read(spark, root)["seq"] == seq_before
+
+    with pytest.raises(ValueError, match="at least one predicate"):
+        manifest_table_delete(spark, root, [])
