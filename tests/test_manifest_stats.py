@@ -733,6 +733,12 @@ _skip_ops = st.lists(
         st.tuples(st.just("compact"), st.integers(0, 2), st.just(0)),
         st.tuples(st.just("compact_split"), st.integers(0, 2), st.just(0)),
         st.tuples(st.just("vacuum"), st.just(0), st.just(0)),
+        # copy-on-write delete of one key (may match nothing)
+        st.tuples(
+            st.just("delete"),
+            st.integers(min_value=0, max_value=4),   # batch id
+            st.integers(min_value=0, max_value=5),   # row index
+        ),
     ),
     min_size=1,
     max_size=6,
@@ -806,6 +812,20 @@ def test_skipping_model_under_random_ops_and_crashes(
             if not committed:
                 continue
             m.vacuum_manifest_table(spark, root, keep_manifests=1)
+        elif op == "delete":
+            if not committed:
+                continue
+            key = a * 100 + b
+            st_ = m.manifest_table_delete(
+                spark, root, [("doc_id", "=", key)]
+            )
+            want = sum(
+                1 for rows in committed.values() for r in rows
+                if r[0] == key
+            )
+            assert st_["rows_deleted"] == want
+            for bid in list(committed):
+                committed[bid] = [r for r in committed[bid] if r[0] != key]
 
     if not committed:
         return
