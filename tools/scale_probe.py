@@ -2169,6 +2169,25 @@ def measure_manifest_stats(
         "files_pruned": files_pruned,
     }
 
+    # copy-on-write keyed delete on the bloom table: pruning decides the
+    # rewrite set, so erasing a handful of ids from the 64-generation
+    # table should rewrite ~1 generation, not the table
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        manifest_table_delete,
+    )
+
+    victims = [target_id, target_id + 1, target_id + 2]
+    t0 = time.time()
+    dstats = manifest_table_delete(
+        spark, broot, [("doc_id", "in", victims)]
+    )
+    out["point_delete"] = {
+        "wall": round(time.time() - t0, 3),
+        "rows_deleted": dstats["rows_deleted"],
+        "gens_rewritten": dstats["gens_rewritten"],
+        "gens_untouched": dstats["gens_untouched"],
+    }
+
     # snapshot the aged table for the clustered variant BEFORE the plain
     # compaction rewrites it in place
     root2 = tempfile.mkdtemp(prefix="manstats_") + "/t"
