@@ -296,6 +296,31 @@ def main() -> None:
         f"exact={agg['exact']}"
     )
 
+    # -- 6. the lakehouse verbs on top: CDC cursor + copy-on-write delete
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        manifest_table_delete,
+        read_manifest_table_changes,
+    )
+
+    cursor = manifest_read(spark, skiproot)["seq"]
+    manifest_table_append(
+        spark.range(100).select(
+            (F.col("id") + 90_000).alias("event_id"),
+            F.to_date(F.lit("2024-02-01")).alias("day"),
+            F.lit(1.0).alias("amount"),
+        ),
+        skiproot, 99,
+    )
+    changes = read_manifest_table_changes(spark, skiproot, cursor)
+    dstats = manifest_table_delete(spark, skiproot, [("event_id", "=", 1998)])
+    print(
+        f"[verbs]  changes since seq {cursor}: {changes.count()} rows from "
+        f"{len({f.rsplit('/', 2)[-2] for f in changes.inputFiles()})} new "
+        f"generation (O(new data) IO); copy-on-write delete of 1 key "
+        f"rewrote {dstats['gens_rewritten']} generation, "
+        f"{dstats['gens_untouched']} byte-untouched"
+    )
+
     print("== done: every commit above was a manifest PUT; zero renames")
     spark.stop()
 
