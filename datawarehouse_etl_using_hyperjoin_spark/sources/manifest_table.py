@@ -734,8 +734,15 @@ def plan_manifest_read(
     "skipped"}``."""
     m = _live(spark, root, at=as_of)
     preds = _normalize_where(where)
-    scan = _pruned_gens(spark, root, m, preds)
+    stats = m.get("stats") or {}
+    after_stats = [
+        int(g)
+        for g in m["gens"]
+        if all(_gen_matches(stats.get(str(int(g))), *p) for p in preds)
+    ]
+    scan = _bloom_prune(spark, root, m, after_stats, preds)
     scan_set = set(scan)
+    after_stats_set = set(after_stats)
     skipped = [int(g) for g in m["gens"] if int(g) not in scan_set]
     return {
         "seq": m["seq"],
@@ -744,6 +751,12 @@ def plan_manifest_read(
         "total": len(m["gens"]),
         "scanned": len(scan),
         "skipped": len(skipped),
+        # attribution: which level PROVED each skip (stats run first,
+        # blooms only probe the survivors)
+        "skipped_by_stats": len(m["gens"]) - len(after_stats),
+        "skipped_by_bloom": len(
+            [g for g in after_stats_set if g not in scan_set]
+        ),
     }
 
 

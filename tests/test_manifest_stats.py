@@ -1130,3 +1130,31 @@ def test_delete_null_semantics_and_noop(spark, tmp_path):
 
     with pytest.raises(ValueError, match="at least one predicate"):
         manifest_table_delete(spark, root, [])
+
+
+def test_plan_attributes_skips_to_their_level(spark, tmp_path):
+    """The plan names which level proved each skip: disjoint day ranges
+    go to stats, overlapping-id point lookups to blooms, and the levels
+    compose on one table."""
+    root = str(tmp_path / "t")
+    for b in range(4):
+        df = spark.range(20).select(
+            (F.col("id") * 10 + b).alias("doc_id"),   # overlapping ids
+            F.lit(_day(b * 10)).alias("d"),            # disjoint days
+        )
+        manifest_table_append(
+            df, root, b,
+            stats_cols=["d"] if b == 0 else None,
+            bloom_cols=["doc_id"] if b == 0 else None,
+        )
+    p1 = plan_manifest_read(spark, root, [("d", "=", _day(20))])
+    assert p1["skipped_by_stats"] == 3 and p1["skipped_by_bloom"] == 0
+    p2 = plan_manifest_read(spark, root, [("doc_id", "=", 52)])
+    assert p2["skipped_by_stats"] == 0 and p2["skipped_by_bloom"] >= 2
+    # composed: day stats cut to 1 candidate, the bloom then decides it
+    p3 = plan_manifest_read(
+        spark, root, [("d", "=", _day(20)), ("doc_id", "=", 53)]
+    )
+    assert p3["skipped_by_stats"] == 3
+    assert p3["scanned"] + p3["skipped_by_bloom"] == 1
+    assert p3["scanned"] + p3["skipped"] == p3["total"]
