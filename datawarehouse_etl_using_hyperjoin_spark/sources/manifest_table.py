@@ -1122,6 +1122,123 @@ def manifest_table_aggregate(
     return out
 
 
+def backfill_manifest_skipping(
+    spark: SparkSession,
+    root: str,
+    *,
+    stats_cols=None,
+    bloom_cols=None,
+    bloom_bits: int | None = None,
+) -> dict[str, int]:
+    """Enable (or complete) data skipping on an EXISTING table without
+    rewriting a byte of data: compute stats and/or Bloom sidecars for
+    every generation that lacks them and publish ONE manifest recording
+    the results.  This is how a 100 TB table that predates tracking —
+    or gained blind generations from a pre-tracking writer — gets
+    pruning: per blind generation, one single-row agg plus one filter
+    build; no data rewrite (contrast: compaction also recomputes, but
+    rewrites).
+
+    ``stats_cols``/``bloom_cols`` default to the table's recorded
+    settings; passing them also RECORDS them, so future appends track
+    (the sticky setting).  Bloom geometry reuses the table's recorded
+    params or is sized from the LARGEST generation at ~1% FPP.
+
+    Protocol note: creating a sidecar file inside an already-published
+    generation dir is the one post-publish write the protocol allows —
+    it is CREATION, never mutation (readers only probe sidecars the
+    manifest's ``blooms`` map names, and the map only changes at this
+    publish; the probe cache keys on paths whose content never changes
+    once listed).  Returns ``{"stats_backfilled", "blooms_backfilled",
+    "published_seq"}`` (seq 0 = nothing to do, no publish)."""
+    live = _live(spark, root)
+    schema = (
+        StructType.fromJson(live["schema"])
+        if live.get("schema") is not None
+        else None
+    )
+    eff_stats = list(
+        stats_cols if stats_cols is not None
+        else live.get("stats_cols") or []
+    )
+    eff_bloom = list(
+        bloom_cols if bloom_cols is not None
+        else live.get("bloom_cols") or []
+    )
+    if not eff_stats and not eff_bloom:
+        raise ValueError(
+            "nothing to backfill: pass stats_cols/bloom_cols or enable "
+            "them on an append first"
+        )
+    if eff_bloom and not eff_stats:
+        raise ValueError(
+            "bloom backfill needs stats_cols too — generation row "
+            "counts (from stats) size the filters"
+        )
+    stats = dict(live.get("stats") or {})
+    blooms = dict(live.get("blooms") or {})
+    gens = [int(g) for g in live["gens"]]
+
+    def _gen_df(g: int):
+        if schema is not None:
+            return spark.read.schema(schema).parquet(_gen_dir(root, g))
+        return spark.read.parquet(_gen_dir(root, g))
+
+    n_stats = 0
+    for g in gens:
+        if eff_stats and (
+            str(g) not in stats
+            or set(stats[str(g)].get("cols") or {}) < set(eff_stats)
+        ):
+            stats[str(g)] = collect_gen_stats(_gen_df(g), eff_stats)
+            n_stats += 1
+    bloom_params = live.get("bloom_params")
+    if eff_bloom and bloom_params is None:
+        from ..operators.bloom import optimal_bloom_params
+
+        biggest = max(
+            (int(stats[str(g)]["rows"]) for g in gens if str(g) in stats),
+            default=0,
+        )
+        if bloom_bits is not None:
+            m = ((int(bloom_bits) + 63) // 64) * 64
+            k = _BLOOM_HASHES_DEFAULT
+        elif biggest:
+            m, k = optimal_bloom_params(biggest, 0.01)
+            m = min(m, _BLOOM_BITS_CAP)
+        else:
+            m, k = _BLOOM_BITS_DEFAULT, _BLOOM_HASHES_DEFAULT
+        bloom_params = {"num_bits": int(m), "num_hashes": int(k)}
+    n_blooms = 0
+    for g in gens:
+        if eff_bloom and set(blooms.get(str(g)) or []) < set(eff_bloom):
+            gdf = _gen_df(g)
+            _write_gen_blooms(gdf, root, g, eff_bloom, bloom_params)
+            blooms[str(g)] = sorted(
+                set(blooms.get(str(g)) or [])
+                | {c for c in eff_bloom if c in gdf.columns}
+            )
+            n_blooms += 1
+    if n_stats == 0 and n_blooms == 0 and (
+        eff_stats == (live.get("stats_cols") or [])
+        and eff_bloom == (live.get("bloom_cols") or [])
+    ):
+        return {
+            "stats_backfilled": 0, "blooms_backfilled": 0,
+            "published_seq": 0,
+        }
+    seq = _publish(
+        spark, root, gens, dict(live["batches"]), live["seq"] + 1,
+        schema=live.get("schema"), stats=stats, stats_cols=eff_stats,
+        blooms=blooms, bloom_cols=eff_bloom, bloom_params=bloom_params,
+    )
+    return {
+        "stats_backfilled": n_stats,
+        "blooms_backfilled": n_blooms,
+        "published_seq": seq,
+    }
+
+
 def manifest_table_delete(
     spark: SparkSession, root: str, where
 ) -> dict[str, int]:

@@ -1158,3 +1158,57 @@ def test_plan_attributes_skips_to_their_level(spark, tmp_path):
     assert p3["skipped_by_stats"] == 3
     assert p3["scanned"] + p3["skipped_by_bloom"] == 1
     assert p3["scanned"] + p3["skipped"] == p3["total"]
+
+
+def test_backfill_enables_skipping_without_rewriting(spark, tmp_path):
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        backfill_manifest_skipping,
+    )
+
+    root = str(tmp_path / "t")
+    # a pre-tracking table: four blind generations
+    for b in range(4):
+        manifest_table_append(_overlap_batch(spark, b), root, b)
+    gens_before = set(mt.manifest_read(spark, root)["gens"])
+    assert plan_manifest_read(
+        spark, root, [("doc_id", "=", 52)]
+    )["scanned"] == 4  # blind: everything scanned
+
+    st = backfill_manifest_skipping(
+        spark, root, stats_cols=["doc_id"], bloom_cols=["doc_id"]
+    )
+    assert st["stats_backfilled"] == 4 and st["blooms_backfilled"] == 4
+    m = mt.manifest_read(spark, root)
+    # NO data rewrite: identical generation ids
+    assert set(m["gens"]) == gens_before
+    # old generations now prune
+    plan = plan_manifest_read(spark, root, [("doc_id", "=", 52)])
+    assert plan["scanned"] <= 2 and plan["skipped_by_bloom"] >= 2
+    assert _ids(
+        read_manifest_table(spark, root, where=[("doc_id", "=", 52)])
+    ) == [52]
+
+    # idempotent: a second pass does nothing and publishes nothing
+    again = backfill_manifest_skipping(spark, root)
+    assert again == {
+        "stats_backfilled": 0, "blooms_backfilled": 0, "published_seq": 0,
+    }
+
+    # the setting became sticky: a future append tracks automatically
+    manifest_table_append(_overlap_batch(spark, 9), root, 9)
+    m2 = mt.manifest_read(spark, root)
+    assert str(m2["batches"]["9"]) in m2["stats"]
+    assert str(m2["batches"]["9"]) in m2["blooms"]
+
+
+def test_backfill_validation(spark, tmp_path):
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        backfill_manifest_skipping,
+    )
+
+    root = str(tmp_path / "t")
+    manifest_table_append(_overlap_batch(spark, 0), root, 0)
+    with pytest.raises(ValueError, match="nothing to backfill"):
+        backfill_manifest_skipping(spark, root)
+    with pytest.raises(ValueError, match="needs stats_cols"):
+        backfill_manifest_skipping(spark, root, bloom_cols=["doc_id"])
