@@ -187,13 +187,26 @@ def calibrate_mem(n_procs: int = 8, mb_each: int = 128) -> float | None:
             ctx.Process(target=_mem_sweep_worker, args=(barrier, n_floats))
             for _ in range(n_procs)
         ]
-        for p in procs:
-            p.start()
-        barrier.wait()  # all workers allocated; sweeps start now
-        t0 = time.perf_counter()
-        for p in procs:
-            p.join()
-        return round(time.perf_counter() - t0, 3)
+        try:
+            for p in procs:
+                p.start()
+            # timeout (ADVICE r12): a worker OOM-killed during its
+            # ~mb_each allocation never reaches the barrier — without a
+            # bound the parent blocks forever and the whole bench hangs
+            # instead of degrading to None (BrokenBarrierError lands in
+            # the except below)
+            barrier.wait(timeout=30)  # workers allocated; sweeps start
+            t0 = time.perf_counter()
+            for p in procs:
+                p.join(timeout=60)
+                if p.is_alive():
+                    return None
+            return round(time.perf_counter() - t0, 3)
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+                p.join(timeout=5)
     except Exception:  # pragma: no cover - platform without fork/numpy
         return None
 

@@ -133,15 +133,30 @@ def _ls_names(spark: SparkSession, path: str) -> list[str]:
     return sorted(os.listdir(lp))
 
 
+#: JVM exception markers that mean "this FILE is torn/absent", the only
+#: read failures the torn-newest-manifest fallback may absorb:
+#: a crashed local JVM write leaves the data file and its
+#: LocalFileSystem ``.crc`` sidecar inconsistent (ChecksumException), a
+#: truncated stream reads short (EOFException), and a file deleted
+#: between LIST and GET (concurrent vacuum) is FileNotFound.  Anything
+#: else — connection resets, 5xx, throttling, auth — is a TRANSIENT
+#: STORE failure and must propagate: absorbing it would silently serve
+#: a stale older snapshot instead of failing loudly (ADVICE r12).
+_TORN_READ_MARKERS = (
+    "ChecksumException",
+    "EOFException",
+    "FileNotFoundException",
+    "File does not exist",
+)
+
+
 def _read_text(spark: SparkSession, path: str) -> str:
-    """Whole-file read — GET analogue.  JVM-side read failures are
-    re-raised as ``OSError`` so every torn-file handler sees one
-    exception family: a crashed local JVM write leaves the data file
-    AND its LocalFileSystem ``.crc`` sidecar inconsistent, which reads
-    back as ``ChecksumException`` (a Py4J error, not a Python
-    ``OSError``) — without the translation the documented
-    torn-newest-manifest fallback would crash instead of falling back.
-    """
+    """Whole-file read — GET analogue.  JVM-side TORN-FILE failures
+    (checksum/EOF/not-found, :data:`_TORN_READ_MARKERS`) are re-raised
+    as ``OSError`` so every torn-file handler sees one exception family
+    and falls back per the crash model; any OTHER JVM read failure
+    (transient IO/connectivity) propagates unchanged — readers must
+    fail loudly rather than degrade to an older manifest."""
     got = hadoop_fs(spark, path)
     if got is not None:
         fs, jpath = got
@@ -154,7 +169,12 @@ def _read_text(spark: SparkSession, path: str) -> str:
             finally:
                 stream.close()
         except Exception as exc:
-            raise OSError(f"manifest read of {path!r} failed: {exc}") from exc
+            msg = str(exc)
+            if any(mark in msg for mark in _TORN_READ_MARKERS):
+                raise OSError(
+                    f"manifest read of {path!r} failed: {exc}"
+                ) from exc
+            raise
         return bytes(data).decode("utf-8")
     with open(_require_local(path, "reading"), encoding="utf-8") as fh:
         return fh.read()

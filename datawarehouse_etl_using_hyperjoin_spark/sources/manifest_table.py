@@ -197,11 +197,47 @@ _PRED_OPS = {
 }
 
 
-def _stats_encode(v):
+#: recorded string bounds are truncated to this many characters so a
+#: long-string tracked column (URLs, text payloads) can't bloat every
+#: manifest PUT by 2×len(longest value)×generations — the manifest must
+#: stay KB-scale (Iceberg/Delta truncate string bounds for the same
+#: reason; ADVICE r12).
+_STATS_STR_MAX = 64
+
+
+def _bump_str(s: str) -> str | None:
+    """Smallest-effort strict UPPER bound for every string prefixed by
+    ``s``: increment the last incrementable code point and drop the
+    rest (skipping the surrogate gap — Python strings can hold lone
+    surrogates but Spark's UTF-8 bytes can't).  None when no code point
+    can be bumped (all U+10FFFF) — bound unknown."""
+    chars = list(s)
+    while chars:
+        cp = ord(chars[-1])
+        if cp < 0x10FFFF:
+            cp += 1
+            if 0xD800 <= cp <= 0xDFFF:
+                cp = 0xE000
+            chars[-1] = chr(cp)
+            return "".join(chars)
+        chars.pop()
+    return None
+
+
+def _stats_encode(v, bound: str | None = None):
     """JSON-safe encoding of a min/max value; ``None`` means UNKNOWN
     (never prunes).  Non-finite floats encode as unknown — JSON has no
     NaN/Infinity, and NaN's Spark ordering (greater than everything)
-    would make range logic lie anyway."""
+    would make range logic lie anyway.
+
+    Long strings are TRUNCATED to :data:`_STATS_STR_MAX` chars and
+    tagged inexact: a truncated min is itself a valid (smaller) lower
+    bound; a truncated max is bumped past every string sharing the
+    prefix (:func:`_bump_str`) — valid for code-point order, which
+    matches Spark's UTF-8 binary string order.  Pruning stays
+    conservative under the widened bounds; :func:`manifest_table_aggregate`
+    reports the column inexact rather than serving a bound no row
+    attains."""
     if v is None:
         return None
     if isinstance(v, bool) or isinstance(v, int):
@@ -209,7 +245,14 @@ def _stats_encode(v):
     if isinstance(v, float):
         return v if math.isfinite(v) else None
     if isinstance(v, str):
-        return v
+        if len(v) <= _STATS_STR_MAX:
+            return v
+        if bound == "min":
+            return {"$t": "str>", "v": v[:_STATS_STR_MAX]}
+        if bound == "max":
+            bumped = _bump_str(v[:_STATS_STR_MAX])
+            return None if bumped is None else {"$t": "str<", "v": bumped}
+        return None  # long string with no bound hint: unknown
     if isinstance(v, _dt.datetime):  # before date: datetime IS a date
         return {"$t": "ts", "v": v.isoformat()}
     if isinstance(v, _dt.date):
@@ -228,8 +271,16 @@ def _stats_decode(v):
             return _dt.date.fromisoformat(s)
         if tag == "dec":
             return _decimal.Decimal(s)
+        if tag in ("str>", "str<"):
+            return s  # widened-but-valid bound (see _stats_encode)
         return None
     return v
+
+
+def _stats_is_exact(v) -> bool:
+    """False for truncated string bounds — valid for pruning, but not a
+    value any row attains (aggregate honesty)."""
+    return not (isinstance(v, dict) and v.get("$t") in ("str>", "str<"))
 
 
 def collect_gen_stats(df: DataFrame, cols: Sequence[str]) -> dict:
@@ -267,8 +318,8 @@ def collect_gen_stats(df: DataFrame, cols: Sequence[str]) -> dict:
     out_cols = {}
     for i, c in enumerate(present):
         out_cols[c] = {
-            "min": _stats_encode(row[f"__min{i}"]),
-            "max": _stats_encode(row[f"__max{i}"]),
+            "min": _stats_encode(row[f"__min{i}"], bound="min"),
+            "max": _stats_encode(row[f"__max{i}"], bound="max"),
             "nulls": int(row[f"__null{i}"] or 0),
         }
     for c in cols:
@@ -820,8 +871,6 @@ def manifest_table_append(
     # — the losing attempt's generation dir is an orphan vacuum
     # reclaims).  Both racing commits land; none is silently dropped.
     last_conflict: ManifestConflictError | None = None
-    stats_cache: dict[tuple, dict] = {}  # cols -> collected batch stats
-    bloom_cache: dict[tuple, dict] = {}  # (cols, params) -> built bits
     for _ in range(MAX_REBASES):
         live = manifest_read(spark, root)
         if live is not None and live.get("table") != "batch-table":
@@ -850,13 +899,37 @@ def manifest_table_append(
             if stats_cols is not None
             else list((live or {}).get("stats_cols") or [])
         )
-        if eff_cols and tuple(eff_cols) not in stats_cache:
-            stats_cache[tuple(eff_cols)] = collect_gen_stats(df, eff_cols)
         # sticky bloom setting; geometry fixed per table at first enable
         eff_bloom = (
             list(bloom_cols)
             if bloom_cols is not None
             else list((live or {}).get("bloom_cols") or [])
+        )
+        if eff_bloom:
+            _check_bloom_cols(df.schema, eff_bloom)  # refuse before write
+        seq = (live["seq"] + 1) if live else 1
+        # ATTEMPT-UNIQUE generation path (fresh_gen docstring): the
+        # conditional PUT protects the manifest, not the data dirs — a
+        # seq-derived path would let a losing writer's late data write
+        # overwrite the winner's committed generation in place.  A
+        # crashed/losing attempt's dir is an orphan vacuum reclaims.
+        gen = fresh_gen(seq)
+        df.write.mode("overwrite").parquet(_gen_dir(root, gen))
+        # stats/blooms are computed from the WRITTEN generation, never
+        # from the input plan (ADVICE r12): a non-deterministic column
+        # (rand/uuid/current_timestamp) or a source that re-reads
+        # differently is re-evaluated per ACTION, so input-derived
+        # bounds could fail to cover the rows actually written — and
+        # where= pruning would then silently drop live rows.  Reading
+        # the batch-sized dir back costs one footer-driven scan per
+        # append (what compaction/delete already pay) and makes the
+        # recorded ranges exact by construction; a rebase re-reads its
+        # own fresh dir, so the reuse-across-rebases shortcut is gone
+        # by design (the write itself re-executes the plan anyway).
+        wdf = (
+            spark.read.schema(df.schema).parquet(_gen_dir(root, gen))
+            if eff_cols or eff_bloom
+            else None
         )
         bloom_params = (live or {}).get("bloom_params")
         if eff_bloom and bloom_params is None:
@@ -870,42 +943,28 @@ def manifest_table_append(
             else:
                 from ..operators.bloom import optimal_bloom_params
 
-                n = df.count()
+                n = wdf.count()
                 if n:
                     m, k = optimal_bloom_params(n, 0.01)
                     m = min(m, _BLOOM_BITS_CAP)
                 else:
                     m, k = _BLOOM_BITS_DEFAULT, _BLOOM_HASHES_DEFAULT
             bloom_params = {"num_bits": int(m), "num_hashes": int(k)}
-        seq = (live["seq"] + 1) if live else 1
-        # ATTEMPT-UNIQUE generation path (fresh_gen docstring): the
-        # conditional PUT protects the manifest, not the data dirs — a
-        # seq-derived path would let a losing writer's late data write
-        # overwrite the winner's committed generation in place.  A
-        # crashed/losing attempt's dir is an orphan vacuum reclaims.
-        gen = fresh_gen(seq)
-        df.write.mode("overwrite").parquet(_gen_dir(root, gen))
         gens = (list(live["gens"]) if live else []) + [gen]
         batches = dict(live["batches"]) if live else {}
         batches[str(int(batch_id))] = gen
         stats = dict((live or {}).get("stats") or {})
         if eff_cols:
-            stats[str(gen)] = stats_cache[tuple(eff_cols)]
+            stats[str(gen)] = collect_gen_stats(wdf, eff_cols)
         blooms = dict((live or {}).get("blooms") or {})
         if eff_bloom:
-            # build once per (cols, params) — a rebase retries at a
-            # fresh generation path but the batch's bits are identical
-            bkey = (tuple(eff_bloom), json.dumps(bloom_params, sort_keys=True))
-            if bkey not in bloom_cache:
-                bloom_cache[bkey] = _build_gen_blooms(
-                    df, eff_bloom, bloom_params
-                )
             # sidecars ride inside the generation dir, BEFORE publish —
             # they share the generation's crash/orphan story
+            built = _build_gen_blooms(wdf, eff_bloom, bloom_params)
             _write_gen_bloom_sidecars(
-                spark, root, gen, bloom_cache[bkey], bloom_params
+                spark, root, gen, built, bloom_params
             )
-            blooms[str(gen)] = sorted(bloom_cache[bkey])
+            blooms[str(gen)] = sorted(built)
         try:
             return _publish(
                 spark, root, gens, batches, seq, schema=merged,
@@ -1108,6 +1167,14 @@ def manifest_table_aggregate(
             if lo is None or hi is None:
                 a["ok"] = False  # unknown bound (NaN/unencodable)
                 continue
+            if not (
+                _stats_is_exact(ent.get("min"))
+                and _stats_is_exact(ent.get("max"))
+            ):
+                # truncated string bound: sound for pruning, but not a
+                # value any row attains — an aggregate must not serve it
+                a["ok"] = False
+                continue
             a["min"] = lo if a["min"] is None else min(a["min"], lo)
             a["max"] = hi if a["max"] is None else max(a["max"], hi)
     for c in cols:
@@ -1186,11 +1253,20 @@ def backfill_manifest_skipping(
 
     n_stats = 0
     for g in gens:
-        if eff_stats and (
-            str(g) not in stats
-            or set(stats[str(g)].get("cols") or {}) < set(eff_stats)
-        ):
-            stats[str(g)] = collect_gen_stats(_gen_df(g), eff_stats)
+        # COVERAGE test, not proper-subset (ADVICE r12): existing stats
+        # for ['d'] must not satisfy a backfill of ['x'] — disjoint or
+        # partially-overlapping column sets used to read as "nothing to
+        # do", recording stats_cols the generations don't actually
+        # carry (reads stayed correct but scanned those gens forever,
+        # and re-running was a permanent no-op).  Recompute whenever
+        # any requested column is missing, merging into what exists so
+        # already-covered columns keep their entries.
+        have = set((stats.get(str(g)) or {}).get("cols") or {})
+        if eff_stats and not set(eff_stats) <= have:
+            fresh = collect_gen_stats(_gen_df(g), eff_stats)
+            old_cols = dict((stats.get(str(g)) or {}).get("cols") or {})
+            old_cols.update(fresh["cols"])
+            stats[str(g)] = {"rows": fresh["rows"], "cols": old_cols}
             n_stats += 1
     bloom_params = live.get("bloom_params")
     if eff_bloom and bloom_params is None:
@@ -1211,12 +1287,16 @@ def backfill_manifest_skipping(
         bloom_params = {"num_bits": int(m), "num_hashes": int(k)}
     n_blooms = 0
     for g in gens:
-        if eff_bloom and set(blooms.get(str(g)) or []) < set(eff_bloom):
+        # same coverage-not-subset rule as the stats pass above; only
+        # the MISSING columns get sidecars built (existing sidecars are
+        # immutable once the manifest names them — never rewritten)
+        missing = [c for c in eff_bloom if c not in set(blooms.get(str(g)) or [])]
+        if missing:
             gdf = _gen_df(g)
-            _write_gen_blooms(gdf, root, g, eff_bloom, bloom_params)
+            _write_gen_blooms(gdf, root, g, missing, bloom_params)
             blooms[str(g)] = sorted(
                 set(blooms.get(str(g)) or [])
-                | {c for c in eff_bloom if c in gdf.columns}
+                | {c for c in missing if c in gdf.columns}
             )
             n_blooms += 1
     if n_stats == 0 and n_blooms == 0 and (
