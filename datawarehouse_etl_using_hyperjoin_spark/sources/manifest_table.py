@@ -573,113 +573,121 @@ def _load_bloom_sidecar(
     return _BLOOM_CACHE[path]
 
 
-def _bloom_prune(
-    spark: SparkSession,
-    root: str,
-    manifest: dict,
-    gens: list[int],
-    preds: list[tuple],
-) -> list[int]:
-    """Drop generations whose Bloom sidecars PROVE an equality predicate
-    can't match.  Only ``=``/``in`` predicates on recorded ``bloom_cols``
-    participate; everything else (and any generation whose sidecar is
-    missing, torn, or differently-parameterized) is kept.  Pure driver
-    work: one sidecar GET per surviving (generation, column) plus bit
-    math — NO Spark job; a point lookup's plan costs O(generations)
-    KB-sized GETs."""
-    bloom_cols = set(manifest.get("bloom_cols") or [])
-    params = manifest.get("bloom_params") or {}
-    blooms = manifest.get("blooms") or {}
-    if not bloom_cols or not params:
-        return gens
-    eq_preds = []
-    for col, op, val in preds:
-        if col not in bloom_cols:
-            continue
-        if op in ("=", "=="):
-            eq_preds.append((col, [val]))
-        elif op == "in" and val:
-            eq_preds.append((col, list(val)))
-    if not eq_preds:
-        return gens
-    out = []
-    for g in gens:
-        have = set(blooms.get(str(int(g))) or [])
-        keep = True
-        for col, vals in eq_preds:
-            if col not in have:
-                continue
-            got = _read_gen_bloom(spark, root, int(g), col, params)
-            if got is None:
-                continue  # torn/missing/mismatched sidecar: scan
-            bits, m, k = got
-            try:
-                if not any(
-                    _bloom_might_contain(bits, m, k, v) for v in vals
-                ):
-                    # one impossible conjunct kills the generation
-                    keep = False
-                    break
-            except ValueError:
-                continue  # unsupported literal type: scan
-        if keep:
-            out.append(g)
-    return out
-
-
-def _normalize_where(where) -> list[tuple]:
-    """Validate/normalize predicates: a list of ``(col, op)`` (null
-    tests) or ``(col, op, value)`` tuples, AND-combined.  ``in`` takes a
-    collection, ``between`` an inclusive ``(lo, hi)`` pair.  ``None``
-    comparison values are refused — that's SQL three-valued logic
-    territory; say ``(col, "is_null")``."""
-    preds = []
-    for p in where:
-        p = tuple(p)
-        if len(p) == 2:
-            col, op = p
-            val = None
-            if op not in ("is_null", "not_null"):
-                raise ValueError(
-                    f"predicate {p!r}: two-element form is only for "
-                    "'is_null'/'not_null'"
-                )
-        elif len(p) == 3:
-            col, op, val = p
-            if op in ("is_null", "not_null"):
-                raise ValueError(f"predicate {p!r}: null tests take no value")
-            if op == "between":
-                if not isinstance(val, (tuple, list)) or len(val) != 2:
-                    raise ValueError(
-                        f"predicate {p!r}: 'between' needs a (lo, hi) pair"
-                    )
-                if val[0] is None or val[1] is None:
-                    raise ValueError(
-                        f"predicate {p!r}: None bound — use a one-sided "
-                        "comparison instead"
-                    )
-            elif op == "in":
-                val = list(val)
-                if any(v is None for v in val):
-                    raise ValueError(
-                        f"predicate {p!r}: None in an 'in' list never "
-                        "matches in SQL — drop it (and add 'is_null' if "
-                        "null rows are wanted)"
-                    )
-            elif val is None:
-                raise ValueError(
-                    f"predicate {p!r}: comparison with None — use "
-                    "('col', 'is_null')"
-                )
-        else:
-            raise ValueError(f"predicate {p!r}: expected 2 or 3 elements")
-        if op not in _PRED_OPS:
+def _normalize_pred(p) -> tuple:
+    """Validate/normalize ONE predicate: ``(col, op)`` (null tests) or
+    ``(col, op, value)``.  ``in`` takes a collection, ``between`` an
+    inclusive ``(lo, hi)`` pair.  ``None`` comparison values are refused
+    — that's SQL three-valued logic territory; say ``(col, "is_null")``.
+    """
+    p = tuple(p)
+    if len(p) == 2:
+        col, op = p
+        val = None
+        if op not in ("is_null", "not_null"):
             raise ValueError(
-                f"predicate {p!r}: unknown op {op!r} (supported: "
-                f"{sorted(_PRED_OPS)})"
+                f"predicate {p!r}: two-element form is only for "
+                "'is_null'/'not_null'"
             )
-        preds.append((col, op, val))
-    return preds
+    elif len(p) == 3:
+        col, op, val = p
+        if op in ("is_null", "not_null"):
+            raise ValueError(f"predicate {p!r}: null tests take no value")
+        if op == "between":
+            if not isinstance(val, (tuple, list)) or len(val) != 2:
+                raise ValueError(
+                    f"predicate {p!r}: 'between' needs a (lo, hi) pair"
+                )
+            if val[0] is None or val[1] is None:
+                raise ValueError(
+                    f"predicate {p!r}: None bound — use a one-sided "
+                    "comparison instead"
+                )
+        elif op == "in":
+            val = list(val)
+            if any(v is None for v in val):
+                raise ValueError(
+                    f"predicate {p!r}: None in an 'in' list never "
+                    "matches in SQL — drop it (and add 'is_null' if "
+                    "null rows are wanted)"
+                )
+        elif val is None:
+            raise ValueError(
+                f"predicate {p!r}: comparison with None — use "
+                "('col', 'is_null')"
+            )
+    else:
+        raise ValueError(f"predicate {p!r}: expected 2 or 3 elements")
+    if op not in _PRED_OPS:
+        raise ValueError(
+            f"predicate {p!r}: unknown op {op!r} (supported: "
+            f"{sorted(_PRED_OPS)})"
+        )
+    return (col, op, val)
+
+
+def _is_or_marker(item) -> bool:
+    return (
+        isinstance(item, (tuple, list))
+        and len(item) == 2
+        and item[0] == "or"
+        and isinstance(item[1], (tuple, list))
+        and not isinstance(item[1], str)
+    )
+
+
+def _normalize_where(where) -> list[list[list[tuple]]]:
+    """Normalize a ``where`` into CLAUSES (AND-combined), each clause a
+    list of DISJUNCTS (OR-combined), each disjunct a list of predicates
+    (AND-combined) — i.e. a conjunction whose elements may themselves be
+    disjunctions of conjunctions, which covers the window-read shapes
+    a closed-form pruner can union over without DNF blow-up.
+
+    Forms accepted per element of ``where``:
+
+    * a predicate tuple ``(col, op[, value])`` — one-disjunct clause;
+    * ``("or", [alt1, alt2, ...])`` (r13) — a disjunction; each ``alt``
+      is either a single predicate tuple or a LIST of predicate tuples
+      (an AND-ed conjunction).  Example — two date ranges::
+
+          where=[("or", [
+              [("d", "between", (d1, d2))],
+              [("d", "between", (d3, d4))],
+          ])]
+
+    ``"or"`` is a reserved marker: a column literally named ``or``
+    can't use the 2-element null-test form (alias it first)."""
+    clauses = []
+    for item in where:
+        if _is_or_marker(item):
+            disjuncts = []
+            for alt in item[1]:
+                alt_t = tuple(alt)
+                if alt_t and isinstance(alt_t[0], str):
+                    disjuncts.append([_normalize_pred(alt_t)])
+                else:
+                    conj = [_normalize_pred(p) for p in alt_t]
+                    if not conj:
+                        raise ValueError(
+                            "empty conjunction inside ('or', ...) — an "
+                            "empty AND is vacuously true, which would "
+                            "make the whole disjunction a no-op filter"
+                        )
+                    disjuncts.append(conj)
+            if not disjuncts:
+                raise ValueError(
+                    "('or', []) has no disjuncts — an empty OR matches "
+                    "nothing; drop the clause or say what you mean"
+                )
+            clauses.append(disjuncts)
+        else:
+            clauses.append([[_normalize_pred(item)]])
+    return clauses
+
+
+def _where_preds(clauses) -> list[tuple]:
+    """Every predicate tuple appearing anywhere in the clauses (for
+    column-existence checks)."""
+    return [p for clause in clauses for disj in clause for p in disj]
 
 
 def _gen_matches(gstats: dict | None, col: str, op: str, val) -> bool:
@@ -753,20 +761,111 @@ def _pred_column(col: str, op: str, val):
     raise AssertionError(op)
 
 
-def _pruned_gens(
-    spark: SparkSession, root: str, m: dict, preds: list[tuple]
-) -> list[int]:
-    """Generations a predicated read must scan: min/max stats pruning
-    first (manifest-only, zero IO), then Bloom-sidecar pruning of the
-    survivors for equality predicates (sidecar GETs + one tiny probe
-    job, generation-count sized)."""
+def _where_expr(clauses):
+    """The normalized ``where`` as ONE Column filter — applied to every
+    read so results are EXACT whether or not any generation was pruned."""
+    out = None
+    for clause in clauses:
+        c_expr = None
+        for disj in clause:
+            d_expr = None
+            for col, op, val in disj:
+                p = _pred_column(col, op, val)
+                d_expr = p if d_expr is None else d_expr & p
+            c_expr = d_expr if c_expr is None else c_expr | d_expr
+        out = c_expr if out is None else out & c_expr
+    return out
+
+
+def _disjunct_bloom_ok(
+    spark, root, m: dict, g: int, preds: list[tuple]
+) -> bool:
+    """May generation ``g`` satisfy this conjunction, as far as its
+    Bloom sidecars can tell?  Only ``=``/``in`` predicates on recorded
+    ``bloom_cols`` participate; anything uncertain (missing/torn/
+    differently-parameterized sidecar, unsupported literal) keeps the
+    generation.  Pure driver work: KB-sized sidecar GETs (LRU-cached)
+    plus bit math — no Spark job."""
+    bloom_cols = set(m.get("bloom_cols") or [])
+    params = m.get("bloom_params") or {}
+    if not bloom_cols or not params:
+        return True
+    have = set((m.get("blooms") or {}).get(str(int(g))) or [])
+    for col, op, val in preds:
+        if col not in bloom_cols or col not in have:
+            continue
+        if op in ("=", "=="):
+            vals = [val]
+        elif op == "in" and val:
+            vals = list(val)
+        else:
+            continue
+        got = _read_gen_bloom(spark, root, int(g), col, params)
+        if got is None:
+            continue  # torn/missing/mismatched sidecar: scan
+        bits, mm, k = got
+        try:
+            if not any(_bloom_might_contain(bits, mm, k, v) for v in vals):
+                return False  # one impossible conjunct kills the disjunct
+        except ValueError:
+            continue  # unsupported literal type: scan
+    return True
+
+
+def _plan_gens(
+    spark: SparkSession, root: str, m: dict, clauses
+) -> dict:
+    """THE prune decision — the single code path both
+    :func:`plan_manifest_read` (inspection) and
+    :func:`read_manifest_table` (execution) consume, so the inspectable
+    plan can never drift from the executed one (r12 review nit).
+
+    Per generation and per clause: a clause survives when ANY of its
+    disjuncts survives, a disjunct survives when min/max stats can't
+    refute any of its predicates (manifest-only, zero IO) AND the Bloom
+    sidecars can't refute its equality predicates (KB-sized GETs, no
+    Spark job).  OR-pruning is the union of the per-disjunct survivor
+    sets, computed without materializing them.  Attribution reports the
+    WEAKEST level that proved each skip: ``by_stats`` when stats alone
+    refute every clause, else ``by_bloom``."""
     stats = m.get("stats") or {}
-    gens = [
-        int(g)
-        for g in m["gens"]
-        if all(_gen_matches(stats.get(str(int(g))), *p) for p in preds)
-    ]
-    return _bloom_prune(spark, root, m, gens, preds)
+    scan: list[int] = []
+    by_stats = 0
+    by_bloom = 0
+    for g0 in m["gens"]:
+        g = int(g0)
+        gstats = stats.get(str(g))
+        stats_alive = all(
+            any(
+                all(_gen_matches(gstats, *p) for p in disj)
+                for disj in clause
+            )
+            for clause in clauses
+        )
+        if not stats_alive:
+            by_stats += 1
+            continue
+        full_alive = all(
+            any(
+                all(_gen_matches(gstats, *p) for p in disj)
+                and _disjunct_bloom_ok(spark, root, m, g, disj)
+                for disj in clause
+            )
+            for clause in clauses
+        )
+        if full_alive:
+            scan.append(g)
+        else:
+            by_bloom += 1
+    return {"scan": scan, "by_stats": by_stats, "by_bloom": by_bloom}
+
+
+def _pruned_gens(
+    spark: SparkSession, root: str, m: dict, clauses
+) -> list[int]:
+    """Generations a predicated read must scan — :func:`_plan_gens`'s
+    decision, survivors only."""
+    return _plan_gens(spark, root, m, clauses)["scan"]
 
 
 def plan_manifest_read(
@@ -777,37 +876,29 @@ def plan_manifest_read(
     as_of: int | None = None,
 ) -> dict:
     """The prune decision, inspectable: which generations a
-    ``read_manifest_table(where=...)`` would scan vs skip.  Min/max
-    stats pruning is manifest-only (no data IO); when the table carries
-    Bloom sidecars and ``where`` has equality predicates on bloom
-    columns, the surviving generations' sidecars are probed too.
+    ``read_manifest_table(where=...)`` would scan vs skip — computed by
+    the SAME helper the read consumes (:func:`_plan_gens`), so this
+    output is the executed plan, not a parallel reimplementation.
+    Min/max stats pruning is manifest-only (no data IO); when the table
+    carries Bloom sidecars and ``where`` has equality predicates on
+    bloom columns, the surviving generations' sidecars are probed too.
     Returns ``{"seq", "gens_scan", "gens_skipped", "total", "scanned",
-    "skipped"}``."""
+    "skipped", "skipped_by_stats", "skipped_by_bloom"}``."""
     m = _live(spark, root, at=as_of)
-    preds = _normalize_where(where)
-    stats = m.get("stats") or {}
-    after_stats = [
-        int(g)
-        for g in m["gens"]
-        if all(_gen_matches(stats.get(str(int(g))), *p) for p in preds)
-    ]
-    scan = _bloom_prune(spark, root, m, after_stats, preds)
-    scan_set = set(scan)
-    after_stats_set = set(after_stats)
+    plan = _plan_gens(spark, root, m, _normalize_where(where))
+    scan_set = set(plan["scan"])
     skipped = [int(g) for g in m["gens"] if int(g) not in scan_set]
     return {
         "seq": m["seq"],
-        "gens_scan": scan,
+        "gens_scan": plan["scan"],
         "gens_skipped": skipped,
         "total": len(m["gens"]),
-        "scanned": len(scan),
+        "scanned": len(plan["scan"]),
         "skipped": len(skipped),
         # attribution: which level PROVED each skip (stats run first,
         # blooms only probe the survivors)
-        "skipped_by_stats": len(m["gens"]) - len(after_stats),
-        "skipped_by_bloom": len(
-            [g for g in after_stats_set if g not in scan_set]
-        ),
+        "skipped_by_stats": plan["by_stats"],
+        "skipped_by_bloom": plan["by_bloom"],
     }
 
 
@@ -1014,9 +1105,15 @@ def read_manifest_table(
     on the result, so the answer is exactly
     ``read_manifest_table(...).filter(...)`` whatever was or wasn't
     prunable.  Generations without stats for a predicate column are
-    always scanned.  Inspect the decision with
-    :func:`plan_manifest_read`; parquet footer/row-group pruning still
-    applies inside the generations that survive."""
+    always scanned.  A clause may be a DISJUNCTION (r13):
+    ``("or", [alt1, alt2, ...])`` with each alt a predicate tuple or a
+    list of them — pruning is the union of the per-disjunct survivor
+    sets, so a two-date-range window read prunes both ranges'
+    generations instead of falling back to an unpredicated scan (see
+    :func:`_normalize_where`).  Inspect the decision with
+    :func:`plan_manifest_read` (the same helper this read consumes);
+    parquet footer/row-group pruning still applies inside the
+    generations that survive."""
     m = _live(spark, root, at=as_of)
     if not m["gens"]:
         raise ValueError(f"table manifest at {root!r} lists no generations")
@@ -1035,22 +1132,24 @@ def read_manifest_table(
                 "vacuumed (time travel reaches only what "
                 "vacuum_manifest_table retained)"
             )
-    preds = _normalize_where(where) if where else []
-    if preds:
+    clauses = _normalize_where(where) if where else []
+    if clauses:
         recorded = (
             {f["name"] for f in m["schema"]["fields"]}
             if m.get("schema") is not None
             else None
         )
         if recorded is not None:
-            missing = {c for c, _op, _v in preds} - recorded
+            missing = {
+                c for c, _op, _v in _where_preds(clauses)
+            } - recorded
             if missing:
                 raise ValueError(
                     f"where references column(s) {sorted(missing)} not in "
                     f"the table schema at {root!r}"
                 )
         dirs = [
-            _gen_dir(root, g) for g in _pruned_gens(spark, root, m, preds)
+            _gen_dir(root, g) for g in _pruned_gens(spark, root, m, clauses)
         ]
     if m.get("schema") is not None:
         schema = StructType.fromJson(m["schema"])
@@ -1070,8 +1169,8 @@ def read_manifest_table(
         out = spark.read.option("basePath", _data_root(root)).parquet(
             *dirs
         ).drop("g")
-    for col, op, val in preds:
-        out = out.filter(_pred_column(col, op, val))
+    if clauses:
+        out = out.filter(_where_expr(clauses))
     return out
 
 
@@ -1352,19 +1451,16 @@ def manifest_table_delete(
     Returns ``{"rows_deleted", "gens_rewritten", "gens_untouched"}``.
     """
     live = _live(spark, root)
-    preds = _normalize_where(where)
-    if not preds:
+    clauses = _normalize_where(where)
+    if not clauses:
         raise ValueError(
             "manifest_table_delete needs at least one predicate — to "
             "drop the whole table, delete the root instead"
         )
     gens = sorted(int(g) for g in live["gens"])
-    candidates = set(_pruned_gens(spark, root, live, preds))
-    match = None
-    for col, op, val in preds:
-        c = _pred_column(col, op, val)
-        match = c if match is None else match & c
-    match = F.coalesce(match, F.lit(False))  # NULL never matches: kept
+    candidates = set(_pruned_gens(spark, root, live, clauses))
+    # NULL never matches: kept (SQL three-valued logic)
+    match = F.coalesce(_where_expr(clauses), F.lit(False))
     schema = (
         StructType.fromJson(live["schema"])
         if live.get("schema") is not None
