@@ -776,6 +776,7 @@ def make_star_sink(
     dim_buckets: int | None = None,
     fact_layout: str = "partition",
     fact_stats_cols: list[str] | None = None,
+    dim_layout: str = "partition",
 ):
     """The ``foreachBatch`` body of :func:`run_pipeline_streaming` as a
     standalone factory: per micro-batch, keyed SCD1 upsert of the product
@@ -812,6 +813,20 @@ def make_star_sink(
     ``read_manifest_table(where=...)`` can skip generations at read
     time (``sources.manifest_table`` generation pruning).  Sticky once
     set — restarts may omit it.
+
+    ``dim_layout`` (r13) picks the DIM's at-rest form the same way:
+    ``"partition"`` (default) is ``upsert_parquet_sink`` — static or
+    dynamic partition overwrite, a delete+write that is atomic only on
+    rename-capable filesystems; ``"manifest"`` commits each batch's
+    keyed upsert through :func:`..sources.manifest_table.manifest_table_merge`
+    — CoW delete of matched keys + ledgered append in ONE conditional
+    PUT, closing the last non-atomic commit in the object-store
+    posture (VERDICT r12 #1).  Read the dim back with
+    ``read_manifest_table`` (key/bloom stats on ``product_id`` are
+    tracked automatically so merges prune their rewrite set).
+    Exclusive with ``dim_buckets`` (bucketing is the partition
+    layout's write-amplification answer; the manifest layout's is
+    generation pruning + compaction).
     """
     from ..operators.upsert import upsert_parquet_sink
 
@@ -820,15 +835,34 @@ def make_star_sink(
             f"fact_layout must be 'partition' or 'manifest', got "
             f"{fact_layout!r}"
         )
+    if dim_layout not in ("partition", "manifest"):
+        raise ValueError(
+            f"dim_layout must be 'partition' or 'manifest', got "
+            f"{dim_layout!r}"
+        )
     if fact_stats_cols and fact_layout != "manifest":
         raise ValueError(
             "fact_stats_cols needs fact_layout='manifest' — generation "
             "stats live in the manifest commit log; the partition "
             "layout has no manifest to record them in"
         )
-    dim_sink = upsert_parquet_sink(
-        f"{out_dir}/dim_product", "product_id", buckets=dim_buckets
-    )
+    if dim_layout == "manifest":
+        if dim_buckets is not None:
+            raise ValueError(
+                "dim_buckets is the partition layout's write-"
+                "amplification control — with dim_layout='manifest' "
+                "the merge's generation pruning plays that role; drop "
+                "one of the two"
+            )
+        from ..sources.manifest_table import manifest_upsert_sink
+
+        dim_sink = manifest_upsert_sink(
+            f"{out_dir}/dim_product", "product_id"
+        )
+    else:
+        dim_sink = upsert_parquet_sink(
+            f"{out_dir}/dim_product", "product_id", buckets=dim_buckets
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -875,6 +909,7 @@ def run_pipeline_streaming(
     dim_buckets: int | None = None,
     fact_layout: str = "partition",
     fact_stats_cols: list[str] | None = None,
+    dim_layout: str = "partition",
     maintenance_every: int | None = None,
     maintenance_keep_last: int = 2,
 ) -> dict[str, int]:
@@ -917,6 +952,14 @@ def run_pipeline_streaming(
     downstream ``read_manifest_table(where=...)`` reads skip
     generations — see :func:`make_star_sink`.
 
+    ``dim_layout`` (opt-in, r13) — see :func:`make_star_sink`:
+    ``"manifest"`` commits the dim's keyed upsert as ONE conditional
+    PUT per batch (``manifest_table_merge`` — CoW delete of matched
+    keys + ledgered append), making EVERY commit in the pipeline
+    atomic on an object store; read the dim back with
+    ``read_manifest_table``.  The returned counts and
+    ``maintenance_every`` adapt automatically.
+
     ``maintenance_every`` (opt-in, r11) closes the operational loop the
     per-artifact compaction passes left open (each existed but had to
     be remembered separately): every N-th committed micro-batch runs
@@ -932,7 +975,7 @@ def run_pipeline_streaming(
     enriched = stream_static_hyperjoin(txn_stream, master)
     sink = make_star_sink(
         out_dir, dim_buckets=dim_buckets, fact_layout=fact_layout,
-        fact_stats_cols=fact_stats_cols,
+        fact_stats_cols=fact_stats_cols, dim_layout=dim_layout,
     )
     if quarantine_lateness is not None:
         sink = make_quarantine_sink(
@@ -947,9 +990,18 @@ def run_pipeline_streaming(
     if maintenance_every is not None:
         from ..maintenance import make_maintenance_sink
 
+        layout_kinds: dict[str, list[str]] = {}
         fact_kind = (
             "manifest_tables" if fact_layout == "manifest" else "fact_dirs"
         )
+        layout_kinds[fact_kind] = [f"{out_dir}/fact_enriched"]
+        if dim_layout == "manifest":
+            # the manifest dim ages one generation per batch — the same
+            # compaction pass bounds it (sound: merge keeps the table
+            # key-unique at rest, so merging dirs changes no answer)
+            layout_kinds.setdefault("manifest_tables", []).append(
+                f"{out_dir}/dim_product"
+            )
         sink = make_maintenance_sink(
             sink,
             maintenance_every,
@@ -957,7 +1009,7 @@ def run_pipeline_streaming(
             quarantine_dirs=(
                 [out_dir] if quarantine_lateness is not None else []
             ),
-            **{fact_kind: [f"{out_dir}/fact_enriched"]},
+            **layout_kinds,
         )
     writer = enriched.writeStream.outputMode("append").foreachBatch(sink)
     if checkpoint_dir:
@@ -973,8 +1025,16 @@ def run_pipeline_streaming(
         ).count()
     else:
         fact_count = spark.read.parquet(f"{out_dir}/fact_enriched").count()
+    if dim_layout == "manifest":
+        from ..sources.manifest_table import read_manifest_table
+
+        dim_count = read_manifest_table(
+            spark, f"{out_dir}/dim_product"
+        ).count()
+    else:
+        dim_count = spark.read.parquet(f"{out_dir}/dim_product").count()
     counts = {
-        "dim_product": spark.read.parquet(f"{out_dir}/dim_product").count(),
+        "dim_product": dim_count,
         "fact_enriched": fact_count,
     }
     if quarantine_lateness is not None:

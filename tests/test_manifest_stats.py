@@ -739,6 +739,13 @@ _skip_ops = st.lists(
             st.integers(min_value=0, max_value=4),   # batch id
             st.integers(min_value=0, max_value=5),   # row index
         ),
+        # keyed MERGE (r13): upsert a batch — CoW delete of matched
+        # keys + ledgered append in one publish
+        st.tuples(
+            st.just("merge"),
+            st.integers(min_value=0, max_value=4),   # batch id
+            st.integers(min_value=1, max_value=5),   # rows in the batch
+        ),
     ),
     min_size=1,
     max_size=6,
@@ -826,6 +833,27 @@ def test_skipping_model_under_random_ops_and_crashes(
             assert st_["rows_deleted"] == want
             for bid in list(committed):
                 committed[bid] = [r for r in committed[bid] if r[0] != key]
+        elif op == "merge":
+            if first:
+                continue  # table must exist with tracking enabled
+            # keys target batch (a+1)%5's id range so merges actually
+            # COLLIDE with committed rows when that batch exists
+            rows = [
+                (((a + 1) % 5) * 100 + i, _day(i % 17), 10.0 + i % 3)
+                for i in range(b)
+            ]
+            res = m.manifest_table_merge(
+                df_of(rows), root, "doc_id", a
+            )
+            if a in committed:
+                assert res is None  # ledger replay: no-op
+            else:
+                keys = {r[0] for r in rows}
+                for bid in list(committed):
+                    committed[bid] = [
+                        r for r in committed[bid] if r[0] not in keys
+                    ]
+                committed[a] = rows
 
     if not committed:
         return
