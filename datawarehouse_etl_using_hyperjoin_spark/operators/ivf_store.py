@@ -148,8 +148,14 @@ def _prepare(assigned: DataFrame, gen: int, sort_by: str | None) -> DataFrame:
         F.col("cell_id") if "cell_id" in assigned.columns
         else F.col("centroid_id")
     )
-    out = assigned.withColumn("cell_id", src.cast("long")).withColumn(
-        "g", F.lit(int(gen))
+    out = (
+        assigned.withColumn("cell_id", src.cast("long"))
+        # pin the PARTITION column long too: a float-typed assignment
+        # (e.g. ids that ride into the quantizer as doubles) would name
+        # dirs "centroid_id=0.0" while the manifest records int cells —
+        # readers would then miss every dir
+        .withColumn("centroid_id", F.col("centroid_id").cast("long"))
+        .withColumn("g", F.lit(int(gen)))
     )
     if sort_by is not None:
         out = out.sortWithinPartitions("centroid_id", sort_by)
@@ -199,20 +205,294 @@ def _publish(
     centroids_gen: int,
     seq: int,
     batches: dict | None = None,
+    bloom_cols: list | None = None,
+    bloom_params: dict | None = None,
+    blooms: dict | None = None,
 ) -> int:
-    return manifest_publish(
-        spark, root,
-        {
-            "table": "ivf-index",
-            "cells": {str(c): sorted(g) for c, g in cells.items()},
-            "centroids_gen": int(centroids_gen),
-            # the exactly-once ledger: {str(batch_id): committing seq} —
-            # carried through every publish so maintenance never forgets
-            # which ingest batches are in the index
-            "batches": {str(b): int(g) for b, g in (batches or {}).items()},
-        },
-        seq=seq,
+    payload = {
+        "table": "ivf-index",
+        "cells": {str(c): sorted(g) for c, g in cells.items()},
+        "centroids_gen": int(centroids_gen),
+        # the exactly-once ledger: {str(batch_id): committing seq} —
+        # carried through every publish so maintenance never forgets
+        # which ingest batches are in the index
+        "batches": {str(b): int(g) for b, g in (batches or {}).items()},
+    }
+    if bloom_cols:
+        live_gens = {int(g) for gs in cells.values() for g in gs}
+        payload["bloom_cols"] = list(bloom_cols)
+        payload["bloom_params"] = dict(bloom_params or {})
+        # blooms only for LIVE generations — superseded gens drop out
+        payload["blooms"] = {
+            g: c for g, c in (blooms or {}).items() if int(g) in live_gens
+        }
+    return manifest_publish(spark, root, payload, seq=seq)
+
+
+# ---------------------------------------------------------------------------
+# Per-(cell, generation) Bloom sidecars: point-fetch skipping (r13,
+# VERDICT r12 #4).
+#
+# "Fetch vector(s) by id" used to scan cells — every (cell, generation)
+# dir, since the cell of an id is unknown at fetch time.  Each (cell,
+# generation) dir now carries a Bloom sidecar over the id column (same
+# JSON format, md5 double hashing, and torn-degrades-to-scan contract
+# as sources.manifest_table's generation sidecars — _load_bloom_sidecar
+# and _bloom_might_contain are reused directly), so a point fetch plans
+# with PURE DRIVER bit math: GET the KB-scale sidecars (LRU-cached),
+# test bits, read only the dirs that might hold the ids.  Granularity
+# is (cell, gen) rather than gen because a compacted index concentrates
+# its rows in ONE generation spanning every cell — a per-generation
+# filter could never prune inside it, while per-cell filters keep the
+# fetch at O(true holder dirs).  Geometry is fixed per index at enable
+# time; sidecars ride inside the immutable dirs (unpublished = orphan,
+# vacuumed with them).  All builds are ONE grouped Spark job per
+# written generation (never per cell).
+
+
+def _bloom_sidecar_path(root: str, c: int, g: int, col: str) -> str:
+    return f"{_data_root(root)}/centroid_id={int(c)}/g={int(g)}/_bloom_{col}.json"
+
+
+def _build_cell_blooms(
+    df: DataFrame, id_col: str, params: dict
+) -> dict[int, str]:
+    """``{cell_id: bits_b64}`` for every cell in ``df`` — ONE job: the
+    position-explode + 64-ary ``bit_or`` shape of the batch table's
+    build, grouped by cell.  The collect is bounded by
+    ``min(rows × k, cells × num_bits/64)`` rows — batch-bounded on the
+    ingest path, geometry-bounded on rewrites."""
+    from ..operators.bloom import _mask
+    from ..sources.manifest_table import _bloom_positions_expr, _pack_bits_b64
+
+    m, k = int(params["num_bits"]), int(params["num_hashes"])
+    rows = (
+        df.where(F.col(id_col).isNotNull())
+        .select(
+            F.col("centroid_id").cast("long").alias("__c"),
+            F.explode(_bloom_positions_expr(id_col, m, k)).alias("pos"),
+        )
+        .select(
+            "__c",
+            (F.col("pos") / 64).cast("long").alias("bucket"),
+            _mask(F.col("pos") % 64).alias("mask"),
+        )
+        .groupBy("__c", "bucket")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
     )
+    dense: dict[int, list[int]] = {}
+    for r in rows:
+        dense.setdefault(int(r["__c"]), [0] * (m // 64))[r["bucket"]] = r[
+            "bits"
+        ]
+    return {c: _pack_bits_b64(bits) for c, bits in dense.items()}
+
+
+def _write_cell_bloom_sidecars(
+    spark: SparkSession, root: str, gen: int, built: dict[int, str],
+    id_col: str, params: dict,
+) -> None:
+    import json as _json
+
+    from ..sources.manifest_table import _BLOOM_FORMAT
+    from ..manifest import _write_text
+
+    for c, b64 in built.items():
+        _write_text(
+            spark,
+            _bloom_sidecar_path(root, c, gen, id_col),
+            _json.dumps(
+                {
+                    "format": _BLOOM_FORMAT,
+                    "col": id_col,
+                    "num_bits": int(params["num_bits"]),
+                    "num_hashes": int(params["num_hashes"]),
+                    "bits_b64": b64,
+                }
+            ),
+        )
+
+
+def _bloom_gen_df(spark: SparkSession, root: str, gen: int, cells_of_gen):
+    """The written rows of one generation across its cells, with the
+    ``centroid_id`` partition column — the build input."""
+    data = _data_root(root)
+    return spark.read.option("basePath", data).parquet(
+        *[f"{data}/centroid_id={c}/g={int(gen)}" for c in sorted(cells_of_gen)]
+    )
+
+
+def _build_blooms_for_gen(
+    spark: SparkSession, root: str, gen: int, cells_of_gen, id_col: str,
+    params: dict,
+) -> None:
+    """Build+write sidecars for one WRITTEN generation (determinism:
+    bits always derive from what is on disk, as everywhere since r13)."""
+    built = _build_cell_blooms(
+        _bloom_gen_df(spark, root, gen, cells_of_gen), id_col, params
+    )
+    _write_cell_bloom_sidecars(spark, root, gen, built, id_col, params)
+
+
+def ivf_enable_id_blooms(
+    spark: SparkSession,
+    root: str,
+    *,
+    id_col: str = "vec_id",
+    bloom_bits: int | None = None,
+) -> dict[str, int]:
+    """Enable (or complete) id-Bloom point-fetch skipping on an EXISTING
+    manifest index without rewriting a row: build sidecars for every
+    live generation that lacks them and publish ONE manifest recording
+    the setting — the IVF analogue of
+    ``sources.manifest_table.backfill_manifest_skipping``.  Sticky:
+    once recorded, every append/compaction/split maintains sidecars for
+    what it writes.  Geometry defaults to ~1% FPP at the current MEAN
+    rows per (cell, generation) (capped) — compacted generations
+    concentrate more rows per cell and degrade to higher FPP (more
+    scanned dirs, never a missed row)."""
+    from ..sources.manifest_table import (
+        _BLOOM_BITS_CAP,
+        _BLOOM_BITS_DEFAULT,
+        _BLOOM_HASHES_DEFAULT,
+    )
+
+    from ..sources.manifest_table import _check_bloom_cols
+
+    live = _live(spark, root)
+    cells = _cells_of(live)
+    # refuse id types whose Spark CAST-to-string form diverges from the
+    # driver-side canonical form the probe hashes (same contract as the
+    # batch table's bloom_cols)
+    _check_bloom_cols(read_ivf_index_manifest(spark, root).schema, [id_col])
+    gen_cells: dict[int, set[int]] = {}
+    for c, gs in cells.items():
+        for g in gs:
+            gen_cells.setdefault(int(g), set()).add(int(c))
+    params = live.get("bloom_params")
+    if params is None:
+        if bloom_bits is not None:
+            m = ((int(bloom_bits) + 63) // 64) * 64
+            k = _BLOOM_HASHES_DEFAULT
+        else:
+            from ..operators.bloom import optimal_bloom_params
+
+            n_dirs = sum(len(gs) for gs in cells.values())
+            total = read_ivf_index_manifest(spark, root).count()
+            per_dir = max(1, total // max(n_dirs, 1))
+            m, k = optimal_bloom_params(per_dir, 0.01)
+            m = max(min(m, _BLOOM_BITS_CAP), _BLOOM_BITS_DEFAULT // 16)
+        params = {"num_bits": int(m), "num_hashes": int(k)}
+    blooms = dict(live.get("blooms") or {})
+    built = 0
+    for g, cs in sorted(gen_cells.items()):
+        if id_col in (blooms.get(str(g)) or []):
+            continue
+        _build_blooms_for_gen(spark, root, g, cs, id_col, params)
+        blooms[str(g)] = sorted(set(blooms.get(str(g)) or []) | {id_col})
+        built += 1
+    if built == 0 and live.get("bloom_cols") == [id_col]:
+        return {"gens_built": 0, "published_seq": 0}
+    seq = _publish(
+        spark, root, cells, centroids_gen=live["centroids_gen"],
+        seq=live["seq"] + 1, batches=live.get("batches", {}),
+        bloom_cols=[id_col], bloom_params=params, blooms=blooms,
+    )
+    return {"gens_built": built, "published_seq": seq}
+
+
+def plan_ivf_fetch(
+    spark: SparkSession,
+    root: str,
+    ids,
+    *,
+    id_col: str = "vec_id",
+    as_of: int | None = None,
+) -> dict:
+    """The point-fetch prune decision, inspectable (and the single code
+    path :func:`ivf_fetch_by_id` executes): which (cell, generation)
+    dirs a fetch of ``ids`` must scan vs skip.  Pure driver work —
+    KB-scale sidecar GETs (LRU-cached) + bit math, NO Spark job.  Dirs
+    of generations without sidecars (pre-enable, or a torn sidecar) are
+    scanned — skipping is never the reason a row goes missing."""
+    from ..sources.manifest_table import (
+        _bloom_might_contain,
+        _load_bloom_sidecar,
+    )
+
+    m = _live(spark, root, at=as_of)
+    blooms = m.get("blooms") or {}
+    params = m.get("bloom_params") or {}
+    ids = list(ids)
+    data = _data_root(root)
+    scan, skipped = [], 0
+    for c, gs in sorted(_cells_of(m).items()):
+        for g in gs:
+            path = f"{data}/centroid_id={c}/g={g}"
+            if id_col not in (blooms.get(str(g)) or []) or not params:
+                scan.append(path)
+                continue
+            got = _load_bloom_sidecar(
+                spark, _bloom_sidecar_path(root, c, g, id_col)
+            )
+            if (
+                got is None
+                or got[1] != int(params["num_bits"])
+                or got[2] != int(params["num_hashes"])
+            ):
+                scan.append(path)  # torn/missing/mismatched: scan
+                continue
+            bits, mm, k = got
+            try:
+                if any(_bloom_might_contain(bits, mm, k, v) for v in ids):
+                    scan.append(path)
+                else:
+                    skipped += 1
+            except ValueError:
+                scan.append(path)  # unsupported id literal: scan
+    return {
+        "seq": m["seq"],
+        "dirs_scan": scan,
+        "total": skipped + len(scan),
+        "scanned": len(scan),
+        "skipped": skipped,
+    }
+
+
+def ivf_fetch_by_id(
+    spark: SparkSession,
+    root: str,
+    ids,
+    *,
+    id_col: str = "vec_id",
+    as_of: int | None = None,
+) -> DataFrame:
+    """Point fetch: the rows whose ``id_col`` is in ``ids`` — planned by
+    :func:`plan_ivf_fetch` (driver-only Bloom pruning over the (cell,
+    generation) dirs), then ONE pruned read + an exact ``isin`` filter,
+    so the answer equals an unpruned scan-and-filter whatever was or
+    wasn't skippable.  With sidecars enabled (:func:`ivf_enable_id_blooms`)
+    a fetch touches O(true holder dirs); without, it degrades to the
+    full listing.  Parquet footer/row-group stats still prune inside
+    the surviving dirs — ``_prepare`` writes (cell, id)-sorted files
+    precisely so this second level stays selective."""
+    ids = list(ids)
+    if not ids:
+        raise ValueError("ivf_fetch_by_id needs at least one id")
+    plan = plan_ivf_fetch(spark, root, ids, id_col=id_col, as_of=as_of)
+    if not plan["dirs_scan"]:
+        # every dir bloom-proven impossible: statically empty, schema
+        # from the (never-empty) live index
+        return read_ivf_index_manifest(spark, root, as_of=as_of).where(
+            F.lit(False)
+        )
+    out = (
+        spark.read.option("basePath", _data_root(root))
+        .parquet(*plan["dirs_scan"])
+        .drop("g")
+    )
+    return out.where(F.col(id_col).isin(ids))
 
 
 def write_ivf_index_manifest(
@@ -263,12 +543,22 @@ def write_ivf_index_manifest(
     )  # C rows — design parameter, never data volume
     if not cell_ids:
         raise ValueError("refusing to publish an empty IVF index")
+    # the id-bloom setting survives a full rebuild too (r13, sticky)
+    blooms: dict = {}
+    bloom_cols = list((live or {}).get("bloom_cols") or [])
+    bloom_params = (live or {}).get("bloom_params")
+    if bloom_cols and bloom_params:
+        _build_blooms_for_gen(
+            spark, root, gen, cell_ids, bloom_cols[0], bloom_params
+        )
+        blooms[str(gen)] = bloom_cols
     return _publish(
         spark, root, {c: [gen] for c in cell_ids}, centroids_gen=gen, seq=seq,
         # the batch ledger survives a full REBUILD: a late re-delivery of
         # a pre-rebuild batch must still read as already-committed rather
         # than appending stale rows to the new index
         batches=live.get("batches", {}) if live else {},
+        bloom_cols=bloom_cols, bloom_params=bloom_params, blooms=blooms,
     )
 
 
@@ -381,10 +671,23 @@ def ivf_append_manifest(
             cells.setdefault(c, []).append(gen)
         if batch_id is not None:
             ledger[str(int(batch_id))] = gen
+        # sticky id-bloom setting (r13): sidecars for the WRITTEN
+        # generation's cells, one grouped job; point fetches then prune
+        # this batch's dirs by driver bit math
+        blooms = dict(live.get("blooms") or {})
+        bloom_cols = list(live.get("bloom_cols") or [])
+        bloom_params = live.get("bloom_params")
+        if bloom_cols and bloom_params and touched:
+            _build_blooms_for_gen(
+                spark, root, gen, touched, bloom_cols[0], bloom_params
+            )
+            blooms[str(gen)] = bloom_cols
         try:
             return _publish(
                 spark, root, cells, centroids_gen=live["centroids_gen"],
                 seq=seq, batches=ledger,
+                bloom_cols=bloom_cols, bloom_params=bloom_params,
+                blooms=blooms,
             )
         except ManifestConflictError as exc:
             last_conflict = exc
@@ -517,9 +820,20 @@ def ivf_split_oversized_manifest(
         del cells[c]
         for nid in new_ids:
             cells[nid] = [gen]
+        # sticky id blooms (r13): sidecars for the re-celled generation
+        blooms = dict(live.get("blooms") or {})
+        bloom_cols = list(live.get("bloom_cols") or [])
+        bloom_params = live.get("bloom_params")
+        if bloom_cols and bloom_params:
+            _build_blooms_for_gen(
+                spark, root, gen, new_ids, bloom_cols[0], bloom_params
+            )
+            blooms[str(gen)] = bloom_cols
         _publish(
             spark, root, cells, centroids_gen=gen, seq=seq,
             batches=live.get("batches", {}),
+            bloom_cols=bloom_cols, bloom_params=bloom_params,
+            blooms=blooms,
         )
         next_id += n_sub
     return oversized
@@ -643,10 +957,21 @@ def compact_ivf_index_manifest(
             kept.append(gen)
         if kept:
             new_cells[c] = kept
+    # sticky id blooms (r13): frozen generations keep their sidecars;
+    # the merged generation gets fresh ones from its written cells
+    blooms = dict(live.get("blooms") or {})
+    bloom_cols = list(live.get("bloom_cols") or [])
+    bloom_params = live.get("bloom_params")
+    if bloom_cols and bloom_params and touched:
+        _build_blooms_for_gen(
+            spark, root, gen, touched, bloom_cols[0], bloom_params
+        )
+        blooms[str(gen)] = bloom_cols
     _publish(
         spark, root, new_cells,
         centroids_gen=live["centroids_gen"], seq=seq,
         batches=live.get("batches", {}),
+        bloom_cols=bloom_cols, bloom_params=bloom_params, blooms=blooms,
     )
     after = read_ivf_index_manifest(spark, root)
     return {

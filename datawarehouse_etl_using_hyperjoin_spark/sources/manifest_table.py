@@ -419,27 +419,35 @@ def _bloom_might_contain(packed: bytes, m: int, k: int, v) -> bool:
     return True
 
 
-def _bloom_build_md5(df: DataFrame, col: str, m: int, k: int) -> list[int]:
-    """Executor-built filter (the 64-ary ``bit_or`` shape of
-    ``operators.bloom.bloom_build``) with md5-canonical double hashing
-    so the driver can probe without Spark.  ``conv(hex, 16, 10)`` on 15
-    hex chars stays under 2^60 — exact in a long.  Nulls are skipped:
-    equality predicates never match them."""
-    from ..operators.bloom import _mask
-
+def _bloom_positions_expr(col: str, m: int, k: int):
+    """The k Kirsch-Mitzenmacher bit positions of ``col`` as an ARRAY
+    column — md5-canonical double hashing so the DRIVER can probe the
+    same bits without Spark (:func:`_bloom_h1_h2_py`).  ``conv(hex, 16,
+    10)`` on 15 hex chars stays under 2^60 — exact in a long.  Shared
+    by the batch table's per-generation builds and the IVF store's
+    per-(cell, generation) builds."""
     hx = F.md5(F.col(col).cast("string"))
     h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % F.lit(m)
     h2 = (
         F.conv(F.substring(hx, 16, 15), 16, 10).cast("long") % F.lit(m - 1)
         + 1
     )
-    positions = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m)),
     )
+
+
+def _bloom_build_md5(df: DataFrame, col: str, m: int, k: int) -> list[int]:
+    """Executor-built filter (the 64-ary ``bit_or`` shape of
+    ``operators.bloom.bloom_build``) with md5-canonical double hashing
+    so the driver can probe without Spark.  Nulls are skipped:
+    equality predicates never match them."""
+    from ..operators.bloom import _mask
+
     buckets = (
         df.where(F.col(col).isNotNull())
-        .select(F.explode(positions).alias("pos"))
+        .select(F.explode(_bloom_positions_expr(col, m, k)).alias("pos"))
         .select(
             (F.col("pos") / 64).cast("long").alias("bucket"),
             _mask(F.col("pos") % 64).alias("mask"),
@@ -467,27 +475,31 @@ def _check_bloom_cols(schema, cols) -> None:
             )
 
 
+def _pack_bits_b64(bits: list[int]) -> str:
+    """base64-packed little-endian u64s — ~4× smaller than a JSON int
+    array and parsed in one ``b64decode`` at probe time."""
+    import base64
+    import struct
+
+    return base64.b64encode(
+        struct.pack(f"<{len(bits)}q", *bits)
+    ).decode("ascii")
+
+
 def _build_gen_blooms(
     df: DataFrame, bloom_cols, params: dict
 ) -> dict[str, str]:
     """Build the per-column filters for one batch; returns
-    ``{col: bits_b64}`` (base64-packed little-endian u64s — ~4× smaller
-    than a JSON int array and parsed in one ``b64decode`` at probe
-    time).  Split from the sidecar WRITE so a conditional-PUT rebase can
-    reuse the built bits at its fresh generation path instead of paying
-    the build jobs again."""
-    import base64
-    import struct
-
+    ``{col: bits_b64}`` (:func:`_pack_bits_b64`).  Split from the
+    sidecar WRITE so callers can place the bits at whatever fresh path
+    their commit targets."""
     m, k = int(params["num_bits"]), int(params["num_hashes"])
     _check_bloom_cols(df.schema, bloom_cols)
     out = {}
     for col in bloom_cols:
         if col not in df.columns:
             continue  # omitted column (evolution): no sidecar -> scanned
-        bits = _bloom_build_md5(df, col, m, k)
-        packed = struct.pack(f"<{len(bits)}q", *bits)
-        out[col] = base64.b64encode(packed).decode("ascii")
+        out[col] = _pack_bits_b64(_bloom_build_md5(df, col, m, k))
     return out
 
 
