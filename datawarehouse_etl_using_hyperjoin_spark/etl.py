@@ -341,22 +341,17 @@ def build_summary(fact: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFram
     )
 
 
-def merge_summaries(old: DataFrame, delta: DataFrame) -> DataFrame:
-    """Merge two summary relations at the same grain — the partial-
-    aggregate combine step of incremental rollup maintenance when a
-    delta does NOT align with a fact partition (late rows, cross-month
-    backfills; the aligned case is :func:`refresh_summary_month`).
-
-    Every measure is mergeable by design: counts add, sums add, min/min
-    and max/max.  The money sums re-enter DECIMAL(18,2) before adding so
-    the merged value is BIT-IDENTICAL to a full rebuild regardless of how
-    the fact was split: each stored double is itself a cast of an exact
-    decimal, and double→decimal(18,2) round-trips exactly while
-    |sum| < ~4.5e13 (beyond that, last-ulp agreement — same envelope as
-    operators/lm.py exact_dp).  One hash exchange on the summary grain,
-    sized by the SUMMARY (not the fact).
-    """
-    u = old.unionByName(delta)
+def _fold_summaries(u: DataFrame) -> DataFrame:
+    """Combine partial summaries at the same grain into one row per key
+    — the partial-aggregate combine step.  Every measure is mergeable by
+    design: counts add, sums add, min/min and max/max.  The money sums
+    re-enter DECIMAL(18,2) before adding so the folded value is
+    BIT-IDENTICAL to a full rebuild regardless of how the fact was
+    split: each stored double is itself a cast of an exact decimal, and
+    double→decimal(18,2) round-trips exactly while |sum| < ~4.5e13
+    (beyond that, last-ulp agreement — same envelope as operators/lm.py
+    exact_dp).  One hash exchange on the summary grain, sized by the
+    SUMMARY (not the fact)."""
     return u.groupBy(*SUMMARY_KEYS).agg(
         F.sum("n_lines").cast("long").alias("n_lines"),
         F.sum(F.col("sum_qty").cast("decimal(18,2)"))
@@ -368,6 +363,94 @@ def merge_summaries(old: DataFrame, delta: DataFrame) -> DataFrame:
         F.min("min_sale").alias("min_sale"),
         F.max("max_sale").alias("max_sale"),
     )
+
+
+def merge_summaries(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two summary relations at the same grain
+    (:func:`_fold_summaries` over their union) — the combine step of
+    incremental rollup maintenance when a delta does NOT align with a
+    fact partition (late rows, cross-month backfills; the aligned case
+    is :func:`refresh_summary_month`)."""
+    return _fold_summaries(old.unionByName(delta))
+
+
+def refresh_summary_incremental(
+    spark: SparkSession, fact_root: str, summary_root: str
+) -> dict[str, int]:
+    """Cursor-driven rollup maintenance over a MANIFEST-layout fact
+    (r13, VERDICT r12 #5 — the in-repo consumer of
+    ``read_manifest_table_changes``): each call reads exactly the fact
+    rows appended since the last refresh (O(new data) — a ledger diff
+    unions only the post-cursor generations, never a table scan),
+    aggregates them to one PARTIAL summary, and commits it to a
+    manifest batch table at ``summary_root`` in one conditional PUT.
+
+    The CURSOR IS THE LEDGER: each partial commits under the fact head
+    seq it covered, so the next refresh resumes from
+    ``max(committed batch ids)`` with no side-channel cursor file to
+    tear — a replayed/raced refresh of the same head is detected by the
+    ledger and skipped (exactly-once), and a crash before publish
+    changes nothing.  Read the rollup back with
+    :func:`read_summary_incremental` (combine-on-read over the
+    partials); :func:`..maintenance.run_maintenance` compacts the
+    partials like any manifest table — sound because the fold is
+    order-insensitive.
+
+    Boundaries are the CDC read's, surfaced loudly: the cursor manifest
+    must still be retained (``manifest_vacuum`` window), and a
+    compaction that merged post-cursor fact batches makes their rows
+    inseparable — size the fact's maintenance ``keep_last`` above the
+    refresh lag, exactly the documented retention-vs-reader contract.
+
+    Returns ``{"cursor_from", "cursor_to", "refreshed"}`` (``refreshed``
+    0 = nothing new, no publish)."""
+    from .manifest import manifest_read
+    from .sources.manifest_table import (
+        manifest_table_append,
+        read_manifest_table,
+        read_manifest_table_changes,
+    )
+
+    head_m = manifest_read(spark, fact_root)
+    if head_m is None:
+        raise ValueError(
+            f"no manifest table at {fact_root!r} — the summary cursor "
+            "consumes a manifest-layout fact"
+        )
+    head = int(head_m["seq"])
+    summary_m = manifest_read(spark, summary_root)
+    cursor = (
+        max((int(b) for b in summary_m.get("batches", {})), default=0)
+        if summary_m is not None
+        else 0
+    )
+    if head <= cursor:
+        return {"cursor_from": cursor, "cursor_to": cursor, "refreshed": 0}
+    if cursor == 0:
+        # first refresh: baseline over the whole fact
+        delta = read_manifest_table(spark, fact_root)
+    else:
+        delta = read_manifest_table_changes(spark, fact_root, cursor)
+    partial = build_summary(delta)
+    res = manifest_table_append(partial, summary_root, batch_id=head)
+    return {
+        "cursor_from": cursor,
+        "cursor_to": head,
+        "refreshed": 0 if res is None else 1,
+    }
+
+
+def read_summary_incremental(
+    spark: SparkSession, summary_root: str
+) -> DataFrame:
+    """The materialized rollup: combine-on-read over the committed
+    partial summaries (:func:`_fold_summaries` — exchanges a
+    summary-sized relation only).  Equal to ``build_summary`` over the
+    full fact after every refresh, bit-identically (the decimal
+    re-entry argument in the fold's docstring)."""
+    from .sources.manifest_table import read_manifest_table
+
+    return _fold_summaries(read_manifest_table(spark, summary_root))
 
 
 def write_summary(spark: SparkSession, out_dir: str) -> int:

@@ -2141,6 +2141,39 @@ def measure_manifest_stats(
 
     timed_reads("aged_read")
 
+    # OR-window read (r13): TWO disjoint day ranges in one predicate —
+    # pruning is the union of the per-disjunct survivor sets, so the
+    # read touches both ranges' generations and nothing else (the shape
+    # that fell back to an unpredicated scan when where= was AND-only)
+    lo2, hi2 = (
+        _dt.date(2024, 1, 1) + _dt.timedelta(days=n_batches // 4),
+        _dt.date(2024, 1, 1) + _dt.timedelta(days=n_batches // 4 + 1),
+    )
+    or_where = [(
+        "or",
+        [[("d", "between", (lo, hi))], [("d", "between", (lo2, hi2))]],
+    )]
+    t0 = time.time()
+    or_read = read_manifest_table(spark, root, where=or_where)
+    or_rows = or_read.count()
+    or_wall = round(time.time() - t0, 3)
+    or_plan = plan_manifest_read(spark, root, or_where)
+    t0 = time.time()
+    or_full = read_manifest_table(spark, root).where(
+        F.col("d").between(F.lit(lo), F.lit(hi))
+        | F.col("d").between(F.lit(lo2), F.lit(hi2))
+    )
+    n_or_full = or_full.count()
+    or_unpruned = round(time.time() - t0, 3)
+    assert or_rows == n_or_full, (or_rows, n_or_full)
+    out["or_window_read"] = {
+        "rows": or_rows,
+        "unpruned_wall": or_unpruned,
+        "pruned_wall": or_wall,
+        "gens_total": or_plan["total"],
+        "gens_scanned": or_plan["scanned"],
+    }
+
     # Bloom point lookup on the bloom-enabled aged table: a doc_id exists
     # in exactly one generation, but every generation's [min,max] id
     # range matches it — min/max stats cannot prune, the Bloom can
@@ -2188,6 +2221,68 @@ def measure_manifest_stats(
         "gens_untouched": dstats["gens_untouched"],
     }
 
+    # keyed MERGE (r13): upsert 3 keys into the aged 64-generation
+    # table — the rewrite set is pruning-chosen, so the merge rewrites
+    # ~1 true-holder generation + appends 1 batch generation, never the
+    # table (the object-store-atomic dim-upsert path)
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import (
+        manifest_read as _mread,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        manifest_table_merge,
+    )
+
+    mkeys = [target_id + 10, target_id + 11, target_id + 12]
+    upd = spark.createDataFrame(
+        [(k, _dt.date(2024, 6, 1), 0.0, "merged") for k in mkeys],
+        "doc_id long, d date, score double, text string",
+    )
+    gens_pre = set(_mread(spark, broot)["gens"])
+    t0 = time.time()
+    manifest_table_merge(upd, broot, "doc_id", 900_000)
+    merge_wall = round(time.time() - t0, 3)
+    gens_post = set(_mread(spark, broot)["gens"])
+    out["point_merge"] = {
+        "wall": merge_wall,
+        "rows_upserted": len(mkeys),
+        "gens_untouched": len(gens_pre & gens_post),
+        "gens_total_before": len(gens_pre),
+    }
+
+    # skipping BACKFILL at aged geometry (r13, VERDICT r12 #6): the
+    # 64-generation pre-tracking table gains stats+blooms with NO data
+    # rewrite (identical generation ids), then the same 2-day window
+    # read prunes — how a 100 TB table that predates tracking gets
+    # pruning
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        backfill_manifest_skipping,
+    )
+
+    nroot = roots["no_stats"]
+    gens_pre = set(_mread(spark, nroot)["gens"])
+    t0 = time.time()
+    bstats = backfill_manifest_skipping(
+        spark, nroot, stats_cols=["d"], bloom_cols=["doc_id"]
+    )
+    backfill_wall = round(time.time() - t0, 3)
+    gens_post = set(_mread(spark, nroot)["gens"])
+    assert gens_pre == gens_post  # no data rewrite, ever
+    t0 = time.time()
+    bread = read_manifest_table(spark, nroot, where=where)
+    b_rows = bread.count()
+    bwall = round(time.time() - t0, 3)
+    bplan = plan_manifest_read(spark, nroot, where)
+    out["backfill_aged"] = {
+        "wall": backfill_wall,
+        "stats_backfilled": bstats["stats_backfilled"],
+        "blooms_backfilled": bstats["blooms_backfilled"],
+        "gens_rewritten": 0,
+        "window_read_wall": bwall,
+        "window_rows": b_rows,
+        "gens_scanned": bplan["scanned"],
+        "gens_total": bplan["total"],
+    }
+
     # snapshot the aged table for the clustered variant BEFORE the plain
     # compaction rewrites it in place
     root2 = tempfile.mkdtemp(prefix="manstats_") + "/t"
@@ -2206,6 +2301,78 @@ def measure_manifest_stats(
         sort_by=["d"], range_split_mb=64,
     )
     timed_reads("after_range_split_compaction")
+    return out
+
+
+def measure_ivf_fetch(
+    spark,
+    *,
+    n_vecs: int = 2_000_000,
+    dim: int = 32,
+    n_cells: int = 64,
+    n_batches: int = 8,
+) -> dict:
+    """IVF point fetch by id with vs without Bloom sidecars (r13,
+    VERDICT r12 #4): an aged manifest index (build + ``n_batches``
+    appends), then fetch one id.  Without sidecars the fetch lists and
+    scans every (cell, generation) dir; with them the plan is pure
+    driver bit math over KB-scale sidecars and the read touches O(true
+    holder) dirs.  Parquet row-group stats compose inside the survivors
+    (the (cell, id)-sorted in-file order)."""
+    from datawarehouse_etl_using_hyperjoin_spark.operators.ivf_store import (
+        ivf_append_manifest,
+        ivf_enable_id_blooms,
+        ivf_fetch_by_id,
+        plan_ivf_fetch,
+        read_ivf_index_manifest,
+        write_ivf_index_manifest,
+    )
+
+    vec_path = tempfile.mkdtemp(prefix="ivffetch_") + "/vectors"
+    synth_clustered_vectors(spark, n_vecs, dim, vec_path, n_blobs=n_cells)
+    vecs = spark.read.parquet(vec_path)
+    per = n_vecs // (n_batches + 1)
+    root = tempfile.mkdtemp(prefix="ivffetch_") + "/ivf"
+    write_ivf_index_manifest(
+        vecs.where(F.col("vec_id") < per), root, n_centroids=n_cells
+    )
+    for b in range(n_batches):
+        ivf_append_manifest(
+            vecs.where(
+                (F.col("vec_id") >= (b + 1) * per)
+                & (F.col("vec_id") < (b + 2) * per)
+            ),
+            root, batch_id=b,
+        )
+    target = per * (n_batches // 2) + 17
+    out: dict = {}
+
+    # without sidecars: full (cell, generation) listing + filter
+    t0 = time.time()
+    full = read_ivf_index_manifest(spark, root).where(
+        F.col("vec_id") == target
+    )
+    n_full = full.count()
+    out["fetch_unbloomed_wall"] = round(time.time() - t0, 3)
+    out["dirs_total"] = plan_ivf_fetch(spark, root, [target])["total"]
+
+    t0 = time.time()
+    bstats = ivf_enable_id_blooms(spark, root)
+    out["enable_wall"] = round(time.time() - t0, 3)
+    out["gens_built"] = bstats["gens_built"]
+
+    t0 = time.time()
+    got = ivf_fetch_by_id(spark, root, [target])
+    n_bloom = got.count()
+    out["fetch_bloom_wall"] = round(time.time() - t0, 3)
+    plan = plan_ivf_fetch(spark, root, [target])
+    assert n_full == n_bloom == 1, (n_full, n_bloom)
+    out["dirs_scanned"] = plan["scanned"]
+    out["dirs_skipped"] = plan["skipped"]
+    # warm second fetch: sidecars now LRU-cached on the driver
+    t0 = time.time()
+    assert ivf_fetch_by_id(spark, root, [target + 1]).count() == 1
+    out["fetch_bloom_warm_wall"] = round(time.time() - t0, 3)
     return out
 
 
@@ -3113,6 +3280,20 @@ def main() -> None:
             rows_per_batch=int(
                 os.environ.get("SCALE_PROBE_ROWS_PER_BATCH", 200_000)
             ),
+        )}, indent=2))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ivf_fetch":
+        spark = get_spark(
+            "scale-probe-ivffetch",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+            extra_conf=METERED_SESSION_CONF,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({"ivf_fetch": measure_ivf_fetch(
+            spark,
+            n_vecs=int(os.environ.get("SCALE_PROBE_VECS", 2_000_000)),
+            n_cells=int(os.environ.get("SCALE_PROBE_CELLS", 64)),
+            n_batches=int(os.environ.get("SCALE_PROBE_BATCHES", 8)),
         )}, indent=2))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "manifest_zorder":
