@@ -721,6 +721,110 @@ def make_ivf_ingest_sink(
     return _sink
 
 
+def ivf_delete_by_id(
+    spark: SparkSession,
+    root: str,
+    ids,
+    *,
+    id_col: str = "vec_id",
+) -> dict[str, int]:
+    """COPY-ON-WRITE vector erasure (r13 — the IVF sibling of
+    ``sources.manifest_table.manifest_table_delete``, the GDPR path for
+    an embedding store): rewrite, at fresh generation ids, only the
+    (cell, generation) dirs that TRULY hold the given ids, and publish
+    one manifest swapping them in.  The rewrite set comes from
+    :func:`plan_ivf_fetch`'s driver-math Bloom pruning followed by ONE
+    probe job counting matches per dir — Bloom false positives are left
+    byte-untouched.  Rewritten dirs get recomputed id-Bloom sidecars
+    (when enabled), so a later fetch of an erased id prunes to nothing.
+
+    Protocol effects mirror the batch table's delete: untouched dirs
+    keep their generation ids; retained older manifests still reference
+    the pre-delete generations, so time travel shows the vectors until
+    :func:`ivf_vacuum` reclaims them — erasure becomes durable at
+    vacuum; a crash before publish leaves orphans and no visible
+    change; a lost conditional PUT aborts loudly (maintenance-class:
+    re-run against the new head).  The batch ledger's KEYS are
+    unchanged (replay detection survives).
+
+    Returns ``{"rows_deleted", "dirs_rewritten", "dirs_untouched"}``.
+    """
+    ids = list(ids)
+    if not ids:
+        raise ValueError("ivf_delete_by_id needs at least one id")
+    live = _live(spark, root)
+    cells = _cells_of(live)
+    data = _data_root(root)
+    plan = plan_ivf_fetch(spark, root, ids, id_col=id_col)
+    candidates = plan["dirs_scan"]
+    n_dirs = sum(len(gs) for gs in cells.values())
+    out = {"rows_deleted": 0, "dirs_rewritten": 0, "dirs_untouched": n_dirs}
+    if not candidates:
+        return out
+    # ONE probe job: which candidate dirs truly hold the ids
+    probe = (
+        spark.read.option("basePath", data)
+        .parquet(*candidates)
+        .where(F.col(id_col).isin(ids))
+        .groupBy("centroid_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    holders = {(int(r["centroid_id"]), int(r["g"])): int(r["n"]) for r in probe}
+    if not holders:
+        return out
+    seq = live["seq"] + 1
+    blooms = dict(live.get("blooms") or {})
+    bloom_cols = list(live.get("bloom_cols") or [])
+    bloom_params = live.get("bloom_params")
+    rewritten_of_gen: dict[int, int] = {}  # old gen -> fresh replacement id
+    for (c, g), n in sorted(holders.items()):
+        out["rows_deleted"] += n
+        out["dirs_rewritten"] += 1
+        out["dirs_untouched"] -= 1
+        kept = (
+            spark.read.option("basePath", data)
+            .parquet(f"{data}/centroid_id={c}/g={g}")
+            .drop("g", "centroid_id")
+            .where(~F.col(id_col).isin(ids))
+        )
+        # one replacement id per OLD generation (attempt-unique), shared
+        # by every cell rewritten out of it — keeps the gen count flat
+        ng = rewritten_of_gen.setdefault(g, fresh_gen(seq))
+        n_kept = kept.count()
+        gs = cells[c]
+        if n_kept:
+            kept.withColumn("cell_id", F.lit(int(c)).cast("long")).withColumn(
+                "centroid_id", F.lit(int(c)).cast("long")
+            ).withColumn("g", F.lit(int(ng)).cast("long")).sortWithinPartitions(
+                "centroid_id", id_col
+            ).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("centroid_id", "g").parquet(data)
+            cells[c] = sorted(x for x in gs if x != g) + [ng]
+            if bloom_cols and bloom_params:
+                _build_blooms_for_gen(
+                    spark, root, ng, [c], bloom_cols[0], bloom_params
+                )
+                blooms[str(ng)] = bloom_cols
+        else:
+            # the dir held ONLY deleted rows: the cell simply drops it
+            cells[c] = sorted(x for x in gs if x != g)
+            if not cells[c]:
+                del cells[c]
+    if not cells:
+        raise ValueError(
+            "refusing to publish an empty IVF index — the delete would "
+            "erase every remaining vector; drop the root instead"
+        )
+    _publish(
+        spark, root, cells, centroids_gen=live["centroids_gen"], seq=seq,
+        batches=live.get("batches", {}),
+        bloom_cols=bloom_cols, bloom_params=bloom_params, blooms=blooms,
+    )
+    return out
+
+
 def ivf_split_oversized_manifest(
     spark: SparkSession,
     root: str,

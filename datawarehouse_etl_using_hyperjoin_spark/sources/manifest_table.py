@@ -41,6 +41,17 @@ Reference lineage: the reference's sink is five JDBC INSERTs per tuple
 with autocommit (StreamGeneratorThread.java:134-158) — no atomicity at
 any granularity; this store and the partition sinks are the two
 engine-side answers, local-fs and object-store flavored.
+
+r13 additions: keyed MERGE (:func:`manifest_table_merge` — CoW delete
+of matched keys + ledgered append in ONE publish, the atomic dim
+upsert), OR-predicates in ``where=`` (disjunction pruning as the union
+of per-disjunct survivor sets), plan/read prune unification
+(:func:`_plan_gens` is the single decision path), stats/Bloom bits
+derived from WRITTEN generations only (non-deterministic inputs can't
+produce non-covering bounds), truncated string bounds (manifests stay
+KB-scale under long tracked strings), and narrowed torn-file
+classification (transient store failures propagate instead of serving
+a stale snapshot).
 """
 
 from __future__ import annotations

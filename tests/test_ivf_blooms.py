@@ -205,3 +205,76 @@ def test_unbloomed_fetch_degrades_to_full_listing_but_exact(
     assert sorted(r.vec_id for r in got.collect()) == sorted(ids[:3])
     with pytest.raises(ValueError, match="at least one id"):
         ivf_fetch_by_id(spark, root, [])
+
+
+# ---------------------------------------------------------------------------
+# CoW vector erasure (ivf_delete_by_id)
+
+
+def test_delete_by_id_rewrites_only_holder_dirs(spark, em, tmp_path):
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
+    from datawarehouse_etl_using_hyperjoin_spark.operators.ivf_store import (
+        ivf_delete_by_id,
+    )
+
+    root = str(tmp_path / "ivf")
+    _build(spark, em, root, n_batches=2)
+    ivf_enable_id_blooms(spark, root, bloom_bits=1 << 14)
+    ids = _all_ids(spark, root)
+    n_before = len(ids)
+    victims = ids[:2]
+    pre = manifest_read(spark, root)
+    pre_dirs = {
+        (int(c), int(g))
+        for c, gs in pre["cells"].items()
+        for g in gs
+    }
+    out = ivf_delete_by_id(spark, root, victims)
+    assert out["rows_deleted"] == 2
+    assert out["dirs_rewritten"] <= 2 + 2  # true holders + rare bloom FPs
+    post = manifest_read(spark, root)
+    post_dirs = {
+        (int(c), int(g))
+        for c, gs in post["cells"].items()
+        for g in gs
+    }
+    # untouched dirs keep their (cell, gen) ids byte-identical
+    assert len(pre_dirs & post_dirs) == out["dirs_untouched"]
+    t = read_ivf_index_manifest(spark, root)
+    assert t.count() == n_before - 2
+    assert t.where(F.col("vec_id").isin(victims)).count() == 0
+    # rewritten sidecars: a fetch of an erased id prunes to nothing
+    for v in victims:
+        assert ivf_fetch_by_id(spark, root, [v]).count() == 0
+    plan = plan_ivf_fetch(spark, root, [victims[0]])
+    assert plan["scanned"] <= 2  # bloom FPs only
+    # time travel still shows the vectors until vacuum
+    snap = read_ivf_index_manifest(spark, root, as_of=pre["seq"])
+    assert snap.where(F.col("vec_id").isin(victims)).count() == 2
+    ivf_vacuum(spark, root, keep_manifests=1)
+    assert read_ivf_index_manifest(spark, root).count() == n_before - 2
+    # survivors all still fetchable after the vacuum
+    rest = _all_ids(spark, root)
+    for v in rest[:: max(1, len(rest) // 10)]:
+        assert ivf_fetch_by_id(spark, root, [v]).count() == 1
+
+
+def test_delete_by_id_nothing_matches_publishes_nothing(
+    spark, em, tmp_path
+):
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
+    from datawarehouse_etl_using_hyperjoin_spark.operators.ivf_store import (
+        ivf_delete_by_id,
+    )
+
+    root = str(tmp_path / "ivf")
+    _build(spark, em, root, n_batches=1)
+    ivf_enable_id_blooms(spark, root, bloom_bits=1 << 14)
+    seq = manifest_read(spark, root)["seq"]
+    out = ivf_delete_by_id(spark, root, [987_654_321])
+    assert out["rows_deleted"] == 0 and out["dirs_rewritten"] == 0
+    assert manifest_read(spark, root)["seq"] == seq
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one id"):
+        ivf_delete_by_id(spark, root, [])
