@@ -1873,6 +1873,7 @@ def read_manifest_table_changes(
     since_seq: int,
     *,
     as_of: int | None = None,
+    where=None,
 ) -> DataFrame:
     """INCREMENTAL read: exactly the rows appended by commits AFTER
     ``since_seq`` (up to the live head, or ``as_of``).  The batch LEDGER
@@ -1893,7 +1894,26 @@ def read_manifest_table_changes(
       read raises and names the batches; size the maintenance
       ``keep_last`` (newest generations stay verbatim) to exceed the
       consumer's maximum lag, exactly the retention-vs-reader contract
-      the vacuum documents.
+      the vacuum documents;
+    * a ROW-LEVEL REWRITE (``manifest_table_delete`` /
+      ``manifest_table_merge``) of a generation the cursor already
+      consumed is detected via the ledger remap and raises (r13): this
+      is an APPEND-ONLY delta — it cannot express the retraction of
+      rows it already delivered, so silently returning only the new
+      rows would leave the consumer double-counting; re-baseline with
+      a full read (GDPR-erasure downstreams must re-sync anyway).
+      Detection reaches what the ledger can attribute: batches whose
+      generations were already COMPACTED lose per-batch attribution
+      (their ledger entries go stale at the merge), so a delete inside
+      a merged generation is invisible to this guard — the same
+      keep-the-verbatim-window-longer-than-the-lag contract as the
+      compaction boundary above.
+
+    ``where=`` (r13) prunes the NEW generations by their recorded
+    stats/Bloom sidecars and applies the same predicates as a filter —
+    identical semantics and clause forms (OR included) as
+    :func:`read_manifest_table`; a month-scoped incremental consumer
+    pays O(new data within the window).
 
     The consumer protocol is the same seq-cursor Delta/Iceberg
     incremental reads use: process ``read_manifest_table_changes(root,
@@ -1917,6 +1937,21 @@ def read_manifest_table_changes(
     new = {
         b: int(g) for b, g in head["batches"].items() if b not in done
     }
+    # delete/merge remap the ledger entries of generations they rewrite
+    # (compaction does not) — a remapped DONE batch means rows this
+    # cursor already delivered were since removed/replaced
+    rewritten = sorted(
+        b for b in done
+        if b in head["batches"]
+        and int(head["batches"][b]) != int(base["batches"][b])
+    )
+    if rewritten:
+        raise ValueError(
+            f"batches {rewritten} delivered before seq {since_seq} were "
+            "row-level rewritten since (manifest_table_delete/merge) — "
+            "an append-only changes read cannot express the retraction "
+            "of rows it already delivered; re-baseline with a full read"
+        )
     live_gens = {int(g) for g in head["gens"]}
     merged_away = sorted(b for b, g in new.items() if g not in live_gens)
     if merged_away:
@@ -1934,16 +1969,31 @@ def read_manifest_table_changes(
         if head.get("schema") is not None
         else None
     )
-    if not new:
+    clauses = _normalize_where(where) if where else []
+    gens = sorted(new.values())
+    if clauses and gens:
+        # prune among the NEW generations only, using the head
+        # manifest's recorded stats/sidecars — same decision machinery
+        # as the full read (_plan_gens), restricted to the delta
+        sub = dict(head)
+        sub["gens"] = gens
+        gens = _pruned_gens(spark, root, sub, clauses)
+    if not new or not gens:
         if schema is not None:
-            return spark.createDataFrame([], schema)
-        return read_manifest_table(spark, root, as_of=as_of).limit(0)
-    dirs = [_gen_dir(root, g) for g in sorted(new.values())]
-    if schema is not None:
-        return spark.read.schema(schema).parquet(*dirs)
-    return spark.read.option("basePath", _data_root(root)).parquet(
-        *dirs
-    ).drop("g")
+            out = spark.createDataFrame([], schema)
+        else:
+            out = read_manifest_table(spark, root, as_of=as_of).limit(0)
+    else:
+        dirs = [_gen_dir(root, g) for g in gens]
+        if schema is not None:
+            out = spark.read.schema(schema).parquet(*dirs)
+        else:
+            out = spark.read.option("basePath", _data_root(root)).parquet(
+                *dirs
+            ).drop("g")
+    if clauses:
+        out = out.filter(_where_expr(clauses))
+    return out
 
 
 def _gen_bytes(spark: SparkSession, root: str, g: int) -> int:

@@ -90,7 +90,11 @@ def main() -> None:
     _disable_renames()
     print(f"== object-store posture demo (renames DISABLED), sf={sf_dir}")
 
-    # -- 1. the reference pipeline, streaming, manifest fact + bucketed dim
+    # -- 1. the reference pipeline, streaming — EVERY relation on the
+    # manifest layout (r13): ledgered fact, keyed-MERGE dim
+    # (manifest_table_merge: CoW delete of matched keys + batch append
+    # in ONE conditional PUT), manifest late/_hwm — no commit anywhere
+    # in the pipeline is a partition overwrite
     stream_dir = f"{root}/txn_stream"
     transactions(spark, sf_dir).repartition(4).write.parquet(stream_dir)
     out = f"{root}/dw"
@@ -100,7 +104,7 @@ def main() -> None:
         master_data(spark, sf_dir),
         out,
         checkpoint_dir=f"{out}/_ckpt",
-        dim_buckets=8,
+        dim_layout="manifest",
         fact_layout="manifest",  # also flips late/_hwm to manifest
         quarantine_lateness="3650 days",
         quarantine_watermark_col="order_date",
@@ -111,12 +115,15 @@ def main() -> None:
     from datawarehouse_etl_using_hyperjoin_spark.manifest import manifest_read
 
     live = manifest_read(spark, f"{out}/fact_enriched")
+    dim = read_manifest_table(spark, f"{out}/dim_product")
     print(
         f"[star]   dim={counts['dim_product']} fact={counts['fact_enriched']} "
         f"late={counts['late']} generations={len(live['gens'])} "
         f"(maintenance merged {len(live['batches']) - len(live['gens'])} of "
         f"{len(live['batches'])} ledgered batches) "
-        f"sum(total_sale)={fact.agg(F.sum('total_sale')).first()[0]:.2f}"
+        f"sum(total_sale)={fact.agg(F.sum('total_sale')).first()[0]:.2f}; "
+        f"dim key-unique at rest: "
+        f"{'OK' if dim.count() == dim.select('product_id').distinct().count() else 'FAILED'}"
     )
 
     # -- 2. corpus ingest, manifest layout, with a replayed delivery
@@ -319,6 +326,53 @@ def main() -> None:
         f"generation (O(new data) IO); copy-on-write delete of 1 key "
         f"rewrote {dstats['gens_rewritten']} generation, "
         f"{dstats['gens_untouched']} byte-untouched"
+    )
+
+    # -- 7. r13 verbs: OR-window pruning, keyed MERGE, IVF point fetch
+    import datetime as _dt2
+
+    or_plan = plan_manifest_read(
+        spark, skiproot,
+        [("or", [
+            [("day", "=", dt.date(2024, 1, 2))],
+            [("day", "=", dt.date(2024, 1, 6))],
+        ])],
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        manifest_table_merge,
+    )
+
+    pre_gens = set(manifest_read(spark, skiproot)["gens"])
+    upsert = spark.createDataFrame(
+        [(2006, _dt2.date(2024, 3, 1), 42.0)],
+        "event_id long, day date, amount double",
+    )
+    manifest_table_merge(upsert, skiproot, "event_id", 500)
+    post = manifest_read(spark, skiproot)
+    merged_row = read_manifest_table(
+        spark, skiproot, where=[("event_id", "=", 2006)]
+    ).collect()
+    from datawarehouse_etl_using_hyperjoin_spark.operators.ivf_store import (
+        ivf_enable_id_blooms,
+        ivf_fetch_by_id,
+        plan_ivf_fetch,
+    )
+
+    ivf_enable_id_blooms(spark, ivf)
+    some_id = read_ivf_index_manifest(spark, ivf).select(
+        "vec_id"
+    ).first()[0]
+    fplan = plan_ivf_fetch(spark, ivf, [some_id])
+    fetched = ivf_fetch_by_id(spark, ivf, [some_id]).count()
+    print(
+        f"[r13]    OR window scans {or_plan['scanned']}/{or_plan['total']} "
+        f"generations (union of disjuncts); keyed MERGE of 1 event left "
+        f"{len(pre_gens & set(post['gens']))} generations byte-untouched "
+        f"in one conditional PUT "
+        f"({'OK' if len(merged_row) == 1 and merged_row[0].amount == 42.0 else 'FAILED'}); "
+        f"IVF point fetch read {fplan['scanned']}/{fplan['total']} "
+        f"(cell, gen) dirs via driver-math Bloom sidecars "
+        f"({'OK' if fetched == 1 else 'FAILED'})"
     )
 
     print("== done: every commit above was a manifest PUT; zero renames")

@@ -211,3 +211,79 @@ def test_property_or_pruned_read_never_loses_rows(
     assert sorted(
         (r.doc_id, r.v) for r in pruned.collect()
     ) == sorted((r.doc_id, r.v) for r in full.collect())
+
+
+# ---------------------------------------------------------------------------
+# r13: where= on CDC reads + the row-level-rewrite guard
+
+
+def test_changes_read_supports_where_pruning(spark, tmp_path):
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        read_manifest_table_changes,
+    )
+
+    root = _table(spark, tmp_path, batches=2)
+    cursor = mt.manifest_read(spark, root)["seq"]
+    for b in range(2, 6):
+        manifest_table_append(_batch(spark, b), root, b)
+    # a window predicate inside batch 4's range: of the 4 NEW
+    # generations, stats prune 3
+    where = [("d", "between", (_day(41), _day(44)))]
+    got = read_manifest_table_changes(spark, root, cursor, where=where)
+    full = read_manifest_table_changes(spark, root, cursor).filter(
+        mt.F.col("d").between(_day(41), _day(44))
+    )
+    assert _ids(got) == _ids(full) and len(_ids(got)) > 0
+    # pruned IO witness: only batch 4's generation dir is read
+    assert len({f.rsplit("/", 2)[-2] for f in got.inputFiles()}) == 1
+    # a predicate matching NOTHING new: empty and schema-stable
+    none = read_manifest_table_changes(
+        spark, root, cursor, where=[("d", ">", _day(400))]
+    )
+    assert none.count() == 0
+    assert none.schema == full.schema
+    # OR form works on the delta too
+    got2 = read_manifest_table_changes(
+        spark, root, cursor,
+        where=[("or", [("d", "=", _day(25)), ("d", "=", _day(45))])],
+    )
+    assert len(_ids(got2)) > 0
+
+
+def test_changes_read_raises_on_row_level_rewrite(spark, tmp_path):
+    """An append-only delta cannot express retractions: a delete or a
+    keyed merge that rewrote a generation the cursor already consumed
+    must raise, not silently under-deliver."""
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        manifest_table_merge,
+        read_manifest_table_changes,
+    )
+
+    root = _table(spark, tmp_path, batches=2)
+    cursor = mt.manifest_read(spark, root)["seq"]
+    manifest_table_append(_batch(spark, 2), root, 2)
+    # delete a row the cursor already delivered (batch 0's range)
+    manifest_table_delete(spark, root, [("doc_id", "=", 5)])
+    with pytest.raises(ValueError, match="row-level rewritten"):
+        read_manifest_table_changes(spark, root, cursor)
+
+    # same via keyed merge
+    root2 = _table(spark, tmp_path, name="t2", batches=2)
+    cursor2 = mt.manifest_read(spark, root2)["seq"]
+    upd = spark.createDataFrame(
+        [(5, _day(99), "upd")], "doc_id long, d date, u string"
+    )
+    manifest_table_merge(upd, root2, "doc_id", 50)
+    with pytest.raises(ValueError, match="row-level rewritten"):
+        read_manifest_table_changes(spark, root2, cursor2)
+
+    # but a rewrite that touches only POST-cursor batches is fine: the
+    # cursor never delivered those rows, the delta serves the rewritten
+    # generation
+    root3 = _table(spark, tmp_path, name="t3", batches=1)
+    cursor3 = mt.manifest_read(spark, root3)["seq"]
+    manifest_table_append(_batch(spark, 1), root3, 1)
+    manifest_table_delete(spark, root3, [("doc_id", "=", 1005)])
+    got = read_manifest_table_changes(spark, root3, cursor3)
+    ids = _ids(got)
+    assert 1005 not in ids and len(ids) == 19
