@@ -611,7 +611,11 @@ def write_ivf_index(
        past ``spark.sql.parquet.pushdown.inFilterThreshold`` (default
        10) Spark degrades it to a ``[min,max]`` range, which skips
        nothing when candidates span the id space.  The engine session
-       raises the threshold (:mod:`..session`).
+       raises the threshold to 512 (:mod:`..session`) — NOT higher:
+       Spark converts the pushed In to a nested parquet ``Or`` whose
+       evaluation recurses once per literal, and ~1000+ literals
+       overflow a worker thread's stack (measured r13) — so keep
+       ``Q × rerank`` fetches under that or accept the range fallback.
     2. The predicate must be PER-CELL (``cell_id = c AND id IN
        ids_in_c``): cell membership is a similarity property, so one
        cell's ids are a uniform sample of the global id space — a

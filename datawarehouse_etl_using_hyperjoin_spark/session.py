@@ -58,14 +58,18 @@ def tuned_conf(builder: SparkSession.Builder, cpus: int) -> SparkSession.Builder
         # of degrading to a [min,max] range past 10 values (the default).
         # The engine's bounded-literal-collect operators (ANN rerank
         # candidate-id fetch ≤ Q·rerank ids, probed-cell pruning ≤
-        # Q·nprobe) push hundreds-to-thousands of uniform ids; a range
-        # over uniform ids skips NOTHING, while the In predicate's
-        # row-group stats check skips every row group holding no
-        # candidate (measured r9: 130 → 48 MB on a 140-row-group
-        # id-sorted scan of 50 uniform ids; see SCALE.md ivf_rowgroup).
-        # 4096 covers Q=64·rerank=40 with headroom; stats evaluation of
-        # an In set is O(log n) per row group — planning cost is nil.
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+        # Q·nprobe) push hundreds of uniform ids; a range over uniform
+        # ids skips NOTHING, while the In predicate's row-group stats
+        # check skips every row group holding no candidate (measured
+        # r9: 130 → 48 MB on a 140-row-group id-sorted scan of 50
+        # uniform ids; see SCALE.md ivf_rowgroup).  CEILING measured
+        # r13: Spark converts the pushed In to a NESTED parquet Or —
+        # ~1000 literals overflow a worker thread's stack
+        # (non-deterministically at 1000, always by 1500), so the old
+        # 4096 setting CRASHED any 1000+-value fetch instead of
+        # degrading it; 512 keeps every measured win and lets bigger
+        # lists fall back to the (slower, correct) range filter.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(NANOS_AS_LONG, "true")
@@ -142,7 +146,9 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     # Same set-only-when-unset courtesy for the In-pushdown threshold: the
     # 10-value Spark default silently degrades bounded id-list fetches
     # (ANN rerank pushes ≤ Q·rerank ids) to a skip-nothing [min,max]
-    # range, so 4096 is the engine default — but a caller that
+    # range, so 512 is the engine default (the measured stack-safe
+    # ceiling for parquet's nested-Or conversion — see tuned_conf) —
+    # but a caller that
     # deliberately tuned its own threshold keeps it.  Only a true None
     # means unset (r11, ADVICE): conf.get(key, None) returns None for a
     # genuinely untouched session and the literal value — INCLUDING an
@@ -160,7 +166,7 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.optimizer.excludedRules", ",".join(rules)),
     ]
     if inf_unset:
-        pairs.append((inf_key, "4096"))
+        pairs.append((inf_key, "512"))
     if ipn_unset:
         pairs.append((ipn_key, str(8 * par)))
     for key, value in pairs:

@@ -379,6 +379,14 @@ _BLOOM_FORMAT = "gen-bloom/2"
 #: (the right plan for a batch that touches most of the table anyway)
 _MERGE_INLIST_MAX = 100_000
 
+#: largest `in`-list a Bloom sidecar will PROBE per (generation,
+#: column): beyond it the generation is kept (stats pruning still
+#: applies) — at k hashes per value an unbounded probe would cost
+#: |list| × k md5 calls PER GENERATION of driver CPU, which past a few
+#: hundred values exceeds what the pruned scan would have cost (the
+#: same reason engines cap in-list pushdown size)
+_BLOOM_PROBE_MAX = 512
+
 #: Spark typeNames whose CAST-to-string equals the Python canonical form
 _BLOOM_TYPES = {"byte", "short", "integer", "long", "string", "date"}
 
@@ -639,6 +647,14 @@ def _normalize_pred(p) -> tuple:
                     "matches in SQL — drop it (and add 'is_null' if "
                     "null rows are wanted)"
                 )
+            try:
+                # pre-sorted so each generation's range check can be a
+                # bisect instead of an O(|list|) scan — a keyed merge
+                # carries up to _MERGE_INLIST_MAX values over hundreds
+                # of generations (unorderable/mixed literals fall back)
+                val = sorted(val)
+            except TypeError:
+                pass
         elif val is None:
             raise ValueError(
                 f"predicate {p!r}: comparison with None — use "
@@ -756,7 +772,14 @@ def _gen_matches(gstats: dict | None, col: str, op: str, val) -> bool:
         if op == ">=":
             return hi >= val
         if op == "in":
-            return any(lo <= v <= hi for v in val)
+            import bisect
+
+            try:
+                # sorted at normalize time: one bisect per generation
+                i = bisect.bisect_left(val, lo)
+                return i < len(val) and val[i] <= hi
+            except TypeError:
+                return any(lo <= v <= hi for v in val)
         if op == "between":
             a, b = val
             return hi >= a and lo <= b
@@ -825,10 +848,10 @@ def _disjunct_bloom_ok(
             continue
         if op in ("=", "=="):
             vals = [val]
-        elif op == "in" and val:
+        elif op == "in" and val and len(val) <= _BLOOM_PROBE_MAX:
             vals = list(val)
         else:
-            continue
+            continue  # huge in-list: probing costs more than scanning
         got = _read_gen_bloom(spark, root, int(g), col, params)
         if got is None:
             continue  # torn/missing/mismatched sidecar: scan

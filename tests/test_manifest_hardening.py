@@ -303,3 +303,40 @@ def test_short_string_bounds_stay_exact(spark, tmp_path):
     agg = manifest_table_aggregate(spark, root)
     assert agg["exact"] is True
     assert agg["cols"]["k"] == {"min": "k00", "max": "k09", "nulls": 0}
+
+
+# ---------------------------------------------------------------------------
+# large in-list pruning (r13): bisect range checks + bloom probe cap
+
+
+def test_large_in_list_pruned_read_exact_and_cheap(spark, tmp_path):
+    """A merge-sized in-list (thousands of values) must stay correct
+    AND prune by stats: the sorted bisect range check replaces the
+    O(|list|) per-generation scan, and Bloom probing self-caps (beyond
+    _BLOOM_PROBE_MAX values the generation is kept — probing would cost
+    more driver CPU than the scan it could save)."""
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        plan_manifest_read,
+        read_manifest_table,
+    )
+
+    root = str(tmp_path / "big_in")
+    for b in range(4):
+        df = spark.range(b * 10_000, b * 10_000 + 1000).select(
+            F.col("id").alias("doc_id")
+        )
+        manifest_table_append(
+            df, root, b, stats_cols=["doc_id"], bloom_cols=["doc_id"]
+        )
+    # 3000 keys, all inside batch 2's range
+    keys = list(range(20_000, 23_000))
+    where = [("doc_id", "in", keys)]
+    plan = plan_manifest_read(spark, root, where)
+    assert plan["scanned"] == 1  # stats bisect pruned 3 of 4
+    got = read_manifest_table(spark, root, where=where)
+    assert got.count() == 1000  # 20_000..20_999 exist
+    # a small in-list still gets the bloom level
+    small = plan_manifest_read(
+        spark, root, [("doc_id", "in", [20_001, 20_002])]
+    )
+    assert small["scanned"] == 1

@@ -158,7 +158,7 @@ def test_ensure_engine_conf_sets_real_in_pushdown(registry):
     try:
         spark.conf.unset(key)  # a genuinely plain session has it UNSET
         ensure_engine_conf(spark)
-        assert spark.conf.get(key) == "4096"
+        assert spark.conf.get(key) == "512"
     finally:
         spark.conf.set(key, prev)
 
@@ -167,7 +167,7 @@ def test_ensure_engine_conf_keeps_caller_tuned_in_pushdown_threshold(registry):
     """r10/r11 (ADVICE): same set-only-when-unset courtesy for the
     In-pushdown threshold — a caller that deliberately tuned it keeps
     their value, INCLUDING an explicit "10" (e.g. pinned in cluster
-    spark-defaults); only a truly unset key is upgraded to 4096."""
+    spark-defaults); only a truly unset key is upgraded to the engine's 512."""
     from datawarehouse_etl_using_hyperjoin_spark.session import (
         ensure_engine_conf,
         get_spark,
