@@ -391,6 +391,18 @@ _ivf_ops = st.lists(
             st.integers(min_value=1, max_value=4),
             st.integers(min_value=2, max_value=6),
         ),
+        # r13: id-bloom enable, driver-math point fetch, CoW erasure
+        st.tuples(st.just("enable_blooms"), st.just(0), st.just(0)),
+        st.tuples(
+            st.just("fetch"),
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=6),
+        ),
+        st.tuples(
+            st.just("delete"),
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=6),
+        ),
     ),
     min_size=1,
     max_size=6,
@@ -487,6 +499,23 @@ def test_ivf_store_model_under_random_ops_and_crashes(
             s.compact_ivf_index_manifest(spark, root)
         elif op == "vacuum":
             s.ivf_vacuum(spark, root)
+        elif op == "enable_blooms":
+            s.ivf_enable_id_blooms(spark, root, bloom_bits=1 << 13)
+        elif op == "fetch":
+            vid = a * 100 + b
+            n = s.ivf_fetch_by_id(spark, root, [vid]).count()
+            want = int(any(vid in rows for rows in committed.values()))
+            assert n == want, (vid, n, want)
+        elif op == "delete":
+            vid = a * 100 + b
+            remaining = set().union(*committed.values())
+            if remaining == {vid}:
+                continue  # erasing the last vector is refused by design
+            st_ = s.ivf_delete_by_id(spark, root, [vid])
+            want = int(vid in remaining)
+            assert st_["rows_deleted"] == want
+            for bid in list(committed):
+                committed[bid] = {r for r in committed[bid] if r != vid}
         # invariants after EVERY op
         idx = s.read_ivf_index_manifest(spark, root)
         got = {r.vec_id for r in idx.select("vec_id").collect()}

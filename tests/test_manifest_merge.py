@@ -483,3 +483,40 @@ def test_star_sink_rejects_buckets_with_manifest_dim():
         make_star_sink("/tmp/x", dim_layout="manifest", dim_buckets=8)
     with pytest.raises(ValueError, match="dim_layout must be"):
         make_star_sink("/tmp/x", dim_layout="zebra")
+
+
+def test_merge_racing_merge_both_commit(spark, tmp_path):
+    """Two MERGES race one head: the loser rebases against the winner's
+    commit and re-derives — including re-pruning against generations
+    the winner just rewrote — so both upserts land and the table stays
+    key-unique."""
+    root = str(tmp_path / "dim")
+    manifest_table_merge(
+        _updates(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]),
+        root, "product_id", 0,
+    )
+    real_publish = mt.manifest_publish
+    fired = []
+
+    def racing(spark_, root_, payload, *, seq):
+        if not fired:
+            fired.append(True)
+            # the rival MERGE updates key 3 and wins the seq first
+            manifest_table_merge(
+                _updates(spark, [(3, "c-rival", 3.5)]),
+                root_, "product_id", 77,
+            )
+        return real_publish(spark_, root_, payload, seq=seq)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(mt, "manifest_publish", racing)
+        assert manifest_table_merge(
+            _updates(spark, [(2, "b2", 2.5), (4, "d", 4.0)]),
+            root, "product_id", 1,
+        ) is not None
+    t = read_manifest_table(spark, root)
+    assert _state(t) == [
+        (1, "a", 1.0), (2, "b2", 2.5), (3, "c-rival", 3.5), (4, "d", 4.0),
+    ]
+    assert t.count() == t.select("product_id").distinct().count()
+    assert set(mt.manifest_read(spark, root)["batches"]) == {"0", "1", "77"}
