@@ -1274,11 +1274,65 @@ def _zorder_expr(
     return z
 
 
+def _gen_all_match(gstats: dict | None, col: str, op: str, val) -> bool:
+    """Do the stats PROVE that EVERY row of the generation satisfies
+    the predicate?  (The dual of :func:`_gen_matches`: that one proves
+    "no row matches" for pruning; this one proves "all rows match" for
+    predicated manifest-only aggregates.)  False on any uncertainty.
+    Recorded bounds are OUTER bounds (string truncation widens them),
+    so containment proofs (`hi < v`, `a <= lo and hi <= b`) stay sound
+    under truncation; only equality needs exact bounds."""
+    if gstats is None:
+        return False
+    rows = gstats.get("rows")
+    if rows is None:
+        return False
+    if rows == 0:
+        return True  # vacuously: contributes zero rows either way
+    ent = (gstats.get("cols") or {}).get(col)
+    if ent is None:
+        return False
+    nulls = int(ent.get("nulls", 0))
+    if op == "is_null":
+        return nulls >= rows
+    if op == "not_null":
+        return nulls == 0
+    if nulls > 0:
+        return False  # a null row never satisfies a comparison
+    lo = _stats_decode(ent.get("min"))
+    hi = _stats_decode(ent.get("max"))
+    if lo is None or hi is None:
+        return False
+    exact = _stats_is_exact(ent.get("min")) and _stats_is_exact(
+        ent.get("max")
+    )
+    try:
+        if op in ("=", "=="):
+            return exact and lo == hi == val
+        if op == "<":
+            return hi < val
+        if op == "<=":
+            return hi <= val
+        if op == ">":
+            return lo > val
+        if op == ">=":
+            return lo >= val
+        if op == "between":
+            a, b = val
+            return a <= lo and hi <= b
+        if op == "in":
+            return exact and lo == hi and lo in val
+    except TypeError:
+        return False
+    return False
+
+
 def manifest_table_aggregate(
     spark: SparkSession,
     root: str,
     *,
     as_of: int | None = None,
+    where=None,
 ) -> dict:
     """Whole-table aggregates answered from the MANIFEST alone — zero
     data IO, zero Spark jobs (the Iceberg/Delta aggregate-pushdown
@@ -1290,18 +1344,58 @@ def manifest_table_aggregate(
     unknown bound (NaN), ``exact`` is False and the affected fields are
     None — the caller decides whether to fall back to a real scan.
     Folding is sound because per-generation min/max ignore nulls and
-    generations partition the table."""
+    generations partition the table.
+
+    ``where=`` (r13) answers PREDICATED aggregates when the predicate
+    aligns with generation boundaries (the partition-aligned
+    aggregate-pushdown case — e.g. "count the last two days" on a
+    time-clustered table): each generation is classified from its
+    stats as NO rows matching (excluded), ALL rows matching (folded),
+    or partial — any partial generation makes the whole answer
+    ``{"rows": None, cols None, "exact": False}`` rather than a wrong
+    number (fall back to ``read_manifest_table(where=...)``).  Same
+    clause forms as the read (OR included); still zero data IO."""
     m = _live(spark, root, at=as_of)
     stats = m.get("stats") or {}
     cols = list(m.get("stats_cols") or [])
+    clauses = _normalize_where(where) if where else []
     out: dict = {"rows": 0, "cols": {}, "exact": True}
     acc = {
         c: {"min": None, "max": None, "nulls": 0, "ok": True} for c in cols
     }
+    inexact_all = {
+        "rows": None,
+        "cols": {c: {"min": None, "max": None, "nulls": None} for c in cols},
+        "exact": False,
+    }
     for g in m["gens"]:
         gs = stats.get(str(int(g)))
         if gs is None or gs.get("rows") is None:
-            return {"rows": None, "cols": {}, "exact": False}
+            return dict(inexact_all)
+        if clauses:
+            # stats-only classification (no sidecar GETs: the zero-IO
+            # claim holds even for point predicates — blooms can only
+            # prove absence, which stats-level pruning may miss; a
+            # kept-but-empty generation then reads as PARTIAL and the
+            # answer degrades honestly rather than wrongly)
+            none_match = not all(
+                any(
+                    all(_gen_matches(gs, *p) for p in disj)
+                    for disj in clause
+                )
+                for clause in clauses
+            )
+            if none_match:
+                continue  # contributes nothing, exactly
+            all_match = all(
+                any(
+                    all(_gen_all_match(gs, *p) for p in disj)
+                    for disj in clause
+                )
+                for clause in clauses
+            )
+            if not all_match:
+                return dict(inexact_all)  # partial overlap: be honest
         rows = int(gs["rows"])
         out["rows"] += rows
         for c in cols:

@@ -340,3 +340,70 @@ def test_large_in_list_pruned_read_exact_and_cheap(spark, tmp_path):
         spark, root, [("doc_id", "in", [20_001, 20_002])]
     )
     assert small["scanned"] == 1
+
+
+# ---------------------------------------------------------------------------
+# predicated manifest-only aggregates (r13)
+
+
+def test_predicated_aggregate_on_aligned_window(spark, tmp_path):
+    """A window that aligns with generation boundaries answers exactly
+    from the manifest alone; a misaligned one degrades honestly."""
+    import datetime as dt
+
+    def day(n):
+        return dt.date(2024, 1, 1) + dt.timedelta(days=n)
+
+    root = str(tmp_path / "pagg")
+    for b in range(4):
+        rows = [(b * 100 + i, day(b)) for i in range(50)]
+        manifest_table_append(
+            spark.createDataFrame(rows, "doc_id long, d date"),
+            root, b, stats_cols=["d", "doc_id"],
+        )
+    # aligned: days 1-2 = exactly generations 1 and 2
+    agg = manifest_table_aggregate(
+        spark, root, where=[("d", "between", (day(1), day(2)))]
+    )
+    assert agg["exact"] is True
+    assert agg["rows"] == 100
+    assert agg["cols"]["d"] == {"min": day(1), "max": day(2), "nulls": 0}
+    assert agg["cols"]["doc_id"]["min"] == 100
+    assert agg["cols"]["doc_id"]["max"] == 249
+    # OR of two aligned days
+    agg2 = manifest_table_aggregate(
+        spark, root, where=[("or", [("d", "=", day(0)), ("d", "=", day(3))])]
+    )
+    assert agg2["exact"] is True and agg2["rows"] == 100
+    # misaligned: a doc_id range splitting a generation — honest None
+    agg3 = manifest_table_aggregate(
+        spark, root, where=[("doc_id", "<", 125)]
+    )
+    assert agg3["exact"] is False and agg3["rows"] is None
+    # pruned to nothing: exact zero
+    agg4 = manifest_table_aggregate(spark, root, where=[("d", ">", day(90))])
+    assert agg4["exact"] is True and agg4["rows"] == 0
+    # cross-check the aligned answers against a real scan
+    real = read_manifest_table(
+        spark, root, where=[("d", "between", (day(1), day(2)))]
+    ).count()
+    assert real == agg["rows"]
+
+
+def test_predicated_aggregate_null_semantics(spark, tmp_path):
+    root = str(tmp_path / "paggn")
+    manifest_table_append(
+        spark.createDataFrame(
+            [(1, None), (2, None)], "doc_id long, v long"
+        ),
+        root, 0, stats_cols=["v", "doc_id"],
+    )
+    manifest_table_append(
+        spark.createDataFrame([(3, 7), (4, 8)], "doc_id long, v long"),
+        root, 1,
+    )
+    agg = manifest_table_aggregate(spark, root, where=[("v", "is_null")])
+    assert agg["exact"] is True and agg["rows"] == 2
+    agg2 = manifest_table_aggregate(spark, root, where=[("v", "not_null")])
+    assert agg2["exact"] is True and agg2["rows"] == 2
+    assert agg2["cols"]["v"] == {"min": 7, "max": 8, "nulls": 0}
