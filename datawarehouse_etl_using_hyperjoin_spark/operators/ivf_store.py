@@ -283,9 +283,13 @@ def _build_cell_blooms(
     )
     dense: dict[int, list[int]] = {}
     for r in rows:
-        dense.setdefault(int(r["__c"]), [0] * (m // 64))[r["bucket"]] = r[
-            "bits"
-        ]
+        c = int(r["__c"])
+        arr = dense.get(c)
+        if arr is None:
+            # NOT setdefault: its default argument is built eagerly,
+            # which would allocate an m/64-long list per collected row
+            arr = dense[c] = [0] * (m // 64)
+        arr[r["bucket"]] = r["bits"]
     return {c: _pack_bits_b64(bits) for c, bits in dense.items()}
 
 
