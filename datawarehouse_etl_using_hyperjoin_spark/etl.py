@@ -426,11 +426,17 @@ def refresh_summary_incremental(
     )
     if head <= cursor:
         return {"cursor_from": cursor, "cursor_to": cursor, "refreshed": 0}
+    # both reads are pinned as_of the captured head: a fact append
+    # landing between the head capture and the read must NOT be folded
+    # into this partial, because the cursor commits as `head` — an
+    # unpinned read would aggregate the racing batch now AND re-read it
+    # on the next refresh (double count).  Pinned, the partial covers
+    # exactly the batches committed at or before its recorded batch_id.
     if cursor == 0:
         # first refresh: baseline over the whole fact
-        delta = read_manifest_table(spark, fact_root)
+        delta = read_manifest_table(spark, fact_root, as_of=head)
     else:
-        delta = read_manifest_table_changes(spark, fact_root, cursor)
+        delta = read_manifest_table_changes(spark, fact_root, cursor, as_of=head)
     partial = build_summary(delta)
     res = manifest_table_append(partial, summary_root, batch_id=head)
     return {

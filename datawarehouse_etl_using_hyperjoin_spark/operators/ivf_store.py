@@ -421,7 +421,9 @@ def plan_ivf_fetch(
     of generations without sidecars (pre-enable, or a torn sidecar) are
     scanned — skipping is never the reason a row goes missing."""
     from ..sources.manifest_table import (
-        _bloom_might_contain,
+        _BLOOM_PROBE_MAX,
+        _bloom_h1_h2_py,
+        _bloom_might_contain_pair,
         _load_bloom_sidecar,
     )
 
@@ -430,11 +432,27 @@ def plan_ivf_fetch(
     params = m.get("bloom_params") or {}
     ids = list(ids)
     data = _data_root(root)
+    # per-id (h1, h2) pairs are computed ONCE before the dir loop (the
+    # md5 is per-value, not per-dir — every retained sidecar shares the
+    # manifest's recorded geometry, and mismatched ones are scanned
+    # unprobed anyway), and probing is skipped entirely past the same
+    # in-list ceiling the batch table applies (_BLOOM_PROBE_MAX):
+    # |ids| × k hashes per dir of driver CPU buys little pruning for a
+    # huge id list, so those dirs are kept for the scan — degrade is
+    # extra IO, never a missed row.
+    pairs = None
+    if params and 0 < len(ids) <= _BLOOM_PROBE_MAX:
+        try:
+            pairs = [
+                _bloom_h1_h2_py(v, int(params["num_bits"])) for v in ids
+            ]
+        except ValueError:
+            pairs = None  # unsupported id literal: scan everything
     scan, skipped = [], 0
     for c, gs in sorted(_cells_of(m).items()):
         for g in gs:
             path = f"{data}/centroid_id={c}/g={g}"
-            if id_col not in (blooms.get(str(g)) or []) or not params:
+            if pairs is None or id_col not in (blooms.get(str(g)) or []):
                 scan.append(path)
                 continue
             got = _load_bloom_sidecar(
@@ -448,13 +466,13 @@ def plan_ivf_fetch(
                 scan.append(path)  # torn/missing/mismatched: scan
                 continue
             bits, mm, k = got
-            try:
-                if any(_bloom_might_contain(bits, mm, k, v) for v in ids):
-                    scan.append(path)
-                else:
-                    skipped += 1
-            except ValueError:
-                scan.append(path)  # unsupported id literal: scan
+            if any(
+                _bloom_might_contain_pair(bits, mm, k, h1, h2)
+                for h1, h2 in pairs
+            ):
+                scan.append(path)
+            else:
+                skipped += 1
     return {
         "seq": m["seq"],
         "dirs_scan": scan,

@@ -425,17 +425,27 @@ def _bloom_h1_h2_py(v, m: int) -> tuple[int, int]:
     return h1, h2
 
 
-def _bloom_might_contain(packed: bytes, m: int, k: int, v) -> bool:
-    """Membership test straight on the little-endian-packed bit bytes —
-    bit ``p`` of the filter is bit ``p%8`` of byte ``(p>>6)*8 +
-    (p&63)//8`` — so probing never unpacks the filter."""
-    h1, h2 = _bloom_h1_h2_py(v, m)
+def _bloom_might_contain_pair(
+    packed: bytes, m: int, k: int, h1: int, h2: int
+) -> bool:
+    """Membership test from a PRECOMPUTED ``(h1, h2)`` double-hash pair
+    (:func:`_bloom_h1_h2_py`) — the md5 is per-value, not per-filter, so
+    a caller probing one id list against many sidecars hashes each id
+    once and reuses the pair here (``plan_ivf_fetch`` does)."""
     for i in range(k):
         p = (h1 + i * h2) % m
         byte = packed[(p >> 6) * 8 + ((p & 63) >> 3)]
         if not (byte >> (p & 7)) & 1:
             return False
     return True
+
+
+def _bloom_might_contain(packed: bytes, m: int, k: int, v) -> bool:
+    """Membership test straight on the little-endian-packed bit bytes —
+    bit ``p`` of the filter is bit ``p%8`` of byte ``(p>>6)*8 +
+    (p&63)//8`` — so probing never unpacks the filter."""
+    h1, h2 = _bloom_h1_h2_py(v, m)
+    return _bloom_might_contain_pair(packed, m, k, h1, h2)
 
 
 def _bloom_positions_expr(col: str, m: int, k: int):
@@ -1833,10 +1843,17 @@ def manifest_table_merge(
 
         # ONE probe job over all candidates (merge is a hot sink path,
         # unlike the maintenance-class delete's per-generation counts):
-        # which candidate generations TRULY hold batch keys, and how
-        # many rows they'd lose — pruning false positives drop out here
-        # and are never rewritten.
+        # which candidate generations TRULY hold batch keys, how many
+        # rows they'd lose, AND their total row counts — pruning false
+        # positives drop out here and are never rewritten, and a
+        # generation the batch replaces ENTIRELY (n_match == total) is
+        # DROPPED rather than rewritten as an empty dir (its ledger
+        # entries remap onto the batch generation, which physically
+        # holds every surviving row for those keys) — otherwise a
+        # hot-key dim accretes permanently-empty generation dirs that
+        # every unpredicated read still lists.
         holders: dict[int, int] = {}
+        totals: dict[int, int] = {}
         if candidates:
             import functools
 
@@ -1849,22 +1866,38 @@ def manifest_table_merge(
                     for g in candidates
                 ],
             )
-            hits = (
-                probe.where(is_hit)
+            marked = (
+                probe.withColumn("__hit", F.when(is_hit, F.lit(1)))
                 if is_hit is not None
-                else probe.join(batch_keys, on=key, how="inner")
+                else probe.join(
+                    batch_keys.withColumn("__hit", F.lit(1)),
+                    on=key,
+                    how="left",
+                )
             )
             for r in (
-                hits.groupBy("__g")
-                .agg(F.count(F.lit(1)).alias("n"))
+                marked.groupBy("__g")
+                .agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.count("__hit").alias("n"),
+                )
                 .collect()
             ):
                 holders[int(r["__g"])] = int(r["n"])
+                totals[int(r["__g"])] = int(r["total"])
         new_gens: list[int] = []
+        emptied: list[int] = []
         for g in gens:
             n_match = holders.get(g, 0)
             if n_match == 0:
                 new_gens.append(g)
+                continue
+            if n_match == totals.get(g, -1):
+                # every row matched a batch key: nothing to keep — drop
+                # the generation (ledger remap to bg happens below)
+                emptied.append(g)
+                stats.pop(str(g), None)
+                blooms.pop(str(g), None)
                 continue
             # keep = rows whose key is NOT in the batch; NULL keys kept
             # (scd1 parity: a NULL key never matches any update)
@@ -1895,6 +1928,16 @@ def manifest_table_merge(
             for b, old_g in batches.items():
                 if int(old_g) == g:
                     batches[b] = ng
+        if emptied:
+            # fully-replaced generations: their batches' surviving rows
+            # (none of the old, all of the new per key) live in the
+            # batch generation — remap there so every ledger entry still
+            # names a LIVE generation, and the changes-read rewrite
+            # guard still sees a changed entry for the consumed batches
+            dead = {int(g) for g in emptied}
+            for b, old_g in batches.items():
+                if int(old_g) in dead:
+                    batches[b] = bg
         if eff_bloom and bloom_params is None:
             from ..operators.bloom import optimal_bloom_params
 

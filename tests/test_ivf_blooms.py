@@ -152,6 +152,34 @@ def test_blooms_sticky_across_append_compact_split_rebuild(
     assert len(m["blooms"]) == 1  # the rebuild generation
 
 
+def test_huge_id_list_skips_probing_but_stays_exact(spark, em, tmp_path):
+    """ADVICE r13: the fetch plan hashes each id ONCE (not per dir) and
+    applies the batch table's ``_BLOOM_PROBE_MAX`` ceiling — an id list
+    past the ceiling is not probed at all (|ids| x k hashes per dir of
+    driver CPU buys little pruning on a huge list): every dir is kept
+    for the scan, and the answer is still exact."""
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        _BLOOM_PROBE_MAX,
+    )
+
+    root = str(tmp_path / "ivf")
+    _build(spark, em, root, n_batches=1)
+    ivf_enable_id_blooms(spark, root, bloom_bits=1 << 14)
+    ids = _all_ids(spark, root)
+    huge = ids[:3] + list(range(50_000_000, 50_000_000 + _BLOOM_PROBE_MAX))
+    assert len(huge) > _BLOOM_PROBE_MAX
+    plan = plan_ivf_fetch(spark, root, huge)
+    assert plan["skipped"] == 0 and plan["scanned"] == plan["total"]
+    got = ivf_fetch_by_id(spark, root, huge)
+    assert sorted(r.vec_id for r in got.collect()) == sorted(ids[:3])
+    # at the ceiling, probing still prunes
+    at_cap = ids[:1] + list(range(60_000_000, 60_000_000 + _BLOOM_PROBE_MAX - 1))
+    plan2 = plan_ivf_fetch(spark, root, at_cap)
+    assert plan2["skipped"] > 0
+    got2 = ivf_fetch_by_id(spark, root, at_cap)
+    assert [r.vec_id for r in got2.collect()] == ids[:1]
+
+
 def test_torn_sidecar_degrades_to_scan_never_misses(spark, em, tmp_path):
     root = str(tmp_path / "ivf")
     _build(spark, em, root, n_batches=1)

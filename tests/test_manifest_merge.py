@@ -176,6 +176,86 @@ def test_merge_rewrites_only_holder_generations(spark, tmp_path):
     assert t.count() == t.select("product_id").distinct().count()
 
 
+def test_merge_full_replacement_drops_emptied_generation(spark, tmp_path):
+    """ADVICE r13: when a batch's keys cover EVERY row of a generation,
+    the merge DROPS that generation instead of writing an empty
+    replacement dir — a hot-key dim no longer accretes permanently-empty
+    dirs that every unpredicated read still lists.  The dropped
+    generation's ledger entries remap onto the batch generation (a LIVE
+    target, so the changes-read rewrite guard still fires for batches a
+    cursor already consumed)."""
+    root = str(tmp_path / "dim")
+    manifest_table_merge(
+        _updates(spark, [(1, "a", 1.0), (2, "b", 2.0)]), root,
+        "product_id", 0,
+    )
+    pre = mt.manifest_read(spark, root)
+    manifest_table_merge(  # replaces BOTH keys of batch 0's generation
+        _updates(spark, [(1, "a2", 1.5), (2, "b2", 2.5), (3, "c", 3.0)]),
+        root, "product_id", 1,
+    )
+    post = mt.manifest_read(spark, root)
+    assert len(post["gens"]) == 1  # no empty replacement dir
+    bg = int(post["gens"][0])
+    assert {b: int(g) for b, g in post["batches"].items()} == {
+        "0": bg, "1": bg,
+    }
+    assert set(post.get("stats") or {}) <= {str(bg)}
+    assert set(post.get("blooms") or {}) <= {str(bg)}
+    t = read_manifest_table(spark, root)
+    assert _state(t) == [(1, "a2", 1.5), (2, "b2", 2.5), (3, "c", 3.0)]
+    # a cursor that consumed batch 0 sees its remapped entry and refuses
+    # the append-only delta (rows it delivered were replaced)
+    with pytest.raises(ValueError, match="row-level rewritten"):
+        mt.read_manifest_table_changes(spark, root, pre["seq"])
+    # repeated full replacements never grow the generation count
+    for b in range(2, 5):
+        manifest_table_merge(
+            _updates(
+                spark,
+                [(1, f"a{b}", 1.0), (2, f"b{b}", 2.0), (3, f"c{b}", 3.0)],
+            ),
+            root, "product_id", b,
+        )
+        assert len(mt.manifest_read(spark, root)["gens"]) == 1
+    assert read_manifest_table(spark, root).count() == 3
+    # a generation holding a NULL-key row is never "fully replaced":
+    # the NULL row survives, so the dir is rewritten, not dropped
+    manifest_table_merge(
+        _updates(spark, [(9, "z", 9.0), (None, "ghost", 0.0)]),
+        root, "product_id", 50,
+    )
+    manifest_table_merge(
+        _updates(spark, [(9, "z2", 9.5)]), root, "product_id", 51
+    )
+    t = read_manifest_table(spark, root)
+    assert t.where(F.col("product_id").isNull()).count() == 1
+    assert t.where(F.col("product_id") == 9).collect()[0].product_name == "z2"
+
+
+def test_merge_full_replacement_drops_gen_on_antijoin_path(
+    spark, tmp_path, monkeypatch
+):
+    """Same empty-generation drop on the no-driver-key-list degradation
+    path (> _MERGE_INLIST_MAX keys): totals come from the left-join
+    marker in the same single probe job."""
+    root = str(tmp_path / "dim")
+    manifest_table_merge(
+        _updates(spark, [(i, f"old{i}", 0.0) for i in range(6)]),
+        root, "product_id", 0,
+    )
+    monkeypatch.setattr(mt, "_MERGE_INLIST_MAX", 2)
+    manifest_table_merge(
+        _updates(spark, [(i, f"new{i}", 1.0) for i in range(8)]),
+        root, "product_id", 1,
+    )
+    post = mt.manifest_read(spark, root)
+    assert len(post["gens"]) == 1
+    t = read_manifest_table(spark, root)
+    assert t.count() == 8
+    assert t.where(F.col("product_name").startswith("new")).count() == 8
+
+
 def test_merge_null_key_semantics(spark, tmp_path):
     """scd1 parity for NULLs: existing NULL-key rows never match an
     update (kept); batch NULL-key rows insert."""

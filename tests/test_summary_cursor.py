@@ -139,3 +139,62 @@ def test_refresh_needs_a_manifest_fact(spark, tmp_path):
         refresh_summary_incremental(
             spark, str(tmp_path / "nope"), str(tmp_path / "s")
         )
+
+
+@pytest.mark.parametrize("baseline", [True, False])
+def test_concurrent_append_between_head_capture_and_read_counts_once(
+    spark, tmp_path, monkeypatch, baseline
+):
+    """ADVICE r13: the refresh captures the fact head seq, then reads.
+    A producer appending BETWEEN those two steps must not be folded into
+    the partial (which commits under the older head) — unpinned reads
+    would aggregate the racing batch now AND re-read it next refresh
+    (double count).  Both the baseline (``baseline=True``, cursor==0,
+    full read) and the incremental (changes read) paths are raced here
+    by injecting the append inside the read call itself; the invariant
+    is the strongest one: after the NEXT refresh the rollup still equals
+    a full rebuild, i.e. the racing batch counted exactly once."""
+    from datawarehouse_etl_using_hyperjoin_spark.sources import (
+        manifest_table as mt,
+    )
+
+    fact_root = str(tmp_path / "fact")
+    summary_root = str(tmp_path / "summary")
+    manifest_table_append(_fact_batch(spark, 0), fact_root, 0)
+    if not baseline:
+        # advance the cursor so the raced refresh takes the changes path
+        refresh_summary_incremental(spark, fact_root, summary_root)
+        manifest_table_append(_fact_batch(spark, 1), fact_root, 1)
+
+    racer = {"fired": False}
+    real_full, real_changes = mt.read_manifest_table, (
+        mt.read_manifest_table_changes
+    )
+
+    def race_once():
+        if not racer["fired"]:
+            racer["fired"] = True
+            manifest_table_append(_fact_batch(spark, 7), fact_root, 7)
+
+    def raced_full(spark_, root, **kw):
+        race_once()
+        return real_full(spark_, root, **kw)
+
+    def raced_changes(spark_, root, since, **kw):
+        race_once()
+        return real_changes(spark_, root, since, **kw)
+
+    with monkeypatch.context() as mp:
+        mp.setattr(mt, "read_manifest_table", raced_full)
+        mp.setattr(mt, "read_manifest_table_changes", raced_changes)
+        out = refresh_summary_incremental(spark, fact_root, summary_root)
+    assert racer["fired"] and out["refreshed"] == 1
+    # the racing batch (7) committed AFTER the captured head: not in
+    # this partial, picked up by the next refresh — exactly once
+    out2 = refresh_summary_incremental(spark, fact_root, summary_root)
+    assert out2["refreshed"] == 1 and out2["cursor_from"] == out["cursor_to"]
+    _assert_equals_rebuild(spark, fact_root, summary_root)
+    # and the system is quiescent after
+    assert refresh_summary_incremental(
+        spark, fact_root, summary_root
+    )["refreshed"] == 0
