@@ -148,9 +148,16 @@ def run_maintenance(
     for p in manifest_tables:
         from .sources.manifest_table import (
             compact_manifest_table,
+            materialize_manifest_deletes,
             vacuum_manifest_table,
         )
 
+        # fold live deletion vectors FIRST (r14): compaction only
+        # materializes the generations it merges — frozen big gens and
+        # the keep_last window would otherwise pay the merge-on-read
+        # anti-join forever.  No-op (one manifest read) when the table
+        # carries no vectors.
+        dv_stats = materialize_manifest_deletes(spark, p)
         stats = compact_manifest_table(
             spark, p, keep_last=keep_last, target_file_mb=target_file_mb,
             min_merge_mb=min_merge_mb,
@@ -165,6 +172,7 @@ def run_maintenance(
                 live_stream=live_stream,
             )
         )
+        stats.update(dv_stats)
         out[f"manifest_table:{p}"] = stats
     return out
 

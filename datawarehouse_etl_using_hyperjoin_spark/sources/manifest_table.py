@@ -52,6 +52,14 @@ produce non-covering bounds), truncated string bounds (manifests stay
 KB-scale under long tracked strings), and narrowed torn-file
 classification (transient store failures propagate instead of serving
 a stale snapshot).
+
+r14 additions: MERGE-ON-READ deletion vectors
+(``manifest_table_delete(strategy="dv")`` — matched row positions in a
+KB-scale sidecar, no data rewrite; see the deletion-vector section
+below), with explicit and cadence materialization
+(:func:`materialize_manifest_deletes`, ``maintenance.run_maintenance``),
+and the merge dropping fully-replaced generations instead of writing
+empty replacement dirs.
 """
 
 from __future__ import annotations
@@ -117,6 +125,7 @@ def _live(spark: SparkSession, root: str, at: int | None = None) -> dict:
 def _publish(
     spark, root, gens, batches, seq, schema=None, stats=None,
     stats_cols=None, blooms=None, bloom_cols=None, bloom_params=None,
+    dvs=None,
 ) -> int:
     payload = {
         "table": "batch-table",
@@ -141,6 +150,13 @@ def _publish(
         payload["blooms"] = {
             g: c for g, c in (blooms or {}).items() if g in live_set
         }
+    if dvs:
+        # deletion vectors only for LIVE generations — a rewritten/
+        # merged generation MATERIALIZED its vectors, so its entries
+        # must not survive onto the rewrite
+        kept = {g: list(e) for g, e in dvs.items() if g in live_set and e}
+        if kept:
+            payload["dvs"] = kept
     return manifest_publish(spark, root, payload, seq=seq)
 
 
@@ -620,6 +636,120 @@ def _load_bloom_sidecar(
     return _BLOOM_CACHE[path]
 
 
+# ---------------------------------------------------------------------------
+# Deletion vectors (r14): MERGE-ON-READ row-level delete.
+#
+# ``manifest_table_delete(strategy="dv")`` records the POSITIONS of the
+# matched rows — (file, row ordinal within the file) pairs, the stable
+# address parquet's ``_metadata.row_index`` exposes — in a KB-scale
+# parquet sidecar under ``{root}/dv/``, and publishes a manifest whose
+# ``dvs`` map names it per touched generation.  No data dir is rewritten:
+# a wide low-selectivity delete (a few rows in EVERY generation of a
+# 100 TB table — the case where key pruning cannot shrink the CoW rewrite
+# set because every generation truly holds a row) commits in O(one scan)
+# instead of O(table rewrite) (probe-measured 3.9 s vs 76.7 s at the
+# 64-generation/12.8 M-row aged geometry; SCALE.md r14).  Readers
+# anti-apply the vectors (a broadcast anti-join on (file, pos) — the
+# recurring merge-on-read tax, small while vectors are), and rewrites
+# MATERIALIZE them: CoW delete/merge/compaction of a generation apply its
+# vectors and drop the entries, and ``materialize_manifest_deletes`` does
+# so explicitly.  This is the Iceberg v3 / Delta deletion-vector design
+# point re-expressed at the protocol's generation granularity
+# (implementation original; positions instead of keys so the sidecar
+# size tracks the DELETE's selectivity, not the key width).
+#
+# Soundness notes:
+# * file addresses are stored RELATIVE (``data/g=<gen>/<file>``), so a
+#   relocated/copied table still applies its vectors;
+# * per-generation stats/Blooms become OVER-approximations once a vector
+#   lands (they still cover the deleted rows) — pruning stays sound
+#   (never skips a live row; may scan a generation whose only matching
+#   rows are deleted), and manifest-only aggregates degrade honestly:
+#   ``rows`` stays exact (vector cardinalities are recorded and disjoint
+#   by construction — each DV scan applies the previous vectors), while
+#   min/max/nulls of a vectored generation return None;
+# * successive DVs on one generation STACK (disjoint positions);
+#   time travel sees exactly the vectors the resolved manifest lists;
+#   vacuum reclaims vector files no retained manifest references.
+
+#: above this many recorded deleted rows the anti-join is left to AQE
+#: instead of a forced broadcast (a driver-side OOM guard, not a
+#: correctness knob)
+_DV_BROADCAST_MAX = 4_000_000
+
+
+def _dv_dir(root: str, d: int) -> str:
+    return f"{root}/dv/{d}"
+
+
+def _dv_rel_file():
+    """``data/g=<gen>/<file>`` from ``_metadata.file_path`` — the last
+    three path segments, which is exactly the table-relative address of
+    any generation data file (scheme- and mount-independent)."""
+    parts = F.split(F.col("_metadata.file_path"), "/")
+    return F.concat_ws("/", F.slice(parts, -3, 3))
+
+
+def _dv_entries_for(m: dict, gens) -> list[dict]:
+    dvs = m.get("dvs") or {}
+    return [e for g in gens for e in (dvs.get(str(int(g))) or [])]
+
+
+def _dv_rows_of(m: dict, g: int) -> int:
+    return sum(
+        int(e.get("rows", 0)) for e in (m.get("dvs") or {}).get(str(int(g))) or []
+    )
+
+
+def _dv_positions(spark: SparkSession, root: str, m: dict, gens):
+    """Union of the deletion-vector positions applying to ``gens`` as a
+    ``(file, pos)`` DataFrame, or None when none apply.  A vacuumed
+    vector file surfaces as a clear error rather than a silent
+    resurrect-the-rows read."""
+    entries = _dv_entries_for(m, gens)
+    if not entries:
+        return None
+    from ..fsutil import dir_exists
+
+    paths = sorted({e["path"] for e in entries})
+    gone = [p for p in paths if not dir_exists(spark, f"{root}/{p}")]
+    if gone:
+        raise ValueError(
+            f"deletion-vector file(s) {gone} of {root!r} are missing — "
+            "reading without them would resurrect deleted rows "
+            "(vacuum_manifest_table reclaims vectors only past "
+            "manifest retention; this table's manifest and dv files "
+            "disagree)"
+        )
+    pos = spark.read.parquet(*[f"{root}/{p}" for p in paths]).select(
+        "file", "pos"
+    )
+    if sum(int(e.get("rows", 0)) for e in entries) <= _DV_BROADCAST_MAX:
+        pos = F.broadcast(pos)
+    return pos
+
+
+def _apply_dvs(
+    spark: SparkSession, root: str, m: dict, df: DataFrame, gens
+) -> DataFrame:
+    """Anti-apply the deletion vectors of ``gens`` to ``df`` (which must
+    still be the raw file scan — ``_metadata`` resolvable).  No-op when
+    none apply."""
+    pos = _dv_positions(spark, root, m, gens)
+    if pos is None:
+        return df
+    keyed = df.select(
+        "*",
+        _dv_rel_file().alias("__dvf"),
+        F.col("_metadata.row_index").alias("__dvp"),
+    )
+    return keyed.join(
+        pos.withColumnsRenamed({"file": "__dvf", "pos": "__dvp"}),
+        ["__dvf", "__dvp"],
+        "left_anti",
+    ).drop("__dvf", "__dvp")
+
+
 def _normalize_pred(p) -> tuple:
     """Validate/normalize ONE predicate: ``(col, op)`` (null tests) or
     ``(col, op, value)``.  ``in`` takes a collection, ``between`` an
@@ -945,7 +1075,9 @@ def plan_manifest_read(
     carries Bloom sidecars and ``where`` has equality predicates on
     bloom columns, the surviving generations' sidecars are probed too.
     Returns ``{"seq", "gens_scan", "gens_skipped", "total", "scanned",
-    "skipped", "skipped_by_stats", "skipped_by_bloom"}``."""
+    "skipped", "skipped_by_stats", "skipped_by_bloom", "dv_gens"}``
+    (``dv_gens``: survivors that will additionally pay the deletion-
+    vector anti-join — the merge-on-read read tax, r14)."""
     m = _live(spark, root, at=as_of)
     plan = _plan_gens(spark, root, m, _normalize_where(where))
     scan_set = set(plan["scan"])
@@ -961,6 +1093,9 @@ def plan_manifest_read(
         # blooms only probe the survivors)
         "skipped_by_stats": plan["by_stats"],
         "skipped_by_bloom": plan["by_bloom"],
+        "dv_gens": sum(
+            1 for g in plan["scan"] if (m.get("dvs") or {}).get(str(int(g)))
+        ),
     }
 
 
@@ -1124,6 +1259,7 @@ def manifest_table_append(
                 stats=stats, stats_cols=eff_cols,
                 blooms=blooms, bloom_cols=eff_bloom,
                 bloom_params=bloom_params,
+                dvs=(live or {}).get("dvs"),
             )
         except ManifestConflictError as exc:
             last_conflict = exc
@@ -1179,20 +1315,32 @@ def read_manifest_table(
     m = _live(spark, root, at=as_of)
     if not m["gens"]:
         raise ValueError(f"table manifest at {root!r} lists no generations")
-    dirs = [_gen_dir(root, g) for g in m["gens"]]
+    gens = [int(g) for g in m["gens"]]
     if as_of is not None:
         # snapshot integrity is checked over the WHOLE snapshot, pruned
         # dirs included — a partially-vacuumed snapshot erroring only
-        # under some predicates would be a debugging trap
+        # under some predicates would be a debugging trap.  Deletion-
+        # vector files are part of the snapshot too: reading without
+        # one would RESURRECT deleted rows, strictly worse than the
+        # missing-dir error (_dv_positions re-checks at apply time;
+        # this check covers pruned-away vectored gens as well).
         from ..fsutil import dir_exists
 
-        gone = [d for d in dirs if not dir_exists(spark, d)]
+        gone = [
+            d
+            for d in [_gen_dir(root, g) for g in gens]
+            if not dir_exists(spark, d)
+        ] + [
+            p
+            for p in sorted({e["path"] for e in _dv_entries_for(m, gens)})
+            if not dir_exists(spark, f"{root}/{p}")
+        ]
         if gone:
             raise ValueError(
                 f"snapshot seq {m['seq']} of {root!r} is no longer fully "
-                f"readable — {len(gone)} of its generation dirs were "
-                "vacuumed (time travel reaches only what "
-                "vacuum_manifest_table retained)"
+                f"readable — {len(gone)} of its generation dirs / "
+                "deletion-vector files were vacuumed (time travel "
+                "reaches only what vacuum_manifest_table retained)"
             )
     clauses = _normalize_where(where) if where else []
     if clauses:
@@ -1210,26 +1358,34 @@ def read_manifest_table(
                     f"where references column(s) {sorted(missing)} not in "
                     f"the table schema at {root!r}"
                 )
-        dirs = [
-            _gen_dir(root, g) for g in _pruned_gens(spark, root, m, clauses)
-        ]
+        gens = [int(g) for g in _pruned_gens(spark, root, m, clauses)]
     if m.get("schema") is not None:
         schema = StructType.fromJson(m["schema"])
-        if not dirs:  # every generation pruned: statically empty
+        if not gens:  # every generation pruned: statically empty
             out = spark.createDataFrame([], schema)
         else:
             # each dir is read as its own root (no basePath): no
             # partition column is discovered, so the recorded schema IS
             # the result
-            out = spark.read.schema(schema).parquet(*dirs)
+            out = _apply_dvs(
+                spark, root, m,
+                spark.read.schema(schema).parquet(
+                    *[_gen_dir(root, g) for g in gens]
+                ),
+                gens,
+            )
     else:
-        if not dirs:
+        if not gens:
             # legacy table (no recorded schema): nothing to build an
             # empty frame from — read everything; the filter still
             # yields the correct (empty) result
-            dirs = [_gen_dir(root, g) for g in m["gens"]]
-        out = spark.read.option("basePath", _data_root(root)).parquet(
-            *dirs
+            gens = [int(g) for g in m["gens"]]
+        out = _apply_dvs(
+            spark, root, m,
+            spark.read.option("basePath", _data_root(root)).parquet(
+                *[_gen_dir(root, g) for g in gens]
+            ),
+            gens,
         ).drop("g")
     if clauses:
         out = out.filter(_where_expr(clauses))
@@ -1406,10 +1562,19 @@ def manifest_table_aggregate(
             )
             if not all_match:
                 return dict(inexact_all)  # partial overlap: be honest
-        rows = int(gs["rows"])
+        dv_rows = _dv_rows_of(m, int(g))
+        rows = int(gs["rows"]) - dv_rows
         out["rows"] += rows
         for c in cols:
             a = acc[c]
+            if dv_rows:
+                # a deleted row may have held the min/max or a null —
+                # this generation's column stats are over-approximations
+                # once a deletion vector lands (sound for pruning, not
+                # servable as aggregates); ``rows`` above stays exact
+                # because vector cardinalities are recorded and disjoint
+                a["ok"] = False
+                continue
             ent = (gs.get("cols") or {}).get(c)
             if ent is None:
                 a["ok"] = False
@@ -1566,6 +1731,7 @@ def backfill_manifest_skipping(
         spark, root, gens, dict(live["batches"]), live["seq"] + 1,
         schema=live.get("schema"), stats=stats, stats_cols=eff_stats,
         blooms=blooms, bloom_cols=eff_bloom, bloom_params=bloom_params,
+        dvs=live.get("dvs"),
     )
     return {
         "stats_backfilled": n_stats,
@@ -1575,37 +1741,67 @@ def backfill_manifest_skipping(
 
 
 def manifest_table_delete(
-    spark: SparkSession, root: str, where
+    spark: SparkSession, root: str, where, *, strategy: str = "cow"
 ) -> dict[str, int]:
-    """COPY-ON-WRITE row-level delete (the Iceberg/Delta CoW shape):
-    rewrite, at fresh generation paths, only the generations that might
-    contain matching rows, and publish one manifest swapping them in.
-    The skipping machinery is what makes this cheap at scale — a keyed
-    delete (GDPR erasure of some doc_ids from a 100 TB table) first
-    prunes by min/max stats and Bloom sidecars, then COUNTS matches per
-    candidate generation (false-positive candidates are left untouched,
-    not rewritten), so the rewrite cost is O(generations that truly
-    hold the rows).
+    """Row-level delete, two strategies:
 
-    Semantics: rows matching the ``where`` predicates (AND-combined,
-    same language as ``read_manifest_table``) are removed; SQL
-    three-valued logic applies — a row whose predicate evaluates to
-    NULL does not match and is KEPT (``delete where d = 5`` never
-    deletes ``d IS NULL`` rows).
+    ``strategy="cow"`` (default) — COPY-ON-WRITE (the Iceberg/Delta CoW
+    shape): rewrite, at fresh generation paths, only the generations
+    that might contain matching rows, and publish one manifest swapping
+    them in.  The skipping machinery is what makes this cheap at scale —
+    a keyed delete (GDPR erasure of some doc_ids from a 100 TB table)
+    first prunes by min/max stats and Bloom sidecars, then COUNTS
+    matches per candidate generation (false-positive candidates are
+    left untouched, not rewritten), so the rewrite cost is
+    O(generations that truly hold the rows).
 
-    Protocol effects: untouched generations keep their dirs and stats
-    byte-identical; rewritten generations get recomputed stats/Bloom
-    sidecars; the batch LEDGER keys are unchanged (replay detection
+    ``strategy="dv"`` (r14) — MERGE-ON-READ deletion vectors: record
+    the matched rows' (file, position) addresses in a KB-scale parquet
+    sidecar under ``{root}/dv/`` and publish a manifest naming it per
+    touched generation — NO data rewrite.  This is the right plan when
+    the matched rows are spread across many generations (the wide
+    low-selectivity delete, where pruning can't shrink the CoW rewrite
+    set: probe-measured 3.9 s vs 76.7 s CoW at the 64-generation aged
+    geometry, SCALE.md r14).  Every reader anti-applies live vectors
+    (``read_manifest_table``/``_changes``, the merge's probe, CoW
+    rewrites); manifest-only aggregates keep ``rows`` exact and degrade
+    min/max/nulls of vectored generations honestly.  Vectors are
+    MATERIALIZED — applied and dropped — by any rewrite of their
+    generation (CoW delete, merge, compaction) or explicitly by
+    :func:`materialize_manifest_deletes`; until then reads pay a
+    broadcast anti-join on (file, pos).  Erasure becomes DURABLE only
+    at materialize+vacuum (the data files still hold the bytes — same
+    retention story as CoW's superseded dirs, one step longer).
+
+    Semantics (both): rows matching the ``where`` predicates
+    (AND-combined, same language as ``read_manifest_table``) are
+    removed; SQL three-valued logic applies — a row whose predicate
+    evaluates to NULL does not match and is KEPT (``delete where
+    d = 5`` never deletes ``d IS NULL`` rows).  Successive DV deletes
+    stack; the DV scan applies prior vectors, so recorded positions are
+    disjoint and an already-deleted row never matches again.
+
+    Protocol effects (CoW): untouched generations keep their dirs and
+    stats byte-identical; rewritten generations get recomputed
+    stats/Bloom sidecars and MATERIALIZE any deletion vectors they
+    carried; the batch LEDGER keys are unchanged (replay detection
     survives) with entries remapped onto the rewritten generations;
-    retained older manifests still reference the PRE-delete generations,
-    so time travel shows the rows until ``vacuum_manifest_table``
-    reclaims them — deletion becomes durable at vacuum, exactly the
-    Iceberg retention story.  A crash before publish leaves orphans and
-    no visible change; a lost conditional PUT aborts loudly
-    (maintenance-class operation: re-run against the new head).
+    retained older manifests still reference the PRE-delete
+    generations, so time travel shows the rows until
+    ``vacuum_manifest_table`` reclaims them — deletion becomes durable
+    at vacuum, exactly the Iceberg retention story.  A crash before
+    publish leaves orphans and no visible change; a lost conditional
+    PUT aborts loudly (maintenance-class operation: re-run against the
+    new head).
 
-    Returns ``{"rows_deleted", "gens_rewritten", "gens_untouched"}``.
+    Returns ``{"rows_deleted", "gens_rewritten", "gens_untouched"}``;
+    the dv strategy adds ``gens_vectored`` (and reports
+    ``gens_rewritten=0`` — nothing moved).
     """
+    if strategy not in ("cow", "dv"):
+        raise ValueError(
+            f"unknown delete strategy {strategy!r} — 'cow' or 'dv'"
+        )
     live = _live(spark, root)
     clauses = _normalize_where(where)
     if not clauses:
@@ -1622,11 +1818,16 @@ def manifest_table_delete(
         if live.get("schema") is not None
         else None
     )
+    if strategy == "dv":
+        return _delete_dv(
+            spark, root, live, sorted(candidates), match, schema, len(gens)
+        )
     stats_cols = live.get("stats_cols") or []
     bloom_cols = live.get("bloom_cols") or []
     bloom_params = live.get("bloom_params") or {}
     stats = dict(live.get("stats") or {})
     blooms = dict(live.get("blooms") or {})
+    dvs = dict(live.get("dvs") or {})
     batches = dict(live["batches"])
     seq = live["seq"] + 1
     new_gens: list[int] = []
@@ -1637,9 +1838,12 @@ def manifest_table_delete(
             new_gens.append(g)
             continue
         if schema is not None:
-            gdf = spark.read.schema(schema).parquet(_gen_dir(root, g))
+            raw = spark.read.schema(schema).parquet(_gen_dir(root, g))
         else:
-            gdf = spark.read.parquet(_gen_dir(root, g))
+            raw = spark.read.parquet(_gen_dir(root, g))
+        # live view of the generation: deletion vectors anti-applied —
+        # match counts/kept rows never include already-deleted rows
+        gdf = _apply_dvs(spark, root, live, raw, [g])
         n_match = gdf.where(match).count()
         if n_match == 0:
             new_gens.append(g)  # pruning false positive: untouched
@@ -1652,6 +1856,7 @@ def manifest_table_delete(
         new_gens.append(ng)
         stats.pop(str(g), None)
         blooms.pop(str(g), None)
+        dvs.pop(str(g), None)  # materialized by the rewrite
         if stats_cols or (bloom_cols and bloom_params):
             if schema is not None:
                 wdf = spark.read.schema(schema).parquet(_gen_dir(root, ng))
@@ -1675,11 +1880,171 @@ def manifest_table_delete(
         spark, root, new_gens, batches, seq,
         schema=live.get("schema"), stats=stats, stats_cols=stats_cols,
         blooms=blooms, bloom_cols=bloom_cols, bloom_params=bloom_params,
+        dvs=dvs,
     )
     return {
         "rows_deleted": rows_deleted,
         "gens_rewritten": rewritten,
         "gens_untouched": len(gens) - rewritten,
+    }
+
+
+def _delete_dv(
+    spark: SparkSession, root, live, candidates, match, schema, n_gens
+) -> dict[str, int]:
+    """The ``strategy="dv"`` branch of :func:`manifest_table_delete`:
+    ONE scan over the pruned candidate generations records matched
+    positions; one parquet sidecar write; one publish.  Positions are
+    taken AFTER anti-applying existing vectors, so stacked vectors stay
+    disjoint and recorded cardinalities sum exactly."""
+    if not candidates:
+        return {
+            "rows_deleted": 0, "gens_rewritten": 0,
+            "gens_untouched": n_gens, "gens_vectored": 0,
+        }
+    dirs = [_gen_dir(root, g) for g in candidates]
+    raw = (
+        spark.read.schema(schema).parquet(*dirs)
+        if schema is not None
+        else spark.read.option("basePath", _data_root(root)).parquet(*dirs)
+    )
+    keyed = raw.select(
+        "*",
+        _dv_rel_file().alias("__dvf"),
+        F.col("_metadata.row_index").alias("__dvp"),
+    )
+    prior = _dv_positions(spark, root, live, candidates)
+    if prior is not None:
+        keyed = keyed.join(
+            prior.withColumnsRenamed({"file": "__dvf", "pos": "__dvp"}),
+            ["__dvf", "__dvp"],
+            "left_anti",
+        )
+    did = fresh_gen(live["seq"] + 1)  # attempt-unique like data gens
+    (
+        keyed.where(match)
+        .select(F.col("__dvf").alias("file"), F.col("__dvp").alias("pos"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_dv_dir(root, did))
+    )
+    # per-generation cardinalities from the WRITTEN sidecar (the same
+    # written-dir determinism rule as stats/blooms); generation id is
+    # embedded in the relative file address
+    per_gen = {
+        int(r["g"]): int(r["n"])
+        for r in spark.read.parquet(_dv_dir(root, did))
+        .groupBy(
+            F.regexp_extract(F.col("file"), r"g=(\d+)/", 1)
+            .cast("long")
+            .alias("g")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(per_gen.values())
+    if total == 0:
+        _delete(spark, _dv_dir(root, did), recursive=True)
+        return {
+            "rows_deleted": 0, "gens_rewritten": 0,
+            "gens_untouched": n_gens, "gens_vectored": 0,
+        }
+    dvs = {g: list(e) for g, e in (live.get("dvs") or {}).items()}
+    rel = f"dv/{did}"
+    for g, n in sorted(per_gen.items()):
+        dvs.setdefault(str(g), []).append({"path": rel, "rows": n})
+    _publish(
+        spark, root, [int(g) for g in live["gens"]],
+        dict(live["batches"]), live["seq"] + 1,
+        schema=live.get("schema"),
+        stats=live.get("stats"), stats_cols=live.get("stats_cols"),
+        blooms=live.get("blooms"), bloom_cols=live.get("bloom_cols"),
+        bloom_params=live.get("bloom_params"),
+        dvs=dvs,
+    )
+    return {
+        "rows_deleted": total,
+        "gens_rewritten": 0,
+        "gens_untouched": n_gens,
+        "gens_vectored": len(per_gen),
+    }
+
+
+def materialize_manifest_deletes(spark: SparkSession, root: str) -> dict:
+    """Fold every live deletion vector into its generation: rewrite each
+    VECTORED generation at a fresh path with the vectors anti-applied,
+    recompute its stats/Bloom sidecars, and publish one manifest with no
+    ``dvs`` entries for the rewritten gens — after which reads pay no
+    anti-join and the erasure becomes physically durable once
+    :func:`vacuum_manifest_table` reclaims the superseded dirs and
+    vector files.  Un-vectored generations keep their dirs
+    byte-identical.  This is the explicit counterpart of the implicit
+    materialization every rewrite performs (CoW delete, merge,
+    compaction) — run it when merge-on-read read tax has accumulated but
+    no compaction is due, the Iceberg ``rewrite_position_delete_files``
+    + data-rewrite maintenance step in one.
+
+    Returns ``{"gens_materialized", "rows_dropped"}``; no-op (no
+    publish) when the table carries no vectors."""
+    live = _live(spark, root)
+    dvs = {g: list(e) for g, e in (live.get("dvs") or {}).items()}
+    vectored = sorted(
+        int(g) for g in live["gens"] if dvs.get(str(int(g)))
+    )
+    if not vectored:
+        return {"gens_materialized": 0, "rows_dropped": 0}
+    schema = (
+        StructType.fromJson(live["schema"])
+        if live.get("schema") is not None
+        else None
+    )
+    stats_cols = live.get("stats_cols") or []
+    bloom_cols = live.get("bloom_cols") or []
+    bloom_params = live.get("bloom_params") or {}
+    stats = dict(live.get("stats") or {})
+    blooms = dict(live.get("blooms") or {})
+    batches = dict(live["batches"])
+    seq = live["seq"] + 1
+    new_gens = [int(g) for g in live["gens"] if int(g) not in set(vectored)]
+    rows_dropped = 0
+    for g in vectored:
+        rows_dropped += _dv_rows_of(live, g)
+        raw = (
+            spark.read.schema(schema).parquet(_gen_dir(root, g))
+            if schema is not None
+            else spark.read.parquet(_gen_dir(root, g))
+        )
+        kept = _apply_dvs(spark, root, live, raw, [g])
+        ng = fresh_gen(seq)  # attempt-unique: see fresh_gen docstring
+        kept.write.mode("overwrite").parquet(_gen_dir(root, ng))
+        new_gens.append(ng)
+        stats.pop(str(g), None)
+        blooms.pop(str(g), None)
+        dvs.pop(str(g), None)
+        if stats_cols or (bloom_cols and bloom_params):
+            wdf = (
+                spark.read.schema(schema).parquet(_gen_dir(root, ng))
+                if schema is not None
+                else spark.read.parquet(_gen_dir(root, ng))
+            )
+            if stats_cols:
+                stats[str(ng)] = collect_gen_stats(wdf, stats_cols)
+            if bloom_cols and bloom_params:
+                _write_gen_blooms(wdf, root, ng, bloom_cols, bloom_params)
+                blooms[str(ng)] = [c for c in bloom_cols if c in wdf.columns]
+        # ledger keys unchanged; entries follow their rows' new home
+        for b, bg in batches.items():
+            if int(bg) == g:
+                batches[b] = ng
+    _publish(
+        spark, root, sorted(new_gens), batches, seq,
+        schema=live.get("schema"), stats=stats, stats_cols=stats_cols,
+        blooms=blooms, bloom_cols=bloom_cols, bloom_params=bloom_params,
+        dvs=dvs,
+    )
+    return {
+        "gens_materialized": len(vectored),
+        "rows_dropped": rows_dropped,
     }
 
 
@@ -1801,14 +2166,19 @@ def manifest_table_merge(
         seq = live["seq"] + 1
         stats = dict(live.get("stats") or {})
         blooms = dict(live.get("blooms") or {})
+        dvs = {g: list(e) for g, e in (live.get("dvs") or {}).items()}
         batches = dict(live["batches"])
 
         def _gen_df(g: int) -> DataFrame:
-            if table_schema is not None:
-                return spark.read.schema(table_schema).parquet(
-                    _gen_dir(root, g)
-                )
-            return spark.read.parquet(_gen_dir(root, g))
+            raw = (
+                spark.read.schema(table_schema).parquet(_gen_dir(root, g))
+                if table_schema is not None
+                else spark.read.parquet(_gen_dir(root, g))
+            )
+            # live view: deletion vectors anti-applied, so probe counts
+            # and kept rows never include already-deleted rows (and the
+            # rewrite MATERIALIZES the vectors)
+            return _apply_dvs(spark, root, live, raw, [g])
 
         # the batch is written FIRST; keys, stats, and Bloom bits all
         # derive from the WRITTEN generation so a non-deterministic
@@ -1893,11 +2263,12 @@ def manifest_table_merge(
                 new_gens.append(g)
                 continue
             if n_match == totals.get(g, -1):
-                # every row matched a batch key: nothing to keep — drop
-                # the generation (ledger remap to bg happens below)
+                # every LIVE row matched a batch key: nothing to keep —
+                # drop the generation (ledger remap to bg happens below)
                 emptied.append(g)
                 stats.pop(str(g), None)
                 blooms.pop(str(g), None)
+                dvs.pop(str(g), None)
                 continue
             # keep = rows whose key is NOT in the batch; NULL keys kept
             # (scd1 parity: a NULL key never matches any update)
@@ -1911,6 +2282,7 @@ def manifest_table_merge(
             new_gens.append(ng)
             stats.pop(str(g), None)
             blooms.pop(str(g), None)
+            dvs.pop(str(g), None)  # materialized by the rewrite
             if eff_cols or (eff_bloom and bloom_params):
                 rdf = (
                     spark.read.schema(table_schema).parquet(_gen_dir(root, ng))
@@ -1971,6 +2343,7 @@ def manifest_table_merge(
                 stats=stats, stats_cols=eff_cols,
                 blooms=blooms, bloom_cols=eff_bloom,
                 bloom_params=bloom_params,
+                dvs=dvs,
             )
         except ManifestConflictError as exc:
             last_conflict = exc
@@ -2124,6 +2497,29 @@ def read_manifest_table_changes(
             "the snapshot-read/vacuum race), or re-baseline with a full "
             "read"
         )
+    # deletion vectors (r14) retract rows WITHOUT remapping the ledger —
+    # a vector landing on a generation that was live at the cursor
+    # means rows this cursor may already have delivered were since
+    # deleted, which an append-only delta cannot express: raise, same
+    # contract as the rewrite guard above.  Vectors on NEW generations
+    # are fine (those rows were never delivered — the read below
+    # anti-applies them and delivers the net).
+    base_live = {int(g) for g in base["gens"]}
+    base_dvs = base.get("dvs") or {}
+    head_dvs = head.get("dvs") or {}
+    vectored = sorted(
+        g for g in base_live
+        if g in live_gens
+        and (head_dvs.get(str(g)) or []) != (base_dvs.get(str(g)) or [])
+    )
+    if vectored:
+        raise ValueError(
+            f"generations {vectored} delivered at or before seq "
+            f"{since_seq} gained deletion vectors since "
+            "(manifest_table_delete strategy='dv') — an append-only "
+            "changes read cannot express the retraction of rows it "
+            "already delivered; re-baseline with a full read"
+        )
     schema = (
         StructType.fromJson(head["schema"])
         if head.get("schema") is not None
@@ -2146,10 +2542,17 @@ def read_manifest_table_changes(
     else:
         dirs = [_gen_dir(root, g) for g in gens]
         if schema is not None:
-            out = spark.read.schema(schema).parquet(*dirs)
+            out = _apply_dvs(
+                spark, root, head,
+                spark.read.schema(schema).parquet(*dirs), gens,
+            )
         else:
-            out = spark.read.option("basePath", _data_root(root)).parquet(
-                *dirs
+            out = _apply_dvs(
+                spark, root, head,
+                spark.read.option("basePath", _data_root(root)).parquet(
+                    *dirs
+                ),
+                gens,
             ).drop("g")
     if clauses:
         out = out.filter(_where_expr(clauses))
@@ -2282,14 +2685,19 @@ def compact_manifest_table(
     old_dirs = [_gen_dir(root, g) for g in old]
     if live.get("schema") is not None:
         # recorded schema: evolved/footerless generations merge cleanly
-        merged = spark.read.schema(
+        raw = spark.read.schema(
             StructType.fromJson(live["schema"])
         ).parquet(*old_dirs)
+        merged = _apply_dvs(spark, root, live, raw, old)
     else:
-        merged = spark.read.option("basePath", _data_root(root)).parquet(
+        raw = spark.read.option("basePath", _data_root(root)).parquet(
             *old_dirs
-        ).drop("g")
-    files = merged.inputFiles()
+        )
+        # deletion vectors of the merged generations MATERIALIZE here:
+        # the rewrite carries only live rows, and their dv entries drop
+        # with the superseded gens at publish
+        merged = _apply_dvs(spark, root, live, raw, old).drop("g")
+    files = raw.inputFiles()
     total_bytes = 0
     for f in files:
         try:
@@ -2390,6 +2798,9 @@ def compact_manifest_table(
         spark, root, new_gens, dict(live["batches"]), seq,
         schema=live.get("schema"), stats=stats, stats_cols=stats_cols,
         blooms=blooms, bloom_cols=bloom_cols, bloom_params=bloom_params,
+        # merged gens' vectors were materialized by the rewrite; kept
+        # gens' vectors ride forward (_publish filters to live gens)
+        dvs=live.get("dvs"),
     )
     return {
         "files_before": files_before,
@@ -2441,11 +2852,8 @@ def vacuum_manifest_table(
         )
     _live(spark, root)  # kind check + fail loudly on an empty root
     n_manifests = len(manifest_vacuum(spark, root, keep_last=keep_manifests))
-    keep = {
-        int(g)
-        for m in manifest_history(spark, root)
-        for g in m.get("gens", ())
-    }
+    history = manifest_history(spark, root)
+    keep = {int(g) for m in history for g in m.get("gens", ())}
     dropped = 0
     for name in _ls_names(spark, _data_root(root)):
         if not name.startswith("g="):
@@ -2458,7 +2866,26 @@ def vacuum_manifest_table(
             spark, f"{_data_root(root)}/{name}", recursive=True
         ):
             dropped += 1
+    # deletion-vector files referenced by NO retained manifest — vectors
+    # of materialized/expired snapshots and crash orphans alike (r14).
+    # This is also where a DV erasure becomes physically DURABLE: the
+    # deleted rows' bytes live on in the data files until their
+    # generation is rewritten, but the positions sidecar of an expired
+    # snapshot goes here.
+    keep_dv = {
+        e["path"].split("/", 1)[1]
+        for m in history
+        for entries in (m.get("dvs") or {}).values()
+        for e in entries
+    }
+    dv_dropped = 0
+    for name in _ls_names(spark, f"{root}/dv"):
+        if name not in keep_dv and _delete(
+            spark, f"{root}/dv/{name}", recursive=True
+        ):
+            dv_dropped += 1
     return {
         "data_dirs_deleted": dropped,
         "manifests_deleted": n_manifests,
+        "dv_files_deleted": dv_dropped,
     }

@@ -739,6 +739,14 @@ _skip_ops = st.lists(
             st.integers(min_value=0, max_value=4),   # batch id
             st.integers(min_value=0, max_value=5),   # row index
         ),
+        # merge-on-read deletion-vector delete of one key (r14)
+        st.tuples(
+            st.just("delete_dv"),
+            st.integers(min_value=0, max_value=4),   # batch id
+            st.integers(min_value=0, max_value=5),   # row index
+        ),
+        # explicit DV materialization (r14)
+        st.tuples(st.just("materialize"), st.just(0), st.just(0)),
         # keyed MERGE (r13): upsert a batch — CoW delete of matched
         # keys + ledgered append in one publish
         st.tuples(
@@ -819,12 +827,13 @@ def test_skipping_model_under_random_ops_and_crashes(
             if not committed:
                 continue
             m.vacuum_manifest_table(spark, root, keep_manifests=1)
-        elif op == "delete":
+        elif op in ("delete", "delete_dv"):
             if not committed:
                 continue
             key = a * 100 + b
             st_ = m.manifest_table_delete(
-                spark, root, [("doc_id", "=", key)]
+                spark, root, [("doc_id", "=", key)],
+                strategy="dv" if op == "delete_dv" else "cow",
             )
             want = sum(
                 1 for rows in committed.values() for r in rows
@@ -833,6 +842,10 @@ def test_skipping_model_under_random_ops_and_crashes(
             assert st_["rows_deleted"] == want
             for bid in list(committed):
                 committed[bid] = [r for r in committed[bid] if r[0] != key]
+        elif op == "materialize":
+            if not committed:
+                continue
+            m.materialize_manifest_deletes(spark, root)
         elif op == "merge":
             if first:
                 continue  # table must exist with tracking enabled
@@ -879,14 +892,20 @@ def test_skipping_model_under_random_ops_and_crashes(
         )
         want = sorted(r for r in model if pred(r))
         assert got == want, (where, got, want)
-    # and the manifest-only aggregate stays exact
+    # and the manifest-only aggregate: rows stay exact ALWAYS (deletion-
+    # vector cardinalities are ledgered and disjoint); column min/max
+    # degrade honestly while any generation carries a live vector
     agg = m.manifest_table_aggregate(spark, root)
-    assert agg["exact"] is True
     assert agg["rows"] == len(model)
-    non_null_days = [r[1] for r in model]
-    if non_null_days:
-        assert agg["cols"]["d"]["min"] == min(non_null_days)
-        assert agg["cols"]["d"]["max"] == max(non_null_days)
+    live_dvs = bool(m.manifest_read(spark, root).get("dvs"))
+    if live_dvs:
+        assert agg["exact"] is False
+    else:
+        assert agg["exact"] is True
+        non_null_days = [r[1] for r in model]
+        if non_null_days:
+            assert agg["cols"]["d"]["min"] == min(non_null_days)
+            assert agg["cols"]["d"]["max"] == max(non_null_days)
 
 
 def test_catalyst_pushdown_survives_manifest_read(spark, tmp_path):

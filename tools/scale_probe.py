@@ -2304,6 +2304,146 @@ def measure_manifest_stats(
     return out
 
 
+def measure_dv_delete(
+    spark,
+    *,
+    n_batches: int = 64,
+    rows_per_batch: int = 200_000,
+) -> dict:
+    """Probe for merge-on-read DELETE (VERDICT r13 #1): is a
+    deletion-vector sidecar decisively cheaper than copy-on-write for a
+    WIDE LOW-SELECTIVITY delete — a handful of rows in EVERY generation
+    of an aged table (the GDPR-ish erasure where key pruning cannot
+    shrink the rewrite set because every generation truly holds a row)?
+
+    Builds the aged 64-generation table (12.8 M rows, stats+Bloom on
+    doc_id), picks one victim id per generation, then measures:
+
+    1. CoW wall (``manifest_table_delete`` — rewrites all 64 gens);
+    2. DV-prototype build wall: ONE scan recording matched
+       (file, row_index) positions via ``_metadata``, written as a
+       KB-scale parquet sidecar — no data rewrite;
+    3. reader tax: full-scan aggregate and a pruned 2-day window read,
+       plain vs with the DV anti-applied (broadcast anti-join on
+       (file, pos)) — the recurring cost every merge-on-read reader
+       pays until compaction materializes.
+    """
+    import datetime as _dt
+    import shutil as _sh
+
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        manifest_table_append,
+        manifest_table_delete,
+        read_manifest_table,
+    )
+
+    day0 = F.to_date(F.lit("2024-01-01"))
+
+    def batch(b: int):
+        return spark.range(rows_per_batch).select(
+            (F.col("id") + b * rows_per_batch).alias("doc_id"),
+            F.date_add(day0, b).alias("d"),
+            (F.rand(seed=b) * 100).alias("score"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("text"),
+        )
+
+    root = tempfile.mkdtemp(prefix="dvprobe_") + "/t"
+    t0 = time.time()
+    for b in range(n_batches):
+        manifest_table_append(
+            batch(b), root, b,
+            stats_cols=["d"] if b == 0 else None,
+            bloom_cols=["doc_id"] if b == 0 else None,
+        )
+    out: dict = {"build_wall": round(time.time() - t0, 2)}
+    victims = [b * rows_per_batch + 7 for b in range(n_batches)]
+
+    # reader baseline BEFORE any delete
+    def agg_wall():
+        t0 = time.time()
+        n = read_manifest_table(spark, root).where(
+            F.col("score") < 50
+        ).count()
+        return round(time.time() - t0, 3), n
+
+    out["full_agg_plain_wall"], n_plain = agg_wall()
+
+    # window-read baseline BEFORE any delete
+    lo = _dt.date(2024, 1, 1) + _dt.timedelta(days=n_batches // 2)
+    hi = lo + _dt.timedelta(days=1)
+    t0 = time.time()
+    w_plain = read_manifest_table(
+        spark, root, where=[("d", "between", (lo, hi))]
+    ).count()
+    out["window_read_plain_wall"] = round(time.time() - t0, 3)
+
+    # --- CoW on a copy of the same aged table ---
+    root2 = tempfile.mkdtemp(prefix="dvprobe_") + "/t"
+    _sh.copytree(root, root2, dirs_exist_ok=True)
+    t0 = time.time()
+    dstats = manifest_table_delete(
+        spark, root2, [("doc_id", "in", victims)]
+    )
+    out["cow_delete_wall"] = round(time.time() - t0, 2)
+    out["cow_gens_rewritten"] = dstats["gens_rewritten"]
+    out["cow_rows_deleted"] = dstats["rows_deleted"]
+
+    # --- DV (the shipped strategy="dv") on the original ---
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        materialize_manifest_deletes,
+    )
+
+    t0 = time.time()
+    vstats = manifest_table_delete(
+        spark, root, [("doc_id", "in", victims)], strategy="dv"
+    )
+    out["dv_delete_wall"] = round(time.time() - t0, 3)
+    out["dv_gens_vectored"] = vstats["gens_vectored"]
+    out["dv_rows_deleted"] = vstats["rows_deleted"]
+    out["dv_bytes"] = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(f"{root}/dv")
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+    # reader tax while vectors are live (merge-on-read)
+    t0 = time.time()
+    n_dv = read_manifest_table(spark, root).where(
+        F.col("score") < 50
+    ).count()
+    out["full_agg_dv_wall"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    w_dv = read_manifest_table(
+        spark, root, where=[("d", "between", (lo, hi))]
+    ).count()
+    out["window_read_dv_wall"] = round(time.time() - t0, 3)
+    out["window_rows_plain"] = w_plain
+    out["window_rows_dv"] = w_dv
+
+    # explicit materialization: pays the CoW wall ONCE, off the delete
+    # path, after which reads drop the anti-join
+    t0 = time.time()
+    mstats = materialize_manifest_deletes(spark, root)
+    out["materialize_wall"] = round(time.time() - t0, 2)
+    out["materialize_gens"] = mstats["gens_materialized"]
+    t0 = time.time()
+    n_mat = read_manifest_table(spark, root).where(
+        F.col("score") < 50
+    ).count()
+    out["full_agg_after_materialize_wall"] = round(time.time() - t0, 3)
+
+    out["full_agg_rows_check"] = {
+        "plain": n_plain,
+        "dv": n_dv,
+        "materialized": n_mat,
+        "cow": read_manifest_table(spark, root2)
+        .where(F.col("score") < 50)
+        .count(),
+    }
+    return out
+
+
 def measure_ivf_fetch(
     spark,
     *,
