@@ -441,6 +441,7 @@ def make_corpus_ingest_sink(
     max_bucket: int = 1000,
     corpus_layout: str = "partition",
     corpus_stats_cols: list[str] | None = None,
+    doc_meta_dir: str | None = None,
 ):
     """foreachBatch handler: gate each micro-batch, near-dup it against
     the AT-REST LSH index, append survivors + their signatures.
@@ -489,6 +490,22 @@ def make_corpus_ingest_sink(
     dropped against the index (first write wins — previously it slipped
     past the near-dup probe as a filtered self-pair and landed twice).
 
+    ``doc_meta_dir`` (r14, VERDICT r13 #5) additionally maintains a
+    DOC-METADATA DIM — one row per quality-gated document id, carrying
+    its metrics (``fingerprint``/``ws_tokens``/``quality_score``/
+    ``lang_pred``), its ingest ``status`` (``kept`` /
+    ``duplicate_text`` / ``duplicate_id`` / ``near_dup``) and
+    ``last_ingest_batch`` — through the SAME
+    :func:`...sources.manifest_table.manifest_upsert_sink` the star
+    pipeline's ``dim_layout="manifest"`` uses: each batch is one keyed
+    ``manifest_table_merge`` (CoW delete of matched ids + ledgered
+    append in ONE conditional-PUT publish), so a re-sent id UPDATES its
+    row (the corpus itself stays first-write-wins) and a replayed
+    committed batch is a ledger no-op.  The dim answers "what happened
+    to doc X and why" without scanning the corpus.  Read it back with
+    ``read_manifest_table(doc_meta_dir)``; it ages like any manifest
+    table (``run_maintenance(manifest_tables=[...])``).
+
     Use::
 
         q = (stream.writeStream.foreachBatch(
@@ -515,6 +532,14 @@ def make_corpus_ingest_sink(
             "generation stats live in the manifest commit log; the "
             "partition layout has no manifest to record them in"
         )
+    meta_sink = None
+    if doc_meta_dir is not None:
+        from ..sources.manifest_table import manifest_upsert_sink
+
+        # the second manifest_upsert_sink consumer (the star dim is the
+        # first): keyed merge per batch, ledger-exactly-once, stats +
+        # Bloom on the id so each merge prunes its rewrite set
+        meta_sink = manifest_upsert_sink(doc_meta_dir, id_col)
     layout_checked = []
 
     def _guard_manifest_layout(spark) -> None:
@@ -607,6 +632,10 @@ def make_corpus_ingest_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         ).localCheckpoint(eager=True)
+        # the doc-metadata dim covers every quality-gated id, whatever
+        # its fate downstream — captured before the id guard prunes
+        meta_src = gated
+        already = None
         # id uniqueness ACROSS batches (r10 fix): an id re-sent in a
         # LATER batch previously slipped past the near-dup probe (its
         # band match is a self-pair, which the survivor rule must
@@ -681,6 +710,49 @@ def make_corpus_ingest_sink(
             index_table,
             batch_id,
         )
+        if meta_sink is not None:
+            # per-doc fate, derived from the SAME batch-bounded frames
+            # the decisions were made on (all localCheckpointed above —
+            # no recompute, no re-read): keyed merge into the dim, so a
+            # re-sent id UPDATES its row while the corpus stays
+            # first-write-wins.  Runs LAST: a crash before it replays
+            # the batch, the corpus/index writes no-op on their
+            # ledgers/overwrites, and this merge converges (its own
+            # ledger skips an already-committed batch).
+            meta = meta_src.select(
+                id_col, "fingerprint", "ws_tokens", "quality_score",
+                "lang_pred",
+            )
+            if already is not None:
+                meta = meta.join(
+                    already.withColumn("__resent", F.lit(True)),
+                    id_col, "left",
+                )
+            else:
+                meta = meta.withColumn(
+                    "__resent", F.lit(None).cast("boolean")
+                )
+            meta = (
+                meta.join(
+                    exact.select(id_col).withColumn("__rep", F.lit(True)),
+                    id_col, "left",
+                )
+                .join(
+                    losers.withColumn("__loser", F.lit(True)),
+                    id_col, "left",
+                )
+                .select(
+                    id_col, "fingerprint", "ws_tokens", "quality_score",
+                    "lang_pred",
+                    F.when(F.col("__resent"), "duplicate_id")
+                    .when(F.col("__rep").isNull(), "duplicate_text")
+                    .when(F.col("__loser"), "near_dup")
+                    .otherwise("kept")
+                    .alias("status"),
+                    F.lit(int(batch_id)).alias("last_ingest_batch"),
+                )
+            )
+            meta_sink(meta, batch_id)
 
     return sink
 

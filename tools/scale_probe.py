@@ -2444,6 +2444,101 @@ def measure_dv_delete(
     return out
 
 
+def measure_merge_antijoin(
+    spark,
+    *,
+    n_batches: int = 64,
+    rows_per_batch: int = 200_000,
+) -> dict:
+    """Probe for the merge's no-driver-key-list degradation path
+    (VERDICT r13 #4): past ``_MERGE_INLIST_MAX`` (100 k) distinct batch
+    keys, ``manifest_table_merge`` never collects keys — candidate
+    pruning is skipped and the rewrite filter is an anti-JOIN over all
+    generations.  The documented claim is "the right plan anyway for a
+    merge that touches most of the table"; this measures it at the aged
+    64-generation / 12.8 M-row geometry:
+
+    * mid-size merge (50 k keys, one key per 256 rows — IN-LIST path:
+      driver collect + InSet rewrite filter);
+    * huge merge (~150 k keys, one per 85 rows — ANTI-JOIN path);
+    both spread across ALL generations, so the rewrite set is the whole
+    table either way and the walls isolate the path mechanics, not the
+    rewrite size.
+    """
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import (
+        manifest_read as _mread,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        _MERGE_INLIST_MAX,
+        manifest_table_append,
+        manifest_table_merge,
+        read_manifest_table,
+    )
+
+    day0 = F.to_date(F.lit("2024-01-01"))
+
+    def batch(b: int):
+        return spark.range(rows_per_batch).select(
+            (F.col("id") + b * rows_per_batch).alias("doc_id"),
+            F.date_add(day0, b).alias("d"),
+            (F.rand(seed=b) * 100).alias("score"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("text"),
+        )
+
+    root = tempfile.mkdtemp(prefix="mergeprobe_") + "/t"
+    t0 = time.time()
+    for b in range(n_batches):
+        manifest_table_append(
+            batch(b), root, b,
+            stats_cols=["d", "doc_id"] if b == 0 else None,
+            bloom_cols=["doc_id"] if b == 0 else None,
+        )
+    out: dict = {"build_wall": round(time.time() - t0, 2)}
+    n_rows = n_batches * rows_per_batch
+
+    def upd(modulus: int, residue: int):
+        return spark.range(n_rows).where(
+            F.col("id") % modulus == residue
+        ).select(
+            F.col("id").alias("doc_id"),
+            F.to_date(F.lit("2024-06-01")).alias("d"),
+            F.lit(0.0).alias("score"),
+            F.lit("merged").alias("text"),
+        )
+
+    for label, modulus in (("inlist_50k", 256), ("antijoin_150k", 85)):
+        u = upd(modulus, 13)
+        n_keys = u.count()
+        gens_pre = set(_mread(spark, root)["gens"])
+        t0 = time.time()
+        manifest_table_merge(u, root, "doc_id", 1000 + modulus)
+        wall = round(time.time() - t0, 2)
+        m = _mread(spark, root)
+        out[label] = {
+            "n_keys": n_keys,
+            "path": (
+                "inlist" if n_keys <= _MERGE_INLIST_MAX else "antijoin"
+            ),
+            "wall": wall,
+            "gens_untouched": len(gens_pre & set(m["gens"])),
+            "gens_total_after": len(m["gens"]),
+        }
+        # the merged keys read back with the batch's values, key-unique
+        t = read_manifest_table(
+            spark, root, where=[("d", "=", _probe_date("2024-06-01"))]
+        )
+        assert t.count() >= n_keys, (label, t.count(), n_keys)
+    out["rows_final"] = read_manifest_table(spark, root).count()
+    assert out["rows_final"] == n_rows  # merges replaced, never added
+    return out
+
+
+def _probe_date(s: str):
+    import datetime as _dt
+
+    return _dt.date.fromisoformat(s)
+
+
 def measure_ivf_fetch(
     spark,
     *,
