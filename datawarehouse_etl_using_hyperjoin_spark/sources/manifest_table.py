@@ -2092,12 +2092,17 @@ def manifest_table_merge(
     shape.  Track ``stats_cols``/``bloom_cols`` including ``key`` (the
     manifest dim sink does by default) or every merge scans and probes
     all generations.  Up to :data:`_MERGE_INLIST_MAX` distinct batch
-    keys are collected to the driver for manifest-level pruning
-    (micro-batch-sized — the common dim case; same bound class as the
-    bucketed sink's touched-bucket collect); a LARGER batch never
-    collects — it degrades to an anti-JOIN rewrite over all
-    generations, which is the right plan anyway for a merge that
-    touches most of the table.
+    keys are collected to the driver for MANIFEST-LEVEL PRUNING ONLY —
+    pure driver math (sorted-bisect vs stats, capped Bloom probes)
+    that never enters a Spark plan; the Spark-side probe and rewrite
+    filters are ALWAYS joins against the written batch-keys frame
+    (r14: an N-literal ``isin`` rewrite filter collapses past a few
+    thousand keys — probe-measured 671 s vs 89 s for the join form at
+    the aged 64-generation geometry, the r13 In-pushdown cliff's
+    expression-size sibling).  A batch past the cap never collects
+    (driver-memory bound); the only degradation is losing manifest
+    pruning — the right plan anyway for a merge that touches most of
+    the table.
 
     Determinism: the batch is WRITTEN first and its keys (and
     stats/Bloom bits) are derived from the written generation — a
@@ -2192,6 +2197,21 @@ def manifest_table_merge(
             F.col(key).isNotNull()
         ).distinct()
         n_keys = batch_keys.count()
+        # The collected key list serves MANIFEST PRUNING ONLY — pure
+        # driver math (sorted-bisect vs stats, Bloom probes capped at
+        # _BLOOM_PROBE_MAX) that never enters a Spark plan.  The
+        # Spark-side probe and rewrite filters are ALWAYS joins against
+        # the written batch-keys frame: an N-literal isin expression
+        # poisons every per-generation job past a few thousand keys
+        # (probe-measured r14: a 50 k-literal isin rewrite took 671 s
+        # where the join form took 89 s at 150 k keys on the same aged
+        # 64-generation table — the same expression-size cliff class as
+        # the r13 In-pushdown stack overflow), while a small batch-keys
+        # frame broadcast-joins for the same cost as the literals.
+        # Past _MERGE_INLIST_MAX the list is never collected (driver
+        # memory bound) and the ONLY degradation is losing manifest
+        # pruning — the right plan anyway for a merge that touches most
+        # of the table.
         keys = (
             [r[0] for r in batch_keys.collect()]
             if 0 < n_keys <= _MERGE_INLIST_MAX
@@ -2203,13 +2223,10 @@ def manifest_table_merge(
                 g for g in _pruned_gens(spark, root, live, clauses)
                 if g in set(gens)
             )
-            is_hit = F.coalesce(F.col(key).isin(keys), F.lit(False))
         elif n_keys:
             candidates = list(gens)  # no driver key list: scan-and-join
-            is_hit = None
         else:
             candidates = []  # empty/all-null-key batch: pure append
-            is_hit = None
 
         # ONE probe job over all candidates (merge is a hot sink path,
         # unlike the maintenance-class delete's per-generation counts):
@@ -2236,14 +2253,10 @@ def manifest_table_merge(
                     for g in candidates
                 ],
             )
-            marked = (
-                probe.withColumn("__hit", F.when(is_hit, F.lit(1)))
-                if is_hit is not None
-                else probe.join(
-                    batch_keys.withColumn("__hit", F.lit(1)),
-                    on=key,
-                    how="left",
-                )
+            marked = probe.join(
+                batch_keys.withColumn("__hit", F.lit(1)),
+                on=key,
+                how="left",
             )
             for r in (
                 marked.groupBy("__g")
@@ -2271,12 +2284,14 @@ def manifest_table_merge(
                 dvs.pop(str(g), None)
                 continue
             # keep = rows whose key is NOT in the batch; NULL keys kept
-            # (scd1 parity: a NULL key never matches any update)
-            kept = (
-                _gen_df(g).where(~is_hit)
-                if is_hit is not None
-                else _gen_df(g).join(batch_keys, on=key, how="left_anti")
-            )
+            # (scd1 parity: a NULL key never matches any update — a
+            # left_anti on the key keeps them, nulls join nothing).
+            # Column order pinned to the generation's own (a USING-join
+            # must not reorder what the rewrite persists).
+            gdf = _gen_df(g)
+            kept = gdf.join(
+                batch_keys, on=key, how="left_anti"
+            ).select(*gdf.columns)
             ng = fresh_gen(seq)  # attempt-unique: see fresh_gen docstring
             kept.write.mode("overwrite").parquet(_gen_dir(root, ng))
             new_gens.append(ng)

@@ -2865,6 +2865,155 @@ def measure_star_pipeline(
     return out
 
 
+def measure_all_manifest_pipeline(
+    spark,
+    sf_dir: str,
+    *,
+    mult: int = 20,
+    n_batches: int = 20,
+    maintenance_every: int = 5,
+    n_docs: int = 100_000,
+) -> dict:
+    """r14 (VERDICT r13 #6): the composed pipelines in FULL all-manifest
+    posture — every at-rest artifact on the generation-manifest protocol
+    under ONE maintenance cadence — at 20× volume:
+
+    * STAR: ``run_pipeline_streaming`` with ``fact_layout + dim_layout
+      = "manifest"`` (quarantine on, so the ``late``/``_hwm`` side
+      artifacts ride ``side_layout="manifest"`` automatically) and
+      ``maintenance_every`` live — fact appends, dim keyed merges, side
+      appends and their compactions/vacuums all commit through
+      conditional-PUT manifests;
+    * CORPUS: ``make_corpus_ingest_sink(corpus_layout="manifest",
+      doc_meta_dir=...)`` wrapped in ``make_maintenance_sink`` — corpus
+      appends + doc-metadata dim merges (the r14 second
+      ``manifest_upsert_sink`` consumer) under the same cadence.
+
+    Pass criterion: every family's generation count stays BOUNDED
+    (≈ tiered-big + keep_last + cadence window, NOT O(batches)) and the
+    stream drains with per-batch wall flat — the five manifest
+    consumers compose under one cadence without stepping on each
+    other's commits.
+    """
+    from datawarehouse_etl_using_hyperjoin_spark.maintenance import (
+        make_maintenance_sink,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.manifest import (
+        manifest_read as _mread,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
+        make_corpus_ingest_sink,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.sources.fixtures import (
+        master_data,
+        transactions,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.sources.manifest_table import (
+        read_manifest_table,
+    )
+    from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
+        read_parquet_stream,
+        run_pipeline_streaming,
+    )
+
+    out: dict = {"mult": mult, "n_batches": n_batches,
+                 "maintenance_every": maintenance_every}
+
+    # ---- STAR, all-manifest, cadence live ----
+    txns = transactions(spark, sf_dir)
+    master = master_data(spark, sf_dir).localCheckpoint(eager=True)
+    big = (
+        txns.crossJoin(
+            F.broadcast(spark.range(mult).withColumnRenamed("id", "__rep"))
+        )
+        .withColumn(
+            "order_id", F.col("order_id") + F.col("__rep") * F.lit(10_000_000)
+        )
+        .drop("__rep")
+    )
+    stream_path = tempfile.mkdtemp(prefix="allman_") + "/txn"
+    big.repartition(n_batches).write.parquet(stream_path)
+    dw = tempfile.mkdtemp(prefix="allman_") + "/dw"
+    t0 = time.time()
+    counts = run_pipeline_streaming(
+        spark,
+        read_parquet_stream(spark, stream_path, max_files_per_trigger=1),
+        master,
+        dw,
+        quarantine_lateness="60 days",
+        fact_layout="manifest",
+        dim_layout="manifest",
+        fact_stats_cols=["order_id", "product_id"],
+        maintenance_every=maintenance_every,
+    )
+    out["star_wall"] = round(time.time() - t0, 2)
+    out["star_counts"] = {k: int(v) for k, v in counts.items()}
+
+    def gens(root) -> int:
+        m = _mread(spark, root)
+        return len(m["gens"]) if m else -1
+
+    out["star_gens"] = {
+        "fact": gens(f"{dw}/fact_enriched"),
+        "dim": gens(f"{dw}/dim_product"),
+        "late": gens(f"{dw}/late"),
+        "hwm": gens(f"{dw}/_hwm"),
+    }
+    # parity: manifest fact row count equals the drained on-time rows
+    assert (
+        read_manifest_table(spark, f"{dw}/fact_enriched").count()
+        == counts["fact_enriched"]
+    )
+
+    # ---- CORPUS + doc-meta dim, all-manifest, cadence live ----
+    docs_path = tempfile.mkdtemp(prefix="allman_") + "/docs"
+    synth_documents(spark, n_docs, docs_path)
+    docs = spark.read.parquet(docs_path)
+    corpus_out = tempfile.mkdtemp(prefix="allman_") + "/corpus"
+    meta_dir = tempfile.mkdtemp(prefix="allman_") + "/doc_meta"
+    idx = f"allman_idx_{int(time.time())}"
+    corpus_sink = make_maintenance_sink(
+        make_corpus_ingest_sink(
+            corpus_out, idx, min_quality=0.0, min_tokens=1,
+            corpus_layout="manifest", corpus_stats_cols=["doc_id"],
+            doc_meta_dir=meta_dir,
+        ),
+        maintenance_every,
+        manifest_tables=[corpus_out, meta_dir],
+    )
+    per = docs.count() // n_batches
+    t0 = time.time()
+    walls = []
+    try:
+        for b in range(n_batches):
+            tb = time.time()
+            corpus_sink(
+                docs.where(
+                    (F.col("doc_id") >= b * per)
+                    & (F.col("doc_id") < (b + 1) * per)
+                ),
+                b,
+            )
+            walls.append(round(time.time() - tb, 2))
+        out["corpus_wall"] = round(time.time() - t0, 2)
+        out["corpus_batch_walls_first3"] = walls[:3]
+        out["corpus_batch_walls_last3"] = walls[-3:]
+        out["corpus_gens"] = {
+            "corpus": gens(corpus_out),
+            "doc_meta": gens(meta_dir),
+        }
+        out["corpus_rows"] = read_manifest_table(spark, corpus_out).count()
+        meta = read_manifest_table(spark, meta_dir)
+        out["doc_meta_rows"] = meta.count()
+        # the dim stays key-unique at rest through merges + compactions
+        assert out["doc_meta_rows"] == (
+            meta.select("doc_id").distinct().count()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")
+    return out
+
+
 def measure_composed_pipeline(spark, docs) -> dict[str, float]:
     """r10 (verdict #4): the five demo stages (trained langid gate →
     quality classifier → Bloom decontamination → batched LSH ingest
