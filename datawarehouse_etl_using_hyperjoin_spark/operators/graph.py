@@ -69,6 +69,11 @@ def connected_components(
             .groupBy(F.col("v").alias("id"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        # the changed flag is decidable INSIDE the update projection
+        # (label changes iff a neighbor's label undercuts the current
+        # one), so convergence is a cheap scan of the just-materialized
+        # checkpoint instead of a second join of new labels against old
+        # — one join and its shuffle fewer per round (r14, guide §2.4)
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
@@ -76,17 +81,13 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
                     "label"
                 ),
+                (F.col("nbr_min") < F.col("label")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = not new_labels.where(F.col("__chg")).isEmpty()
+        labels = new_labels.drop("__chg")
+        if not changed:
             if stats is not None:
                 stats["rounds"] = round_no
             return labels.select("id", F.col("label").alias("component"))

@@ -61,17 +61,26 @@ def cosine_topk(
     ranking — at scale swap the window for a groupBy(query) partial top-k
     if k·|queries| is large.
     """
+    # norms once per side, not per pair (the semantic_dedup precompute
+    # convention): dot/(qn*cn) is the same doubles in the same order as
+    # cosine(), one interpreted fold per pair instead of three
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-        )
+        ).withColumn("__qn", norm(F.col("__qvec")))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).withColumn("__cn", norm(F.col("__cvec")))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("__qvec"), F.col("__cvec")))
-        .drop("__qvec", "__cvec")
+        .withColumn(
+            "cos",
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
+        .drop("__qvec", "__cvec", "__qn", "__cn")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -113,18 +122,22 @@ def ann_bucketed_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
             sign_bucket(F.col(vec_col), m).alias("bucket"),
-        )
+        ).withColumn("__qn", norm(F.col("__qvec")))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         sign_bucket(F.col(vec_col), m).alias("bucket"),
-    )
+    ).withColumn("__cn", norm(F.col("__cvec")))
     scored = (
         q.join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("__qvec"), F.col("__cvec")))
-        .drop("__qvec", "__cvec")
+        .withColumn(
+            "cos",
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
+        .drop("__qvec", "__cvec", "__qn", "__cn")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -184,18 +197,22 @@ def ann_multiprobe_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
             F.explode(probe_buckets(F.col(vec_col), m)).alias("bucket"),
-        )
+        ).withColumn("__qn", norm(F.col("__qvec")))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         sign_bucket(F.col(vec_col), m).alias("bucket"),
-    )
+    ).withColumn("__cn", norm(F.col("__cvec")))
     scored = (
         q.join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("__qvec"), F.col("__cvec")))
-        .drop("__qvec", "__cvec")
+        .withColumn(
+            "cos",
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
+        .drop("__qvec", "__cvec", "__qn", "__cn")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -255,17 +272,23 @@ def ann_qdprobe_topk(
         .filter(F.col("__rn") <= nprobe - 1)
         .select("query_id", "__qvec", "bucket")
     )
-    probes = F.broadcast(own.unionByName(flips))
+    probes = F.broadcast(
+        own.unionByName(flips).withColumn("__qn", norm(F.col("__qvec")))
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         sign_bucket(F.col(vec_col), m).alias("bucket"),
-    )
+    ).withColumn("__cn", norm(F.col("__cvec")))
     scored = (
         probes.join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("__qvec"), F.col("__cvec")))
-        .drop("__qvec", "__cvec")
+        .withColumn(
+            "cos",
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
+        .drop("__qvec", "__cvec", "__qn", "__cn")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -318,8 +341,23 @@ def ivf_assign(
     At 100 TB the assignment is written once and the cell id becomes the
     table's partition/cluster key, so probes prune whole cells at scan
     time (partition pruning, no shuffle)."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
-        "__cc", cosine(F.col(vec_col), F.col("centroid"))
+    # norms precomputed per SIDE (guide §2.3 "don't recompute in the
+    # join"): each vector's norm is one fold per corpus row instead of
+    # one per (row × centroid) pair, and each centroid's norm one per
+    # centroid instead of one per pair.  dot/(vn*cn) evaluates the same
+    # doubles in the same order as cosine(), so assignments (and the
+    # downstream trained centroids) stay bit-identical — the
+    # semantic_dedup precompute convention.
+    scored = (
+        corpus.withColumn("__vn", norm(F.col(vec_col)))
+        .crossJoin(
+            F.broadcast(centroids.withColumn("__cn", norm(F.col("centroid"))))
+        )
+        .withColumn(
+            "__cc",
+            dot(F.col(vec_col), F.col("centroid"))
+            / (F.col("__vn") * F.col("__cn")),
+        )
     )
     best = scored.groupBy(id_col).agg(
         F.max(
@@ -402,15 +440,24 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     k: int = 3,
     nprobe: int = 4,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: score only the cells of the query's ``nprobe`` nearest
     centroids — expected work O(N·Q·nprobe/C).  Raising ``nprobe`` trades
-    candidate volume for recall, the standard IVF knob."""
-    cells = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col).select(
+    candidate volume for recall, the standard IVF knob.
+
+    ``assigned`` (optional) is a precomputed ``ivf_assign(corpus,
+    centroids)`` relation: callers that need the assignment for several
+    consumers (e.g. a family union whose quantized branch indexes the
+    same cells) materialize it once and pass it here, instead of this
+    function re-running the corpus × centroids scoring."""
+    if assigned is None:
+        assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    cells = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         "centroid_id",
-    )
+    ).withColumn("__cn", norm(F.col("__cvec")))
     qs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     ).crossJoin(F.broadcast(centroids)).withColumn(
@@ -421,12 +468,17 @@ def ann_ivf_topk(
         qs.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
         .select("query_id", "__qvec", "centroid_id")
+        .withColumn("__qn", norm(F.col("__qvec")))
     )
     scored = (
         probes.join(cells, on="centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("__qvec"), F.col("__cvec")))
-        .drop("__qvec", "__cvec")
+        .withColumn(
+            "cos",
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
+        .drop("__qvec", "__cvec", "__qn", "__cn")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -478,8 +530,23 @@ def dequantize(q_col: Column, scale_col: Column) -> Column:
     return F.transform(q_col, lambda x: x.cast("double") * scale_col)
 
 
+def code_norm(q: Column) -> Column:
+    """L2 norm of an int8 code array (the ``cosine_quantized`` norm
+    term, exposed so join callers can precompute it once per SIDE
+    instead of once per pair — the semantic_dedup precompute
+    convention; same expression, same doubles)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(q, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
 def cosine_quantized(
-    qa: Column, sa: Column, qb: Column, sb: Column
+    qa: Column, sa: Column, qb: Column, sb: Column,
+    na: Column | None = None, nb: Column | None = None,
 ) -> Column:
     """Approximate cosine from two int8-quantized vectors.
 
@@ -488,26 +555,18 @@ def cosine_quantized(
     cosine of the CODE arrays — integer dot and norms, the cheapest form
     the JVM fold can take; the only approximation is the rounding to 127
     levels.  ``sa``/``sb`` are accepted for signature symmetry and the
-    all-zero guard."""
+    all-zero guard.  ``na``/``nb`` optionally take the precomputed
+    :func:`code_norm` of each side (bit-identical; one fold per pair
+    instead of three when both sides are precomputed)."""
     num = F.aggregate(
         F.zip_with(qa, qb, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
-        F.aggregate(
-            F.transform(qa, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(qb, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    if na is None:
+        na = code_norm(qa)
+    if nb is None:
+        nb = code_norm(qb)
     return F.when((sa > 0.0) & (sb > 0.0) & (na > 0.0) & (nb > 0.0), num / (na * nb)).otherwise(
         F.lit(0.0)
     )
@@ -541,16 +600,22 @@ def cosine_topk_quantized(
     keep = [F.col(id_col).alias("neighbor_id"), F.col(q_col).alias("__cq"), F.col(scale_col).alias("__cs")]
     if rerank:
         keep.append(F.col(vec_col).alias("__cvec"))
-    c = corpus_q.select(*keep)
+    c = corpus_q.select(*keep).withColumn("__cqn", code_norm(F.col("__cq")))
     # quantize each float query once, JVM-side, then score codes vs codes
-    q = quantize_embeddings(q, vec_col="__qvec", q_col="__qq", scale_col="__qs")
+    # (code norms once per side, not per pair — same doubles)
+    q = quantize_embeddings(
+        q, vec_col="__qvec", q_col="__qq", scale_col="__qs"
+    ).withColumn("__qqn", code_norm(F.col("__qq")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "qcos",
-            cosine_quantized(F.col("__qq"), F.col("__qs"), F.col("__cq"), F.col("__cs")),
+            cosine_quantized(
+                F.col("__qq"), F.col("__qs"), F.col("__cq"), F.col("__cs"),
+                na=F.col("__qqn"), nb=F.col("__cqn"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("neighbor_id"))
@@ -1092,13 +1157,17 @@ def ann_ivf_index_topk(
         # partition-column type is inferred on read (int); normalize so the
         # probe join and the output schema match ann_ivf_topk exactly
         F.col("centroid_id").cast("long").alias("centroid_id"),
-    )
+    ).withColumn("__cn", norm(F.col("__cvec")))
     scored = (
-        F.broadcast(probe_df)
+        F.broadcast(probe_df.withColumn("__qn", norm(F.col("__qvec"))))
         .join(cells, on="centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("__qvec"), F.col("__cvec")))
-        .drop("__qvec", "__cvec")
+        .withColumn(
+            "cos",
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
+        .drop("__qvec", "__cvec", "__qn", "__cn")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -1175,8 +1244,10 @@ def ann_ivf_index_topk_quantized(
         F.col(q_col).alias("__cq"),
         F.col(scale_col).alias("__cs"),
         F.col("centroid_id").cast("long").alias("centroid_id"),
-    )
-    pq = quantize_embeddings(probe_df, vec_col="__qvec", q_col="__qq", scale_col="__qs")
+    ).withColumn("__cqn", code_norm(F.col("__cq")))
+    pq = quantize_embeddings(
+        probe_df, vec_col="__qvec", q_col="__qq", scale_col="__qs"
+    ).withColumn("__qqn", code_norm(F.col("__qq")))
     scored = (
         F.broadcast(pq)
         .join(cells, on="centroid_id")
@@ -1184,7 +1255,8 @@ def ann_ivf_index_topk_quantized(
         .withColumn(
             "qcos",
             cosine_quantized(
-                F.col("__qq"), F.col("__qs"), F.col("__cq"), F.col("__cs")
+                F.col("__qq"), F.col("__qs"), F.col("__cq"), F.col("__cs"),
+                na=F.col("__qqn"), nb=F.col("__cqn"),
             ),
         )
     )
@@ -1260,19 +1332,27 @@ def near_dup_pairs(
     scale posture to the text-dedup blocking keys.
     """
     bucket = block if block is not None else sign_bucket(F.col(vec_col))
+    # norm once per vector, not per pair (the semantic_dedup precompute
+    # convention — same doubles, same operation order)
     v = vectors.select(
         F.col(id_col), F.col(vec_col), bucket.alias("bucket")
-    )
+    ).withColumn("__nv", norm(F.col(vec_col)))
     a = v.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("__nv").alias("__na"), "bucket",
     )
     b = v.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("__nv").alias("__nb"), "bucket",
     )
     return (
         a.join(b, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "cos",
+            dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -1504,10 +1584,10 @@ def embedding_incremental_pairs(
     big = [r["bucket"] for r in big_rows]
     idx = index.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket"
-    )
+    ).withColumn("__na", norm(F.col("__va")))
     newp = new.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket"
-    )
+    ).withColumn("__nb", norm(F.col("__vb")))
     excl_rows: list = []
     if big:
         m_fine = m + sub_bits
@@ -1558,7 +1638,11 @@ def embedding_incremental_pairs(
     cross = (
         newp.join(idx, join_key)
         .filter(F.col("id_a") != F.col("id_b"))
-        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "cos",
+            dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
         .withColumn("pair_type", F.lit("new_vs_index"))

@@ -439,7 +439,9 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 ) WHERE rank <= 3"""
 
 
-def q_ann_ivf_trained(spark: SparkSession, sf_dir: str, trained=None) -> DataFrame:
+def q_ann_ivf_trained(
+    spark: SparkSession, sf_dir: str, trained=None, assigned=None
+) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: one distributed Lloyd
     iteration (kmeans_refine) over the 16 deterministic seeds, then the
     same nprobe=4 cell search as q_ann_ivf.  The per-dimension means use
@@ -447,12 +449,13 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str, trained=None) -> DataFra
     search — are bit-identical across engines and partitionings.
     ``trained`` lets a family union train the quantizer ONCE and feed
     every IVF branch (the shared-dominant-subtree rule; same pattern as
-    langid's ``grams=``)."""
+    langid's ``grams=``); ``assigned`` likewise shares one materialized
+    cell assignment across branches."""
     em = load_table(spark, sf_dir, "embeddings")
     if trained is None:
         trained = kmeans_refine(em, ivf_seed_centroids(em, 16), iters=1)
     queries = em.filter(F.col("vec_id") < 8)
-    out = ann_ivf_topk(queries, em, trained, k=3, nprobe=4)
+    out = ann_ivf_topk(queries, em, trained, k=3, nprobe=4, assigned=assigned)
     return out.select(
         "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
     )
@@ -517,7 +520,9 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 ) WHERE rank <= 3"""
 
 
-def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str, trained=None) -> DataFrame:
+def q_ann_ivf_quantized(
+    spark: SparkSession, sf_dir: str, trained=None, assigned=None
+) -> DataFrame:
     """The r8 int8-quantized AT-REST IVF serving path, end to end: the
     trained-quantizer cell index holds int8 codes, stage 1 picks 12
     candidates per query by QUANTIZED cosine over the probed cells, and
@@ -532,7 +537,9 @@ def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str, trained=None) -> DataF
     em = load_table(spark, sf_dir, "embeddings")
     if trained is None:
         trained = kmeans_refine(em, ivf_seed_centroids(em, 16), iters=1)
-    index = quantize_embeddings(ivf_assign(em, trained))
+    if assigned is None:
+        assigned = ivf_assign(em, trained)
+    index = quantize_embeddings(assigned)
     queries = em.filter(F.col("vec_id") < 8)
     out = ann_ivf_index_topk_quantized(
         queries, index, trained, k=3, nprobe=4, rerank=12
@@ -575,18 +582,26 @@ def q_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "cos_sim",
         F.lit(None).cast("double").alias("qcos_sim"), "rank",
     )
-    # the two IVF branches share the trained quantizer: one Lloyd pass,
-    # checkpointed, feeds both (the family shared-dominant-subtree rule)
+    # the two IVF branches share the trained quantizer AND the cell
+    # assignment: one Lloyd pass and one corpus-assignment pass, each
+    # checkpointed, feed both (the family shared-dominant-subtree rule).
+    # Without the shared ``assigned`` the corpus × centroids scoring ran
+    # three times per family run: the trained branch's cells, the
+    # quantized branch's stage-1 index, and the quantized branch's
+    # float-rerank fetch (r14 measurement, OPTIMIZATION_r14.md).
     em = load_table(spark, sf_dir, "embeddings")
     trained = kmeans_refine(
         em, ivf_seed_centroids(em, 16), iters=1
     ).localCheckpoint(eager=True)
-    ivf = q_ann_ivf_trained(spark, sf_dir, trained=trained).select(
+    assigned = ivf_assign(em, trained).localCheckpoint(eager=True)
+    ivf = q_ann_ivf_trained(spark, sf_dir, trained=trained, assigned=assigned).select(
         F.lit("ivf_trained").alias("mode"),
         "query_id", "neighbor_id", "cos_sim",
         F.lit(None).cast("double").alias("qcos_sim"), "rank",
     )
-    ivfq = q_ann_ivf_quantized(spark, sf_dir, trained=trained).select(
+    ivfq = q_ann_ivf_quantized(
+        spark, sf_dir, trained=trained, assigned=assigned
+    ).select(
         F.lit("ivf_quant").alias("mode"),
         "query_id", "neighbor_id", "cos_sim",
         F.lit(None).cast("double").alias("qcos_sim"), "rank",
