@@ -119,11 +119,28 @@ def importance_log_weights(
     1 or 1000 executors and across engines (the ``operators.lm exact_dp``
     convention).  The two model totals are scalar aggregates collected to
     the driver (bounded — same posture as ``lm_perplexity``).
+
+    Plan shape (r14): the two models are FULL-OUTER-merged into one
+    <=``buckets``-row relation, materialized once (localCheckpoint) — so
+    each model aggregation runs exactly once (it used to run twice: once
+    under its total, once rebuilt inside the scoring join), both totals
+    come from one tiny job over the merged relation, and the scoring
+    side is ONE broadcast join instead of two.  Per-bucket counts and
+    totals are integers, so every downstream double is bit-identical to
+    the two-join form.
     """
-    n_t = target_model.agg(F.sum("c")).first()[0] or 0
-    n_r = raw_model.agg(F.sum("c")).first()[0] or 0
-    t = target_model.select("bucket", F.col("c").alias("c_t"))
-    r = raw_model.select("bucket", F.col("c").alias("c_r"))
+    m = (
+        raw_model.select("bucket", F.col("c").alias("c_r"))
+        .join(
+            target_model.select("bucket", F.col("c").alias("c_t")),
+            "bucket",
+            "full",
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = m.agg(F.sum("c_t").alias("t"), F.sum("c_r").alias("r")).first()
+    n_t = tot[0] or 0
+    n_r = tot[1] or 0
     logp_t = F.round(
         F.log(
             (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1)).cast("double")
@@ -142,8 +159,7 @@ def importance_log_weights(
         f"decimal(28,{dp})"
     )
     return (
-        features.join(t, "bucket", "left")
-        .join(r, "bucket", "left")
+        features.join(F.broadcast(m), "bucket", "left")
         .select(F.col(id_col), F.col("n"), term.alias("term"))
         .groupBy(id_col)
         .agg(

@@ -1799,19 +1799,29 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     # train AND serve over the same corpus: explode the grams ONCE
-    # (doc_id + lang both carried), checkpoint, feed both sides — the
-    # shared-dominant-subtree rule the summary/passage unions follow
-    grams = exploded_ngrams(
-        docs.select("doc_id", "lang", "text"),
-        ["doc_id", "lang"], "text", 3, 600,
-    ).localCheckpoint(eager=True)
+    # (doc_id + lang both carried) and pre-aggregate to (doc_id, lang,
+    # gram, c) BEFORE the checkpoint — id determines lang, so this is
+    # langid's exact working grain (its per-doc aggregation disappears)
+    # and the profile side sums the integer partials per (lang, gram),
+    # which equals the direct count bit-for-bit.  The checkpoint holds
+    # collapsed counts instead of one row per gram occurrence (r14;
+    # guide §2.3 "aggregate before you shuffle").
+    gram_counts = (
+        exploded_ngrams(
+            docs.select("doc_id", "lang", "text"),
+            ["doc_id", "lang"], "text", 3, 600,
+        )
+        .groupBy("doc_id", "lang", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     profiles = char_ngram_profile(
         docs, "lang", "text", n=3, top_k=50,
-        grams=grams.select("lang", "gram"),
+        gram_counts=gram_counts.select("lang", "gram", "c"),
     )
     langid = langid_rank_order(
         docs, profiles, "doc_id", "text", n=3, top_k=50,
-        grams=grams.select("doc_id", "gram"),
+        gram_counts=gram_counts.select("doc_id", "gram", "c"),
     ).select(
         F.lit("langid").alias("metric"),
         "doc_id", s.alias("lang"), b.alias("ws_tokens"),
@@ -2077,12 +2087,21 @@ def q_summary_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = {n: load_table(spark, sf_dir, n) for n in
          ("lineitem", "orders", "customer", "part", "supplier", "nation")}
+    # project to the summary's working set BEFORE the checkpoint:
+    # column pruning cannot reach through a localCheckpoint, so an
+    # unpruned checkpoint materializes every fact column while both
+    # branches read only the 3 grain keys + 2 measures (+ order_date
+    # for the merged branch's cutoff flag) — guide §2.3 (r14)
     fact = (
         assemble_fact(
             t["lineitem"], t["orders"], t["customer"], t["part"],
             t["supplier"], t["nation"],
         )
         .withColumn("order_month", F.date_format("order_date", "yyyy-MM"))
+        .select(
+            "order_month", "product_id", "store_id",
+            "quantity", "sales", "order_date",
+        )
         .localCheckpoint(eager=True)
     )
     rebuild = build_summary(fact).select(F.lit("rebuild").alias("path"), "*")
