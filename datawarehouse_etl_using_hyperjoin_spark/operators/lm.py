@@ -83,6 +83,7 @@ def lm_perplexity(
     *,
     lam: float = 0.7,
     exact_dp: int | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document perplexity under the interpolated bigram model:
     (id, n_scored, avg_logp, perplexity), scoring every token after the
@@ -111,6 +112,14 @@ def lm_perplexity(
     exact; only the final cast rounds).  For book-length documents either
     lower ``exact_dp`` (d=6 → ~10^8 tokens/doc) or consume the exact sum
     before the cast.
+
+    ``pairs``: precomputed (id, w1, w2) adjacent-token pairs over
+    ``docs`` (the exact relation this function otherwise derives via one
+    tokenize + one per-doc window).  A caller that trains the count
+    relations over the same corpus computes that window once,
+    materializes it, and feeds trainer and scorer from it — see
+    ``q_lm_perplexity``.  INVARIANT: must come from the same tokenize
+    convention (``_doc_tokens``) over these ``docs``.
     """
     totals = unigrams.agg(
         F.sum("c").cast("double").alias("n_tokens"),
@@ -118,13 +127,14 @@ def lm_perplexity(
     ).collect()[0]
     n_total, vocab = totals.n_tokens, totals.v
 
-    toks = _doc_tokens(docs, id_col, text_col)
-    pairs = toks.select(
-        F.col(id_col),
-        "pos",
-        F.col("w").alias("w1"),
-        F.lead("w").over(Window.partitionBy(id_col).orderBy("pos")).alias("w2"),
-    ).filter(F.col("w2").isNotNull())
+    if pairs is None:
+        toks = _doc_tokens(docs, id_col, text_col)
+        pairs = toks.select(
+            F.col(id_col),
+            "pos",
+            F.col("w").alias("w1"),
+            F.lead("w").over(Window.partitionBy(id_col).orderBy("pos")).alias("w2"),
+        ).filter(F.col("w2").isNotNull())
 
     uni1 = unigrams.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     uni2 = unigrams.select(F.col("w").alias("w2"), F.col("c").alias("c2"))

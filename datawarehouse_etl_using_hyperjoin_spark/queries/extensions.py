@@ -35,7 +35,7 @@ from ..operators.dedup import (
     winnow_fingerprints,
 )
 from ..operators.etl import assemble_fact
-from ..operators.lm import lm_perplexity, train_ngram_lm
+from ..operators.lm import lm_perplexity
 from ..operators.text import repetition_metrics
 from ..operators.upsert import scd2_lookup, scd2_upsert
 from ..sources.fixtures import load_table
@@ -394,9 +394,37 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the JVM and DuckDB's libm; the q_stats convention), so 1 or
     1000 executors give the bit-identical score."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    uni, big = train_ngram_lm(docs, "doc_id", "text")
+    # train and score over the same corpus: materialize the two shared
+    # relations ONCE — the vocab-bounded unigram counts (read by the
+    # totals collect AND both scoring joins) and the adjacent-token
+    # pairs (the per-doc lead() window, consumed by the bigram counts
+    # AND the scorer).  Inlined via train_ngram_lm the corpus was
+    # tokenized five times and the window ran three times per run (r14;
+    # counts are integers, so scores are bit-identical).
+    from pyspark.sql import Window
+    from ..operators.lm import _doc_tokens
+
+    toks = _doc_tokens(docs, "doc_id", "text")
+    uni = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.col("w").alias("w1"),
+            F.lead("w")
+            .over(Window.partitionBy("doc_id").orderBy("pos"))
+            .alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     return lm_perplexity(
-        docs, uni, big, "doc_id", "text", lam=_LAM, exact_dp=9
+        docs, uni, big, "doc_id", "text", lam=_LAM, exact_dp=9, pairs=pairs
     )
 
 
@@ -1865,7 +1893,12 @@ def q_passage_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = passage_windows(
         corpus, "doc_id", "text", window=15, stride=1
     ).localCheckpoint(eager=True)
-    flagged = repeated_passages(win, "doc_id", min_docs=2)
+    # flagged feeds BOTH branches (the repeats output and strip's hit
+    # join); without its own checkpoint the countDistinct aggregate
+    # over the full window relation ran twice per family run (r14)
+    flagged = repeated_passages(win, "doc_id", min_docs=2).localCheckpoint(
+        eager=True
+    )
     rep = flagged.select(
         F.lit("repeats").alias("phase"),
         "passage_hash", "n_docs", "n_occurrences", "rep_id",
