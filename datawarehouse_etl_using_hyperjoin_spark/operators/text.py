@@ -396,7 +396,6 @@ def char_ngram_profile(
     top_k: int = 50,
     max_chars: int | None = 600,
     grams=None,
-    gram_counts=None,
 ):
     """TRAIN the Cavnar–Trenkle language profiles: per language, the
     ``top_k`` most frequent character n-grams ranked by (count DESC,
@@ -405,28 +404,15 @@ def char_ngram_profile(
     relation: the labeled corpus is touched once, the profile output is
     ``n_langs × top_k`` rows (KBs — broadcast it at serve time).
     Grams come from each doc's first ``max_chars`` characters (the same
-    truncation the serve side uses — see :func:`char_ngrams`).
-
-    ``gram_counts`` (optional, wins over ``grams``): PRE-AGGREGATED
-    (..., lang, gram, c) partial counts — a caller sharing one
-    materialized explode between train and serve aggregates it to
-    (key, gram) grain once and feeds both sides; summing the integer
-    partials per (lang, gram) is exactly the direct count."""
+    truncation the serve side uses — see :func:`char_ngrams`)."""
     from pyspark.sql import Window
 
-    if gram_counts is not None:
-        counts = gram_counts.groupBy("lang", "gram").agg(
-            F.sum("c").alias("c")
+    if grams is None:
+        grams = exploded_ngrams(
+            docs.select(F.col(lang_col).alias("lang"), text_col),
+            "lang", text_col, n, max_chars,
         )
-    else:
-        if grams is None:
-            grams = exploded_ngrams(
-                docs.select(F.col(lang_col).alias("lang"), text_col),
-                "lang", text_col, n, max_chars,
-            )
-        counts = grams.groupBy("lang", "gram").agg(
-            F.count(F.lit(1)).alias("c")
-        )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "gram")
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -445,7 +431,6 @@ def langid_rank_order(
     top_k: int = 50,
     max_chars: int | None = 600,
     grams=None,
-    gram_counts=None,
 ):
     """SERVE trained language ID by rank-order ("out-of-place")
     distance (Cavnar & Trenkle 1994, "N-Gram-Based Text
@@ -463,22 +448,12 @@ def langid_rank_order(
     list and left-join the BROADCAST profiles — the corpus is never
     joined to itself and nothing grows beyond top_k rows per document.
     Documents with no grams (empty text) predict 'und' with NULL
-    distance.
-
-    ``gram_counts`` (optional, wins over ``grams``): PRE-AGGREGATED
-    (id, gram, c) counts — already at this function's working grain, so
-    no aggregation runs here at all (the shared-explode caller's
-    (id, lang, gram) grain is the same multiset: id determines lang)."""
+    distance."""
     from pyspark.sql import Window
 
-    if gram_counts is not None:
-        counts = gram_counts.select(id_col, "gram", "c")
-    else:
-        if grams is None:
-            grams = exploded_ngrams(docs, id_col, text_col, n, max_chars)
-        counts = grams.groupBy(id_col, "gram").agg(
-            F.count(F.lit(1)).alias("c")
-        )
+    if grams is None:
+        grams = exploded_ngrams(docs, id_col, text_col, n, max_chars)
+    counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), "gram")
     doc_rank = (
         counts.withColumn("drank", F.row_number().over(w).cast("long"))

@@ -1827,29 +1827,24 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     # train AND serve over the same corpus: explode the grams ONCE
-    # (doc_id + lang both carried) and pre-aggregate to (doc_id, lang,
-    # gram, c) BEFORE the checkpoint — id determines lang, so this is
-    # langid's exact working grain (its per-doc aggregation disappears)
-    # and the profile side sums the integer partials per (lang, gram),
-    # which equals the direct count bit-for-bit.  The checkpoint holds
-    # collapsed counts instead of one row per gram occurrence (r14;
-    # guide §2.3 "aggregate before you shuffle").
-    gram_counts = (
-        exploded_ngrams(
-            docs.select("doc_id", "lang", "text"),
-            ["doc_id", "lang"], "text", 3, 600,
-        )
-        .groupBy("doc_id", "lang", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    # (doc_id + lang both carried), checkpoint, feed both sides — the
+    # shared-dominant-subtree rule the summary/passage unions follow.
+    # (r14 probed pre-aggregating to (doc_id, lang, gram, c) before the
+    # checkpoint; the added exchange cost MORE than the saved consumer
+    # aggregation — trigram dedup within 600 chars barely collapses the
+    # rows — measured 3.97 s vs 4.25 s median, alternating A/B at
+    # sf0.1.  Kept the raw-grams checkpoint.)
+    grams = exploded_ngrams(
+        docs.select("doc_id", "lang", "text"),
+        ["doc_id", "lang"], "text", 3, 600,
+    ).localCheckpoint(eager=True)
     profiles = char_ngram_profile(
         docs, "lang", "text", n=3, top_k=50,
-        gram_counts=gram_counts.select("lang", "gram", "c"),
+        grams=grams.select("lang", "gram"),
     )
     langid = langid_rank_order(
         docs, profiles, "doc_id", "text", n=3, top_k=50,
-        gram_counts=gram_counts.select("doc_id", "gram", "c"),
+        grams=grams.select("doc_id", "gram"),
     ).select(
         F.lit("langid").alias("metric"),
         "doc_id", s.alias("lang"), b.alias("ws_tokens"),
