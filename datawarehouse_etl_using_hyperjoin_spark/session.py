@@ -70,6 +70,22 @@ def tuned_conf(builder: SparkSession.Builder, cpus: int) -> SparkSession.Builder
         # degrading it; 512 keeps every measured win and lets bigger
         # lists fall back to the (slower, correct) range filter.
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
+        # Let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold, and let AQE rewrite SMJ→SHJ at runtime when
+        # every post-shuffle partition is under the advisory partition
+        # size (64 MB — the same bound AQE coalesces partitions toward,
+        # so the build side a task must hold is bounded by design;
+        # sort-merge remains the automatic fallback above it).  Guide
+        # §3.1/§9 baseline; measured on the 8 join-heavy roster queries
+        # at sf0.1, alternating A/B both orders: 11.67→9.43 s and
+        # 9.05→8.67 s medians.  Scale posture: skips the per-side sort
+        # whose cost grows n·log(n) with partition rows; the OOM risk
+        # SMJ avoids is capped by the 64 MB threshold.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(NANOS_AS_LONG, "true")

@@ -233,9 +233,10 @@ def test_extension_query_plan_shapes(spark, sf_dir):
 
 
 def test_dsir_scoring_broadcasts_models_and_heaps_topk(spark, sf_dir):
-    """DSIR's claims: both bucket models broadcast into the scoring join,
-    selection is TakeOrderedAndProject (per-partition heaps, no global
-    sort), and nothing runs in Python."""
+    """DSIR's claims: the MERGED bucket-model relation (r14 — the two
+    models full-outer-merged and materialized once) broadcasts into ONE
+    scoring join, selection is TakeOrderedAndProject (per-partition
+    heaps, no global sort), and nothing runs in Python."""
     from datawarehouse_etl_using_hyperjoin_spark.operators.importance import (
         dsir_select,
     )
@@ -246,7 +247,8 @@ def test_dsir_scoring_broadcasts_models_and_heaps_topk(spark, sf_dir):
         target_subset=True,
     )
     plan = plan_string(out, "simple")
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
