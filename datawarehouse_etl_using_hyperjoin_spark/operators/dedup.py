@@ -19,29 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import normalize_text
-
-
-def ensure_compute_parallelism(df: DataFrame, parallelism: int | None = None) -> DataFrame:
-    """Repartition a compute-bound stage's input up to ``parallelism`` when
-    the scan provides fewer splits.
-
-    Split count is estimated from the scan's file list (``inputFiles()`` —
-    catalog metadata only; no DataFrame→RDD plan conversion on the driver).
-    File count under-estimates splits for multi-split files, which errs
-    toward repartitioning — fine, since the condition only fires when the
-    corpus is small relative to the cluster.  A 100 TB corpus arrives in
-    ≫ ``defaultParallelism`` files and is never needlessly shuffled.
-    """
-    if parallelism is None:
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_splits = len(df.inputFiles())
-    except Exception:  # non-file source → assume splits are scarce
-        n_splits = 0
-    if n_splits < parallelism:
-        return df.repartition(parallelism)
-    return df
+# ensure_compute_parallelism moved to .text in r14 (the text/lm/importance
+# operators need it and this module already imports from text); re-exported
+# here for its existing importers (bloom, corpus, tests).
+from .text import ensure_compute_parallelism, normalize_text  # noqa: F401
 
 
 def exact_dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -787,8 +768,11 @@ def passage_windows(
 
     Token grain, one explode — linear in corpus tokens, no shuffle; the
     window hash is computed array-side from the doc's token array (no
-    self-join of token rows).
+    self-join of token rows).  Per-window md5 hashing is compute-bound →
+    repartition first (r14; no-op at scale), as in
+    :func:`minhash_array`.
     """
+    docs = ensure_compute_parallelism(docs)
     toks = docs.select(
         F.col(id_col),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
@@ -997,7 +981,9 @@ def winnow_fingerprints(
     # engine's — xxhash64 exists only in Spark.
     if hash_fn is None:
         hash_fn = F.xxhash64
-    toks = docs.select(
+    # per-k-gram hashing + per-window min selection are compute-bound →
+    # repartition first (r14; no-op at scale), as in minhash_array
+    toks = ensure_compute_parallelism(docs).select(
         F.col(id_col),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
     ).withColumn("__n", F.size("__toks"))

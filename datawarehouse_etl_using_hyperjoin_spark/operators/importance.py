@@ -73,6 +73,12 @@ def hashed_ngram_features(
     and map-side partial aggregation reduces it to at most
     min(tokens, docs*buckets) rows before the exchange.
     """
+    from .text import ensure_compute_parallelism
+
+    # the token/bigram array build and per-gram hashing are compute-bound:
+    # take parallelism from partition count, not the 1-2 scan splits a
+    # small corpus arrives in (r14; no-op at scale)
+    docs = ensure_compute_parallelism(docs)
     arr = F.filter(words(F.lower(F.col(text_col))), lambda w: w != "")
     grams = arr
     if bigrams:

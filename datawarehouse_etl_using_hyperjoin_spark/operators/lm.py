@@ -38,8 +38,14 @@ from .text import words
 
 
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, pos, w): lower-cased whitespace tokens at token grain."""
-    return df.select(
+    """(id, pos, w): lower-cased whitespace tokens at token grain.
+
+    The split+posexplode is compute-bound, so parallelism comes from
+    partition count, not scan splits (r14; no-op at scale — see
+    ``ensure_compute_parallelism``)."""
+    from .text import ensure_compute_parallelism
+
+    return ensure_compute_parallelism(df).select(
         F.col(id_col),
         F.posexplode(words(F.lower(F.col(text_col)))).alias("pos", "w"),
     ).filter(F.col("w") != "")

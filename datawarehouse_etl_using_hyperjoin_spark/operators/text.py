@@ -8,8 +8,34 @@ Python in the hot path), so they run at 100 TB without serialization cost.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def ensure_compute_parallelism(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Repartition a compute-bound stage's input up to ``parallelism`` when
+    the scan provides fewer splits.
+
+    Split count is estimated from the scan's file list (``inputFiles()`` —
+    catalog metadata only; no DataFrame→RDD plan conversion on the driver).
+    File count under-estimates splits for multi-split files, which errs
+    toward repartitioning — fine, since the condition only fires when the
+    corpus is small relative to the cluster.  A 100 TB corpus arrives in
+    ≫ ``defaultParallelism`` files and is never needlessly shuffled.
+
+    (Lives here rather than in ``dedup`` — its original home, which still
+    re-exports it — because the text/lm/importance operators need it and
+    ``dedup`` already imports from this module.)
+    """
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file source → assume splits are scarce
+        n_splits = 0
+    if n_splits < parallelism:
+        return df.repartition(parallelism)
+    return df
 
 # A tiny English stopword list — enough signal for an n-gram/stopword
 # heuristic language gate; a production list would be per-language config.
@@ -188,7 +214,10 @@ def repetition_metrics(
     """
     from pyspark.sql import functions as F  # local: keep module header slim
 
-    staged = docs.withColumn(
+    # compute-bound in-row folds (array_sort + aggregate per doc): take
+    # parallelism from partition count, not the 1-2 scan splits a small
+    # corpus arrives in (r14; no-op at scale)
+    staged = ensure_compute_parallelism(docs).withColumn(
         "__toks", F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     )
     base = staged.select(
@@ -362,6 +391,12 @@ def exploded_ngrams(df, key_cols, text_col: str, n: int, max_chars):
     :func:`char_ngram_profile` and :func:`langid_rank_order` via their
     ``grams=`` parameter."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    # the gram transform is compute-bound (one substring per gram), so
+    # parallelism must come from partition count, not scan splits — a
+    # small corpus arrives in 1-2 splits and pins the stage to as many
+    # cores (r14: the shared langid explode measured 2.36 s → 0.63 s at
+    # sf0.1 from this line; no-op at scale, see the function's docstring)
+    df = ensure_compute_parallelism(df)
     src = (
         F.substring(F.col(text_col), 1, max_chars)
         if max_chars
