@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .text import ensure_compute_parallelism
 from pyspark.sql import types as T
 
 
@@ -69,7 +71,9 @@ def cosine_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
         ).withColumn("__qn", norm(F.col("__qvec")))
     )
-    c = corpus.select(
+    # fold-heavy scoring takes its parallelism from partition count, not
+    # the 1-2 scan splits a small corpus arrives in (r14; no-op at scale)
+    c = ensure_compute_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     ).withColumn("__cn", norm(F.col("__cvec")))
     scored = (
@@ -124,7 +128,7 @@ def ann_bucketed_topk(
             sign_bucket(F.col(vec_col), m).alias("bucket"),
         ).withColumn("__qn", norm(F.col("__qvec")))
     )
-    c = corpus.select(
+    c = ensure_compute_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         sign_bucket(F.col(vec_col), m).alias("bucket"),
@@ -199,7 +203,7 @@ def ann_multiprobe_topk(
             F.explode(probe_buckets(F.col(vec_col), m)).alias("bucket"),
         ).withColumn("__qn", norm(F.col("__qvec")))
     )
-    c = corpus.select(
+    c = ensure_compute_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         sign_bucket(F.col(vec_col), m).alias("bucket"),
@@ -275,7 +279,7 @@ def ann_qdprobe_topk(
     probes = F.broadcast(
         own.unionByName(flips).withColumn("__qn", norm(F.col("__qvec")))
     )
-    c = corpus.select(
+    c = ensure_compute_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         sign_bucket(F.col(vec_col), m).alias("bucket"),
@@ -349,7 +353,7 @@ def ivf_assign(
     # downstream trained centroids) stay bit-identical — the
     # semantic_dedup precompute convention.
     scored = (
-        corpus.withColumn("__vn", norm(F.col(vec_col)))
+        ensure_compute_parallelism(corpus).withColumn("__vn", norm(F.col(vec_col)))
         .crossJoin(
             F.broadcast(centroids.withColumn("__cn", norm(F.col("centroid"))))
         )
@@ -600,7 +604,9 @@ def cosine_topk_quantized(
     keep = [F.col(id_col).alias("neighbor_id"), F.col(q_col).alias("__cq"), F.col(scale_col).alias("__cs")]
     if rerank:
         keep.append(F.col(vec_col).alias("__cvec"))
-    c = corpus_q.select(*keep).withColumn("__cqn", code_norm(F.col("__cq")))
+    c = ensure_compute_parallelism(corpus_q).select(*keep).withColumn(
+        "__cqn", code_norm(F.col("__cq"))
+    )
     # quantize each float query once, JVM-side, then score codes vs codes
     # (code norms once per side, not per pair — same doubles)
     q = quantize_embeddings(
@@ -1334,7 +1340,7 @@ def near_dup_pairs(
     bucket = block if block is not None else sign_bucket(F.col(vec_col))
     # norm once per vector, not per pair (the semantic_dedup precompute
     # convention — same doubles, same operation order)
-    v = vectors.select(
+    v = ensure_compute_parallelism(vectors).select(
         F.col(id_col), F.col(vec_col), bucket.alias("bucket")
     ).withColumn("__nv", norm(F.col(vec_col)))
     a = v.select(

@@ -114,6 +114,9 @@ def chunk_text(
     output: (id, chunk_id, chunk_text, n_tokens).  Stride = size − overlap.
     """
     stride = chunk_size - overlap
+    # per-chunk slicing/joining is compute-bound → repartition first
+    # (r14; no-op at scale)
+    df = ensure_compute_parallelism(df)
     w = words(F.col(text_col))
     starts = F.sequence(F.lit(1), F.greatest(F.size(w) - overlap, F.lit(1)), F.lit(stride))
     chunks = F.transform(
