@@ -1118,7 +1118,9 @@ def segment_fixed_lines(
     tokenizer runs once per document, not once per line.
     """
     k = words_per_line
-    staged = df.select(
+    # per-line slicing/joining is compute-bound → repartition first
+    # (r14; no-op at scale)
+    staged = ensure_compute_parallelism(df).select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
     )
     n_lines = F.ceil(F.size("__toks") / F.lit(float(k))).cast("long")

@@ -315,7 +315,9 @@ def c4_gates(
     """
     from pyspark.sql import functions as F
 
-    staged = df.withColumn(
+    # regex/array gates are compute-bound → repartition first (r14;
+    # no-op at scale)
+    staged = ensure_compute_parallelism(df).withColumn(
         "__toks", F.split(F.trim(F.col(text_col)), r"\s+")
     )
     n_words = F.size("__toks").cast("long")
