@@ -53,9 +53,24 @@ def connected_components(
     (or when depth is unknown) use :func:`connected_components_bigstar`
     / the :func:`resolve_components` chooser.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    # both edge directions from ONE pass over the edge relation: the
+    # union-of-swapped-projection form referenced the edges subtree
+    # twice, so an expensive upstream plan (e.g. the LSH candidate-pair
+    # self-join) executed twice inside this checkpoint (r14); the
+    # in-row explode emits the same row multiset with one execution
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.u", "__e.v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     labels = (
         sym.select(F.col("u").alias("id"))
