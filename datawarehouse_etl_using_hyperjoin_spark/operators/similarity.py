@@ -445,6 +445,7 @@ def ann_ivf_topk(
     k: int = 3,
     nprobe: int = 4,
     assigned: DataFrame | None = None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: score only the cells of the query's ``nprobe`` nearest
     centroids — expected work O(N·Q·nprobe/C).  Raising ``nprobe`` trades
@@ -454,7 +455,10 @@ def ann_ivf_topk(
     centroids)`` relation: callers that need the assignment for several
     consumers (e.g. a family union whose quantized branch indexes the
     same cells) materialize it once and pass it here, instead of this
-    function re-running the corpus × centroids scoring."""
+    function re-running the corpus × centroids scoring.  ``probes``
+    (optional, r15) is likewise a precomputed :func:`ivf_probes`
+    relation over the same queries and centroids — the other shared
+    subtree of a multi-branch family."""
     if assigned is None:
         assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
     cells = assigned.select(
@@ -462,18 +466,14 @@ def ann_ivf_topk(
         F.col(vec_col).alias("__cvec"),
         "centroid_id",
     ).withColumn("__cn", norm(F.col("__cvec")))
-    qs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    ).crossJoin(F.broadcast(centroids)).withColumn(
-        "__qc", cosine(F.col("__qvec"), F.col("centroid"))
+    probe_df = (
+        _check_probes(probes)
+        if probes is not None
+        else ivf_probes(
+            queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+        )
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("__qc").desc(), F.col("centroid_id"))
-    probes = F.broadcast(
-        qs.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qvec", "centroid_id")
-        .withColumn("__qn", norm(F.col("__qvec")))
-    )
+    probes = F.broadcast(probe_df.withColumn("__qn", norm(F.col("__qvec"))))
     scored = (
         probes.join(cells, on="centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1099,18 +1099,24 @@ def compact_ivf_index(
     )
 
 
-def _ivf_probe_cells(
+def ivf_probes(
     queries: DataFrame,
     centroids: DataFrame,
-    id_col: str,
-    vec_col: str,
-    nprobe: int,
-):
-    """(probe relation, sorted probed cell-id list) for at-rest IVF
-    serving: each query's ``nprobe`` closest centroids, plus the distinct
-    cell ids collected driver-side — bounded by ``min(Q·nprobe, C)``
-    (design parameters, never data volume) so they can prune the index
-    scan as a LITERAL partition filter at planning time."""
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe relation for IVF serving: each query's ``nprobe``
+    closest centroids as ``(query_id, __qvec, centroid_id)`` —
+    ``Q·nprobe`` rows (design parameters, never data volume).
+
+    Exposed so a caller serving SEVERAL IVF consumers over the same
+    queries+centroids (e.g. a family union with a float branch and a
+    quantized branch) can compute and materialize the probe set ONCE and
+    pass it to each via their ``probes=`` hooks, instead of every branch
+    re-running the queries × centroids scoring (r15; the same
+    shared-dominant-subtree rule as ``ann_ivf_topk(assigned=)``)."""
     qs = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
         .crossJoin(F.broadcast(centroids))
@@ -1119,10 +1125,49 @@ def _ivf_probe_cells(
     wq = Window.partitionBy("query_id").orderBy(
         F.col("__qc").desc(), F.col("centroid_id")
     )
-    probe_df = (
+    return (
         qs.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
         .select("query_id", "__qvec", "centroid_id")
+    )
+
+
+_PROBE_COLS = ("query_id", "__qvec", "centroid_id")
+
+
+def _check_probes(probes: DataFrame) -> DataFrame:
+    """Fail loudly on a drifted ``probes=`` relation (ADVICE r14: the
+    precompute hooks silently trusted the caller's invariant — a probe
+    relation from different centroids or a different query projection
+    would produce plausible wrong scores with no error)."""
+    missing = [c for c in _PROBE_COLS if c not in probes.columns]
+    if missing:
+        raise ValueError(
+            f"probes= must carry columns {_PROBE_COLS} (from ivf_probes "
+            f"over the same queries and centroids); missing {missing}"
+        )
+    return probes
+
+
+def _ivf_probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+    probes: DataFrame | None = None,
+):
+    """(probe relation, sorted probed cell-id list) for at-rest IVF
+    serving: each query's ``nprobe`` closest centroids, plus the distinct
+    cell ids collected driver-side — bounded by ``min(Q·nprobe, C)``
+    (design parameters, never data volume) so they can prune the index
+    scan as a LITERAL partition filter at planning time."""
+    probe_df = (
+        _check_probes(probes)
+        if probes is not None
+        else ivf_probes(
+            queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+        )
     )
     probed_cells = sorted(
         r[0] for r in probe_df.select("centroid_id").distinct().collect()
@@ -1192,6 +1237,8 @@ def ann_ivf_index_topk_quantized(
     nprobe: int = 4,
     rerank: int = 0,
     fetch: str = "global",
+    probes: DataFrame | None = None,
+    prune: str = "literal",
 ) -> DataFrame:
     """IVF search against an at-rest index whose cells hold int8-QUANTIZED
     payloads (:func:`quantize_embeddings` applied before
@@ -1232,19 +1279,60 @@ def ann_ivf_index_topk_quantized(
       write_ivf_index since r9); measured −40% fetch bytes at probe
       geometry, SCALE.md r9.  On an UNSORTED at-rest layout this shape
       is a pessimization (column-index two-pass reads with zero skips —
-      also measured), so it is opt-in, not autodetected."""
+      also measured), so it is opt-in, not autodetected.
+
+    ``probes`` (optional, r15): a precomputed :func:`ivf_probes` relation
+    over the same queries and centroids — see ``ann_ivf_topk(probes=)``.
+
+    ``prune`` picks how the probed cells and rerank candidates restrict
+    the index side:
+
+    - ``"literal"`` (default): driver-side bounded collects pushed down
+      as LITERAL predicates (``centroid_id IN probed``, ``id IN
+      candidates``) — the AT-REST shape, where the literals prune
+      partitions/row groups of the parquet index at planning time.
+    - ``"join"`` (r15): no driver collects — the probe relation is
+      broadcast-joined on ``centroid_id`` (restricting stage 1 to probed
+      cells exactly as the literal does) and the float fetch is a
+      broadcast SEMI join on the candidate ids.  Row-for-row identical
+      output; right for IN-MEMORY index relations (e.g. a family branch
+      over a checkpointed assignment), where a literal prunes no I/O and
+      each collect serializes a driver round-trip into query
+      construction (guide §2.5 — the r14 profiler measured q_ann_family
+      construction ≈ 3× its execution)."""
     if fetch not in ("global", "cell_local"):
         raise ValueError(f"fetch must be 'global' or 'cell_local', got {fetch!r}")
+    if prune not in ("literal", "join"):
+        raise ValueError(f"prune must be 'literal' or 'join', got {prune!r}")
     if fetch == "cell_local" and "cell_id" not in index.columns:
         raise ValueError(
             "fetch='cell_local' needs the index's cell_id data column "
             "(re-write the index with write_ivf_index; partition-only "
             "cell ids cannot anchor an in-file per-cell predicate)"
         )
-    probe_df, probed_cells = _ivf_probe_cells(
-        queries, centroids, id_col, vec_col, nprobe
-    )
-    probed = index.filter(F.col("centroid_id").isin(probed_cells))
+    if fetch == "cell_local" and prune == "join":
+        raise ValueError(
+            "fetch='cell_local' builds a per-cell literal disjunction — "
+            "it requires prune='literal' (the at-rest shape); "
+            "prune='join' serves in-memory indexes, whose fetch is a "
+            "semi join"
+        )
+    if prune == "join":
+        probe_df = (
+            _check_probes(probes)
+            if probes is not None
+            else ivf_probes(
+                queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+            )
+        )
+        # the centroid_id equi-join below restricts stage 1 to probed
+        # cells exactly as the literal filter would; no collect needed
+        probed = index
+    else:
+        probe_df, probed_cells = _ivf_probe_cells(
+            queries, centroids, id_col, vec_col, nprobe, probes=probes
+        )
+        probed = index.filter(F.col("centroid_id").isin(probed_cells))
     cells = probed.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(q_col).alias("__cq"),
@@ -1284,30 +1372,42 @@ def ann_ivf_index_topk_quantized(
         .select("centroid_id", "query_id", "neighbor_id", "__qvec")
         .localCheckpoint(eager=True)
     )
-    # candidate (cell, id) pairs are bounded by Q·rerank (design
-    # parameters, never data volume — the same bounded-literal-collect
-    # pattern as the probe cells); pushing them into the float fetch
-    # lets parquet skip row groups holding no candidate, instead of
-    # re-reading every probed cell's float column.  The checkpoint above
-    # means stage-1 scoring runs ONCE, not once more per downstream
-    # consumer.
-    pairs = cand.select("centroid_id", "neighbor_id").distinct().collect()
-    if fetch == "cell_local":
-        by_cell: dict = {}
-        for r in pairs:
-            by_cell.setdefault(r.centroid_id, []).append(r.neighbor_id)
-        cand_filter = F.lit(False)  # no candidates → empty fetch
-        for c, ids in sorted(by_cell.items()):
-            cand_filter = cand_filter | (
-                (F.col("cell_id") == c) & F.col(id_col).isin(sorted(ids))
-            )
-    else:
-        cand_filter = F.col(id_col).isin(
-            sorted({r.neighbor_id for r in pairs})
+    if prune == "join":
+        # in-memory index: the candidate ids restrict the float fetch as
+        # a broadcast SEMI join (≤ Q·rerank build rows) — identical rows
+        # to the literal IN, zero driver round-trips (guide §2.5)
+        floats = index.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        ).join(
+            F.broadcast(cand.select("neighbor_id").distinct()),
+            "neighbor_id",
+            "semi",
         )
-    floats = probed.filter(cand_filter).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    )
+    else:
+        # candidate (cell, id) pairs are bounded by Q·rerank (design
+        # parameters, never data volume — the same bounded-literal-collect
+        # pattern as the probe cells); pushing them into the float fetch
+        # lets parquet skip row groups holding no candidate, instead of
+        # re-reading every probed cell's float column.  The checkpoint
+        # above means stage-1 scoring runs ONCE, not once more per
+        # downstream consumer.
+        pairs = cand.select("centroid_id", "neighbor_id").distinct().collect()
+        if fetch == "cell_local":
+            by_cell: dict = {}
+            for r in pairs:
+                by_cell.setdefault(r.centroid_id, []).append(r.neighbor_id)
+            cand_filter = F.lit(False)  # no candidates → empty fetch
+            for c, ids in sorted(by_cell.items()):
+                cand_filter = cand_filter | (
+                    (F.col("cell_id") == c) & F.col(id_col).isin(sorted(ids))
+                )
+        else:
+            cand_filter = F.col(id_col).isin(
+                sorted({r.neighbor_id for r in pairs})
+            )
+        floats = probed.filter(cand_filter).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        )
     exact = (
         F.broadcast(cand)
         .join(floats, on="neighbor_id")

@@ -34,6 +34,7 @@ from ..operators.similarity import (
     cosine_topk,
     embedding_incremental_pairs,
     ivf_assign,
+    ivf_probes,
     ivf_seed_centroids,
     kmeans_refine,
     near_dup_pairs,
@@ -440,7 +441,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 
 
 def q_ann_ivf_trained(
-    spark: SparkSession, sf_dir: str, trained=None, assigned=None
+    spark: SparkSession, sf_dir: str, trained=None, assigned=None, probes=None
 ) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: one distributed Lloyd
     iteration (kmeans_refine) over the 16 deterministic seeds, then the
@@ -450,12 +451,15 @@ def q_ann_ivf_trained(
     ``trained`` lets a family union train the quantizer ONCE and feed
     every IVF branch (the shared-dominant-subtree rule; same pattern as
     langid's ``grams=``); ``assigned`` likewise shares one materialized
-    cell assignment across branches."""
+    cell assignment across branches, and ``probes`` (r15) one probe
+    relation (``ivf_probes``)."""
     em = load_table(spark, sf_dir, "embeddings")
     if trained is None:
         trained = kmeans_refine(em, ivf_seed_centroids(em, 16), iters=1)
     queries = em.filter(F.col("vec_id") < 8)
-    out = ann_ivf_topk(queries, em, trained, k=3, nprobe=4, assigned=assigned)
+    out = ann_ivf_topk(
+        queries, em, trained, k=3, nprobe=4, assigned=assigned, probes=probes
+    )
     return out.select(
         "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
     )
@@ -521,7 +525,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 
 
 def q_ann_ivf_quantized(
-    spark: SparkSession, sf_dir: str, trained=None, assigned=None
+    spark: SparkSession, sf_dir: str, trained=None, assigned=None, probes=None
 ) -> DataFrame:
     """The r8 int8-quantized AT-REST IVF serving path, end to end: the
     trained-quantizer cell index holds int8 codes, stage 1 picks 12
@@ -541,8 +545,15 @@ def q_ann_ivf_quantized(
         assigned = ivf_assign(em, trained)
     index = quantize_embeddings(assigned)
     queries = em.filter(F.col("vec_id") < 8)
+    # prune="join": the index here is an IN-MEMORY relation over the
+    # (checkpointed) assignment, so the at-rest literal pushdown prunes
+    # no I/O while its two bounded collects serialize driver round-trips
+    # into construction (r15; guide §2.5) — the broadcast-join form is
+    # row-identical with zero collects.  ``probes`` shares the family's
+    # one probe relation.
     out = ann_ivf_index_topk_quantized(
-        queries, index, trained, k=3, nprobe=4, rerank=12
+        queries, index, trained, k=3, nprobe=4, rerank=12,
+        probes=probes, prune="join",
     )
     return out.select(
         "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), "rank"
@@ -594,13 +605,26 @@ def q_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         em, ivf_seed_centroids(em, 16), iters=1
     ).localCheckpoint(eager=True)
     assigned = ivf_assign(em, trained).localCheckpoint(eager=True)
-    ivf = q_ann_ivf_trained(spark, sf_dir, trained=trained, assigned=assigned).select(
+    # the probe relation (queries × trained centroids → nprobe cells per
+    # query) is the THIRD shared subtree: both IVF branches consume it,
+    # so it is computed and materialized once (Q·nprobe = 32 rows; r15).
+    # The query vectors come from the already-checkpointed assignment
+    # (embeddings pass through ivf_assign unchanged), so this job scans
+    # 8 in-memory rows instead of re-reading the parquet corpus.
+    probes = ivf_probes(
+        assigned.filter(F.col("vec_id") < 8).select("vec_id", "embedding"),
+        trained,
+        nprobe=4,
+    ).localCheckpoint(eager=True)
+    ivf = q_ann_ivf_trained(
+        spark, sf_dir, trained=trained, assigned=assigned, probes=probes
+    ).select(
         F.lit("ivf_trained").alias("mode"),
         "query_id", "neighbor_id", "cos_sim",
         F.lit(None).cast("double").alias("qcos_sim"), "rank",
     )
     ivfq = q_ann_ivf_quantized(
-        spark, sf_dir, trained=trained, assigned=assigned
+        spark, sf_dir, trained=trained, assigned=assigned, probes=probes
     ).select(
         F.lit("ivf_quant").alias("mode"),
         "query_id", "neighbor_id", "cos_sim",

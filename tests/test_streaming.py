@@ -480,10 +480,22 @@ def test_consume_once_stateful_ttl_readmits_after_eviction(spark, tmp_path_facto
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    rows = {r.key: r.n_suppressed for r in spark.table(name).collect()}
+    # With a processing-time timeout registered the availableNow run keeps
+    # scheduling batches to service FUTURE timeouts, so a blind
+    # awaitTermination(120) burns its whole budget (r15: this one line was
+    # a flat 2-minute sleep).  Poll for the expected rows instead — the
+    # assertion is unchanged; the deadline only bounds a genuine failure.
+    expect = {1: 1, 2: 0, 3: 0}
+    deadline = time.time() + 120
+    rows: dict = {}
+    while time.time() < deadline:
+        rows = {r.key: r.n_suppressed for r in spark.table(name).collect()}
+        if rows == expect or not q.isActive:
+            break
+        q.awaitTermination(1)
+    q.stop()
     # each key emitted exactly once; batch-1's duplicate of key 1 counted
-    assert rows == {1: 1, 2: 0, 3: 0}
+    assert rows == expect
 
 
 def test_streaming_dedup_on_rocksdb_state_store(spark, events_stream_dir):
