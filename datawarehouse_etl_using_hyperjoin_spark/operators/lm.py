@@ -127,6 +127,16 @@ def lm_perplexity(
     ``q_lm_perplexity``.  INVARIANT: must come from the same tokenize
     convention (``_doc_tokens``) over these ``docs``.
     """
+    if pairs is not None:
+        # fail loudly on a drifted caller (ADVICE r14: precompute hooks
+        # silently trusted the invariant — a pairs relation from a
+        # different tokenize convention would score plausibly wrong)
+        missing = [c for c in (id_col, "w1", "w2") if c not in pairs.columns]
+        if missing:
+            raise ValueError(
+                f"pairs= must carry ({id_col!r}, 'w1', 'w2') from the "
+                f"_doc_tokens convention over these docs; missing {missing}"
+            )
     totals = unigrams.agg(
         F.sum("c").cast("double").alias("n_tokens"),
         F.count(F.lit(1)).cast("double").alias("v"),

@@ -394,34 +394,32 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the JVM and DuckDB's libm; the q_stats convention), so 1 or
     1000 executors give the bit-identical score."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # train and score over the same corpus: materialize the two shared
-    # relations ONCE — the vocab-bounded unigram counts (read by the
-    # totals collect AND both scoring joins) and the adjacent-token
-    # pairs (the per-doc lead() window, consumed by the bigram counts
-    # AND the scorer).  Inlined via train_ngram_lm the corpus was
-    # tokenized five times and the window ran three times per run (r14;
-    # counts are integers, so scores are bit-identical).
+    # train and score over the same corpus: ONE corpus tokenize (r15;
+    # r14 still ran two — one for unigram counts, one for the pair
+    # window).  The lead() window is materialized WITH the doc-end rows
+    # (w2 NULL) retained, so every token appears exactly once as w1 —
+    # unigram counts, bigram counts, and the scorer's pair relation all
+    # derive from this single checkpointed pass.  The vocab-bounded
+    # unigram counts are then checkpointed too (tiny; read by the totals
+    # collect AND both scoring joins).  Counts are integers, so scores
+    # stay bit-identical to the inlined form.
     from pyspark.sql import Window
     from ..operators.lm import _doc_tokens
 
     toks = _doc_tokens(docs, "doc_id", "text")
+    allpairs = toks.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.lead("w")
+        .over(Window.partitionBy("doc_id").orderBy("pos"))
+        .alias("w2"),
+    ).localCheckpoint(eager=True)
     uni = (
-        toks.groupBy("w")
+        allpairs.groupBy(F.col("w1").alias("w"))
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    pairs = (
-        toks.select(
-            "doc_id",
-            "pos",
-            F.col("w").alias("w1"),
-            F.lead("w")
-            .over(Window.partitionBy("doc_id").orderBy("pos"))
-            .alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
-        .localCheckpoint(eager=True)
-    )
+    pairs = allpairs.filter(F.col("w2").isNotNull())
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     return lm_perplexity(
         docs, uni, big, "doc_id", "text", lam=_LAM, exact_dp=9, pairs=pairs

@@ -72,15 +72,26 @@ def tuned_conf(builder: SparkSession.Builder, cpus: int) -> SparkSession.Builder
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
         # Let the planner pick shuffled-hash over sort-merge when its size
         # conditions hold, and let AQE rewrite SMJ→SHJ at runtime when
-        # every post-shuffle partition is under the advisory partition
-        # size (64 MB — the same bound AQE coalesces partitions toward,
-        # so the build side a task must hold is bounded by design;
-        # sort-merge remains the automatic fallback above it).  Guide
-        # §3.1/§9 baseline; measured on the 8 join-heavy roster queries
-        # at sf0.1, alternating A/B both orders: 11.67→9.43 s and
-        # 9.05→8.67 s medians.  Scale posture: skips the per-side sort
-        # whose cost grows n·log(n) with partition rows; the OOM risk
-        # SMJ avoids is capped by the 64 MB threshold.
+        # every post-shuffle partition is under 64 MB.  Two DISTINCT
+        # mechanisms with distinct safety envelopes (ADVICE r14):
+        # - the AQE rewrite threshold bounds the per-task build side by
+        #   MEASURED runtime partition sizes — bounded by design;
+        # - preferSortMergeJoin=false additionally lets the STATIC
+        #   planner pick SHJ from stats-ESTIMATED sizes
+        #   (canBuildLocalHashMap: plan side < advisory partition size ×
+        #   shuffle partitions, AND ≪ the other side).  SHJ's per-task
+        #   hash map does not spill, so a badly mis-estimated build side
+        #   would build an oversized local map; mitigations in force:
+        #   AQE re-plans joins from runtime sizes when estimates drift
+        #   (local-mode static SHJ picks are re-validated by the AQE
+        #   threshold), skewJoin splits oversized partitions, and joins
+        #   with no size evidence (e.g. the as-of range join) stay SMJ —
+        #   pinned by tests/test_plans.py::test_unbounded_build_side_
+        #   join_keeps_sort_merge.
+        # Guide §3.1/§9 baseline; measured on the 8 join-heavy roster
+        # queries at sf0.1, alternating A/B both orders: 11.67→9.43 s
+        # and 9.05→8.67 s medians.  Scale posture: skips the per-side
+        # sort whose cost grows n·log(n) with partition rows.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
