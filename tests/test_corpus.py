@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datawarehouse_etl_using_hyperjoin_spark.operators.corpus import (
@@ -590,6 +592,7 @@ def test_compact_lsh_index_merges_history_and_keeps_bucketing(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {table}__old")
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_compact_corpus_merges_old_batches(spark, sf_dir, tmp_path):
     """r9: the corpus-dir member of the at-rest maintenance triad —
     merge all-but-newest ingest_batch partitions: doc set identical,
@@ -816,6 +819,7 @@ def test_corpus_layout_guard_connect_fallback(spark, tmp_path, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {idx1}")
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_corpus_sink_doc_metadata_dim(spark, tmp_path):
     """r14 (VERDICT r13 #5): ``doc_meta_dir=`` threads the SAME
     ``manifest_upsert_sink`` the star dim uses through the corpus
@@ -909,6 +913,7 @@ def test_corpus_sink_doc_metadata_dim(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {idx}")
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_corpus_sink_doc_meta_crash_between_commits_converges(
     spark, tmp_path, monkeypatch
 ):

@@ -51,6 +51,7 @@ def _all_ids(spark, root):
     ]
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_enable_backfill_then_fetch_zero_false_negatives(
     spark, em, tmp_path
 ):
@@ -74,6 +75,7 @@ def test_enable_backfill_then_fetch_zero_false_negatives(
     assert ivf_fetch_by_id(spark, root, [10_000_019]).count() == 0
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_fetch_reads_exactly_the_planned_dirs(spark, em, tmp_path):
     root = str(tmp_path / "ivf")
     _build(spark, em, root, n_batches=2)
@@ -89,6 +91,7 @@ def test_fetch_reads_exactly_the_planned_dirs(spark, em, tmp_path):
     assert sorted(r.vec_id for r in got.collect()) == sorted(ids)
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_blooms_sticky_across_append_compact_split_rebuild(
     spark, em, tmp_path
 ):

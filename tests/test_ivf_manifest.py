@@ -415,6 +415,7 @@ _ivf_ops = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_ivf_store_model_under_random_ops_and_crashes(
     spark, tmp_path_factory, ops
 ):

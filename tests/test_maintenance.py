@@ -39,6 +39,7 @@ def _decimal_sum(df, col="total_sale"):
     return df.agg(F.sum(F.col(col).cast("decimal(18,2)"))).first()[0]
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_run_maintenance_one_call_covers_every_artifact_family(
     spark, tmp_path_factory
 ):
@@ -158,6 +159,7 @@ def eight_file_stream_dir(spark, sf_dir, tmp_path_factory):
     return path
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_pipeline_maintenance_cadence_bounds_partitions(
     spark, sf_dir, eight_file_stream_dir, tmp_path_factory
 ):
@@ -296,6 +298,7 @@ def test_run_maintenance_covers_the_manifest_ivf_store(
     assert after.select("vec_id").distinct().count() == n
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_pipeline_manifest_fact_layout_parity_and_bounded_generations(
     spark, sf_dir, eight_file_stream_dir, tmp_path_factory
 ):
@@ -348,6 +351,7 @@ def test_pipeline_manifest_fact_layout_parity_and_bounded_generations(
     assert set(live["batches"]) == {str(b) for b in range(8)}
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_pipeline_manifest_quarantine_parity_and_compaction(
     spark, sf_dir, tmp_path_factory
 ):

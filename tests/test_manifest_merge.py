@@ -429,6 +429,7 @@ def _stream8(spark, sf_dir, tmp_path_factory):
     return path
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_pipeline_manifest_dim_layout_parity(
     spark, sf_dir, _stream8, tmp_path_factory
 ):
@@ -479,6 +480,7 @@ def test_pipeline_manifest_dim_layout_parity(
     assert set(live["batches"]) == {str(b) for b in range(8)}
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_pipeline_manifest_dim_kill_restart_replay(
     spark, sf_dir, _stream8, tmp_path_factory
 ):

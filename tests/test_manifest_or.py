@@ -160,6 +160,7 @@ def test_or_validation(spark, tmp_path):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=st.data())
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_property_or_pruned_read_never_loses_rows(
     spark, tmp_path_factory, data
 ):

@@ -377,6 +377,7 @@ def test_stats_land_correctly_after_losing_the_conditional_put(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=st.data())
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_property_pruned_read_never_loses_rows(
     spark, tmp_path_factory, data
 ):
@@ -934,6 +935,7 @@ def test_catalyst_pushdown_survives_manifest_read(spark, tmp_path):
     assert "score" not in read_schema[0]  # projection pruned
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
     """Z-order range-split: after clustering on the Morton code of
     (x, y), BOTH dimensions' predicates skip generations; a plain x-sort

@@ -284,6 +284,7 @@ _ops = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_manifest_table_model_under_random_ops_and_crashes(
     spark, tmp_path_factory, ops
 ):

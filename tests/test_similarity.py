@@ -3,6 +3,8 @@ bucketed ANN consistency, near-dup pairs."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -628,6 +630,7 @@ def test_ivf_split_oversized_rebalances_hot_cell(spark, sf_dir, tmp_path):
     assert g == c and len(g) == 8 * 3
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_compact_ivf_index_packs_sorts_and_migrates(spark, sf_dir, tmp_path):
     """r9: the IVF maintenance pass — after N appends a cell is N small
     files with interleaved id ranges; compaction (a) shrinks file count,

@@ -1357,6 +1357,7 @@ def test_compact_fact_enriched_batch_partitions(
     } == {merged_epoch, kept}
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_quarantine_composed_with_corpus_sink_replay_convergence(
     spark, tmp_path_factory
 ):
