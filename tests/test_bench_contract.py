@@ -10,6 +10,8 @@ No SparkSession needed — pure serializer tests.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import sys
@@ -221,6 +223,7 @@ def test_final_line_carries_memory_bandwidth_probe():
     assert "calm" not in json.loads(render_final(p))
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_calibrate_mem_is_repeatable_and_sees_bus_load():
     """The probe itself: repeatable on a quiet host (machine constant),
     and inflating under genuine memory-bus pressure from processes

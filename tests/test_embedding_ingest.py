@@ -128,6 +128,7 @@ def test_index_probe_plans_exchange_free(spark, corpus_batches):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_sink_sequential_equals_batch_rule_and_replays_exactly_once(
     spark, corpus_batches, tmp_path
 ):

@@ -30,6 +30,7 @@ def test_cc_chain_and_disjoint_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_cc_long_path_converges(spark):
     # path of 40 vertices — diameter 39, stresses the propagation rounds
     n = 40

@@ -67,6 +67,7 @@ def _cents(df):
     )
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_manifest_lifecycle_bit_equal_to_rename_lifecycle_without_renames(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -697,6 +698,7 @@ def test_ivf_append_rebases_after_losing_the_conditional_put(
     assert read_ivf_index_manifest(spark, root).count() == 550
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_ivf_size_tiered_compaction_freezes_large_generations(
     spark, sf_dir, tmp_path
 ):
@@ -775,6 +777,7 @@ def test_ivf_size_tiered_compaction_freezes_large_generations(
     assert read_ivf_index_manifest(spark, root).count() == 600
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_ivf_loser_data_write_after_winner_commit_cannot_clobber(
     spark, sf_dir, tmp_path, monkeypatch
 ):

@@ -218,6 +218,7 @@ def test_pipeline_maintenance_cadence_bounds_partitions(
     ).count()
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_maintained_sink_replay_converges(spark, sf_dir, tmp_path_factory):
     """The crash window: a batch re-runs AFTER its maintenance pass ran
     (writes landed, checkpoint commit lost).  The composed sink

@@ -121,6 +121,7 @@ def test_reserved_generation_column_is_refused_loudly(spark, tmp_path):
         manifest_table_append(df, str(tmp_path / "r"), 0)
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_corpus_sink_manifest_layout_matches_partition_layout(
     spark, sf_dir, tmp_path, monkeypatch
 ):

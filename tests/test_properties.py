@@ -3,6 +3,8 @@ with no built-in Spark semantics to lean on (SURVEY.md §4.3)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -22,6 +24,7 @@ rows = st.lists(st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=12)
 
 @given(existing=rows, updates=rows)
 @_settings
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_upsert_key_algebra(spark, existing, updates):
     """keys(result) == keys(existing) ∪ keys(updates); every updated key
     carries an updates-version value; result is key-unique."""
@@ -105,6 +108,7 @@ def _union_find_components(edges):
 
 @given(edges=edges_strategy)
 @_settings
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_connected_components_matches_union_find(spark, edges):
     from datawarehouse_etl_using_hyperjoin_spark.operators.graph import (
         connected_components,
@@ -118,6 +122,7 @@ def test_connected_components_matches_union_find(spark, edges):
 
 @given(edges=edges_strategy)
 @_settings
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_bigstar_components_match_union_find(spark, edges):
     from datawarehouse_etl_using_hyperjoin_spark.operators.graph import (
         connected_components_bigstar,
@@ -415,6 +420,7 @@ _vecsets = st.lists(_vec, min_size=1, max_size=10)
 
 @given(index_vecs=_vecsets, new_vecs=_vecsets)
 @_settings
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_embedding_incremental_equals_batch_pairs(spark, index_vecs, new_vecs):
     """For ANY index/new split: embedding_incremental_pairs(new, index)
     == the batch near_dup_pairs over the union, restricted to pairs

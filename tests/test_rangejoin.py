@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datawarehouse_etl_using_hyperjoin_spark.operators.rangejoin import (
@@ -201,6 +203,7 @@ def test_interval_overlap_theta_equivalence_large_magnitude_edges(spark):
     assert got_pairs == want_pairs and got_pairs
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_property_bucketized_equals_theta_join_random_intervals(spark):
     """Property test: for randomized interval relations — magnitudes from
     1e-3 to 4e15, endpoints forced onto bucket edges with 50% probability,

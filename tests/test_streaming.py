@@ -1139,6 +1139,7 @@ def test_quarantine_lateness_validated_at_construction(spark):
     assert ot.count() + late.count() == 1
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_quarantine_sink_recovers_from_mid_run_crash(spark, tmp_path_factory):
     """r9 (VERDICT item 4): the quarantine sink's replay-convergence claim
     tested by KILL/RESTART through a real checkpointed streaming query,
@@ -1542,6 +1543,7 @@ def test_run_pipeline_streaming_dim_buckets_matches_default(
     assert want_fact.exceptAll(got_fact).count() == 0
 
 
+@pytest.mark.slow  # soak tier (pytest.ini): run with -m ""
 def test_compact_quarantine_bounds_partition_growth(spark, tmp_path_factory):
     """r10: the quarantine sink's side artifacts age one partition dir
     per micro-batch forever — the last members of the per-batch-
