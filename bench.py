@@ -388,15 +388,22 @@ def main() -> None:
     spark = get_spark("hyperjoin-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Stateful stream-stream drains get their state-store instance count
-    # sized at query birth (choose_state_partitions; 4x measured swing at
-    # sf0.1 — BENCH_NOTES.md r5/r6) instead of the batch shuffle default.
+    # Stateful drains get their state-store instance count sized at query
+    # birth (choose_state_partitions; 4x measured swing at sf0.1 —
+    # BENCH_NOTES.md r5/r6) instead of the batch shuffle default.  r15:
+    # the tumbling-window drain joins the rule — it had silently run at
+    # the session default (32 instances on local[32], 2.33 s vs 0.83 s
+    # sized; OPTIMIZATION_r15.md declares this as the one bench.py
+    # change of the round — same protocol, the engine's documented
+    # r5 sizing rule applied to the second stateful drain).
     from datawarehouse_etl_using_hyperjoin_spark.queries.streamingq import (
         stream_stream_join_state_bytes,
+        stream_tumbling_state_bytes,
     )
 
     state_hints = {
         "q_stream_stream_join": stream_stream_join_state_bytes(spark, sf_dir),
+        "q_stream_tumbling": stream_tumbling_state_bytes(spark, sf_dir),
     }
 
     def run_once(name: str) -> None:

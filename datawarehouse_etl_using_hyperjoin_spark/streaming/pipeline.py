@@ -349,20 +349,29 @@ def choose_state_partitions(
     total state (BENCH_NOTES.md r5 — a 4× swing from the knob alone).
 
     Rule (SCALE.md): as FEW instances as memory and parallelism allow —
-    ``max(parallelism/4, ceil(state_bytes / target_bytes_per_instance))``:
+    ``max(parallelism/8, ceil(state_bytes / target_bytes_per_instance))``:
 
     - the memory term keeps each instance's heap slice under
       ``target_bytes_per_instance`` (HDFS-backed provider state lives on
       the executor heap; at 100 TB-scale state this term dominates and
       grows the count linearly with state);
-    - the parallelism floor (quarter of the cores, the measured sweet
-      spot — 8 on local[32]) keeps the join's probe work distributed even
-      when state is tiny;
+    - the parallelism floor (an eighth of the cores — 4 on local[32])
+      keeps the join's probe work distributed even when state is tiny.
+      r5 measured the per-instance fixed cost curve (13.0 s @64 / 7.9 @32
+      / 4.6 @16 / 3.3 @8 on the orders⋈lineitem drain) and floored at
+      parallelism/4; the r15 interleaved re-measurement extends it one
+      more halving — stream-stream drain 4.8 s @8 → 4.1 s @4, tumbling
+      drain 2.33 s @32 → 1.05 @8 → 0.83 @4 — while /16 and 1 measured
+      WORSE (6.6-7.9 s @1), so /8 is the floor, not "fewer is always
+      better";
     - ``max_partitions`` caps runaway projections (2048 instances ≈ 0.5 TB
       of state at the default target — past that, RocksDB + more
-      executors, not more instances per executor).
+      executors, not more instances per executor.  The RocksDB provider
+      itself was re-measured r15 at sf0.1: 8.9 s vs 4.8 s HDFS — native
+      per-batch overhead dominates at SMALL state; it is the big-state
+      backend, not a drop-in win).
     """
-    floor = max(1, parallelism // 4)
+    floor = max(1, parallelism // 8)
     need = -(-max(projected_state_bytes, 0) // target_bytes_per_instance)
     return min(max(floor, need), max_partitions)
 

@@ -635,15 +635,17 @@ def test_run_to_noop_state_partitions_knob(spark, events_stream_dir):
 
 
 def test_choose_state_partitions_sizing_rule():
-    """The query-birth sizing rule (SCALE.md): parallelism/4 floor for
+    """The query-birth sizing rule (SCALE.md): parallelism/8 floor for
     small state, memory-bounded growth for large state, hard cap."""
     from datawarehouse_etl_using_hyperjoin_spark.streaming.pipeline import (
         choose_state_partitions,
     )
 
-    # small state (the measured sf0.1 regime, ~46 MB): floor wins — 8 on
-    # 32 cores, the empirically fastest instance count (3.3 s vs 13 s @64)
-    assert choose_state_partitions(46 << 20, 32) == 8
+    # small state (the measured sf0.1 regime, ~46 MB): floor wins — 4 on
+    # 32 cores, the empirically fastest instance count (r15 interleaved
+    # re-measurement: 4.1 s @4 vs 4.8 @8 vs 13 @64 on the join drain,
+    # 0.83 @4 vs 2.33 @32 on the tumbling drain; 1 instance was WORSE)
+    assert choose_state_partitions(46 << 20, 32) == 4
     # large state: memory term dominates — ceil(100 GiB / 256 MiB) = 400
     assert choose_state_partitions(100 << 30, 32) == 400
     # huge projections hit the cap (past it: RocksDB + wider cluster)
