@@ -688,23 +688,33 @@ def ngram_jaccard_pairs(
 
     Shape: per-(block, shingle) buckets are grouped once and pairs are
     enumerated array-side inside each bucket — a shingle self-join would
-    evaluate the exploded-shingle plan once per join leg.  Per-doc shingle
-    counts come from a separate array-side projection (no explode).
+    evaluate the exploded-shingle plan once per join leg.  Each doc's
+    shingle count rides ALONG the exploded rows into the bucket structs
+    (r15): the union-size denominator is then already present on every
+    enumerated pair, so the shingle array is computed once per doc
+    (r14's separate ``sizes`` projection re-ran the split + k-gram
+    transform for a second full pass) and the two per-side count joins
+    disappear outright — jaccard needs zero joins.
     """
     df = ensure_compute_parallelism(df)  # compute-bound: need > scan splits
-    staged = with_shingle_array(df, text_col, k, out="__grams")
-    sizes = staged.select(
-        F.col(id_col),
-        F.size(F.array_distinct("__grams")).cast("long").alias("n_shingles"),
+    staged = with_shingle_array(df, text_col, k, out="__grams").withColumn(
+        "__dist", F.array_distinct("__grams")
     )
     sh = staged.select(
         F.col(id_col),
         F.col(block_col),
-        F.explode(F.array_distinct("__grams")).alias("shingle"),
+        F.size("__dist").cast("long").alias("__n"),
+        F.explode("__dist").alias("shingle"),
     )
+    # collect_set of (id, n) structs: n is a function of id, so set
+    # cardinality and the id-major sort order match the id-only form
     buckets = (
         sh.groupBy(block_col, "shingle")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col(id_col).alias("i"), F.col("__n").alias("n")))
+            ).alias("ids")
+        )
         .filter(F.size("ids") > 1)
     )
     pair = buckets.select(
@@ -715,24 +725,22 @@ def ngram_jaccard_pairs(
                     lambda i: F.transform(
                         F.sequence(i + 1, F.size("ids")),
                         lambda j: F.struct(
-                            F.element_at("ids", i).alias("id_a"),
-                            F.element_at("ids", j).alias("id_b"),
+                            F.element_at("ids", i)["i"].alias("id_a"),
+                            F.element_at("ids", i)["n"].alias("n_a"),
+                            F.element_at("ids", j)["i"].alias("id_b"),
+                            F.element_at("ids", j)["n"].alias("n_b"),
                         ),
                     ),
                 )
             )
         ).alias("p")
     )
-    common = (
-        pair.select("p.id_a", "p.id_b")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("long").alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    # n_a/n_b are functionally determined by id_a/id_b — grouping on all
+    # four keeps one aggregate and no first()/join
     return (
-        common.join(sa, on="id_a")
-        .join(sb, on="id_b")
+        pair.select("p.id_a", "p.n_a", "p.id_b", "p.n_b")
+        .groupBy("id_a", "n_a", "id_b", "n_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
         .select(
             "id_a",
             "id_b",
