@@ -238,23 +238,45 @@ def test_calibrate_mem_is_repeatable_and_sees_bus_load():
     # neighbor, the idle baseline is inflated and one loaded/idle ratio
     # can land under the bar without the probe being wrong — exactly
     # the weather this probe exists to detect
+    # Burners SIGNAL readiness (touch a sentinel after numpy import +
+    # allocation) instead of the old fixed 1.5 s grace: 16 concurrent
+    # cold python+numpy starts can take longer than that, in which case
+    # the "loaded" sample lands on a still-idle bus and the test fails
+    # spuriously (observed r15: loaded 0.116 < idle 0.167 on a drained
+    # host).  The sweep window is also long enough (12 s) to cover the
+    # probe however late it starts.
+    import os
+    import tempfile
+
+    ready_dir = tempfile.mkdtemp(prefix="calm_burn_")
     burner = (
-        "import numpy,time;a=numpy.ones(8*1024*1024);e=time.time()+6\n"
+        "import numpy,time,sys;a=numpy.ones(32*1024*1024);"
+        "open(sys.argv[1],'w').close();e=time.time()+15\n"
         "while time.time()<e: a.sum()"
     )
     last = None
     for _attempt in range(2):
         idle = min(calibrate_mem(), calibrate_mem())
         assert idle is not None and idle > 0
-        # 16 detached burners sweeping 64 MB each saturate the bus
-        for _ in range(16):
+        # 24 detached burners sweeping 256 MB each saturate the bus
+        for i in range(24):
             subprocess.run(
-                ["sh", "-c", f"python3 -c '{burner}' >/dev/null 2>&1 &"],
+                [
+                    "sh", "-c",
+                    f"python3 -c '{burner}' {ready_dir}/r{_attempt}_{i} "
+                    ">/dev/null 2>&1 &",
+                ],
                 check=True,
             )
-        _t.sleep(1.5)  # let the burners reach steady state
-        loaded = calibrate_mem()
-        _t.sleep(5)  # let the burners die before timing anything else
+        deadline = _t.time() + 10
+        while _t.time() < deadline and (
+            sum(1 for n in os.listdir(ready_dir) if n.startswith(f"r{_attempt}_")) < 18
+        ):
+            _t.sleep(0.2)  # most burners allocated and sweeping
+        # max-of-2 loaded samples inside the 15 s sweep window: one
+        # sample can land in a scheduling lull on a big-bandwidth host
+        loaded = max(calibrate_mem(), calibrate_mem())
+        _t.sleep(16)  # let the burners die before timing anything else
         last = (idle, loaded)
         if loaded >= idle * 1.2:
             break
