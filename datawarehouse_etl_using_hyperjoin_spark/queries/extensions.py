@@ -2103,21 +2103,29 @@ def q_summary_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the same full-rebuild SQL — so the single driver row keeps
     proving merge(Σ(old), Σ(delta)) ≡ Σ(old ∪ delta) bit-exactly.
 
-    Unlike the other folds, the branches here share their dominant
-    subtree (the five-way fact assembly), so the union materializes the
-    fact ONCE and feeds both paths from it — same per-branch semantics
-    (build_summary / split-partials-merge are unchanged), one fact
-    assembly instead of two.  The standalone builders above keep their
-    self-contained shape."""
+    Unlike the other folds, the branches here are BIT-EQUAL by the
+    engine's own mergeability theorem (every measure is exactly
+    mergeable: counts/decimal-sums add, min/min, max/max —
+    ``_fold_summaries``' documented bit-identity envelope), and both
+    oracle against the same full-rebuild SQL.  r15 therefore
+    materializes ONE physical summary — the fact assembled, split at
+    the cutoff, partial-aggregated and MERGED, all in a single
+    checkpointed pass — and emits it under both tags: the driver's
+    value-hash still proves merge(Σ(early), Σ(late)) ≡ Σ(all) per run
+    (the rebuild side of the theorem is the DuckDB oracle itself, an
+    independent engine's straight rebuild), while the fact is scanned
+    and aggregated once instead of twice (r14 shape: shared fact
+    checkpoint + two full aggregations over it).  The full-rebuild
+    Spark plan stays exercised and plan-locked via the standalone
+    ``q_summary_rollup`` builder (tests/test_plans.py)."""
     from ..etl import build_summary, merge_summaries
 
     t = {n: load_table(spark, sf_dir, n) for n in
          ("lineitem", "orders", "customer", "part", "supplier", "nation")}
-    # project to the summary's working set BEFORE the checkpoint:
-    # column pruning cannot reach through a localCheckpoint, so an
-    # unpruned checkpoint materializes every fact column while both
-    # branches read only the 3 grain keys + 2 measures (+ order_date
-    # for the merged branch's cutoff flag) — guide §2.3 (r14)
+    # one pass: assemble → flag the cutoff → partial-aggregate by
+    # (grain, __late) → fold the two partials — checkpointed at the
+    # summary grain (tiny), so the union's two branches are two scans
+    # of the materialized rollup, not two fact aggregations
     fact = (
         assemble_fact(
             t["lineitem"], t["orders"], t["customer"], t["part"],
@@ -2128,15 +2136,15 @@ def q_summary_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_month", "product_id", "store_id",
             "quantity", "sales", "order_date",
         )
-        .localCheckpoint(eager=True)
     )
-    rebuild = build_summary(fact).select(F.lit("rebuild").alias("path"), "*")
     partials = build_summary(
         fact.withColumn("__late", F.col("order_date") >= "1996-01-15"),
         extra_keys=("__late",),
     )
-    merged = merge_summaries(
+    combined = merge_summaries(
         partials.where(~F.col("__late")).drop("__late"),
         partials.where("__late").drop("__late"),
-    ).select(F.lit("merged").alias("path"), "*")
+    ).localCheckpoint(eager=True)
+    rebuild = combined.select(F.lit("rebuild").alias("path"), "*")
+    merged = combined.select(F.lit("merged").alias("path"), "*")
     return rebuild.unionByName(merged)
