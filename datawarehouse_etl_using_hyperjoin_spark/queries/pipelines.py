@@ -611,11 +611,16 @@ def q_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The query vectors come from the already-checkpointed assignment
     # (embeddings pass through ivf_assign unchanged), so this job scans
     # 8 in-memory rows instead of re-reading the parquet corpus.
+    # NOT checkpointed: 8 query rows x 16 centroids from two already-
+    # checkpointed inputs — each consumer's broadcast build recomputes it
+    # in microseconds at ANY scale (queries << corpus by design), while
+    # an eager checkpoint would serialize one more driver job into
+    # construction
     probes = ivf_probes(
         assigned.filter(F.col("vec_id") < 8).select("vec_id", "embedding"),
         trained,
         nprobe=4,
-    ).localCheckpoint(eager=True)
+    )
     ivf = q_ann_ivf_trained(
         spark, sf_dir, trained=trained, assigned=assigned, probes=probes
     ).select(
